@@ -1,13 +1,411 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.streaming.StreamOps
+
+/** Driver contract — the engine's public query surface (SURVEY.md §2).
+  *
+  * Every operator family from the survey inventory is wired here as a named
+  * query over the driver testdata, and (where ANSI-SQL-expressible) paired
+  * with a DuckDB oracle in [[oracleSql]]. Non-SQL operators (k-means/IVF,
+  * xxhash64-based MinHash/SimHash, the hashing featurizer, HLL) are verified
+  * by ScalaTest property specs instead and get rows-only driver checks.
+  *
+  * Convention for oracle-checked outputs: all integers surface as BIGINT,
+  * floats as DOUBLE, money/decimal sums as fixed-point BIGINT (cents /
+  * ten-thousandths), similarity scores as floor(1e6·x) BIGINT — so the
+  * hash-compare never sees engine-specific numeric formatting.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * Exact top-k cosine kNN — the reference's `index.search(q, k)`
+    * (`FAISS/PlainDemo/pipeline.py:232-263`) as a broadcast join + window
+    * top-k.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    VectorSearch.knnExact(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5/§2.7/§2.8 — vector search (the flagship surface)
+    "knn_exact" -> ((s, d) => VectorSearch.knnExact(s, d)),
+    "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
+    "knn_ivf" -> ((s, d) => VectorSearch.ivfSearchQuery(s, d)),
+    "knn_doc_join" -> ((s, d) => VectorSearch.knnDocJoin(s, d)),
+    "vec_normalize" -> ((s, d) => VectorSearch.normalizeQuery(s, d)),
+    "vec_pair_metrics" -> ((s, d) => VectorSearch.pairMetricsQuery(s, d)),
+    // §2.4 — CRUD surface
+    "crud_insert" -> ((s, d) => Crud.insert(s, d)),
+    "crud_delete_last_n" -> ((s, d) => Crud.deleteLastN(s, d)),
+    "crud_delete_pred" -> ((s, d) => Crud.deleteByPredicate(s, d)),
+    "crud_update" -> ((s, d) => Crud.update(s, d)),
+    "crud_upsert" -> ((s, d) => Crud.upsert(s, d)),
+    "crud_point_lookup" -> ((s, d) => Crud.pointLookup(s, d)),
+    "crud_counts" -> ((s, d) => Crud.counts(s, d)),
+    // §2.3 + LLM-pipeline — dedup family
+    "dedup_keep_first" -> ((s, d) => Dedup.keepFirst(s, d)),
+    "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // LLM-pipeline — text analysis
+    "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
+    "text_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_bigram_top" -> ((s, d) => TextAnalysis.bigramTop(s, d)),
+    // LLM-pipeline — embedding + multimodal plumbing
+    "embed_docs" -> ((s, d) => EmbedQueries.embedDocs(s, d)),
+    "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "media_decode" -> ((s, d) => EmbedQueries.mediaDecode(s, d)),
+    // §2.6–§2.9 — relational breadth
+    "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
+    "q3_shipping" -> ((s, d) => Relational.q3Shipping(s, d)),
+    "q5_local_supplier" -> ((s, d) => Relational.q5LocalSupplier(s, d)),
+    "join_semi" -> ((s, d) => Relational.semiJoin(s, d)),
+    "join_anti" -> ((s, d) => Relational.antiJoin(s, d)),
+    "window_top_orders" -> ((s, d) => Relational.windowTopOrders(s, d)),
+    "window_running" -> ((s, d) => Relational.windowRunning(s, d)),
+    "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
+    "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
+    "agg_distinct" -> ((s, d) => Relational.aggDistinct(s, d)),
+    "agg_approx_distinct" -> ((s, d) => Relational.aggApproxDistinct(s, d)),
+    "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
+    "value_counts_top" -> ((s, d) => Relational.valueCountsTop(s, d)),
+    // §2.1–§2.2 — flow-CSV pipeline parity
+    "flow_packet_text" -> ((s, d) => FlowParity.packetText(s, d)),
+    "flow_clean_cast" -> ((s, d) => FlowParity.cleanCast(s, d)),
+    "flow_synth_packets" -> ((s, d) => FlowParity.synthPackets(s)),
+    "flow_split_extract" -> ((s, d) => FlowParity.splitExtract(s, d)),
+    "metrics_summary" -> ((s, d) => FlowParity.metricsSummary(s, d)),
+    "metrics_two_level" -> ((s, d) => FlowParity.metricsTwoLevel(s, d)),
+    // §2.9–§2.10 — temporal / sessionization / as-of
+    "events_hourly" -> ((s, d) => Temporal.eventsHourly(s, d)),
+    "sessionize" -> ((s, d) => Temporal.sessionize(s, d)),
+    "asof_join" -> ((s, d) => Temporal.asofClickView(s, d)),
+    // §2.10 — an actual Structured Streaming execution, oracle-checked
+    "stream_hourly" -> ((s, d) => StreamOps.streamHourly(s, d)),
+  )
+
+  // ------------------------------------------------------------ oracles --
+
+  /** Sequential left-fold dot product in DuckDB, mirroring Spark's
+    * `aggregate(zip_with(...))` accumulation order exactly (both are
+    * element-order left folds in double precision ⇒ bit-identical).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+      s"s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))), (acc,x) -> acc+x)"
+
+  private def sqDistSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+      s"s -> (CAST(s[1] AS DOUBLE)-CAST(s[2] AS DOUBLE))*(CAST(s[1] AS DOUBLE)-CAST(s[2] AS DOUBLE)))), (acc,x) -> acc+x)"
+
+  private def microSql(x: String): String =
+    s"CAST(floor(($x)*1000000.0) AS BIGINT)"
+
+  /** Sign-LSH bucket (bit i set iff v[i]>0), mirroring
+    * `VectorFunctions.signLshBucket`.
+    */
+  private def bucketSql(v: String, bits: Int): String =
+    (0 until bits)
+      .map(i => s"(CASE WHEN CAST($v[${i + 1}] AS DOUBLE) > 0.0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  private val discPrice =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+
+  private val hourlySql =
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch, event_type,
+      | CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_value_c
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for non-SQL-expressible ops (knn_ivf,
+    * dedup_minhash_lsh, dedup_simhash, embed_docs, media_decode,
+    * agg_approx_distinct) → driver records a rows-only check; those are
+    * covered by ScalaTest property specs instead.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "knn_exact" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "knn_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec, ${bucketSql("embedding", 8)} AS bucket FROM embeddings WHERE vec_id < 10),
+         |s AS (SELECT q.qid, b.vec_id, ${dotSql("q.qvec", "b.embedding")} AS sim
+         |      FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "knn_doc_join" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+         |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(r.qid AS BIGINT) AS qid, CAST(r.vec_id AS BIGINT) AS vec_id, CAST(r.rank AS BIGINT) AS rank,
+         |       substr(d.text, 1, 20) AS text_prefix
+         |FROM r JOIN documents d ON r.vec_id = d.doc_id WHERE r.rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "vec_normalize" ->
+      s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |       ${microSql(s"sqrt(${dotSql("embedding", "embedding")})")} AS norm_micro
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "vec_pair_metrics" ->
+      s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+         |b AS (SELECT vec_id - 1 AS id_a, vec_id AS id_b, embedding AS vb FROM embeddings)
+         |SELECT CAST(a.id_a AS BIGINT) AS id_a, CAST(b.id_b AS BIGINT) AS id_b,
+         |       ${microSql(dotSql("a.va", "b.vb"))} AS cos_micro,
+         |       ${microSql(s"sqrt(${sqDistSql("a.va", "b.vb")})")} AS l2_micro
+         |FROM a JOIN b USING (id_a) ORDER BY id_a""".stripMargin,
+    "crud_insert" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       CAST(floor(CAST(embedding[1] AS DOUBLE)*1000000.0) AS BIGINT) AS dim0_micro
+        |FROM embeddings
+        |UNION ALL
+        |SELECT CAST(i+100000 AS BIGINT), CAST(i%10 AS BIGINT), 64,
+        |       CAST(floor(CAST(CAST(CAST((i*31)%97 AS DOUBLE)/97.0 AS FLOAT) AS DOUBLE)*1000000.0) AS BIGINT)
+        |FROM range(100) t(i)
+        |ORDER BY vec_id""".stripMargin,
+    "crud_delete_last_n" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM embeddings ORDER BY vec_id DESC LIMIT 100)
+        |ORDER BY vec_id""".stripMargin,
+    "crud_delete_pred" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        |WHERE vec_id % 7 <> 3 ORDER BY vec_id""".stripMargin,
+    "crud_update" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |       CAST(CASE WHEN vec_id % 7 = 3 THEN label + 100 ELSE label END AS BIGINT) AS label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "crud_upsert" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |       CAST(CASE WHEN vec_id < 50 THEN label + 1000 ELSE label END AS BIGINT) AS label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "crud_point_lookup" ->
+      "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label FROM embeddings WHERE vec_id = 42",
+    "crud_counts" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+        |FROM embeddings GROUP BY ROLLUP(label) ORDER BY label NULLS FIRST""".stripMargin,
+    "dedup_keep_first" ->
+      """WITH r AS (SELECT user_id % 50 AS k, event_id, event_type,
+        |                  row_number() OVER (PARTITION BY user_id % 50 ORDER BY event_id) AS rn
+        |           FROM events)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(event_id AS BIGINT) AS event_id, event_type
+        |FROM r WHERE rn = 1 ORDER BY k""".stripMargin,
+    "dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id_kept, CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents GROUP BY text ORDER BY doc_id_kept""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+        |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b,
+        |             CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+        |      FROM p JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |       CAST(floor(jaccard*1000000.0) AS BIGINT) AS jaccard_micro
+        |FROM j WHERE jaccard >= 0.12 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dotSql("a.embedding", "b.embedding")} AS sim
+         |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, ${microSql("sim")} AS sim_micro
+         |FROM p WHERE sim >= 0.30 ORDER BY id_a, id_b""".stripMargin,
+    "text_stats" ->
+      """WITH d AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, length(text) AS n_chars_calc, n_chars, len(ws) AS n_words,
+        |             list_reduce(list_prepend(0::BIGINT, list_transform(ws, w -> CAST(length(w) AS BIGINT))), (acc,x) -> acc+x) AS sum_word_len,
+        |             len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS n_stopwords
+        |      FROM d)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
+        |       CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words,
+        |       CAST(sum_word_len AS BIGINT) AS sum_word_len, CAST(n_stopwords AS BIGINT) AS n_stopwords,
+        |       CAST(floor(CAST(n_stopwords AS DOUBLE)/CAST(n_words AS DOUBLE)*1000000.0) AS BIGINT) AS stopword_ratio_micro
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |             len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS score_en,
+        |             len(list_filter(ws, w -> list_contains(['el','la','de','que'], w))) AS score_es,
+        |             len(list_filter(ws, w -> list_contains(['der','die','und','das'], w))) AS score_de,
+        |             len(list_filter(ws, w -> list_contains(['le','la','et','les'], w))) AS score_fr,
+        |             len(list_filter(ws, w -> list_contains(['的','了','是','在'], w))) AS score_zh
+        |      FROM d),
+        |g AS (SELECT *, greatest(score_en, score_es, score_de, score_fr, score_zh) AS mx FROM s)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |       CASE WHEN score_en = mx AND mx > 0 THEN 'en'
+        |            WHEN score_es = mx AND mx > 0 THEN 'es'
+        |            WHEN score_de = mx AND mx > 0 THEN 'de'
+        |            WHEN score_fr = mx AND mx > 0 THEN 'fr'
+        |            WHEN score_zh = mx AND mx > 0 THEN 'zh'
+        |            ELSE 'unk' END AS lang_pred,
+        |       CAST(score_en AS BIGINT) AS score_en, CAST(score_es AS BIGINT) AS score_es
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(length(text)),
+        |                   i -> CAST(ascii(text[i+1]) AS BIGINT))), (acc,x) -> (acc*31+x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bigram_top" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT unnest(list_transform(range(greatest(len(ws)-1, 0)), i -> ws[i+1] || ' ' || ws[i+2])) AS bigram FROM d)
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "media_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       CAST(ascii(text) AS BIGINT) AS first_cp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_qty_c,
+         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_base_price_c,
+         |       CAST(sum($discPrice)*10000 AS BIGINT) AS sum_disc_price_c,
+         |       CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_shipping" ->
+      s"""SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch,
+         |       CAST(sum($discPrice)*10000 AS BIGINT) AS revenue_c
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |     JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01'
+         |GROUP BY 1, 2 ORDER BY revenue_c DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |       CAST(sum($discPrice)*10000 AS BIGINT) AS revenue_c,
+         |       CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |     JOIN customer ON o_custkey = c_custkey
+         |     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |     JOIN nation ON s_nationkey = n_nationkey
+         |     JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_semi" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_anti" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "window_top_orders" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |           FROM orders)
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS price_c, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "window_running" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)*100 AS BIGINT) AS running_value_c,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_qty_c
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pivot_events" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+        |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "value_counts_top" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+        |GROUP BY 1 ORDER BY n DESC, event_type LIMIT 10""".stripMargin,
+    "flow_packet_text" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |       concat_ws(' ', coalesce(CAST(event_id AS VARCHAR), ''), coalesce(CAST(user_id AS VARCHAR), ''),
+        |                 coalesce(event_type, ''), coalesce(event_type, ''), coalesce(props, '')) AS packet_text
+        |FROM events ORDER BY event_id""".stripMargin,
+    "flow_clean_cast" ->
+      """WITH p AS (SELECT *, try_cast(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events),
+        |r AS (SELECT k, event_id, event_type, row_number() OVER (PARTITION BY k ORDER BY event_id) AS rn
+        |      FROM p WHERE k IS NOT NULL)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(event_id AS BIGINT) AS event_id, event_type
+        |FROM r WHERE rn = 1 ORDER BY k""".stripMargin,
+    "flow_synth_packets" ->
+      """SELECT CAST(i AS BIGINT) AS frame_number,
+        |       printf('192.168.1.%d', i % 256) AS ip_src,
+        |       printf('10.0.0.%d', i % 200) AS ip_dst,
+        |       CAST((i*10) % 60000 + 1000 AS BIGINT) AS port,
+        |       (['TCP','UDP','DNS','ICMP','ARP'])[(i % 5) + 1] AS protocol,
+        |       printf('%d 192.168.1.%d TCP packet %d', i, i % 256, i*10) AS packet_text
+        |FROM range(500) t(i) ORDER BY frame_number""".stripMargin,
+    "flow_split_extract" ->
+      """SELECT CAST(i AS BIGINT) AS frame_number,
+        |       string_split(printf('%d 192.168.1.%d TCP packet %d', i, i % 256, i*10), ' ')[3] AS field3
+        |FROM range(500) t(i) ORDER BY frame_number""".stripMargin,
+    "metrics_summary" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n, min(value) AS min_value, max(value) AS max_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "metrics_two_level" ->
+      """WITH u AS (SELECT event_type, user_id, sum(CAST(value AS DECIMAL(18,2))) AS user_sum
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(max(user_sum)*100 AS BIGINT) AS max_user_sum_c,
+        |       CAST(count(*) AS BIGINT) AS n_users, CAST(sum(user_sum)*100 AS BIGINT) AS total_c
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_hourly" -> hourlySql,
+    "stream_hourly" -> hourlySql,
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+        |l AS (SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep FROM e),
+        |f AS (SELECT *, CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800 THEN 1 ELSE 0 END AS ns FROM l),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+        |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "asof_join" ->
+      """WITH c AS (SELECT user_id, ts, event_id AS click_id, CAST(NULL AS BIGINT) AS view_id, 1 AS side
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts, CAST(NULL AS BIGINT) AS click_id, event_id AS view_id, 0 AS side
+        |      FROM events WHERE event_type = 'view'),
+        |u AS (SELECT * FROM c UNION ALL SELECT * FROM v),
+        |m AS (SELECT *, last_value(view_id IGNORE NULLS) OVER (PARTITION BY user_id
+        |             ORDER BY ts, side, view_id NULLS FIRST, click_id NULLS FIRST
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_view FROM u)
+        |SELECT CAST(click_id AS BIGINT) AS click_id, CAST(user_id AS BIGINT) AS user_id,
+        |       CAST(matched_view AS BIGINT) AS matched_view
+        |FROM m WHERE side = 1 ORDER BY click_id""".stripMargin,
+  )
 }

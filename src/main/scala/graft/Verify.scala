@@ -11,14 +11,27 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // Upcast int→long / float→double so the parquet the driver hashes
+        // has the same physical types as DuckDB's BIGINT/DOUBLE results.
+        val df = fn(spark, sfDir)
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types._
+        val normed = df.select(df.schema.fields.map { f =>
+          f.dataType match {
+            case IntegerType | ShortType | ByteType => col(f.name).cast("long").as(f.name)
+            case FloatType => col(f.name).cast("double").as(f.name)
+            case _ => col(f.name)
+          }
+        }.toSeq: _*)
+        normed.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

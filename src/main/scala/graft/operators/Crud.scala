@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** CRUD surface of the vector store (SURVEY.md §2.4). Spark has no in-place
+  * mutation, so every operation is table → table — the shape a 100 TB lake
+  * needs anyway (immutable snapshots, MERGE-style rewrites):
+  *
+  *  - insert  = embed/construct + unionByName        (C1, `FAISS/PlainDemo/pipeline.py:60-74,106-108`)
+  *  - delete  = left-anti join against the victim set (C2/C3, `pipeline.py:110-112`; `Milvus/stream1.py:297-315`)
+  *  - update  = delete + re-insert                    (C4, `pipeline.py:91-104`)
+  *  - upsert  = keyed keep-latest merge               (C5, `Milvus/stream1.py:370-371`)
+  *
+  * Victim selection is deterministic (modular predicate / key order) instead
+  * of the reference's `random.sample` (`pipeline.py:80`) so results are
+  * oracle-checkable; the shape of the plan is identical.
+  */
+object Crud {
+
+  /** Synthetic batch of new vectors, exactly reproducible in SQL:
+    * vec_id = 100000+i, label = i % 10, embedding[j] = ((i*31+j) % 97) / 97.
+    * (S8 shape — generated rows, `FAISS/PlainDemo/pipeline.py:329-339`.)
+    */
+  def syntheticVectors(spark: SparkSession, n: Int): DataFrame =
+    spark.range(n.toLong).toDF("i").select(
+      (col("i") + 100000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => ((col("i") * 31 + j) % 97).cast("double") / lit(97.0))
+        .cast("array<float>").as("embedding"),
+      (col("i") % 10).cast("int").as("label"))
+
+  /** C1: insert — append a constructed batch to the store. Output projects
+    * a fixed-point probe of the first component so the oracle checks values,
+    * not just counts.
+    */
+  def insert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+    base.unionByName(syntheticVectors(spark, 100))
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        floor(element_at(col("embedding"), 1).cast("double") * 1000000.0).cast("long").as("dim0_micro"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** C3: delete last-N by key order (`Milvus/stream1.py:297-315` — fetch PKs,
+    * sort desc, take N, delete IN-list). The IN-list becomes a left-anti
+    * join; the top-N runs as TakeOrderedAndProject, no global sort.
+    */
+  def deleteLastN(spark: SparkSession, dir: String, n: Int = 100): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val victims = e.select(col("vec_id")).orderBy(col("vec_id").desc).limit(n)
+    e.join(victims, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** C2/P6: delete by predicate (deterministic stand-in for the reference's
+    * random id sample, `pipeline.py:80-89`): drop vec_id ≡ 3 (mod 7).
+    */
+  def deleteByPredicate(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(!(col("vec_id") % 7 === 3))
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+
+  /** C4: update = delete + re-insert with changed payload
+    * (`pipeline.py:91-104`: remove_ids then re-encode + add).
+    */
+  def update(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val untouched = e.filter(!(col("vec_id") % 7 === 3))
+    val reinserted = e.filter(col("vec_id") % 7 === 3)
+      .withColumn("label", col("label") + 100)
+    untouched.unionByName(reinserted)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** C5: upsert by PK — keep-latest-version merge (`Milvus/stream1.py:370-371`).
+    * union + window dedup ≡ MERGE; one shuffle on the key.
+    */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val old = e.select(col("vec_id"), col("label"), lit(1).as("version"))
+    val fresh = e.filter(col("vec_id") < 50)
+      .select(col("vec_id"), (col("label") + 1000).as("label"), lit(2).as("version"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("version").desc)
+    old.unionByName(fresh)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** P7: point lookup by PK (`Milvus/stream1.py:331,339-340`). */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 42)
+      .select(col("vec_id"), col("label"))
+
+  /** C7: counts / stats (`index.ntotal`, `collection.num_entities`). */
+  def counts(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .rollup(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label").asc_nulls_first)
+}

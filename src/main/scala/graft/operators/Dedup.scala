@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Deduplication family (SURVEY.md §2.3 + the LLM-pipeline north star):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * The reference only has keyed keep-first dedup
+  * (`Milvus/stream1.py:215,265` `drop_duplicates(subset=..., keep='first')`);
+  * the rest are the operators a 100 TB training-data pipeline needs. All are
+  * expressed as shuffle-parallel joins/aggregations — never a driver-side
+  * loop — so they scale with cluster width:
+  *
+  *  - the candidate-pair generators are inverted-index joins (explode key →
+  *    equi-join → distinct pairs), the standard way to avoid O(n²) blocking;
+  *  - hot keys (a shingle shared by millions of docs) are the skew risk at
+  *    scale: cap per-key fanout (frequent-shingle filter) or salt; AQE skew
+  *    handling covers the rest.
+  */
+object Dedup {
+
+  /** D1: keyed keep-first dedup. pandas `keep='first'` is order-sensitive,
+    * so "first" is made explicit: min event_id per key (file order == id
+    * order in the testdata).
+    */
+  def keepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).withColumn("k", col("user_id") % 50)
+    val w = Window.partitionBy(col("k")).orderBy(col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("event_id"), col("event_type"))
+      .orderBy(col("k"))
+  }
+
+  /** Exact dedup by content: one survivor (min doc_id) per distinct text. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id_kept"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id_kept"), col("n_copies"), length(col("text")).as("text_len"))
+      .orderBy(col("doc_id_kept"))
+
+  /** Word 3-gram shingle set per document (distinct). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(
+        filter(
+          transform(split(col("text"), " "),
+            (_, i) => when(i < size(split(col("text"), " ")) - 2,
+              concat_ws(" ",
+                element_at(split(col("text"), " "), i + 1),
+                element_at(split(col("text"), " "), i + 2),
+                element_at(split(col("text"), " "), i + 3))).otherwise(lit(null))),
+          x => x.isNotNull)).as("sh"))
+
+  /** N-gram Jaccard near-dup pairs, inverted-index formulation:
+    * explode shingles → self-equi-join on shingle → per-pair common count c
+    * → jaccard = c / (|A| + |B| − c) ≥ threshold.
+    * Only pairs sharing ≥1 shingle are ever materialized (same result set as
+    * brute force, linear-ish work instead of O(n²)).
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.12): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), micro(col("jaccard")).as("jaccard_micro"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------------- MinHash --
+
+  /** Fixed affine-permutation constants for MinHash (Broder 1997): h_j(x) =
+    * (a_j·x + b_j) mod p, p Mersenne-ish prime. Deterministic (no RNG at
+    * plan time) — derived from a splitmix64-style scramble of j.
+    */
+  private def mixConst(j: Int, salt: Long): Long = {
+    var z = j.toLong * 0x9e3779b97f4a7c15L + salt
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) & 0x7fffffffffffffffL
+  }
+  private val P = (1L << 61) - 1 // Mersenne prime 2^61-1
+
+  /** MinHash signature (numHashes values) per doc over xxhash64'd shingles,
+    * computed entirely in Catalyst expressions: one aggregate(min) fold per
+    * permutation over the shingle-hash array. No UDF, no shuffle.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 64): DataFrame = {
+    val hashed = shingles(docs)
+      .withColumn("hs", transform(col("sh"), s => abs(xxhash64(s)) % P))
+    val sigCols = (0 until numHashes).map { j =>
+      val a = mixConst(j, 0x5851f42d4c957f2dL) % P
+      val b = mixConst(j, 0x14057b7ef767814fL) % P
+      // (a*h + b) mod P can overflow long multiply; fold in double-safe
+      // modular space: ((a mod P)*(h mod P)) mod P via BigInt-free trick is
+      // overkill at 61 bits — use (a % 2^31)*(h % 2^31) bounded variant.
+      val a31 = a & 0x7fffffffL
+      val b31 = b & 0x7fffffffL
+      aggregate(col("hs"), lit(Long.MaxValue),
+        (acc, h) => least(acc, (lit(a31) * (h % lit(0x7fffffffL)) + lit(b31)) % lit(0x7fffffffL)))
+        .as(s"mh_$j")
+    }
+    hashed.select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** MinHash LSH candidate pairs: split the signature into `bands` bands of
+    * `rows` hashes, hash each band, explode → equi-join docs sharing any
+    * band value (the classic banding construction: P[candidate] ≈
+    * 1-(1-s^rows)^bands). Shuffle key = (band index, band hash) — uniform by
+    * construction, no skew.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(Tables.documents(spark, dir), numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(j => col(s"mh_$j")): _*).as("bh"))
+    }
+    val exploded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------------- SimHash --
+
+  /** 32-bit SimHash (Charikar 2002) per document over word tokens, as pure
+    * Catalyst expressions: per bit, majority vote of token-hash bits.
+    */
+  def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
+    val toks = docs.withColumn("th", transform(split(col("text"), " "), t => xxhash64(t)))
+    val bitCols = (0 until bits).map { i =>
+      // vote_i = Σ_tokens (bit_i(hash) ? 1 : -1); sig bit i = vote > 0
+      val vote = aggregate(col("th"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, i) % 2 =!= 0, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    toks.select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: block on 8-bit chunks of the signature
+    * (two docs within hamming distance 3 of a 32-bit sig share at least one
+    * of 4 chunks — pigeonhole), verify hamming via bit_count(xor).
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    val sig = simhash(Tables.documents(spark, dir)).cache()
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 8).bitwiseAND(0xffL).as("cv"))): _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-cosine near-dup: sign-LSH bucket blocking + cosine ≥ τ within
+    * bucket. Oracle-checkable because the bucket function is deterministic
+    * SQL on both engines.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.30, bits: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), signLshBucket(col("embedding"), bits).as("bucket"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", dot(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), micro(col("sim")).as("sim_micro"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational breadth of the engine (SURVEY.md §2.6–§2.9): grouped
+  * aggregation, multi-table joins (broadcast + shuffle), semi/anti joins,
+  * window functions, rollup/cube, pivot, distinct aggregates, top-N.
+  *
+  * The reference only ever does client-side pandas versions of these
+  * (value_counts `FAISS/UI-Demo/pipeline+ui.py:648-651`, per-op summary
+  * `pipeline+ui.py:77-90`, two-level benchmark reduce `Milvus/stream1.py:154-191`);
+  * here they are declarative DataFrame plans so Catalyst does partial
+  * aggregation, join reordering and broadcast selection — the properties
+  * that matter at 100 TB.
+  *
+  * Money math is done in DECIMAL so results are exact and bit-identical to
+  * the DuckDB oracle regardless of partitioning / summation order (double
+  * sums are order-dependent; decimals are not).
+  */
+object Relational {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-shaped pricing summary (A1/A6). */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1999-12-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(dec2(col("l_quantity"))) * 100).cast("long").as("sum_qty_c"),
+        (sum(dec2(col("l_extendedprice"))) * 100).cast("long").as("sum_base_price_c"),
+        (sum((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("decimal(18,4)")) * 10000).cast("long").as("sum_disc_price_c"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-shaped shipping priority: 3-way join + grouped revenue + top-10.
+    * customer is small → Catalyst broadcasts it; lineitem⋈orders is the
+    * shuffle join; top-10 runs as TakeOrderedAndProject (no global sort).
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1998-06-01"))
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg((sum((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_c"))
+      .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"), col("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: 6-table join pruned by region, grouped by nation.
+    * region/nation/supplier/customer are broadcast dims; orders⋈lineitem is
+    * the only big shuffle.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === lit("ASIA"))
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_c"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one URGENT order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no URGENT order (J2 shape —
+    * the reference's delete path `Milvus/stream1.py:313-314` is this exact
+    * anti-semijoin).
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Per-group top-k via window (O2/V5 shape: the reference's per-query
+    * top-k `FAISS/PlainDemo/pipeline.py:238` is window-top-k shaped).
+    * Spark ≥3.5 plans this with WindowGroupLimit (rank pushdown), so no
+    * full per-partition materialization.
+    */
+  def windowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("price_c"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Running aggregate over an ordered frame (§2.9 frame-spec window). */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    e.select(
+        col("user_id"), col("event_id"),
+        (sum(dec2(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, 0)) * 100)
+          .cast("long").as("running_value_c"),
+        row_number().over(w).as("seq"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** ROLLUP over lineitem flags (A6 grouping-sets surface). */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        (sum(dec2(col("l_quantity"))) * 100).cast("long").as("sum_qty_c"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over orders status×priority (A6). */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Exact distinct aggregate per group. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate distinct (HLL++) — the scale path for 100 TB cardinality
+    * estimation; algorithm-specific so verified rows-only (no SQL oracle).
+    */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** Pivot (A5 — `Milvus/stream1.py:540-556` dict-of-dicts → wide frame). */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("user_bucket", col("user_id") % 10)
+      .groupBy(col("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0) // absent combos: 0, matching the oracle's FILTER counts
+      .orderBy(col("user_bucket"))
+
+  /** Value-counts top-10 (A3 — `FAISS/UI-Demo/pipeline+ui.py:648-651`). */
+  def valueCountsTop(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(10)
+}

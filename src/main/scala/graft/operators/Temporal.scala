@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-series operators over `events` (SURVEY.md §2.9–2.10 batch forms):
+  * tumbling-window aggregation, gap-based sessionization, as-of join.
+  * The streaming equivalents live in graft.streaming.StreamOps and are
+  * tested for batch≡stream agreement.
+  */
+object Temporal {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Tumbling 1-hour window aggregate (T-window surface; batch twin of the
+    * Structured Streaming version). Output keys are epoch seconds so the
+    * comparison is timestamp-precision-agnostic (the source is ns parquet;
+    * Spark reads µs).
+    */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(dec2(col("value"))) * 100).cast("long").as("sum_value_c"))
+      .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("event_type"),
+        col("n"), col("sum_value_c"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+
+  /** Gap-based sessionization (gap > 30 min ⇒ new session): the classic
+    * lag → flag → running-sum pattern; one shuffle on user_id.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_timestamp(min(col("ts"))).as("start_epoch"),
+        unix_timestamp(max(col("ts"))).as("end_epoch"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** As-of join: for every `click` event, the latest `view` event of the
+    * same user at or before it. Spark lacks a native as-of join; rather
+    * than a range join (O(n·m) blow-up) this uses the scalable union-tag
+    * trick: one shuffle+sort per user, last_value(ignoreNulls) over the
+    * interleaved stream. DuckDB's native ASOF JOIN is the oracle.
+    */
+  def asofClickView(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+        lit(null).cast("long").as("view_id"), lit(1).as("side"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+        col("event_id").as("view_id"), lit(0).as("side"))
+    // at equal ts the view sorts first (side 0 < 1) ⇒ "at or before" (>=)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("view_id"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(views)
+      .withColumn("matched_view", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("click_id"), col("user_id"), col("matched_view"))
+      .orderBy(col("click_id"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions.micro
+
+/** Text-analysis operators over the `documents` table (LLM-pipeline north
+  * star; F2 in SURVEY.md §2.5): quality stats, language-ID heuristic, token
+  * counting, rolling-hash fingerprinting, n-gram frequency.
+  *
+  * Everything is a pure columnar projection/aggregation — scan-bound and
+  * embarrassingly parallel, the ideal 100 TB shape (no shuffle except the
+  * explicit frequency aggregations).
+  */
+object TextAnalysis {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Quality-scoring stats: char/word counts, word-length distribution,
+    * stopword ratio — the standard heuristic-filter features.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val d = Tables.documents(spark, dir)
+      .withColumn("ws", words(col("text")))
+    d.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        col("n_chars"),
+        size(col("ws")).as("n_words"),
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("sum_word_len"),
+        size(filter(col("ws"), w => w.isin(stop.map(lit): _*))).as("n_stopwords"),
+        micro(size(filter(col("ws"), w => w.isin(stop.map(lit): _*))).cast("double") /
+          size(col("ws")).cast("double")).as("stopword_ratio_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID n-gram/stopword heuristic: score each language by its
+    * marker-word hits; argmax with fixed precedence order (en > es > de >
+    * fr > zh on ties). Deterministic, SQL-expressible — NOT a trained model
+    * (none available offline), which matches how the engine would slot a
+    * real lang-id UDF in.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val lex: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and"),
+      "es" -> Seq("el", "la", "de", "que"),
+      "de" -> Seq("der", "die", "und", "das"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "zh" -> Seq("的", "了", "是", "在"))
+    val d = Tables.documents(spark, dir).withColumn("ws", words(col("text")))
+    val scored = lex.foldLeft(d) { case (df, (l, ms)) =>
+      df.withColumn(s"score_$l",
+        size(filter(col("ws"), w => w.isin(ms.map(lit): _*))))
+    }
+    val best = lex.map(_._1).map(l => col(s"score_$l"))
+    val pred = lex.map(_._1).foldRight(lit("unk"): Column) { case (l, els) =>
+      when(col(s"score_$l") === greatest(best: _*) && greatest(best: _*) > 0, lit(l)).otherwise(els)
+    }
+    scored.select(col("doc_id"), col("lang"), pred.as("lang_pred"),
+        col("score_en"), col("score_es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single punctuation), the standard cheap
+    * proxy for LLM token counts.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(words(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprint: polynomial rolling hash over char codes,
+    * acc ← (acc·31 + code) mod 1e9+7 — a sequential left fold, bit-exact
+    * reproducible in any engine (the DuckDB oracle mirrors it with
+    * list_reduce).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-level word-bigram frequency, top-20: the explode → count →
+    * top-N shape (the heavy-shuffle text aggregation; partial aggregation
+    * makes it map-combined at scale).
+    */
+  def bigramTop(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).withColumn("ws", words(col("text")))
+    val bigrams = d.select(explode(
+      filter(
+        transform(col("ws"), (w, i) =>
+          when(i < size(col("ws")) - 1,
+            concat_ws(" ", w, element_at(col("ws"), i + 2))).otherwise(lit(null))),
+        x => x.isNotNull)).as("bigram"))
+    bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+}

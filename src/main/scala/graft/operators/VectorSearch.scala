@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search (SURVEY.md §2.5 V2–V6, O2, J1): the engine's flagship.
+  *
+  * The reference's `index.search(q, k)` (`FAISS/PlainDemo/pipeline.py:232-263`)
+  * becomes a kNN join: queries × candidates → score → per-query top-k window.
+  * Three physical strategies, in increasing scale-fitness:
+  *
+  *  1. exact brute force (== `IndexFlatL2` — the correctness oracle):
+  *     broadcast the small query side, score every base row, window top-k.
+  *     Scales linearly in base size — the right plan when queries ≪ base.
+  *  2. sign-LSH bucketing: both sides key on a deterministic hyperplane-sign
+  *     bucket; the join is an equi-join on the bucket (shuffle-pruned),
+  *     scoring only same-bucket candidates.
+  *  3. IVF (`pipeline.py:315-321`: k-means train + nprobe cell probing):
+  *     a clustered table layout `(cell_id, vec_id, embedding)` + a tiny
+  *     broadcastable centroid table. Probing = equi-join on the nprobe
+  *     nearest cells — ~nprobe/nlist of the data scanned, the same pruning
+  *     FAISS gets, but expressed as partition-prunable joins.
+  *
+  * Per-query top-k uses row_number over (score desc, vec_id) — Spark ≥3.5
+  * plans rank-limit windows with WindowGroupLimit (partial top-k before the
+  * shuffle), which is exactly the partial/final top-k merge Milvus does
+  * server-side (`Milvus/stream1.py:161-162`).
+  */
+object VectorSearch {
+
+  /** Query side: the `nq` lowest vec_ids (deterministic stand-in for the
+    * reference's "first N texts" query batches, `Milvus/stream1.py:386,398`).
+    */
+  def querySet(spark: SparkSession, dir: String, nq: Int): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  /** Exact top-k cosine (embeddings are L2-normalized ⇒ dot == cosine,
+    * `pipeline.py:237-240`). Excludes self-matches.
+    */
+  def knnExact(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+    val q = querySet(spark, dir, nq)
+    val scored = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qvec"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Approximate top-k via sign-LSH bucket blocking: candidates restricted
+    * to the query's bucket (V6-shaped recall knob: more bits ⇒ fewer
+    * candidates ⇒ faster/lower recall). Equi-join ⇒ shuffle on bucket only.
+    */
+  def knnLsh(spark: SparkSession, dir: String, k: Int = 3, nq: Int = 10, bits: Int = 8): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signLshBucket(col("embedding"), bits))
+    val q = querySet(spark, dir, nq)
+      .withColumn("bucket", signLshBucket(col("qvec"), bits))
+    val scored = base.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qvec"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- IVF --
+
+  /** Deterministic Lloyd's k-means over the embedding column, as an
+    * iterative DataFrame job (V4 — `index.train`, `pipeline.py:315-321`).
+    * Init = the nlist lowest-vec_id vectors (deterministic; FAISS uses
+    * sampled init). Returns (cell_id, centroid ARRAY<DOUBLE>).
+    *
+    * Each iteration: broadcast centroids → argmin-assign (min_by over a
+    * tie-broken struct) → per-cell per-dimension mean via posexplode.
+    * Centroid count ≤ 100 (`nlist = min(100, ⌊√n⌋)`, `pipeline.py:317`) so
+    * the broadcast is trivially small at any data scale.
+    */
+  def kmeansFit(vectors: DataFrame, nlist: Int, iters: Int = 5): DataFrame = {
+    val spark = vectors.sparkSession
+    var centroids = vectors.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id"), vecD(col("embedding")).as("centroid"))
+      .withColumn("cell_id", (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("cell_id"), col("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(vectors, centroids)
+      centroids = assigned
+        .select(col("cell_id"), posexplode(vecD(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid (squared L2; ties broken by
+    * cell_id). Centroids are broadcast — the join is a map-side cross of
+    * n × nlist with nlist ≤ 100, no shuffle of the base table.
+    */
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cand = vectors.crossJoin(broadcast(centroids))
+      .withColumn("d2", l2DistanceSq(col("embedding"), col("centroid")))
+    cand.groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell_id"))).as("best"),
+        first(col("embedding")).as("embedding"),
+        first(col("label")).as("label"))
+      .select(col("vec_id"), col("embedding"), col("label"), col("best.cell_id").as("cell_id"))
+  }
+
+  /** IVF "index build" = clustered materialization: rows + cell_id, plus the
+    * centroid table. At scale this is written `partitionBy(cell_id)` so
+    * probing prunes files; here we return the assignment for verification.
+    */
+  def ivfBuild(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val nlist = math.max(1, math.min(100, math.sqrt(n.toDouble).toInt)) // pipeline.py:317
+    val centroids = kmeansFit(e, nlist).cache()
+    (assignCells(e, centroids), centroids)
+  }
+
+  /** V5: probed ANN search — rank cells per query, keep nprobe nearest,
+    * equi-join on cell_id, exact score within probed cells, top-k.
+    * (`index.nprobe = 10`, `pipeline.py:257`; clamped `pipeline+ui.py:227-228`.)
+    */
+  def ivfSearch(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+                k: Int = 5, nprobe: Int = 10): DataFrame = {
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("d2", l2DistanceSq(col("qvec"), col("centroid")))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell_id"))
+    val probed = qCells.withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cell_id"))
+    val scored = assigned.join(broadcast(probed), "cell_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qvec"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** End-to-end IVF query (build + probe) as a single named query.
+    * No SQL oracle (k-means isn't SQL) — correctness is property-tested:
+    * recall vs knnExact → 1 as nprobe → nlist (see VectorSearchSpec).
+    */
+  def ivfSearchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, centroids) = ivfBuild(spark, dir)
+    ivfSearch(assigned, centroids, querySet(spark, dir, 5))
+  }
+
+  /** V1 as a named query: per-row norm probe (all ≈ 1 on this table, but the
+    * operator is the general normalizer).
+    */
+  def normalizeQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), micro(norm2(col("embedding"))).as("norm_micro"))
+      .orderBy(col("vec_id"))
+
+  /** V2/V3 as a named query: cosine + L2 distance between consecutive ids
+    * (self-join on vec_id+1 — an equi-join, not a cross).
+    */
+  def pairMetricsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"),
+        micro(dot(col("va"), col("vb"))).as("cos_micro"),
+        micro(sqrt(foldSum(zip_with(vecD(col("va")), vecD(col("vb")), (x, y) => (x - y) * (x - y)))))
+          .as("l2_micro"))
+      .orderBy(col("id_a"))
+  }
+
+  /** J3: hits → source-row lookup join (`pipeline+ui.py:598-599` positional
+    * lookup becomes an equi-join against documents).
+    */
+  def knnDocJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hits = knnExact(spark, dir, k = 3, nq = 3)
+    val docs = Tables.documents(spark, dir)
+    hits.join(docs, hits("vec_id") === docs("doc_id"))
+      .select(col("qid"), col("vec_id"), col("rank"),
+        substring(col("text"), 1, 20).as("text_prefix"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

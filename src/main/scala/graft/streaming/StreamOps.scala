@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.10): the reference's
+  * file-tailing micro-batch ingest (`Milvus/stream1.py:251-260` — skiprows
+  * offset tracking) maps to a file-source stream whose offsets the
+  * checkpoint manages; its chunked upsert maps to foreachBatch merge; its
+  * implied continuous source (`data_generation/network_simulator.py:178-192`)
+  * maps to the rate source.
+  *
+  * Design rule: derive streaming and batch results from the SAME
+  * transformation function so batch ≡ stream is testable (StreamingSpec).
+  */
+object StreamOps {
+
+  /** events schema for the streaming file source (explicit StructType —
+    * streaming sources cannot infer). ts arrives as epoch-nanos LongType
+    * (the parquet is TIMESTAMP(NANOS); read under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and is converted with
+    * integer division in [[readEventsStream]].
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of the events parquet with ts converted ns→µs.
+    * The testdata table is a single file, so basePath must be pinned to its
+    * parent directory (the streaming source otherwise requires a directory).
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parquet*") // trailing * makes it a glob — the
+      // file-stream source accepts globs but not plain single-file paths
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
+  /** Shared transformation: tumbling 1-hour counts+sums per event type.
+    * Works on a batch OR streaming DataFrame (same Catalyst plan).
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+      .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("event_type"),
+        col("n"), col("sum_value_c"))
+
+  /** T1: replay the events parquet as a file-source stream and run the
+    * hourly aggregate to a memory sink, synchronously. Returns the final
+    * result as a batch DataFrame — so the driver's DuckDB oracle can check
+    * an actual streaming execution.
+    */
+  def streamHourly(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_hourly_${System.nanoTime()}"
+    val src = readEventsStream(spark, dir)
+    val q = hourlyAgg(src.withWatermark("ts", "2 hours"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("hour_epoch"), col("event_type"))
+  }
+
+  /** T1/T4: micro-batch ingest with foreachBatch keep-latest upsert into an
+    * accumulating store — the Milvus chunked add/upsert loop
+    * (`Milvus/stream1.py:255-283,370`) with checkpoint-managed offsets.
+    * `mergeInto` is the MERGE the reference's upsert implies.
+    */
+  def foreachBatchUpsert(spark: SparkSession, dir: String, storePath: String,
+                         checkpoint: String): Unit = {
+    val src = readEventsStream(spark, dir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        mergeKeepLatest(batch.sparkSession, batch.toDF(), storePath, id)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Keep-latest merge of a batch into a parquet store (plain-DF MERGE:
+    * union + window-dedup on the key; Delta/Iceberg MERGE in production).
+    */
+  def mergeKeepLatest(spark: SparkSession, batch: DataFrame, storePath: String,
+                      version: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val incoming = batch.withColumn("v", lit(version))
+    val merged =
+      if (new java.io.File(storePath).exists()) {
+        val old = spark.read.parquet(storePath)
+        val w = Window.partitionBy(col("event_id")).orderBy(col("v").desc)
+        old.unionByName(incoming)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+      } else incoming
+    val tmp = storePath + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = new java.io.File(storePath)
+    if (fs.exists()) { def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }; rm(fs) }
+    new java.io.File(tmp).renameTo(fs)
+  }
+
+  /** T3: streaming dedup with watermark (exactly-once-ish ingest dedup,
+    * `Milvus/stream1.py:265`).
+    */
+  def streamDedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** Session state for stateful sessionization. */
+  case class SessionAcc(userId: Long, sessionId: Long, nEvents: Long,
+                        startEpoch: Long, endEpoch: Long)
+
+  /** T4/custom-state: gap-based sessionization via flatMapGroupsWithState —
+    * the keep-latest/stateful path the reference's upsert implies. Emits
+    * closed sessions; used in tests against Temporal.sessionize.
+    * Works because AvailableNow replays deliver per-key events in ts order
+    * within the single batch (we sort in-group to be explicit).
+    */
+  def sessionizeStateful(spark: SparkSession, events: DataFrame,
+                         gapSeconds: Long = 1800): Dataset[SessionAcc] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts").cast("long").as("epoch"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[(Long, Long)], state: GroupState[SessionAcc]) => {
+          val sorted = it.map(_._2).toArray.sorted
+          var out = List.empty[SessionAcc]
+          var cur = state.getOption.orNull
+          for (e <- sorted) {
+            if (cur == null) cur = SessionAcc(user, 1, 1, e, e)
+            else if (e - cur.endEpoch > gapSeconds) {
+              out = cur :: out
+              cur = SessionAcc(user, cur.sessionId + 1, 1, e, e)
+            } else cur = cur.copy(nEvents = cur.nEvents + 1, endEpoch = e)
+          }
+          if (cur != null) state.update(cur)
+          out.reverseIterator
+        })
+  }
+
+  /** S9/T2: synthetic continuous packet source — rate source + generated
+    * columns, the Spark twin of the 32-replica simulator emitting one op
+    * every 8–12 s (`network_simulator.py:178-192`, compose `replicas: 32`).
+    */
+  def packetRateSource(spark: SparkSession, rowsPerSecond: Int = 33): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select(col("timestamp").as("frame_time"),
+        col("value").as("frame_number"),
+        format_string("192.168.1.%d", col("value") % 256).as("ip_src"),
+        element_at(array(lit("HTTP"), lit("DNS"), lit("ARP"), lit("ICMP"), lit("UDP")),
+          (col("value") % 5 + 1).cast("int")).as("protocol"))
+}
