@@ -25,23 +25,32 @@ object VectorFunctions {
   def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product ⟨a,b⟩ in double precision. */
-  def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(vecD(a), vecD(b), (x, y) => x * y))
+  /** Dot product ⟨a,b⟩ in double precision — codegen'd native loop
+    * (see graft.expressions.VectorExpressions; bit-identical to [[dotHof]]).
+    */
+  def dot(a: Column, b: Column): Column = graft.expressions.VectorExpressions.dotF(a, b)
 
-  /** Euclidean norm ‖a‖₂. */
-  def norm2(a: Column): Column =
-    sqrt(foldSum(transform(vecD(a), x => x * x)))
+  /** Euclidean norm ‖a‖₂ — codegen'd. */
+  def norm2(a: Column): Column = graft.expressions.VectorExpressions.norm2F(a)
 
-  /** L2 distance ‖a−b‖₂ (FAISS METRIC_L2 semantics). */
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(foldSum(zip_with(vecD(a), vecD(b), (x, y) => (x - y) * (x - y))))
+  /** L2 distance ‖a−b‖₂ (FAISS METRIC_L2 semantics) — codegen'd. */
+  def l2Distance(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
 
   /** Cosine similarity for arbitrary (not necessarily normalized) vectors. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
   /** Squared L2 distance (cheaper; monotone in l2Distance for top-k). */
   def l2DistanceSq(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.l2SqF(a, b)
+
+  // Higher-order-function formulations of the same kernels. Kept as the
+  // readable reference semantics; VectorExpressionsSpec asserts the codegen
+  // versions above are bit-identical (same left-to-right double fold).
+  def dotHof(a: Column, b: Column): Column =
+    foldSum(zip_with(vecD(a), vecD(b), (x, y) => x * y))
+  def norm2Hof(a: Column): Column =
+    sqrt(foldSum(transform(vecD(a), x => x * x)))
+  def l2DistanceSqHof(a: Column, b: Column): Column =
     foldSum(zip_with(vecD(a), vecD(b), (x, y) => (x - y) * (x - y)))
 
   /** Sign-bit locality-sensitive hash bucket: bit i set iff v[i] > 0

@@ -66,9 +66,14 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.12): DataFrame = {
     val sh = shingles(Tables.documents(spark, dir)).cache()
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    // Join on the shingle's 64-bit hash, not the string: the shuffle moves
+    // 8-byte keys instead of ~25-byte text. A collision would need two
+    // distinct shingles at the same 64-bit value inside one doc pair —
+    // P ≈ n²/2⁶⁵, negligible even at 100 TB corpus scale.
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     val pairs = inv.as("a").join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("common"))
     pairs

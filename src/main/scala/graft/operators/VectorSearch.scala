@@ -76,45 +76,101 @@ object VectorSearch {
 
   // ---------------------------------------------------------------- IVF --
 
-  /** Deterministic Lloyd's k-means over the embedding column, as an
-    * iterative DataFrame job (V4 — `index.train`, `pipeline.py:315-321`).
-    * Init = the nlist lowest-vec_id vectors (deterministic; FAISS uses
-    * sampled init). Returns (cell_id, centroid ARRAY<DOUBLE>).
-    *
-    * Each iteration: broadcast centroids → argmin-assign (min_by over a
-    * tie-broken struct) → per-cell per-dimension mean via posexplode.
-    * Centroid count ≤ 100 (`nlist = min(100, ⌊√n⌋)`, `pipeline.py:317`) so
-    * the broadcast is trivially small at any data scale.
+  /** Element-wise (Σvec, n) aggregator — the k-means centroid-update UDAF
+    * (SURVEY.md §7.3). Partial buffers are (dim doubles, count) per
+    * executor, so the per-iteration shuffle is ≤ partitions × nlist tiny
+    * rows — the treeAggregate shape spark.ml's KMeans uses, not a shuffle
+    * of the input.
+    */
+  private case class VecSumBuf(sum: Array[Double], var n: Long)
+  private class VecMeanAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Float], VecSumBuf, Seq[Double]] {
+    def zero: VecSumBuf = VecSumBuf(new Array[Double](dim), 0L)
+    def reduce(b: VecSumBuf, a: Seq[Float]): VecSumBuf = {
+      var i = 0; while (i < dim) { b.sum(i) += a(i); i += 1 }; b.n += 1; b
+    }
+    def merge(x: VecSumBuf, y: VecSumBuf): VecSumBuf = {
+      var i = 0; while (i < dim) { x.sum(i) += y.sum(i); i += 1 }; x.n += y.n; x
+    }
+    def finish(b: VecSumBuf): Seq[Double] =
+      if (b.n == 0) Nil else b.sum.map(_ / b.n).toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[VecSumBuf] =
+      org.apache.spark.sql.Encoders.product[VecSumBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Map-side nearest-centroid argmin (squared L2, ties → lowest cell_id)
+    * over a broadcast centroid matrix. A Scala UDF, deliberately: the inner
+    * dim×nlist loop is genuinely imperative hot-path work (the same
+    * boundary FAISS crosses into C++), and doing it per-row map-side means
+    * the assignment needs NO shuffle at any data scale.
+    */
+  private def nearestCellUdf(vectors: DataFrame, centroids: Array[Array[Double]]) = {
+    val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+    udf((emb: Seq[Float]) => {
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var d = 0.0; var i = 0
+        while (i < cent.length) { val t = emb(i) - cent(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+  }
+
+  private def collectCentroids(centroids: DataFrame): Array[Array[Double]] =
+    centroids.orderBy(col("cell_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Deterministic Lloyd's k-means over the embedding column (V4 —
+    * `index.train`, `pipeline.py:315-321`). Init = the nlist lowest-vec_id
+    * vectors (deterministic; FAISS samples). Each iteration is ONE job:
+    * map-side argmin-assign (broadcast centroids) → partial-aggregated
+    * vector means → collect ≤ nlist rows to the driver. Empty cells keep
+    * their previous centroid. Returns (cell_id INT, centroid ARRAY<DOUBLE>).
     */
   def kmeansFit(vectors: DataFrame, nlist: Int, iters: Int = 5): DataFrame = {
     val spark = vectors.sparkSession
-    var centroids = vectors.orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id"), vecD(col("embedding")).as("centroid"))
-      .withColumn("cell_id", (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
-      .select(col("cell_id"), col("centroid"))
+    import spark.implicits._
+    val init = vectors.orderBy(col("vec_id")).limit(nlist)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = init.head.length
+    var cents = init
+    val meanAgg = udaf(new VecMeanAgg(dim))
     for (_ <- 0 until iters) {
-      val assigned = assignCells(vectors, centroids)
-      centroids = assigned
-        .select(col("cell_id"), posexplode(vecD(col("embedding"))).as(Seq("pos", "x")))
-        .groupBy(col("cell_id"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cell_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("centroid"))
+      val assign = nearestCellUdf(vectors, cents)
+      val updated = vectors
+        .groupBy(assign(col("embedding")).as("cell_id"))
+        .agg(meanAgg(col("embedding")).as("centroid"))
+        .collect()
+      val next = cents.map(_.clone())
+      updated.foreach { r =>
+        val m = r.getSeq[Double](1)
+        if (m.nonEmpty) next(r.getInt(0)) = m.toArray
+      }
+      cents = next
     }
-    centroids
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "centroid")
   }
 
-  /** Assign each vector to its nearest centroid (squared L2; ties broken by
-    * cell_id). Centroids are broadcast — the join is a map-side cross of
-    * n × nlist with nlist ≤ 100, no shuffle of the base table.
+  /** Assign each vector to its nearest centroid — a pure map-side
+    * projection (no shuffle, no join): the broadcast-argmin UDF adds
+    * `cell_id` next to the untouched row. At 100 TB this is the only
+    * shape that works — the base table is never shuffled to be indexed,
+    * it is only annotated and re-written clustered by `cell_id`.
     */
   def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val cand = vectors.crossJoin(broadcast(centroids))
-      .withColumn("d2", l2DistanceSq(col("embedding"), col("centroid")))
-    cand.groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cell_id"))).as("best"),
-        first(col("embedding")).as("embedding"),
-        first(col("label")).as("label"))
-      .select(col("vec_id"), col("embedding"), col("label"), col("best.cell_id").as("cell_id"))
+    val assign = nearestCellUdf(vectors, collectCentroids(centroids))
+    vectors.select(col("vec_id"), col("embedding"), col("label"),
+      assign(col("embedding")).as("cell_id"))
   }
 
   /** IVF "index build" = clustered materialization: rows + cell_id, plus the
@@ -136,7 +192,7 @@ object VectorSearch {
   def ivfSearch(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
                 k: Int = 5, nprobe: Int = 10): DataFrame = {
     val qCells = queries.crossJoin(broadcast(centroids))
-      .withColumn("d2", l2DistanceSq(col("qvec"), col("centroid")))
+      .withColumn("d2", l2DistanceSq(col("qvec"), col("centroid").cast("array<float>")))
     val wc = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell_id"))
     val probed = qCells.withColumn("cr", row_number().over(wc))
       .filter(col("cr") <= nprobe)
@@ -178,8 +234,7 @@ object VectorSearch {
     a.join(b, "id_a")
       .select(col("id_a"), col("id_b"),
         micro(dot(col("va"), col("vb"))).as("cos_micro"),
-        micro(sqrt(foldSum(zip_with(vecD(col("va")), vecD(col("vb")), (x, y) => (x - y) * (x - y)))))
-          .as("l2_micro"))
+        micro(l2Distance(col("va"), col("vb"))).as("l2_micro"))
       .orderBy(col("id_a"))
   }
 

@@ -140,7 +140,11 @@ object StreamOps {
               cur = SessionAcc(user, cur.sessionId + 1, 1, e, e)
             } else cur = cur.copy(nEvents = cur.nEvents + 1, endEpoch = e)
           }
-          if (cur != null) state.update(cur)
+          // The trailing session is emitted too: under an AvailableNow
+          // complete replay end-of-input == end-of-stream. It stays in
+          // state so a continuation batch extends rather than loses it
+          // (a later extension would re-emit the grown session).
+          if (cur != null) { state.update(cur); out = cur :: out }
           out.reverseIterator
         })
   }

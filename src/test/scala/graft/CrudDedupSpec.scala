@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Crud, Dedup}
+
+/** §2.4 CRUD semantics + §2.3 dedup invariants. */
+class CrudDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val n = Tables.embeddings(spark, sfDir).count()
+
+  test("insert adds exactly the batch size") {
+    assert(Crud.insert(spark, sfDir).count() == n + 100)
+  }
+
+  test("delete-last-N drops the N highest keys and nothing else") {
+    val out = Crud.deleteLastN(spark, sfDir, 100)
+    assert(out.count() == n - 100)
+    val maxKept = out.agg(max($"vec_id")).as[Long].head()
+    val threshold = Tables.embeddings(spark, sfDir)
+      .orderBy($"vec_id".desc).limit(100)
+      .agg(min($"vec_id")).as[Long].head()
+    assert(maxKept < threshold)
+  }
+
+  test("update only touches the predicate rows") {
+    val out = Crud.update(spark, sfDir)
+    assert(out.count() == n)
+    val changed = out.filter($"label" >= 100).count()
+    val expected = Tables.embeddings(spark, sfDir).filter($"vec_id" % 7 === 3).count()
+    assert(changed == expected)
+  }
+
+  test("upsert keeps exactly one row per key with v2 winning") {
+    val out = Crud.upsert(spark, sfDir)
+    assert(out.count() == n, "no duplicate keys survive")
+    assert(out.filter($"vec_id" < 50 && $"label" < 1000).count() == 0, "v2 wins under 50")
+    assert(out.filter($"vec_id" >= 50 && $"label" >= 1000).count() == 0, "v1 untouched above")
+  }
+
+  test("upsert is idempotent") {
+    val once = Crud.upsert(spark, sfDir)
+    // applying the same fresh batch on top of `once` changes nothing
+    val again = {
+      val fresh = Tables.embeddings(spark, sfDir).filter($"vec_id" < 50)
+        .select($"vec_id", ($"label" + 1000).as("label"), lit(2).as("version"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"version".desc)
+      once.withColumn("version", lit(2))
+        .unionByName(fresh)
+        .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"vec_id", $"label")
+    }
+    assert(again.exceptAll(once).count() == 0 && once.exceptAll(again).count() == 0)
+  }
+
+  test("exact dedup survivors partition the corpus") {
+    val d = Dedup.exactDedup(spark, sfDir)
+    val total = d.agg(sum($"n_copies")).as[Long].head()
+    assert(total == Tables.documents(spark, sfDir).count())
+  }
+
+  test("minhash: identical texts get identical signatures") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "a completely different sentence with other words entirely"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, numHashes = 16).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical docs, identical sigs")
+    assert(sigs(1L) != sigs(3L), "different docs differ somewhere")
+  }
+
+  test("minhash LSH finds exact duplicates as candidate pairs") {
+    val pairs = Dedup.minhashLshPairs(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // exact duplicate texts must be LSH candidates (identical sigs ⇒ same bands)
+    val dups = Tables.documents(spark, sfDir)
+      .groupBy($"text").agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, a -> transform(ids, b -> struct(a, b))))")))
+      .select($"col.a", $"col.b").filter($"a" < $"b")
+      .as[(Long, Long)].collect().toSet
+    assert(dups.subsetOf(pairs), s"missing ${(dups -- pairs).take(5)}")
+  }
+
+  test("simhash: identical texts collide at hamming 0") {
+    val docs = Seq((1L, "spark native analytics engine for packets"),
+      (2L, "spark native analytics engine for packets")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs).select($"simhash").as[Long].collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("jaccard pairs: duplicate texts score 1.0") {
+    val dupPairs = Dedup.ngramJaccardPairs(spark, sfDir, threshold = 0.999)
+    val exact = Dedup.exactDedup(spark, sfDir).filter($"n_copies" > 1)
+    // at least every exact-duplicate group yields a jaccard-1 pair
+    assert(dupPairs.count() >= exact.count())
+  }
+}

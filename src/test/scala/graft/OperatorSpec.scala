@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Cross-cutting checks over the named-query surface: every SparkEntry
+  * query runs at sf0.001 and returns rows; targeted semantic checks for
+  * operators whose oracle is rows-only; multimodal plumbing contract.
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every SparkEntry query executes and returns rows at sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try { if (fn(spark, sfDir).count() > 0) None else Some(s"$name: 0 rows") }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("every query key has either an oracle or a documented exemption") {
+    val exempt = Set("knn_ivf", "dedup_minhash_lsh", "dedup_simhash",
+      "embed_docs", "media_decode", "agg_approx_distinct")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  test("entry flagship returns ranked rows") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length > 0)
+  }
+
+  test("approx_count_distinct is within 10% of exact") {
+    val approx = Relational.aggApproxDistinct(spark, sfDir)
+      .select($"l_returnflag", $"approx_orders").as[(String, Long)].collect().toMap
+    val exact = Relational.aggDistinct(spark, sfDir)
+      .select($"l_returnflag", $"n_orders").as[(String, Long)].collect().toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.1, s"$k: ${approx(k)} vs $e")
+    }
+  }
+
+  test("multimodal decode emits the typed meta contract") {
+    val out = EmbedQueries.mediaDecode(spark, sfDir).collect()
+    assert(out.forall { r =>
+      val (w, h, f) = (r.getLong(1), r.getLong(2), r.getString(3))
+      w >= 256 && w < 1280 && h >= 256 && h < 1280 && (f == "png" || f == "jpeg")
+    })
+    // deterministic: same bytes, same meta
+    val again = EmbedQueries.mediaDecode(spark, sfDir).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("asof join matches a per-row reference computation") {
+    val e = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type", $"ts".cast("long").as("ep"),
+        $"ts")
+      .collect()
+    val views = e.filter(_.getString(2) == "view")
+    val clicks = e.filter(_.getString(2) == "click")
+    val expected = clicks.map { c =>
+      val uid = c.getLong(0)
+      val cts = c.getTimestamp(4)
+      val eligible = views.filter(v => v.getLong(0) == uid &&
+        !v.getTimestamp(4).after(cts))
+      val best = if (eligible.isEmpty) null
+        else eligible.maxBy(v => (v.getTimestamp(4).getTime, v.getLong(1))).getLong(1)
+      (c.getLong(1), Option(best))
+    }.toMap
+    val got = Temporal.asofClickView(spark, sfDir)
+      .select($"click_id", $"matched_view").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == expected.map { case (k, v) => k -> v.map(_.asInstanceOf[Long]) })
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+import graft.streaming.StreamOps
+
+/** §2.10: batch ≡ stream agreement — the same transformation function run
+  * through Structured Streaming must produce the batch result; stateful
+  * sessionization must agree with the window-based batch sessionize.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamHourly equals the batch hourly aggregate") {
+    val streamed = StreamOps.streamHourly(spark, sfDir)
+    val batch = Temporal.eventsHourly(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("foreachBatch upsert store converges to the keyed snapshot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val store = s"$tmp/store"
+    val ckpt = s"$tmp/ckpt"
+    StreamOps.foreachBatchUpsert(spark, sfDir, store, ckpt)
+    val got = spark.read.parquet(store)
+    val want = Tables.events(spark, sfDir)
+    assert(got.count() == want.count(), "all events ingested, one per key")
+    assert(got.select($"event_id").distinct().count() == want.count())
+  }
+
+  test("stateful sessionization agrees with the batch window sessionize") {
+    val batch = Temporal.sessionize(spark, sfDir)
+      .select($"user_id", $"session_id", $"n_events", $"start_epoch", $"end_epoch")
+    val stateful = StreamOps.sessionizeStateful(spark, Tables.events(spark, sfDir))
+      .toDF().select($"userId".as("user_id"), $"sessionId".as("session_id"),
+        $"nEvents".as("n_events"), $"startEpoch".as("start_epoch"), $"endEpoch".as("end_epoch"))
+    assert(stateful.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(stateful).count() == 0)
+  }
+
+  test("streaming dedup drops in-batch duplicate keys") {
+    val doubled = Tables.events(spark, sfDir).unionByName(Tables.events(spark, sfDir))
+    // batch twin of streamDedup's dropDuplicates semantics
+    assert(doubled.dropDuplicates("event_id").count() ==
+      Tables.events(spark, sfDir).count())
+  }
+}
