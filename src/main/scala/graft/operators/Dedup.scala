@@ -44,18 +44,23 @@ object Dedup {
       .select(col("doc_id_kept"), col("n_copies"), length(col("text")).as("text_len"))
       .orderBy(col("doc_id_kept"))
 
-  /** Word 3-gram shingle set per document (distinct). */
+  /** Word 3-gram shingle set per document (distinct). The split is bound
+    * once in its own projection (CollapseProject keeps non-cheap exprs
+    * un-inlined), so each shingle does three array lookups rather than
+    * three re-splits of the text.
+    */
   def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      array_distinct(
-        filter(
-          transform(split(col("text"), " "),
-            (_, i) => when(i < size(split(col("text"), " ")) - 2,
-              concat_ws(" ",
-                element_at(split(col("text"), " "), i + 1),
-                element_at(split(col("text"), " "), i + 2),
-                element_at(split(col("text"), " "), i + 3))).otherwise(lit(null))),
-          x => x.isNotNull)).as("sh"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        array_distinct(
+          filter(
+            transform(col("ws"),
+              (_, i) => when(i < size(col("ws")) - 2,
+                concat_ws(" ",
+                  element_at(col("ws"), i + 1),
+                  element_at(col("ws"), i + 2),
+                  element_at(col("ws"), i + 3))).otherwise(lit(null))),
+            x => x.isNotNull)).as("sh"))
 
   /** N-gram Jaccard near-dup pairs, inverted-index formulation:
     * explode shingles → self-equi-join on shingle → per-pair common count c

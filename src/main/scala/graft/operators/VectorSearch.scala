@@ -76,29 +76,9 @@ object VectorSearch {
 
   // ---------------------------------------------------------------- IVF --
 
-  /** Element-wise (Σvec, n) aggregator — the k-means centroid-update UDAF
-    * (SURVEY.md §7.3). Partial buffers are (dim doubles, count) per
-    * executor, so the per-iteration shuffle is ≤ partitions × nlist tiny
-    * rows — the treeAggregate shape spark.ml's KMeans uses, not a shuffle
-    * of the input.
-    */
-  private case class VecSumBuf(sum: Array[Double], var n: Long)
-  private class VecMeanAgg(dim: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Seq[Float], VecSumBuf, Seq[Double]] {
-    def zero: VecSumBuf = VecSumBuf(new Array[Double](dim), 0L)
-    def reduce(b: VecSumBuf, a: Seq[Float]): VecSumBuf = {
-      var i = 0; while (i < dim) { b.sum(i) += a(i); i += 1 }; b.n += 1; b
-    }
-    def merge(x: VecSumBuf, y: VecSumBuf): VecSumBuf = {
-      var i = 0; while (i < dim) { x.sum(i) += y.sum(i); i += 1 }; x.n += y.n; x
-    }
-    def finish(b: VecSumBuf): Seq[Double] =
-      if (b.n == 0) Nil else b.sum.map(_ / b.n).toSeq
-    def bufferEncoder: org.apache.spark.sql.Encoder[VecSumBuf] =
-      org.apache.spark.sql.Encoders.product[VecSumBuf]
-    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-  }
+  // (VecSumBuf / VecMeanAgg live at package level below object VectorSearch —
+  //  a nested private case class with a var field breaks the encoder's
+  //  generated projection, forcing interpreted fallback in every task.)
 
   /** Map-side nearest-centroid argmin (squared L2, ties → lowest cell_id)
     * over a broadcast centroid matrix. A Scala UDF, deliberately: the inner
@@ -137,15 +117,23 @@ object VectorSearch {
   def kmeansFit(vectors: DataFrame, nlist: Int, iters: Int = 5): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val init = vectors.orderBy(col("vec_id")).limit(nlist)
+    // The training set is scanned once per iteration — cache the projected
+    // column so iterations hit memory, not the parquet scan, and coalesce:
+    // k-means train input is a sample small enough to collect centroids
+    // from, so few fat partitions beat many empty ones (5 iterations ×
+    // 2 stages of per-task overhead otherwise dominate). At 100 TB the
+    // train set is a sample; only assignCells touches the full table.
+    val train = vectors.select(col("vec_id"), col("embedding"))
+      .coalesce(8).cache()
+    val init = train.orderBy(col("vec_id")).limit(nlist)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val dim = init.head.length
     var cents = init
     val meanAgg = udaf(new VecMeanAgg(dim))
     for (_ <- 0 until iters) {
-      val assign = nearestCellUdf(vectors, cents)
-      val updated = vectors
+      val assign = nearestCellUdf(train, cents)
+      val updated = train
         .groupBy(assign(col("embedding")).as("cell_id"))
         .agg(meanAgg(col("embedding")).as("centroid"))
         .collect()
@@ -156,6 +144,7 @@ object VectorSearch {
       }
       cents = next
     }
+    train.unpersist(blocking = false)
     cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell_id", "centroid")
@@ -249,4 +238,36 @@ object VectorSearch {
         substring(col("text"), 1, 20).as("text_prefix"))
       .orderBy(col("qid"), col("rank"))
   }
+}
+
+/** Aggregation buffer for [[VecMeanAgg]]: top-level and immutable so the
+  * product encoder's generated projection compiles (a nested case class
+  * with a var field fails Janino and silently degrades every task to
+  * interpreted serialization).
+  */
+case class VecSumBuf(sum: Array[Double], n: Long)
+
+/** Element-wise (Σvec, n) aggregator — the k-means centroid-update UDAF
+  * (SURVEY.md §7.3). Partial buffers are (dim doubles, count) per
+  * executor, so the per-iteration shuffle is ≤ partitions × nlist tiny
+  * rows — the treeAggregate shape spark.ml's KMeans uses, not a shuffle
+  * of the input.
+  */
+class VecMeanAgg(dim: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Seq[Float], VecSumBuf, Seq[Double]] {
+  def zero: VecSumBuf = VecSumBuf(new Array[Double](dim), 0L)
+  def reduce(b: VecSumBuf, a: Seq[Float]): VecSumBuf = {
+    var i = 0; while (i < dim) { b.sum(i) += a(i); i += 1 }
+    VecSumBuf(b.sum, b.n + 1)
+  }
+  def merge(x: VecSumBuf, y: VecSumBuf): VecSumBuf = {
+    var i = 0; while (i < dim) { x.sum(i) += y.sum(i); i += 1 }
+    VecSumBuf(x.sum, x.n + y.n)
+  }
+  def finish(b: VecSumBuf): Seq[Double] =
+    if (b.n == 0) Nil else b.sum.map(_ / b.n).toSeq
+  def bufferEncoder: org.apache.spark.sql.Encoder[VecSumBuf] =
+    org.apache.spark.sql.Encoders.product[VecSumBuf]
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorSearch
+import graft.sources.IndexStore
+
+/** The persisted clustered index: layout, partition pruning, and
+  * search-result agreement with the in-memory path.
+  */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IndexStore.write(spark, sfDir, p)
+    p
+  }
+
+  test("clustered layout: one directory per cell, all rows present") {
+    val dirs = new java.io.File(s"$path/rows").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).length
+    assert(dirs > 1, "expected multiple cell partitions")
+    val (rows, _) = IndexStore.read(spark, path)
+    assert(rows.count() == Tables.embeddings(spark, sfDir).count())
+  }
+
+  test("cell filter prunes partitions at the scan") {
+    val (rows, _) = IndexStore.read(spark, path)
+    val p = rows.filter($"cell_id" === 3).queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell_id"), p.take(2000))
+  }
+
+  test("search over the persisted index returns k hits per query") {
+    val q = VectorSearch.querySet(spark, sfDir, 3)
+    val hits = IndexStore.search(spark, path, q, k = 5, nprobe = 10)
+    val perQ = hits.groupBy($"qid").count().select($"count").as[Long].collect()
+    assert(perQ.forall(_ == 5L))
+  }
+}

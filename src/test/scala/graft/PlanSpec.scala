@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Physical-plan shape assertions — the 100 TB design contract, pinned so a
+  * refactor can't silently regress it: broadcasts stay broadcasts, filters
+  * reach the parquet scan, window top-k uses rank-limit pushdown.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q3: dimension join is a BroadcastHashJoin, fact join shuffles") {
+    val p = plan(Relational.q3Shipping(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q5: all four dims broadcast — no shuffle join against them") {
+    val p = plan(Relational.q5LocalSupplier(spark, sfDir))
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 4,
+      p.take(3000))
+  }
+
+  test("point lookup pushes the key predicate into the parquet scan") {
+    val p = plan(Crud.pointLookup(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(vec_id,42)"), p)
+  }
+
+  test("column pruning reaches the scan: value_counts reads only event_type") {
+    val p = plan(Relational.valueCountsTop(spark, sfDir))
+    assert(p.contains("ReadSchema: struct<event_type:string>"), p)
+  }
+
+  test("window top-k plans with WindowGroupLimit (partial top-k before shuffle)") {
+    val p = plan(Relational.windowTopOrders(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("knnExact broadcasts the query side (no shuffle of the base table)") {
+    val p = plan(VectorSearch.knnExact(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("top-N order+limit plans as TakeOrderedAndProject (no global sort)") {
+    val li = Tables.orders(spark, sfDir)
+    val p = plan(li.orderBy(col("o_totalprice").desc).limit(10))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("vector kernels stay inside whole-stage codegen") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.limit(3).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = e.crossJoin(broadcast(q))
+      .select(graft.functions.VectorFunctions.dot(col("qvec"), col("embedding")).as("s"))
+    val agg = scored.groupBy().sum("s")
+    agg.collect() // AQE only finalizes codegen spans after execution
+    val p = plan(agg)
+    // codegen'd operators print with the "*(stageId)" prefix; the custom
+    // expression must appear inside such a span, not under a fallback
+    assert(p.linesIterator.exists(l => l.contains("dotproductfloat") && l.contains("*(")),
+      p.take(2000))
+  }
+}
