@@ -80,6 +80,7 @@ object SparkEntry {
     "flow_clean_cast" -> ((s, d) => FlowParity.cleanCast(s, d)),
     "flow_synth_packets" -> ((s, d) => FlowParity.synthPackets(s)),
     "flow_split_extract" -> ((s, d) => FlowParity.splitExtract(s, d)),
+    "flow_offset_resume" -> ((s, d) => FlowParity.offsetResume(s, d)),
     "metrics_summary" -> ((s, d) => FlowParity.metricsSummary(s, d)),
     "metrics_two_level" -> ((s, d) => FlowParity.metricsTwoLevel(s, d)),
     // §2.9–§2.10 — temporal / sessionization / as-of
@@ -372,6 +373,9 @@ object SparkEntry {
       """SELECT CAST(i AS BIGINT) AS frame_number,
         |       string_split(printf('%d 192.168.1.%d TCP packet %d', i, i % 256, i*10), ' ')[3] AS field3
         |FROM range(500) t(i) ORDER BY frame_number""".stripMargin,
+    "flow_offset_resume" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id, event_type FROM events
+        |ORDER BY event_id LIMIT 1000 OFFSET 500""".stripMargin,
     "metrics_summary" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n, min(value) AS min_value, max(value) AS max_value,
         |       CAST(sum(CAST(value AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_value_c

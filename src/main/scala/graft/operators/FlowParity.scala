@@ -100,6 +100,19 @@ object FlowParity {
         (sum(col("user_sum")) * 100).cast("long").as("total_c"))
       .orderBy(col("event_type"))
 
+  /** S3: offset-resume scan — the reference's chunked CSV tail
+    * (`Milvus/stream1.py:251-260`: `skiprows = num_entities+1`,
+    * `nrows=1000`). File order becomes key order; the next chunk is
+    * offset+limit over it.
+    */
+  def offsetResume(spark: SparkSession, dir: String,
+                   offset: Int = 500, n: Int = 1000): DataFrame =
+    Tables.events(spark, dir)
+      .orderBy(col("event_id"))
+      .offset(offset)
+      .limit(n)
+      .select(col("event_id"), col("event_type"))
+
   /** P10: string split + positional field extraction
     * (`pipeline+ui.py:643-646` `text.split()[2]` → protocol).
     */
