@@ -73,6 +73,7 @@ object SparkEntry {
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
     "agg_distinct" -> ((s, d) => Relational.aggDistinct(s, d)),
     "agg_approx_distinct" -> ((s, d) => Relational.aggApproxDistinct(s, d)),
+    "agg_salted" -> ((s, d) => Relational.aggSalted(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
     "value_counts_top" -> ((s, d) => Relational.valueCountsTop(s, d)),
     // §2.1–§2.2 — flow-CSV pipeline parity
@@ -86,6 +87,7 @@ object SparkEntry {
     // §2.9–§2.10 — temporal / sessionization / as-of
     "events_hourly" -> ((s, d) => Temporal.eventsHourly(s, d)),
     "sessionize" -> ((s, d) => Temporal.sessionize(s, d)),
+    "window_sliding" -> ((s, d) => Temporal.eventsSliding(s, d)),
     "asof_join" -> ((s, d) => Temporal.asofClickView(s, d)),
     // §2.10 — an actual Structured Streaming execution, oracle-checked
     "stream_hourly" -> ((s, d) => StreamOps.streamHourly(s, d)),
@@ -388,6 +390,15 @@ object SparkEntry {
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_hourly" -> hourlySql,
     "stream_hourly" -> hourlySql,
+    "agg_salted" ->
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_qty_c,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "window_sliding" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |x AS (SELECT event_type, unnest([h, h - INTERVAL 1 HOUR]) AS ws FROM e)
+        |SELECT CAST(floor(epoch(ws)) AS BIGINT) AS win_epoch, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
         |l AS (SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep FROM e),

@@ -105,26 +105,23 @@ object Dedup {
   }
   private val P = (1L << 61) - 1 // Mersenne prime 2^61-1
 
-  /** MinHash signature (numHashes values) per doc over xxhash64'd shingles,
-    * computed entirely in Catalyst expressions: one aggregate(min) fold per
-    * permutation over the shingle-hash array. No UDF, no shuffle.
+  /** MinHash signature per doc over xxhash64'd shingles: one single-pass
+    * codegen'd kernel (SketchExpressions.minhash) computing all `numHashes`
+    * permutation minima — same integer arithmetic as folding
+    * `aggregate(min)` per permutation, 64× fewer passes. No UDF, no shuffle.
+    * Output: (doc_id, sig ARRAY<BIGINT>[numHashes]).
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64): DataFrame = {
-    val hashed = shingles(docs)
+    // (a*h + b) mod P can overflow long multiply at 61 bits; fold in the
+    // 31-bit modular space instead: (a₃₁·(h mod 2³¹−1) + b₃₁) mod 2³¹−1.
+    val a31 = (0 until numHashes)
+      .map(j => (mixConst(j, 0x5851f42d4c957f2dL) % P) & 0x7fffffffL).toArray
+    val b31 = (0 until numHashes)
+      .map(j => (mixConst(j, 0x14057b7ef767814fL) % P) & 0x7fffffffL).toArray
+    shingles(docs)
       .withColumn("hs", transform(col("sh"), s => abs(xxhash64(s)) % P))
-    val sigCols = (0 until numHashes).map { j =>
-      val a = mixConst(j, 0x5851f42d4c957f2dL) % P
-      val b = mixConst(j, 0x14057b7ef767814fL) % P
-      // (a*h + b) mod P can overflow long multiply; fold in double-safe
-      // modular space: ((a mod P)*(h mod P)) mod P via BigInt-free trick is
-      // overkill at 61 bits — use (a % 2^31)*(h % 2^31) bounded variant.
-      val a31 = a & 0x7fffffffL
-      val b31 = b & 0x7fffffffL
-      aggregate(col("hs"), lit(Long.MaxValue),
-        (acc, h) => least(acc, (lit(a31) * (h % lit(0x7fffffffL)) + lit(b31)) % lit(0x7fffffffL)))
-        .as(s"mh_$j")
-    }
-    hashed.select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"),
+        graft.expressions.SketchExpressions.minhash(col("hs"), a31, b31).as("sig"))
   }
 
   /** MinHash LSH candidate pairs: split the signature into `bands` bands of
@@ -139,7 +136,7 @@ object Dedup {
     val sigs = minhashSignatures(Tables.documents(spark, dir), numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(j => col(s"mh_$j")): _*).as("bh"))
+        xxhash64((b * rows until (b + 1) * rows).map(j => element_at(col("sig"), j + 1)): _*).as("bh"))
     }
     val exploded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
@@ -153,18 +150,14 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash --
 
-  /** 32-bit SimHash (Charikar 2002) per document over word tokens, as pure
-    * Catalyst expressions: per bit, majority vote of token-hash bits.
+  /** 32-bit SimHash (Charikar 2002) per document over word tokens: per bit,
+    * majority vote of token-hash bits — one single-pass codegen'd kernel
+    * (SketchExpressions.simhash; 32× fewer passes than per-bit folds).
     */
   def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
     val toks = docs.withColumn("th", transform(split(col("text"), " "), t => xxhash64(t)))
-    val bitCols = (0 until bits).map { i =>
-      // vote_i = Σ_tokens (bit_i(hash) ? 1 : -1); sig bit i = vote > 0
-      val vote = aggregate(col("th"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, i) % 2 =!= 0, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    toks.select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
+    toks.select(col("doc_id"),
+      graft.expressions.SketchExpressions.simhash(col("th"), bits).as("simhash"))
   }
 
   /** SimHash near-dup candidates: block on 8-bit chunks of the signature

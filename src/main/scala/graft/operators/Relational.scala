@@ -161,6 +161,23 @@ object Relational {
       .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Skew-safe two-phase aggregation: salt the key space into 16 sub-keys,
+    * partial-aggregate per (key, salt), then merge — the pattern for a hot
+    * grouping key at 100 TB (one reducer would otherwise take the whole
+    * key). Decimal partials make the result exactly equal to the direct
+    * groupBy, which is the oracle.
+    */
+  def aggSalted(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(dec2(col("l_quantity"))).as("partial_qty"),
+        count(lit(1)).as("partial_n"))
+      .groupBy(col("l_returnflag"))
+      .agg((sum(col("partial_qty")) * 100).cast("long").as("sum_qty_c"),
+        sum(col("partial_n")).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Pivot (A5 — `Milvus/stream1.py:540-556` dict-of-dicts → wide frame). */
   def pivotEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -28,6 +28,18 @@ object Temporal {
         col("n"), col("sum_value_c"))
       .orderBy(col("hour_epoch"), col("event_type"))
 
+  /** Sliding 2-hour windows advancing hourly: each event lands in two
+    * windows (the W-window streaming surface, batch twin). Spark's window()
+    * aligns to the epoch in UTC, so a window starting at hour H covers
+    * events with hour(ts) ∈ {H, H+1}.
+    */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("win_epoch"), col("event_type"), col("n"))
+      .orderBy(col("win_epoch"), col("event_type"))
+
   /** Gap-based sessionization (gap > 30 min ⇒ new session): the classic
     * lag → flag → running-sum pattern; one shuffle on user_id.
     */

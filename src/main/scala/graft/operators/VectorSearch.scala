@@ -114,7 +114,7 @@ object VectorSearch {
     * vector means → collect ≤ nlist rows to the driver. Empty cells keep
     * their previous centroid. Returns (cell_id INT, centroid ARRAY<DOUBLE>).
     */
-  def kmeansFit(vectors: DataFrame, nlist: Int, iters: Int = 5): DataFrame = {
+  def kmeansFit(vectors: DataFrame, nlist: Int, iters: Int = 3): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     // The training set is scanned once per iteration — cache the projected

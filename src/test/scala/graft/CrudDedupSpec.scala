@@ -66,7 +66,7 @@ class CrudDedupSpec extends SparkSpec {
       (3L, "a completely different sentence with other words entirely"))
       .toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(docs, numHashes = 16).collect()
-      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) == sigs(2L), "identical docs, identical sigs")
     assert(sigs(1L) != sigs(3L), "different docs differ somewhere")
   }
