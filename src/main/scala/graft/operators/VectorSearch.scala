@@ -156,10 +156,17 @@ object VectorSearch {
     * shape that works — the base table is never shuffled to be indexed,
     * it is only annotated and re-written clustered by `cell_id`.
     */
-  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val assign = nearestCellUdf(vectors, collectCentroids(centroids))
-    vectors.select(col("vec_id"), col("embedding"), col("label"),
-      assign(col("embedding")).as("cell_id"))
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    withCellId(vectors.select(col("vec_id"), col("embedding"), col("label")),
+      centroids, "embedding")
+
+  /** Schema-agnostic cell assignment: annotate any DataFrame carrying an
+    * embedding column with its nearest-centroid `cell_id` (map-side only).
+    * Used by both the batch index build and the streaming ingest path.
+    */
+  def withCellId(df: DataFrame, centroids: DataFrame, embCol: String): DataFrame = {
+    val assign = nearestCellUdf(df, collectCentroids(centroids))
+    df.withColumn("cell_id", assign(col(embCol)))
   }
 
   /** IVF "index build" = clustered materialization: rows + cell_id, plus the

@@ -106,6 +106,39 @@ object StreamOps {
     new java.io.File(tmp).renameTo(fs)
   }
 
+  /** documents schema for the streaming ingest source. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** C1 streaming twin: continuous vector ingest. Each micro-batch of
+    * documents is embedded (F1 featurizer, batched), assigned to its IVF
+    * cell map-side (broadcast centroids), and appended to the clustered
+    * store partitioned by cell_id — the reference's chunked add loop
+    * (`Milvus/stream1.py:255-283`: read chunk → embed → insert → flush)
+    * with checkpoint-managed offsets instead of manual `skiprows`.
+    */
+  def streamingVectorIngest(spark: SparkSession, dir: String,
+                            centroids: DataFrame, storePath: String,
+                            checkpoint: String): Unit = {
+    val docs = spark.readStream.schema(documentsSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/documents.parquet*")
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val embedded = graft.embed.Featurizer
+          .embedBatched(batch.select(col("doc_id"), col("text")).toDF(), "text", "embedding")
+        graft.operators.VectorSearch
+          .withCellId(embedded, centroids, "embedding")
+          .write.mode("append").partitionBy("cell_id").parquet(storePath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** T3: streaming dedup with watermark (exactly-once-ish ingest dedup,
     * `Milvus/stream1.py:265`).
     */

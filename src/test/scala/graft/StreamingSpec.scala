@@ -39,6 +39,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(stateful).count() == 0)
   }
 
+  test("streaming vector ingest fills the clustered store end-to-end") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val centroids = graft.operators.VectorSearch.kmeansFit(
+      Tables.embeddings(spark, sfDir), nlist = 4, iters = 2)
+    StreamOps.streamingVectorIngest(spark, sfDir, centroids,
+      s"$tmp/store", s"$tmp/ckpt")
+    val store = spark.read.parquet(s"$tmp/store")
+    assert(store.count() == Tables.documents(spark, sfDir).count())
+    assert(store.select($"cell_id").distinct().count() > 1, "multiple cells hit")
+    // every ingested vector is unit-norm (embed → normalize happened)
+    val norms = store.select(
+      graft.functions.VectorFunctions.micro(
+        graft.functions.VectorFunctions.norm2($"embedding")).as("n"))
+      .distinct().as[Long].collect()
+    assert(norms.forall(n => n >= 999990L && n <= 1000000L))
+  }
+
   test("streaming dedup drops in-batch duplicate keys") {
     val doubled = Tables.events(spark, sfDir).unionByName(Tables.events(spark, sfDir))
     // batch twin of streamDedup's dropDuplicates semantics
