@@ -61,6 +61,8 @@ object SparkEntry {
     "embed_docs" -> ((s, d) => EmbedQueries.embedDocs(s, d)),
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "media_decode" -> ((s, d) => EmbedQueries.mediaDecode(s, d)),
+    "media_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
+    "media_resize" -> ((s, d) => Multimodal.resizeQuery(s, d)),
     // §2.6–§2.9 — relational breadth
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_shipping" -> ((s, d) => Relational.q3Shipping(s, d)),
@@ -277,6 +279,17 @@ object SparkEntry {
     "media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       CAST(ascii(text) AS BIGINT) AS first_cp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "media_frames" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS media FROM documents),
+        |f AS (SELECT doc_id, unnest(range(greatest(octet_length(media) // 256 - 1, 0) + 1)) AS frame_no,
+        |      media FROM b)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |       CAST(least(greatest(octet_length(media) - frame_no*256, 0), 64) AS BIGINT) AS frame_len
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+    "media_resize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(least(greatest(strlen(text), 1), 64) AS BIGINT) AS resized_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -77,7 +77,16 @@ object Dedup {
     // P ≈ n²/2⁶⁵, negligible even at 100 TB corpus scale.
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
-    val pairs = inv.as("a").join(inv.as("b"),
+    // Document-frequency prune: a shingle appearing in a single document
+    // joins only with itself and contributes no pair, so dropping df=1
+    // keys shrinks the self-join input (most shingles are unique) without
+    // changing ANY pair's common count — results stay oracle-exact. At
+    // corpus scale this is also the skew guard: a df cap on stop-shingles
+    // would go here.
+    val df2 = inv.groupBy(col("sh_h")).count().filter(col("count") >= 2)
+      .select(col("sh_h"))
+    val inv2 = inv.join(df2, "sh_h")
+    val pairs = inv2.as("a").join(inv2.as("b"),
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("common"))

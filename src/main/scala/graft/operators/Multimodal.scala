@@ -58,6 +58,49 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic byte transform standing in for an image
+    * resize (real codec drops into the same bytes→bytes slot). Keeps the
+    * contract visible: output length scales with the target box.
+    */
+  def fakeResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(1, math.min(if (bytes == null) 1 else bytes.length, w * h / 64))
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = bytes(i % bytes.length); i += 1 }
+    out
+  }
+
+  /** Batched partition-local resize (bytes→bytes), same batching shape as
+    * [[decodeMeta]].
+    */
+  def resize(df: DataFrame, binCol: String, w: Int, h: Int,
+             batchSize: Int = 32): DataFrame = {
+    val outSchema = df.schema.add(StructField("resized", BinaryType, nullable = false))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          Row.fromSeq(r.toSeq :+ fakeResize(r.getAs[Array[Byte]](idx), w, h))
+        }
+      }
+    }
+  }
+
+  /** STUB frame sampling: a "video" binary column yields every nth chunk as
+    * a frame (real demuxer drops into the same bytes→frames slot). The
+    * Spark-side shape — one input row explodes to frameCount typed rows —
+    * is the real contract.
+    */
+  def frameSample(df: DataFrame, binCol: String, frameBytes: Int = 64,
+                  everyNth: Int = 4): DataFrame =
+    df.withColumn("frame",
+        explode(expr(
+          s"transform(sequence(0, greatest(int(octet_length($binCol) / ($frameBytes * $everyNth)) - 1, 0)), " +
+            s"i -> struct(i AS frame_no, substring($binCol, i * $frameBytes * $everyNth + 1, $frameBytes) AS frame_bytes))")))
+      .select(col("doc_id"), col("frame.frame_no").as("frame_no"),
+        octet_length(col("frame.frame_bytes")).as("frame_len"))
+
   /** Named query: binary-column metadata projection. The oracle checks the
     * engine-agnostic parts (byte length, first code point); the stubbed
     * decode fields are covered by MultimodalSpec.
@@ -67,5 +110,20 @@ object Multimodal {
       .select(col("doc_id"),
         octet_length(col("media")).as("n_bytes"),
         ascii(col("text")).as("first_cp"))
+      .orderBy(col("doc_id"))
+
+  /** Named query: frame sampling over the binary column (oracle-checked:
+    * frame boundaries are pure byte arithmetic on both engines).
+    */
+  def framesQuery(spark: SparkSession, dir: String): DataFrame =
+    frameSample(withBinary(spark, dir).select(col("doc_id"), col("media")), "media")
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  /** Named query: batched resize; the stub's output length is a pure
+    * function of input bytes so the oracle can check it.
+    */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame =
+    resize(withBinary(spark, dir).select(col("doc_id"), col("media")), "media", 64, 64)
+      .select(col("doc_id"), octet_length(col("resized")).as("resized_len"))
       .orderBy(col("doc_id"))
 }
