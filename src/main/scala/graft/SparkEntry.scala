@@ -31,6 +31,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.5/§2.7/§2.8 — vector search (the flagship surface)
     "knn_exact" -> ((s, d) => VectorSearch.knnExact(s, d)),
+    "knn_exact_phys" -> ((s, d) => VectorSearch.knnExactPhysical(s, d)),
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
     "knn_ivf" -> ((s, d) => VectorSearch.ivfSearchQuery(s, d)),
     "knn_doc_join" -> ((s, d) => VectorSearch.knnDocJoin(s, d)),
@@ -137,6 +138,14 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "knn_exact" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "knn_exact_phys" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
          |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),

@@ -55,6 +55,23 @@ object VectorSearch {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Exact top-k through the custom Catalyst operator
+    * (graft.plans.KnnJoin → KnnJoinExec, registered via GraftExtensions):
+    * scoring fused into the base scan with bounded per-partition heaps,
+    * then a tiny keyed merge — only heap winners shuffle, never scored
+    * rows. Output contract and ordering identical to [[knnExact]]; the
+    * final rank window runs over nq·k rows.
+    */
+  def knnExactPhysical(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = querySet(spark, dir, nq)
+    val hits = graft.plans.KnnJoinApi.knnJoin(spark, q, base, k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    hits.withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Approximate top-k via sign-LSH bucket blocking: candidates restricted
     * to the query's bucket (V6-shaped recall knob: more bits ⇒ fewer
     * candidates ⇒ faster/lower recall). Equi-join ⇒ shuffle on bucket only.

@@ -88,6 +88,8 @@ object VectorKernelRewrite extends Rule[LogicalPlan] {
   * (also wired programmatically in graft's own session builders).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VectorKernelRewrite)
+    ext.injectPlannerStrategy(_ => KnnJoinStrategy)
+  }
 }
