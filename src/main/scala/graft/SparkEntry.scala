@@ -78,6 +78,9 @@ object SparkEntry {
     "agg_approx_distinct" -> ((s, d) => Relational.aggApproxDistinct(s, d)),
     "agg_salted" -> ((s, d) => Relational.aggSalted(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
+    "set_intersect" -> ((s, d) => Relational.setIntersect(s, d)),
+    "set_except" -> ((s, d) => Relational.setExcept(s, d)),
+    "join_full_outer" -> ((s, d) => Relational.joinFullOuter(s, d)),
     "value_counts_top" -> ((s, d) => Relational.valueCountsTop(s, d)),
     // §2.1–§2.2 — flow-CSV pipeline parity
     "flow_packet_text" -> ((s, d) => FlowParity.packetText(s, d)),
@@ -374,6 +377,21 @@ object SparkEntry {
     "value_counts_top" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
         |GROUP BY 1 ORDER BY n DESC, event_type LIMIT 10""".stripMargin,
+    "set_intersect" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT SELECT CAST(o_custkey AS BIGINT) FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin,
+    "set_except" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT SELECT CAST(o_custkey AS BIGINT) FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT CAST(coalesce(c.c_nationkey, s.s_nationkey) AS BIGINT) AS nationkey,
+        |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
+        |ORDER BY nationkey""".stripMargin,
     "flow_packet_text" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id,
         |       concat_ws(' ', coalesce(CAST(event_id AS VARCHAR), ''), coalesce(CAST(user_id AS VARCHAR), ''),

@@ -188,6 +188,41 @@ object Relational {
       .na.fill(0) // absent combos: 0, matching the oracle's FILTER counts
       .orderBy(col("user_bucket"))
 
+  /** Set operations (§2.3 set-like surface): customers in the BUILDING
+    * segment INTERSECT customers with an urgent order, and the EXCEPT
+    * complement — both distinct-set semantics, one shuffle each.
+    */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("c_custkey"))
+    building.intersect(urgent).orderBy(col("c_custkey"))
+  }
+
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("c_custkey"))
+    building.except(urgent).orderBy(col("c_custkey"))
+  }
+
+  /** Full outer join: per-nation customer/supplier counts including
+    * nations present on only one side.
+    */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, c("c_nationkey") === s("s_nationkey"), "full_outer")
+      .select(coalesce(c("c_nationkey"), s("s_nationkey")).cast("long").as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
   /** Value-counts top-10 (A3 — `FAISS/UI-Demo/pipeline+ui.py:648-651`). */
   def valueCountsTop(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
