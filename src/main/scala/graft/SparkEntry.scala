@@ -58,6 +58,8 @@ object SparkEntry {
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_bigram_top" -> ((s, d) => TextAnalysis.bigramTop(s, d)),
+    "pipeline_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
+    "pipeline_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d)),
     // LLM-pipeline — embedding + multimodal plumbing
     "embed_docs" -> ((s, d) => EmbedQueries.embedDocs(s, d)),
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -132,6 +134,37 @@ object SparkEntry {
       | CAST(count(*) AS BIGINT) AS n,
       | CAST(sum(CAST(value AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_value_c
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The composite corpus-clean pipeline, shared by its two oracle
+    * entries: quality gate → keep-first exact dedup → lang-consistency
+    * filter.
+    */
+  private val cleanCorpusSql =
+    """WITH d AS (SELECT doc_id, text, lang, string_split(text, ' ') AS ws FROM documents),
+      |q AS (SELECT doc_id, text, lang, len(ws) AS n_words,
+      |             len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS n_stop
+      |      FROM d),
+      |f AS (SELECT * FROM q WHERE n_words >= 5 AND CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE) < 0.5),
+      |s AS (SELECT text, min(doc_id) AS doc_id FROM f GROUP BY text),
+      |sv AS (SELECT f.doc_id, f.text, f.lang, f.n_words FROM f JOIN s ON f.doc_id = s.doc_id),
+      |g AS (SELECT doc_id, lang, n_words,
+      |        len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS score_en,
+      |        len(list_filter(ws, w -> list_contains(['el','la','de','que'], w))) AS score_es,
+      |        len(list_filter(ws, w -> list_contains(['der','die','und','das'], w))) AS score_de,
+      |        len(list_filter(ws, w -> list_contains(['le','la','et','les'], w))) AS score_fr,
+      |        len(list_filter(ws, w -> list_contains(['的','了','是','在'], w))) AS score_zh
+      |      FROM (SELECT doc_id, lang, n_words, string_split(text, ' ') AS ws, text FROM sv)),
+      |p AS (SELECT doc_id, lang, n_words,
+      |             greatest(score_en, score_es, score_de, score_fr, score_zh) AS mx,
+      |             score_en, score_es, score_de, score_fr, score_zh FROM g)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_words AS BIGINT) AS n_words
+      |FROM p
+      |WHERE CASE WHEN score_en = mx AND mx > 0 THEN 'en'
+      |           WHEN score_es = mx AND mx > 0 THEN 'es'
+      |           WHEN score_de = mx AND mx > 0 THEN 'de'
+      |           WHEN score_fr = mx AND mx > 0 THEN 'fr'
+      |           WHEN score_zh = mx AND mx > 0 THEN 'zh'
+      |           ELSE 'unk' END = lang""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (knn_ivf,
@@ -288,6 +321,10 @@ object SparkEntry {
       """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT unnest(list_transform(range(greatest(len(ws)-1, 0)), i -> ws[i+1] || ' ' || ws[i+2])) AS bigram FROM d)
         |SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "pipeline_clean_corpus" -> (cleanCorpusSql + "\nORDER BY doc_id"),
+    "pipeline_corpus_stats" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words
+         |FROM ($cleanCorpusSql) GROUP BY 1 ORDER BY 1""".stripMargin,
     "media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       CAST(ascii(text) AS BIGINT) AS first_cp

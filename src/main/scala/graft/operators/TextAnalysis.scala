@@ -86,6 +86,57 @@ object TextAnalysis {
           lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** The composite corpus-cleaning pipeline — what a training-data prep
+    * job actually runs, composed from the engine's own operators:
+    * quality gate (length + stopword-ratio heuristics) → exact-dup
+    * removal (keep lowest doc_id per distinct text) → language
+    * consistency (declared lang == n-gram-heuristic prediction, unknowns
+    * dropped). Scan-bound except the dedup shuffle; every stage prunes
+    * before the next.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).withColumn("ws", words(col("text")))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("n_stop", size(filter(col("ws"),
+        w => w.isin(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*))))
+    val quality = d.filter(col("n_words") >= 5 &&
+      col("n_stop").cast("double") / col("n_words").cast("double") < lit(0.5))
+    // min over the struct = keep the lowest-doc_id row's attributes —
+    // deterministic, unlike first() under shuffled grouping
+    val survivors = quality.groupBy(col("text"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_words"))).as("kept"))
+      .select(col("text"), col("kept.doc_id").as("doc_id"),
+        col("kept.lang").as("lang"), col("kept.n_words").as("n_words"))
+    val lex: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and"),
+      "es" -> Seq("el", "la", "de", "que"),
+      "de" -> Seq("der", "die", "und", "das"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "zh" -> Seq("的", "了", "是", "在"))
+    val withScores = lex.foldLeft(survivors.withColumn("ws", words(col("text")))) {
+      case (df, (l, ms)) =>
+        df.withColumn(s"score_$l", size(filter(col("ws"), w => w.isin(ms.map(lit): _*))))
+    }
+    val best = lex.map(_._1).map(l => col(s"score_$l"))
+    val pred = lex.map(_._1).foldRight(lit("unk"): org.apache.spark.sql.Column) {
+      case (l, els) =>
+        when(col(s"score_$l") === greatest(best: _*) && greatest(best: _*) > 0, lit(l)).otherwise(els)
+    }
+    withScores.withColumn("lang_pred", pred)
+      .filter(col("lang_pred") === col("lang"))
+      .select(col("doc_id"), col("lang"), col("n_words").cast("long").as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Dataset-card summary over the cleaned corpus: docs + token volume per
+    * language.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    cleanCorpus(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"))
+      .orderBy(col("lang"))
+
   /** Corpus-level word-bigram frequency, top-20: the explode → count →
     * top-N shape (the heavy-shuffle text aggregation; partial aggregation
     * makes it map-combined at scale).
