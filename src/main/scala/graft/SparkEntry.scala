@@ -79,6 +79,9 @@ object SparkEntry {
     "agg_distinct" -> ((s, d) => Relational.aggDistinct(s, d)),
     "agg_approx_distinct" -> ((s, d) => Relational.aggApproxDistinct(s, d)),
     "agg_salted" -> ((s, d) => Relational.aggSalted(s, d)),
+    "agg_percentiles" -> ((s, d) => Relational.aggPercentiles(s, d)),
+    "time_extract" -> ((s, d) => Relational.timeExtract(s, d)),
+    "value_histogram" -> ((s, d) => Relational.valueHistogram(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
     "set_intersect" -> ((s, d) => Relational.setIntersect(s, d)),
     "set_except" -> ((s, d) => Relational.setExcept(s, d)),
@@ -471,6 +474,19 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_qty_c,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |       CAST(round(quantile_cont(l_quantity, 0.5)*1000000.0) AS BIGINT) AS qty_p50_micro,
+        |       CAST(round(quantile_cont(l_quantity, 0.95)*1000000.0) AS BIGINT) AS qty_p95_micro,
+        |       CAST(round(quantile_cont(l_extendedprice, 0.5)*1000000.0) AS BIGINT) AS price_p50_micro
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "time_extract" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "window_sliding" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
         |x AS (SELECT event_type, unnest([h, h - INTERVAL 1 HOUR]) AS ws FROM e)

@@ -161,6 +161,37 @@ object Relational {
       .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact interpolated percentiles per group (A-family breadth). Both
+    * engines use the same (n−1)·q linear interpolation; outputs are
+    * round(1e6·x) — round, not floor: interpolated midpoints land exactly
+    * on micro-integers where repr error flips a floor.
+    */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)") * 1000000.0).cast("long").as("qty_p50_micro"),
+        round(expr("percentile(l_quantity, 0.95)") * 1000000.0).cast("long").as("qty_p95_micro"),
+        round(expr("percentile(l_extendedprice, 0.5)") * 1000000.0).cast("long").as("price_p50_micro"))
+      .orderBy(col("l_returnflag"))
+
+  /** Date-part extraction + calendar grouping (temporal breadth). */
+  def timeExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .groupBy(col("y"), col("m"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("y"), col("m"))
+
+  /** Fixed-width histogram binning of a continuous column. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(floor(col("value") / 10.0).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
   /** Skew-safe two-phase aggregation: salt the key space into 16 sub-keys,
     * partial-aggregate per (key, salt), then merge — the pattern for a hot
     * grouping key at 100 TB (one reducer would otherwise take the whole
