@@ -80,6 +80,7 @@ object SparkEntry {
     "agg_approx_distinct" -> ((s, d) => Relational.aggApproxDistinct(s, d)),
     "agg_salted" -> ((s, d) => Relational.aggSalted(s, d)),
     "agg_percentiles" -> ((s, d) => Relational.aggPercentiles(s, d)),
+    "agg_approx_percentile" -> ((s, d) => Relational.aggApproxPercentile(s, d)),
     "time_extract" -> ((s, d) => Relational.timeExtract(s, d)),
     "value_histogram" -> ((s, d) => Relational.valueHistogram(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),

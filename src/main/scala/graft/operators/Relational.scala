@@ -175,6 +175,19 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.5)") * 1000000.0).cast("long").as("price_p50_micro"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate percentile (Greenwald-Khanna sketch) — the 100 TB path
+    * next to [[aggPercentiles]]: exact percentile needs a per-group sort;
+    * the sketch is one pass + mergeable partials. Algorithm-specific
+    * values ⇒ rows-only driver check; accuracy vs exact is spec-asserted.
+    */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("price_p50_approx"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("price_p95_approx"))
+      .orderBy(col("l_returnflag"))
+
   /** Date-part extraction + calendar grouping (temporal breadth). */
   def timeExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -20,7 +20,7 @@ class OperatorSpec extends SparkSpec {
 
   test("every query key has either an oracle or a documented exemption") {
     val exempt = Set("knn_ivf", "dedup_minhash_lsh", "dedup_simhash",
-      "embed_docs", "media_decode", "agg_approx_distinct")
+      "embed_docs", "media_decode", "agg_approx_distinct", "agg_approx_percentile")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -39,6 +39,17 @@ class OperatorSpec extends SparkSpec {
       .select($"l_returnflag", $"n_orders").as[(String, Long)].collect().toMap
     exact.foreach { case (k, e) =>
       assert(math.abs(approx(k) - e).toDouble / e < 0.1, s"$k: ${approx(k)} vs $e")
+    }
+  }
+
+  test("approx_percentile is close to the exact percentile") {
+    val approx = Relational.aggApproxPercentile(spark, sfDir)
+      .select($"l_returnflag", $"price_p50_approx").as[(String, Double)].collect().toMap
+    val exact = Relational.aggPercentiles(spark, sfDir)
+      .select($"l_returnflag", $"price_p50_micro").as[(String, Long)].collect().toMap
+    exact.foreach { case (k, eMicro) =>
+      val e = eMicro / 1e6
+      assert(math.abs(approx(k) - e) / e < 0.05, s"$k: ${approx(k)} vs $e")
     }
   }
 
