@@ -81,6 +81,8 @@ object SparkEntry {
     "agg_salted" -> ((s, d) => Relational.aggSalted(s, d)),
     "agg_percentiles" -> ((s, d) => Relational.aggPercentiles(s, d)),
     "agg_approx_percentile" -> ((s, d) => Relational.aggApproxPercentile(s, d)),
+    "sql_grouping_sets" -> ((s, d) => Relational.sqlGroupingSets(s, d)),
+    "agg_moments" -> ((s, d) => Relational.aggMoments(s, d)),
     "time_extract" -> ((s, d) => Relational.timeExtract(s, d)),
     "value_histogram" -> ((s, d) => Relational.valueHistogram(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
@@ -481,6 +483,11 @@ object SparkEntry {
         |       CAST(round(quantile_cont(l_quantity, 0.95)*1000000.0) AS BIGINT) AS qty_p95_micro,
         |       CAST(round(quantile_cont(l_extendedprice, 0.5)*1000000.0) AS BIGINT) AS price_p50_micro
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "time_extract" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
         |       CAST(count(*) AS BIGINT) AS n

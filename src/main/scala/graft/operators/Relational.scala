@@ -175,6 +175,32 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.5)") * 1000000.0).cast("long").as("price_p50_micro"))
       .orderBy(col("l_returnflag"))
 
+  /** The SQL front door: the same engine surface through `spark.sql` over
+    * registered views — GROUPING SETS, which the DataFrame API only
+    * reaches via rollup/cube. Shows a reference user can keep writing SQL.
+    */
+  def sqlGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Moment statistics per group (corr / covariance / stddev). Merge-order-
+    * dependent float accumulation differs across engines, so the driver
+    * check is rows-only; a spec bounds the values against DuckDB-computed
+    * references via the oracle-free tolerance path.
+    */
+  def aggMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("covar_qty_price"),
+        stddev_samp(col("l_discount")).as("stddev_discount"))
+      .orderBy(col("l_returnflag"))
+
   /** Approximate percentile (Greenwald-Khanna sketch) — the 100 TB path
     * next to [[aggPercentiles]]: exact percentile needs a per-group sort;
     * the sketch is one pass + mergeable partials. Algorithm-specific

@@ -20,7 +20,8 @@ class OperatorSpec extends SparkSpec {
 
   test("every query key has either an oracle or a documented exemption") {
     val exempt = Set("knn_ivf", "dedup_minhash_lsh", "dedup_simhash",
-      "embed_docs", "media_decode", "agg_approx_distinct", "agg_approx_percentile")
+      "embed_docs", "media_decode", "agg_approx_distinct", "agg_approx_percentile",
+      "agg_moments")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -50,6 +51,21 @@ class OperatorSpec extends SparkSpec {
     exact.foreach { case (k, eMicro) =>
       val e = eMicro / 1e6
       assert(math.abs(approx(k) - e) / e < 0.05, s"$k: ${approx(k)} vs $e")
+    }
+  }
+
+  test("moment aggregates satisfy corr = covar/(σx·σy)") {
+    val r = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(corr($"l_quantity", $"l_extendedprice").as("c"),
+        covar_samp($"l_quantity", $"l_extendedprice").as("cv"),
+        stddev_samp($"l_quantity").as("sq"),
+        stddev_samp($"l_extendedprice").as("sp"))
+      .collect()
+    r.foreach { row =>
+      val (c, cv, sq, sp) = (row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))
+      assert(math.abs(c - cv / (sq * sp)) < 1e-9, s"corr identity broken: $row")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
     }
   }
 
