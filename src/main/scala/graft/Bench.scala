@@ -17,23 +17,44 @@ object Bench {
     // for session startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
     // Sorted order: deterministic run-to-run attribution of JVM warm-up
     // and page-cache effects. Each query runs twice and reports the min —
     // the host shows ±30% noise and min-of-2 damps it for both the anchor
-    // run and later comparisons.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+    // run and later comparisons. A failure on EITHER run is reported as an
+    // error (never a near-zero timing): a query that breaks only at bench
+    // scale must show up as broken, not fast.
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def once(): Either[String, Double] = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
+          }
+        }
+        val r = (once(), once()) match {
+          case (Right(a), Right(b)) => Right(math.min(a, b))
+          case (Left(e), _) => Left(e)
+          case (_, Left(e)) => Left(e)
+        }
+        // Drop caches a query may have pinned (e.g. dedup shingle/signature
+        // tables) so cached blocks don't accumulate across the sweep.
+        spark.catalog.clearCache()
+        name -> r
       }
-      val t = math.min(once(), once())
-      name -> t
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, Left(e)) => s"\"" + k + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val nErr = results.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,6 +41,7 @@ object SparkEntry {
     "crud_insert" -> ((s, d) => Crud.insert(s, d)),
     "crud_delete_last_n" -> ((s, d) => Crud.deleteLastN(s, d)),
     "crud_delete_pred" -> ((s, d) => Crud.deleteByPredicate(s, d)),
+    "crud_delete_seeded" -> ((s, d) => Crud.deleteSeeded(s, d)),
     "crud_update" -> ((s, d) => Crud.update(s, d)),
     "crud_upsert" -> ((s, d) => Crud.upsert(s, d)),
     "crud_point_lookup" -> ((s, d) => Crud.pointLookup(s, d)),
@@ -52,6 +53,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_embedding_banded" -> ((s, d) => Dedup.embeddingNearDupBanded(s, d)),
     // LLM-pipeline — text analysis
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -96,6 +98,7 @@ object SparkEntry {
     "flow_synth_packets" -> ((s, d) => FlowParity.synthPackets(s)),
     "flow_split_extract" -> ((s, d) => FlowParity.splitExtract(s, d)),
     "flow_offset_resume" -> ((s, d) => FlowParity.offsetResume(s, d)),
+    "flow_resume_keyed" -> ((s, d) => FlowParity.resumeKeyed(s, d)),
     "metrics_summary" -> ((s, d) => FlowParity.metricsSummary(s, d)),
     "metrics_two_level" -> ((s, d) => FlowParity.metricsTwoLevel(s, d)),
     // §2.9–§2.10 — temporal / sessionization / as-of
@@ -124,13 +127,15 @@ object SparkEntry {
   private def microSql(x: String): String =
     s"CAST(floor(($x)*1000000.0) AS BIGINT)"
 
-  /** Sign-LSH bucket (bit i set iff v[i]>0), mirroring
-    * `VectorFunctions.signLshBucket`.
+  /** Sign-LSH bucket over coordinates [offset, offset+bits), mirroring
+    * `VectorFunctions.signLshBucketAt`.
     */
-  private def bucketSql(v: String, bits: Int): String =
+  private def bucketSqlAt(v: String, offset: Int, bits: Int): String =
     (0 until bits)
-      .map(i => s"(CASE WHEN CAST($v[${i + 1}] AS DOUBLE) > 0.0 THEN ${1L << i} ELSE 0 END)")
+      .map(i => s"(CASE WHEN CAST($v[${offset + i + 1}] AS DOUBLE) > 0.0 THEN ${1L << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  private def bucketSql(v: String, bits: Int): String = bucketSqlAt(v, 0, bits)
 
   private val discPrice =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
@@ -250,6 +255,9 @@ object SparkEntry {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "crud_point_lookup" ->
       "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label FROM embeddings WHERE vec_id = 42",
+    "crud_delete_seeded" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        |WHERE ((vec_id * 2654435761 + 42) % 1000000007) % 100 >= 10 ORDER BY vec_id""".stripMargin,
     "crud_counts" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
         |FROM embeddings GROUP BY ROLLUP(label) ORDER BY label NULLS FIRST""".stripMargin,
@@ -281,6 +289,16 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket FROM embeddings),
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dotSql("a.embedding", "b.embedding")} AS sim
          |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, ${microSql("sim")} AS sim_micro
+         |FROM p WHERE sim >= 0.30 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_banded" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             ${bucketSqlAt("embedding", 0, 8)} AS b0, ${bucketSqlAt("embedding", 8, 8)} AS b1,
+         |             ${bucketSqlAt("embedding", 16, 8)} AS b2, ${bucketSqlAt("embedding", 24, 8)} AS b3
+         |           FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dotSql("a.embedding", "b.embedding")} AS sim
+         |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
          |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, ${microSql("sim")} AS sim_micro
          |FROM p WHERE sim >= 0.30 ORDER BY id_a, id_b""".stripMargin,
     "text_stats" ->
@@ -461,6 +479,9 @@ object SparkEntry {
     "flow_offset_resume" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id, event_type FROM events
         |ORDER BY event_id LIMIT 1000 OFFSET 500""".stripMargin,
+    "flow_resume_keyed" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id, event_type FROM events
+        |WHERE event_id > 500 ORDER BY event_id LIMIT 1000""".stripMargin,
     "metrics_summary" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n, min(value) AS min_value, max(value) AS max_value,
         |       CAST(sum(CAST(value AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_value_c

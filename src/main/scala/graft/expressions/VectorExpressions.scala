@@ -31,7 +31,11 @@ object VectorExpressions {
     ExpressionUtils.column(Norm2Float(ExpressionUtils.expression(a)))
 }
 
-/** ⟨a,b⟩ over float arrays, accumulated left-to-right in double. */
+/** ⟨a,b⟩ over float arrays, accumulated left-to-right in double.
+  * Equal-length inputs required: a length mismatch raises rather than
+  * silently scoring a truncated prefix (the HOF `zip_with` form would
+  * yield NULL there — neither is a meaningful similarity, so fail fast).
+  */
 case class DotProductFloat(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] =
@@ -41,7 +45,7 @@ case class DotProductFloat(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorKernels.checkDims(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -54,7 +58,7 @@ case class DotProductFloat(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.expressions.VectorKernels.checkDims($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
@@ -68,7 +72,20 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** ‖a−b‖₂² over float arrays (monotone in L2 — the top-k scoring form). */
+/** Shared helper callable from both interpreted eval and generated Java:
+  * equal-dimension precondition for the binary vector kernels.
+  */
+object VectorKernels {
+  def checkDims(a: Int, b: Int): Int = {
+    if (a != b)
+      throw new IllegalArgumentException(s"vector dimension mismatch: $a vs $b")
+    a
+  }
+}
+
+/** ‖a−b‖₂² over float arrays (monotone in L2 — the top-k scoring form).
+  * Equal-length inputs required (see [[DotProductFloat]]).
+  */
 case class L2DistanceSqFloat(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] =
@@ -78,7 +95,7 @@ case class L2DistanceSqFloat(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorKernels.checkDims(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -96,7 +113,7 @@ case class L2DistanceSqFloat(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.expressions.VectorKernels.checkDims($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));

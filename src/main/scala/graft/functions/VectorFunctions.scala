@@ -59,9 +59,15 @@ object VectorFunctions {
     * same bucket agree on the signs of their first `bits` coordinates, a
     * standard blocking key for approximate cosine search.
     */
-  def signLshBucket(v: Column, bits: Int): Column =
+  def signLshBucket(v: Column, bits: Int): Column = signLshBucketAt(v, 0, bits)
+
+  /** Sign-LSH bucket over coordinates [offset, offset+bits): the per-band
+    * key for banded (OR-amplified) blocking — each band reads a disjoint
+    * coordinate slice, so band keys are independent projections.
+    */
+  def signLshBucketAt(v: Column, offset: Int, bits: Int): Column =
     (0 until bits)
-      .map(i => when(element_at(v, i + 1).cast("double") > 0.0, lit(1L << i)).otherwise(lit(0L)))
+      .map(i => when(element_at(v, offset + i + 1).cast("double") > 0.0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** floor(1e6 * x) as BIGINT — the fixed-point projection used to compare

@@ -66,6 +66,24 @@ object Crud {
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
 
+  /** C2 reference-faithful: seeded pseudo-random victim sampling
+    * (`FAISS/PlainDemo/pipeline.py:80` `random.sample(range(ntotal), n)`)
+    * that stays oracle-exact: a row is a victim iff a seeded
+    * Knuth-multiplicative hash of its key lands under the sample rate —
+    * scattered victims like the reference's RNG, reproducible in any SQL
+    * engine (pure BIGINT arithmetic; no overflow below ~3.4e9 keys).
+    * The victim set is an IN-list like `remove_ids` → left-anti join.
+    */
+  def deleteSeeded(spark: SparkSession, dir: String,
+                   seed: Long = 42L, pct: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val r = ((col("vec_id") * lit(2654435761L) + lit(seed)) % lit(1000000007L)) % lit(100L)
+    val victims = e.filter(r < pct).select(col("vec_id"))
+    e.join(victims, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
   /** C4: update = delete + re-insert with changed payload
     * (`pipeline.py:91-104`: remove_ids then re-encode + add).
     */

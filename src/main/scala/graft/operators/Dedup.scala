@@ -69,7 +69,12 @@ object Dedup {
     * brute force, linear-ish work instead of O(n²)).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.12): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir)).cache()
+    // Cached because the shingle table feeds four plan branches (sizes,
+    // df-prune, both self-join sides); spill-safe level. Lifetime is the
+    // session: callers that loop queries (graft.Bench) clearCache() between
+    // them so repeated executions don't accumulate pinned blocks.
+    val sh = shingles(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     // Join on the shingle's 64-bit hash, not the string: the shuffle moves
     // 8-byte keys instead of ~25-byte text. A collision would need two
@@ -174,7 +179,10 @@ object Dedup {
     * of 4 chunks — pigeonhole), verify hamming via bit_count(xor).
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    val sig = simhash(Tables.documents(spark, dir)).cache()
+    // Session-lifetime cache (both self-join sides read it); see the
+    // ngramJaccardPairs note — Bench clearCache()s between queries.
+    val sig = simhash(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 8).bitwiseAND(0xffL).as("cv"))): _*)).as("ch"))
@@ -202,6 +210,49 @@ object Dedup {
       .withColumn("sim", dot(col("a.embedding"), col("b.embedding")))
       .filter(col("sim") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), micro(col("sim")).as("sim_micro"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Scale path for [[embeddingNearDup]]: multi-band sign-LSH blocking with
+    * OR-amplification — the same banding construction as
+    * [[minhashLshPairs]]. Band `b` keys on the signs of the `bitsPerBand`
+    * coordinates starting at `b·bitsPerBand`; a pair is a candidate iff it
+    * agrees on ALL bits of SOME band.
+    *
+    * Why this survives 100 TB where the single low-bit projection doesn't:
+    * bucket count grows as 2^bitsPerBand (set bitsPerBand ≈
+    * ⌈log₂(n/targetBucket)⌉, so the within-bucket self-join stays bounded),
+    * and the recall a longer key loses is bought back by OR-ing independent
+    * bands: P[candidate] = 1−(1−p^bits)^bands for per-bit sign-agreement
+    * probability p. Candidates are a strict superset of the
+    * single-projection variant with the same bitsPerBand (band 0 IS that
+    * projection) — asserted in CrudDedupSpec.
+    *
+    * Shuffle shape: explode to (band, bandKey) → equi-join (uniform keys,
+    * no skew) → distinct pairs → join back to fetch vectors → exact cosine
+    * verify. Only candidate pairs are ever scored.
+    */
+  def embeddingNearDupBanded(spark: SparkSession, dir: String,
+                             threshold: Double = 0.30, bands: Int = 4,
+                             bitsPerBand: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        signLshBucketAt(col("embedding"), b * bitsPerBand, bitsPerBand).as("bh"))
+    }
+    val keyed = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim", dot(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), micro(col("sim")).as("sim_micro"))
       .orderBy(col("id_a"), col("id_b"))
   }
 }

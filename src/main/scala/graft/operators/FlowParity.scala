@@ -113,6 +113,23 @@ object FlowParity {
       .limit(n)
       .select(col("event_id"), col("event_type"))
 
+  /** S3 scale-safe twin of [[offsetResume]]: keyed watermark resume.
+    * `offset()` after a global sort funnels the whole prefix through one
+    * task at deep offsets; resuming from the last-seen key instead pushes a
+    * range predicate into the parquet scan (`PushedFilters: GreaterThan`)
+    * and plans the limit as TakeOrderedAndProject — no single-partition
+    * stage at any resume point. Same contract as the reference's chunked
+    * tail (`Milvus/stream1.py:251-260`: resume at `num_entities+1`) when
+    * file order == key order, which is how its `skiprows` is used.
+    */
+  def resumeKeyed(spark: SparkSession, dir: String,
+                  lastSeen: Long = 500, n: Int = 1000): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") > lastSeen)
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+      .limit(n)
+
   /** P10: string split + positional field extraction
     * (`pipeline+ui.py:643-646` `text.split()[2]` → protocol).
     */

@@ -96,7 +96,9 @@ case class KnnJoinExec(queries: SparkPlan, base: SparkPlan, k: Int,
           if (!(self && vecId == qid)) {
             var s = 0.0
             var i = 0
-            val n = math.min(qvec.length, emb.numElements())
+            // Equal-dim precondition, enforced: a truncated dot product is
+            // not a similarity (mirrors DotProductFloat's fail-fast).
+            val n = graft.expressions.VectorKernels.checkDims(qvec.length, emb.numElements())
             while (i < n) { s += qvec(i).toDouble * emb.getFloat(i).toDouble; i += 1 }
             val h = heaps(qi)
             if (h.size < kk) h.enqueue((s, vecId))

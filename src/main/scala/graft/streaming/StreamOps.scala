@@ -86,7 +86,10 @@ object StreamOps {
   }
 
   /** Keep-latest merge of a batch into a parquet store (plain-DF MERGE:
-    * union + window-dedup on the key; Delta/Iceberg MERGE in production).
+    * union + window-dedup on the key). The snapshot swap below is
+    * local-FS-only (`java.io.File.renameTo`); on HDFS/object storage this
+    * must be `org.apache.hadoop.fs.FileSystem.rename` — or, better, a
+    * Delta/Iceberg MERGE, whose commit protocol makes the swap atomic.
     */
   def mergeKeepLatest(spark: SparkSession, batch: DataFrame, storePath: String,
                       version: Long): Unit = {
@@ -99,11 +102,22 @@ object StreamOps {
         old.unionByName(incoming)
           .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
       } else incoming
-    val tmp = storePath + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = new java.io.File(storePath)
-    if (fs.exists()) { def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }; rm(fs) }
-    new java.io.File(tmp).renameTo(fs)
+    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
+    val tmp = new java.io.File(storePath + ".tmp")
+    merged.write.mode("overwrite").parquet(tmp.getPath)
+    // Promote via rename-aside: the live store is moved out of the way (not
+    // deleted) before tmp takes its place, so a failed rename can't lose the
+    // only copy; every rename's result is checked.
+    val live = new java.io.File(storePath)
+    val aside = new java.io.File(storePath + ".old")
+    if (aside.exists()) rm(aside)
+    if (live.exists() && !live.renameTo(aside))
+      throw new java.io.IOException(s"could not move $storePath aside for swap")
+    if (!tmp.renameTo(live)) {
+      if (aside.exists()) aside.renameTo(live) // restore the previous snapshot
+      throw new java.io.IOException(s"could not promote ${tmp.getPath} to $storePath")
+    }
+    if (aside.exists()) rm(aside)
   }
 
   /** documents schema for the streaming ingest source. */

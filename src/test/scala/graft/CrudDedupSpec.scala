@@ -92,6 +92,48 @@ class CrudDedupSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
   }
 
+  test("seeded delete removes a scattered ~pct sample and survivors are untouched") {
+    val out = Crud.deleteSeeded(spark, sfDir)
+    val kept = out.count()
+    // ~10% victims: the hash is uniform-ish, allow a wide band
+    assert(kept < n && kept > (n * 0.8).toLong, s"kept $kept of $n")
+    // survivors are exactly the non-victim predicate rows (anti-join == filter)
+    val expected = Tables.embeddings(spark, sfDir)
+      .filter((($"vec_id" * 2654435761L + 42L) % 1000000007L) % 100L >= 10)
+      .count()
+    assert(kept == expected)
+  }
+
+  test("banded embedding near-dup candidates are a superset of the single-projection variant") {
+    // band 0 of the banded variant IS the 8-bit single projection, so
+    // OR-amplification can only add pairs — recall is monotonically >=.
+    val single = Dedup.embeddingNearDup(spark, sfDir, bits = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.embeddingNearDupBanded(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(banded), s"missing ${(single -- banded).take(5)}")
+  }
+
+  test("banded embedding near-dup: found pairs all meet the threshold (exact verify step)") {
+    import graft.functions.VectorFunctions._
+    val bad = Dedup.embeddingNearDupBanded(spark, sfDir)
+      .filter($"sim_micro" < 300000L).count()
+    assert(bad == 0)
+    // and recall vs brute force is reported-sane: every banded pair is a
+    // true pair (precision 1 by construction), banded finds at least the
+    // pairs agreeing on band 0
+    val truth = {
+      val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+      e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+        .withColumn("sim", dot($"a.embedding", $"b.embedding"))
+        .filter($"sim" >= 0.30)
+        .select($"a.vec_id".as[Long], $"b.vec_id".as[Long]).collect().toSet
+    }
+    val banded = Dedup.embeddingNearDupBanded(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(truth), "no false positives after exact verify")
+  }
+
   test("jaccard pairs: duplicate texts score 1.0") {
     val dupPairs = Dedup.ngramJaccardPairs(spark, sfDir, threshold = 0.999)
     val exact = Dedup.exactDedup(spark, sfDir).filter($"n_copies" > 1)

@@ -38,4 +38,15 @@ class VectorExpressionsSpec extends SparkSpec {
     val r = df.select(dot($"a", $"b"), norm2($"b")).head()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("mismatched vector lengths fail fast instead of truncating") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val ex = intercept[Exception] { df.select(dot($"a", $"b")).head() }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(x => String.valueOf(x.getMessage)))
+        .mkString(" | ")
+    assert(rootMsg(ex).contains("dimension mismatch"))
+    val ex2 = intercept[Exception] { df.select(l2DistanceSq($"a", $"b")).head() }
+    assert(rootMsg(ex2).contains("dimension mismatch"))
+  }
 }
