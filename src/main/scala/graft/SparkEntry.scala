@@ -33,7 +33,7 @@ object SparkEntry {
     "knn_exact" -> ((s, d) => VectorSearch.knnExact(s, d)),
     "knn_exact_phys" -> ((s, d) => VectorSearch.knnExactPhysical(s, d)),
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
-    "knn_ivf" -> ((s, d) => VectorSearch.ivfSearchQuery(s, d)),
+    "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
     "knn_doc_join" -> ((s, d) => VectorSearch.knnDocJoin(s, d)),
     "vec_normalize" -> ((s, d) => VectorSearch.normalizeQuery(s, d)),
     "vec_pair_metrics" -> ((s, d) => VectorSearch.pairMetricsQuery(s, d)),
@@ -124,6 +124,20 @@ object SparkEntry {
     s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
       s"s -> (CAST(s[1] AS DOUBLE)-CAST(s[2] AS DOUBLE))*(CAST(s[1] AS DOUBLE)-CAST(s[2] AS DOUBLE)))), (acc,x) -> acc+x)"
 
+  /** sqDist where the right side is a stored ARRAY<DOUBLE> centroid that the
+    * Spark plan first narrows to float (`centroid.cast("array<float>")`) —
+    * mirror the double→float→double round-trip for bit-exactness.
+    */
+  private def sqDistCentroidSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+      s"s -> (CAST(s[1] AS DOUBLE)-CAST(CAST(s[2] AS FLOAT) AS DOUBLE))*(CAST(s[1] AS DOUBLE)-CAST(CAST(s[2] AS FLOAT) AS DOUBLE)))), (acc,x) -> acc+x)"
+
+  /** Where graft.sources.IndexStore persists the IVF index the driver's
+    * Verify run (sf0.01) builds — the oracle replays the probed search over
+    * these exported centroid/assignment artifacts in pure SQL.
+    */
+  private val ivfStorePath = graft.sources.IndexStore.defaultPath("/root/testdata/sf0.01")
+
   private def microSql(x: String): String =
     s"CAST(floor(($x)*1000000.0) AS BIGINT)"
 
@@ -178,10 +192,12 @@ object SparkEntry {
       |           ELSE 'unk' END = lang""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted for non-SQL-expressible ops (knn_ivf,
-    * dedup_minhash_lsh, dedup_simhash, embed_docs, media_decode,
+    * same parquet tables. Omitted for non-SQL-expressible ops
+    * (dedup_minhash_lsh, dedup_simhash, embed_docs, media_decode,
     * agg_approx_distinct) → driver records a rows-only check; those are
-    * covered by ScalaTest property specs instead.
+    * covered by ScalaTest property specs instead. knn_ivf IS oracle-checked:
+    * k-means itself isn't SQL, but the probed search over the EXPORTED
+    * centroid/assignment artifacts is (see ivfStorePath).
     */
   def oracleSql: Map[String, String] = Map(
     "knn_exact" ->
@@ -209,6 +225,22 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       ${microSql("sim")} AS sim_micro
          |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "knn_ivf" ->
+      s"""WITH cents AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |               FROM read_parquet('$ivfStorePath/centroids/*.parquet')),
+         |r AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id, embedding
+         |      FROM read_parquet('$ivfStorePath/rows/*/*.parquet', hive_partitioning=1)),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |qc AS (SELECT q.qid, q.qvec, c.cell_id, ${sqDistCentroidSql("q.qvec", "c.centroid")} AS d2
+         |       FROM q CROSS JOIN cents c),
+         |pr AS (SELECT qid, qvec, cell_id, row_number() OVER (PARTITION BY qid ORDER BY d2, cell_id) AS cr FROM qc),
+         |probed AS (SELECT qid, qvec, cell_id FROM pr WHERE cr <= 10),
+         |s AS (SELECT p.qid, r.vec_id, ${dotSql("p.qvec", "r.embedding")} AS sim
+         |      FROM r JOIN probed p USING (cell_id) WHERE r.vec_id <> p.qid),
+         |rk AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "knn_doc_join" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
          |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim

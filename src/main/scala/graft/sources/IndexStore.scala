@@ -1,8 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.VectorSearch
+import graft.functions.VectorFunctions._
 
 /** The persisted form of the IVF "index" (SURVEY.md §1.2): a clustered
   * parquet layout `partitionBy(cell_id)` plus a tiny centroid table.
@@ -41,5 +43,59 @@ object IndexStore {
              k: Int = 5, nprobe: Int = 10): DataFrame = {
     val (rows, centroids) = read(spark, path)
     VectorSearch.ivfSearch(rows, centroids, queries, k, nprobe)
+  }
+
+  /** Canonical on-disk location of the index for a given data dir —
+    * a pure function of the dir so "build once, search many" callers
+    * (and the DuckDB oracle, which replays the probed search over these
+    * artifacts) agree on the path without coordination.
+    */
+  def defaultPath(dir: String): String =
+    "/root/repo/data/ivf_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Build the index only if its artifacts don't exist yet. */
+  def ensure(spark: SparkSession, dir: String, path: String): Unit =
+    if (!new java.io.File(s"$path/centroids").exists()) write(spark, dir, path)
+
+  /** Probed search with STATIC partition pruning: the probed cell set is
+    * tiny driver-side metadata (≤ nq·nprobe ints — the same coarse-quantizer
+    * lookup FAISS does before touching inverted lists,
+    * `FAISS/PlainDemo/pipeline.py:257` `index.nprobe = 10`), so it is
+    * inlined as a literal IN-list and the parquet source prunes unprobed
+    * cells' directories at planning time (`PartitionFilters` in the scan).
+    * At 100 TB this is the difference between scanning nprobe/nlist of the
+    * files and scanning all of them.
+    */
+  def searchPruned(spark: SparkSession, path: String, queries: DataFrame,
+                   k: Int = 5, nprobe: Int = 10): DataFrame = {
+    val (rows, centroids) = read(spark, path)
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("d2", l2DistanceSq(col("qvec"), col("centroid").cast("array<float>")))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell_id"))
+    val probed = qCells.withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cell_id"))
+    val cells = probed.select(col("cell_id")).distinct().collect().map(_.get(0))
+    val pruned = rows.filter(col("cell_id").isin(cells: _*))
+    val scored = pruned.join(broadcast(probed), "cell_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qvec"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The V5 named query, build-once / search-many: ensure the persisted
+    * index exists for `dir`, then run the partition-pruned probed search.
+    * First execution pays the k-means build (`index.train+add`,
+    * `pipeline.py:315-321`); every later execution is search-only against
+    * the clustered layout — the shape a serving cluster actually runs.
+    */
+  def searchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    searchPruned(spark, path, VectorSearch.querySet(spark, dir, 5))
   }
 }

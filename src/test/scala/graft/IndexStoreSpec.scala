@@ -36,4 +36,21 @@ class IndexStoreSpec extends SparkSpec {
     val perQ = hits.groupBy($"qid").count().select($"count").as[Long].collect()
     assert(perQ.forall(_ == 5L))
   }
+
+  test("pruned search result == unpruned persisted search result") {
+    val q = VectorSearch.querySet(spark, sfDir, 3)
+    val a = IndexStore.search(spark, path, q, k = 5, nprobe = 10).collect().toSeq
+    val b = IndexStore.searchPruned(spark, path, q, k = 5, nprobe = 10).collect().toSeq
+    assert(a == b, "pruning the scan must not change the result set")
+  }
+
+  test("pruned search scan carries a static PartitionFilters IN-list on cell_id") {
+    val q = VectorSearch.querySet(spark, sfDir, 3)
+    val plan = IndexStore.searchPruned(spark, path, q, k = 5, nprobe = 10)
+      .queryExecution.executedPlan.toString
+    // the rows scan must carry the probed in-list (planned as INSET),
+    // i.e. prune unprobed cells' directories before reading a byte
+    assert(plan.contains("PartitionFilters") && plan.contains("INSET"),
+      "expected an INSET partition filter on cell_id\n" + plan.take(3000))
+  }
 }
