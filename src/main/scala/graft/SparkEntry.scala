@@ -92,6 +92,10 @@ object SparkEntry {
     "set_except" -> ((s, d) => Relational.setExcept(s, d)),
     "join_full_outer" -> ((s, d) => Relational.joinFullOuter(s, d)),
     "value_counts_top" -> ((s, d) => Relational.valueCountsTop(s, d)),
+    // §2.1/§2.11 — multi-model sweep, ops metrics, catalog surface
+    "metrics_combined" -> ((s, d) => MultiModel.combinedMetrics(s, d)),
+    "metrics_ops" -> ((s, d) => OpsMetrics.opsMetrics(s, d)),
+    "catalog_ops" -> ((s, d) => CatalogOps.catalogQuery(s, d)),
     // §2.1–§2.2 — flow-CSV pipeline parity
     "flow_packet_text" -> ((s, d) => FlowParity.packetText(s, d)),
     "flow_clean_cast" -> ((s, d) => FlowParity.cleanCast(s, d)),
@@ -485,6 +489,18 @@ object SparkEntry {
         |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
         |FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
         |ORDER BY nationkey""".stripMargin,
+    "metrics_combined" ->
+      """WITH d AS (SELECT count(*) AS n FROM documents),
+        |m AS (SELECT * FROM (VALUES ('hash32', 32), ('hash64', 64), ('hash128', 128)) t(model, dim))
+        |SELECT model, 'embed' AS op, CAST(n AS BIGINT) AS n_rows, CAST(dim AS BIGINT) AS dim
+        |FROM m CROSS JOIN d
+        |UNION ALL
+        |SELECT model, 'search' AS op, CAST(3 * least(3, n - 1) AS BIGINT), CAST(dim AS BIGINT)
+        |FROM m CROSS JOIN d
+        |ORDER BY model, op""".stripMargin,
+    "catalog_ops" ->
+      """SELECT 'graft_cat_keep_c' AS store_name, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "flow_packet_text" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id,
         |       concat_ws(' ', coalesce(CAST(event_id AS VARCHAR), ''), coalesce(CAST(user_id AS VARCHAR), ''),

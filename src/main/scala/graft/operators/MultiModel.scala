@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.embed.Featurizer
+import graft.functions.VectorFunctions._
+
+/** S6: the multi-model sweep + combined metrics sink — the reference's core
+  * loop (`FAISS/PlainDemo/pipeline.py:290-298`: run the full workload once
+  * per embedding model; `:357-400`: union every model's records into ONE
+  * long-format metrics table).
+  *
+  * The "models" here are hashing featurizers of different output dimension
+  * (32/64/128) — the same role the reference's 7 sentence-transformer
+  * checkpoints play (each defines a vector space; the workload re-runs per
+  * space). Each model's workload genuinely executes: the corpus is embedded
+  * with that dim and an exact top-k search runs in that space; the combined
+  * table is the `unionByName` of per-model metric rows.
+  *
+  * Scale shape: the per-model pipelines are independent DataFrame branches
+  * of one plan — on a cluster they schedule concurrently, and nothing is
+  * collected to the driver.
+  */
+object MultiModel {
+
+  /** The sweep's model list: name → output dimension. */
+  val models: Seq[(String, Int)] =
+    Seq(("hash32", 32), ("hash64", 64), ("hash128", 128))
+
+  private def metricRow(df: DataFrame, model: String, op: String, dim: Int): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"))
+      .select(lit(model).as("model"), lit(op).as("op"),
+        col("n_rows"), lit(dim.toLong).as("dim"))
+
+  /** One model's workload: embed the corpus, then exact top-k search for
+    * the first `nq` docs in that model's space. Returns the two metric rows
+    * (`op = embed | search`) the combined sink unions.
+    */
+  def modelMetrics(spark: SparkSession, dir: String, model: String, dim: Int,
+                   nq: Int = 3, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val embedded = Featurizer.embedBatched(docs, "text", "embedding", dim)
+    val q = embedded.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("qid"), col("embedding").as("qvec"))
+    val scored = embedded.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qvec"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("doc_id"))
+    val hits = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    metricRow(embedded, model, "embed", dim)
+      .unionByName(metricRow(hits, model, "search", dim))
+  }
+
+  /** The combined multi-model metrics table (`pipeline.py:357-400`):
+    * long format (model, op, n_rows, dim), one `unionByName` across models.
+    */
+  def combinedMetrics(spark: SparkSession, dir: String): DataFrame =
+    models.map { case (name, dim) => modelMetrics(spark, dir, name, dim) }
+      .reduce(_ unionByName _)
+      .orderBy(col("model"), col("op"))
+}

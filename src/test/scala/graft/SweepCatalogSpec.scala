@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CatalogOps, Crud, MultiModel, OpsMetrics, VectorSearch}
+
+/** S6 multi-model sweep, M1 ops-metrics table, C6 catalog surface. */
+class SweepCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("combined metrics: one embed + one search row per model, real counts") {
+    val out = MultiModel.combinedMetrics(spark, sfDir).collect()
+    assert(out.length == MultiModel.models.size * 2)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    MultiModel.models.foreach { case (name, dim) =>
+      val embed = out.find(r => r.getString(0) == name && r.getString(1) == "embed").get
+      assert(embed.getLong(2) == nDocs, s"$name embed count")
+      assert(embed.getLong(3) == dim.toLong)
+      val search = out.find(r => r.getString(0) == name && r.getString(1) == "search").get
+      assert(search.getLong(2) == 3L * math.min(3L, nDocs - 1), s"$name search hits")
+    }
+  }
+
+  test("model spaces differ: hash32 and hash128 rank neighbors differently or equally-validly") {
+    // sanity that the sweep actually runs distinct featurizers: embeddings
+    // of the same doc under different dims have different lengths
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text").limit(5)
+    val d32 = graft.embed.Featurizer.embedBatched(docs, "text", "e", 32)
+      .select(size($"e")).as[Int].head()
+    val d128 = graft.embed.Featurizer.embedBatched(docs, "text", "e", 128)
+      .select(size($"e")).as[Int].head()
+    assert(d32 == 32 && d128 == 128)
+  }
+
+  test("ops metrics: deterministic rows_out, non-negative wall_ms") {
+    val out = OpsMetrics.opsMetrics(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("delete", "insert", "query", "update"))
+    val byOp = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp("insert") == Crud.insert(spark, sfDir).count())
+    assert(byOp("query") == VectorSearch.knnExact(spark, sfDir).count())
+    assert(byOp("delete") == Crud.deleteByPredicate(spark, sfDir).count())
+    assert(byOp("update") == Crud.update(spark, sfDir).count())
+    assert(out.forall(_.getLong(2) >= 0L))
+  }
+
+  test("catalog drop-by-prefix leaves non-matching stores untouched") {
+    val e = Tables.embeddings(spark, sfDir)
+    e.limit(5).createOrReplaceTempView("unrelated_store")
+    e.limit(5).createOrReplaceTempView("graft_other_store")
+    val out = CatalogOps.catalogQuery(spark, sfDir).collect()
+    // survivors: exactly the keep_c store, with its true row count
+    assert(out.map(_.getString(0)).toSeq == Seq("graft_cat_keep_c"))
+    assert(out.head.getLong(1) == e.filter($"vec_id" < 10).count())
+    // victims gone, bystanders alive
+    val names = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(!names.exists(_.startsWith("graft_cat_tmp_")))
+    assert(names.contains("unrelated_store") && names.contains("graft_other_store"))
+    spark.catalog.dropTempView("unrelated_store")
+    spark.catalog.dropTempView("graft_other_store")
+  }
+
+  test("catalog query is idempotent") {
+    val a = CatalogOps.catalogQuery(spark, sfDir).collect().toSeq
+    val b = CatalogOps.catalogQuery(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+}
