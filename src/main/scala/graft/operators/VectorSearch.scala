@@ -200,7 +200,13 @@ object VectorSearch {
 
   /** V5: probed ANN search — rank cells per query, keep nprobe nearest,
     * equi-join on cell_id, exact score within probed cells, top-k.
-    * (`index.nprobe = 10`, `pipeline.py:257`; clamped `pipeline+ui.py:227-228`.)
+    * (`index.nprobe = 10`, `pipeline.py:257`.)
+    *
+    * Edge clamps (`pipeline+ui.py:227-230`: `min(nprobe, nlist)`,
+    * `min(k, ntotal)`) are realized by the rank windows themselves:
+    * `cell-rank ≤ nprobe` probes min(nprobe, nlist) cells and
+    * `rank ≤ k` emits min(k, candidates) hits — over-asking never errors
+    * and never fabricates rows (asserted in VectorSearchSpec "clamp").
     */
   def ivfSearch(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
                 k: Int = 5, nprobe: Int = 10): DataFrame = {

@@ -19,6 +19,23 @@ class VectorSearchSpec extends SparkSpec {
     assert(all.count() == 2L * (n - 1))
   }
 
+  test("k and nprobe clamp at the edges like the reference guards") {
+    // pipeline+ui.py:227-230: actual_nprobe = min(nprobe, nlist),
+    // actual_k = min(k, ntotal). The window-rank formulation realizes
+    // exactly these clamped semantics — over-asking never errors and
+    // never fabricates rows.
+    val n = Tables.embeddings(spark, sfDir).count()
+    val overK = VectorSearch.knnExact(spark, sfDir, k = (10 * n).toInt, nq = 2)
+    assert(overK.count() == 2L * (n - 1), "k > ntotal clamps to every non-self row")
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = VectorSearch.kmeansFit(e, 4, iters = 2).cache()
+    val assigned = VectorSearch.assignCells(e, centroids).cache()
+    val q = VectorSearch.querySet(spark, sfDir, 3)
+    val overProbe = VectorSearch.ivfSearch(assigned, centroids, q, k = 5, nprobe = 999)
+    val allProbe = VectorSearch.ivfSearch(assigned, centroids, q, k = 5, nprobe = 4)
+    assert(hits(overProbe) == hits(allProbe), "nprobe > nlist clamps to probing every cell")
+  }
+
   test("knnExact ranks are contiguous and sims non-increasing per query") {
     val res = VectorSearch.knnExact(spark, sfDir, k = 5, nq = 5)
       .select($"qid", $"rank", $"sim_micro").as[(Long, Long, Long)]
