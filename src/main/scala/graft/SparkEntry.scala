@@ -36,6 +36,8 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
     "knn_doc_join" -> ((s, d) => VectorSearch.knnDocJoin(s, d)),
     "vec_normalize" -> ((s, d) => VectorSearch.normalizeQuery(s, d)),
+    "vec_quantize" -> ((s, d) => Quantize.quantizeQuery(s, d)),
+    "knn_quantized" -> ((s, d) => Quantize.knnQuantized(s, d)),
     "vec_pair_metrics" -> ((s, d) => VectorSearch.pairMetricsQuery(s, d)),
     // §2.4 — CRUD surface
     "crud_insert" -> ((s, d) => Crud.insert(s, d)),
@@ -155,6 +157,10 @@ object SparkEntry {
 
   private def bucketSql(v: String, bits: Int): String = bucketSqlAt(v, 0, bits)
 
+  /** Symmetric int8 scalar quantization, mirroring `Quantize.quantize`. */
+  private def codeSql(v: String): String =
+    s"list_transform($v, x -> least(127, greatest(-127, CAST(round(CAST(x AS DOUBLE)*127.0) AS BIGINT))))"
+
   private val discPrice =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
 
@@ -257,6 +263,22 @@ object SparkEntry {
       s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |       ${microSql(s"sqrt(${dotSql("embedding", "embedding")})")} AS norm_micro
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "vec_quantize" ->
+      s"""WITH q AS (SELECT vec_id, embedding, ${codeSql("embedding")} AS code FROM embeddings)
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, code[1] AS c0, code[2] AS c1,
+         |       ${microSql("sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, code), " +
+          "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)/127.0)*(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)/127.0))), (acc,x) -> acc+x))")} AS err_micro
+         |FROM q ORDER BY vec_id""".stripMargin,
+    "knn_quantized" ->
+      s"""WITH b AS (SELECT vec_id, ${codeSql("embedding")} AS code FROM embeddings),
+         |q AS (SELECT vec_id AS qid, code AS qcode FROM b WHERE vec_id < 5),
+         |sc AS (SELECT q.qid, b.vec_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(q.qcode, b.code), z -> z[1]*z[2])), (acc,x) -> acc+x) AS qsim
+         |       FROM b CROSS JOIN q WHERE b.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, qsim, row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, vec_id) AS rank FROM sc)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(qsim AS BIGINT) AS qsim
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "vec_pair_metrics" ->
       s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
          |b AS (SELECT vec_id - 1 AS id_a, vec_id AS id_b, embedding AS vb FROM embeddings)

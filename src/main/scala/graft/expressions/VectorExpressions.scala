@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native codegen'd kernels for `ARRAY<FLOAT>` vector math — the engine's
   * hot path (every kNN candidate scores one dot product;
@@ -29,6 +29,10 @@ object VectorExpressions {
 
   def norm2F(a: Column): Column =
     ExpressionUtils.column(Norm2Float(ExpressionUtils.expression(a)))
+
+  def dotL(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductLong(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 /** ⟨a,b⟩ over float arrays, accumulated left-to-right in double.
@@ -69,6 +73,46 @@ case class DotProductFloat(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ⟨a,b⟩ over BIGINT code arrays — the scoring kernel for scalar-quantized
+  * vectors (integer arithmetic: exact, fold-order-independent, and
+  * trivially mirrored by any SQL engine). Equal-length inputs required.
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = VectorKernels.checkDims(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = graft.expressions.VectorKernels.checkDims($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
     copy(left = newLeft, right = newRight)
 }
 
