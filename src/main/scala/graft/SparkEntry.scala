@@ -114,6 +114,7 @@ object SparkEntry {
     "asof_join" -> ((s, d) => Temporal.asofClickView(s, d)),
     // §2.10 — an actual Structured Streaming execution, oracle-checked
     "stream_hourly" -> ((s, d) => StreamOps.streamHourly(s, d)),
+    "stream_interval_join" -> ((s, d) => StreamOps.streamIntervalJoin(s, d)),
   )
 
   // ------------------------------------------------------------ oracles --
@@ -564,6 +565,13 @@ object SparkEntry {
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_hourly" -> hourlySql,
     "stream_hourly" -> hourlySql,
+    "stream_interval_join" ->
+      """SELECT CAST(c.event_id AS BIGINT) AS click_id, CAST(v.event_id AS BIGINT) AS view_id,
+        |       CAST(c.user_id AS BIGINT) AS user_id
+        |FROM events c JOIN events v ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts BETWEEN c.ts - INTERVAL 4 HOUR AND c.ts
+        |ORDER BY click_id, view_id""".stripMargin,
     "agg_salted" ->
       """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_qty_c,
         |       CAST(count(*) AS BIGINT) AS n

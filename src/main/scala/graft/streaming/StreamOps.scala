@@ -153,6 +153,43 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Shared transform for the click↔view interval join: every click pairs
+    * with the same user's views from the preceding 4 hours. Works on batch
+    * OR streaming inputs (same Catalyst plan) — the batch form is the
+    * oracle, the streaming form is the production shape.
+    */
+  def clickViewIntervalJoin(clicks: DataFrame, views: DataFrame): DataFrame =
+    clicks.join(views,
+        expr("user_id = view_user AND view_ts BETWEEN click_ts - INTERVAL 4 HOURS AND click_ts"))
+      .select(col("click_id"), col("view_id"), col("user_id"))
+
+  /** Stream-stream interval join, executed for real: both sides are
+    * watermarked streams, so Spark bounds the join state — views are
+    * dropped from state once the click-side watermark passes their
+    * 4-hour relevance window, which is what lets this run forever on a
+    * continuous feed (the reference's UI joins hits back to source rows
+    * positionally, `pipeline+ui.py:598-599`; this is that lookup when BOTH
+    * sides are unbounded). AvailableNow + memory sink returns the result
+    * as a batch DataFrame for the driver's DuckDB oracle.
+    */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_cv_${System.nanoTime()}"
+    val src = readEventsStream(spark, dir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = readEventsStream(spark, dir).filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "5 hours") // join-window + click delay: state cleanup bound
+    val q = clickViewIntervalJoin(clicks, views)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("click_id"), col("view_id"))
+  }
+
   /** T3: streaming dedup with watermark (exactly-once-ish ingest dedup,
     * `Milvus/stream1.py:265`).
     */

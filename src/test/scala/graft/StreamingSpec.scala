@@ -18,6 +18,19 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"), col("ts").as("view_ts"))
+    val batch = StreamOps.clickViewIntervalJoin(clicks, views)
+      .orderBy(col("click_id"), col("view_id")).collect().toSeq
+    val stream = StreamOps.streamIntervalJoin(spark, sfDir).collect().toSeq
+    assert(stream == batch, s"stream ${stream.size} rows vs batch ${batch.size}")
+    assert(batch.nonEmpty, "join should produce pairs on the testdata")
+  }
+
   test("foreachBatch upsert store converges to the keyed snapshot") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
     val store = s"$tmp/store"
