@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Co-located join layout: bucketed tables (SURVEY.md §1.2 "table-name
+  * suffixing / catalog namespacing" meets the 100 TB join problem).
+  *
+  * The reference's per-model collections (`Milvus/stream1.py:96-98`) are
+  * repeatedly joined/looked-up by PK. At lake scale, a big-big equi-join
+  * (store ⋈ fresh batch, hits ⋈ documents) re-shuffles BOTH sides on every
+  * query unless the layout already agrees with the join key. `bucketBy`
+  * materializes the hash partitioning into the table: Catalyst sees
+  * matching `HashPartitioning` on both sides and plans the join with NO
+  * Exchange — the shuffle is paid once at write time, amortized over every
+  * subsequent join (asserted in BucketedStoreSpec).
+  *
+  * `sortBy` on the same key additionally pre-sorts bucket files, removing
+  * the per-query Sort under SortMergeJoin.
+  */
+object BucketedStore {
+
+  /** Persist `df` bucketed (and sorted) by `key` as a catalog table. */
+  def write(df: DataFrame, table: String, key: String, buckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  def drop(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+}
