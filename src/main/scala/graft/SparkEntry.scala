@@ -62,6 +62,7 @@ object SparkEntry {
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_bigram_top" -> ((s, d) => TextAnalysis.bigramTop(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
     "pipeline_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d)),
     // LLM-pipeline — embedding + multimodal plumbing
@@ -404,6 +405,19 @@ object SparkEntry {
       """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT unnest(list_transform(range(greatest(len(ws)-1, 0)), i -> ws[i+1] || ' ' || ws[i+2])) AS bigram FROM d)
         |SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "text_quality" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, len(ws) AS nw, len(list_distinct(ws)) AS nd,
+        |         list_max(list_transform(list_distinct(ws), tk -> len(list_filter(ws, w -> w = tk)))) AS mf
+        |      FROM d),
+        |s AS (SELECT doc_id, nw, nd, mf,
+        |         (CAST(least(nw, 50) AS DOUBLE)/50.0 + CAST(nd AS DOUBLE)/CAST(nw AS DOUBLE)
+        |          + 1.0 - CAST(mf AS DOUBLE)/CAST(nw AS DOUBLE))/3.0 AS score
+        |      FROM t)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(nw AS BIGINT) AS n_words,
+        |       CAST(nd AS BIGINT) AS n_distinct, CAST(mf AS BIGINT) AS max_tok,
+        |       CAST(floor(score*1000000.0) AS BIGINT) AS score_micro
+        |FROM s WHERE score >= 0.75 ORDER BY doc_id""".stripMargin,
     "pipeline_clean_corpus" -> (cleanCorpusSql + "\nORDER BY doc_id"),
     "pipeline_corpus_stats" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words

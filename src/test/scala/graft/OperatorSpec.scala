@@ -19,9 +19,12 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("every query key has either an oracle or a documented exemption") {
-    val exempt = Set("knn_ivf", "dedup_minhash_lsh", "dedup_simhash",
+    // knn_ivf graduated to oracle-checked in round 3 (SQL replay over the
+    // exported index); metrics_ops emits wall-clock measurements (rows-only
+    // by nature, deterministic columns spec-checked in SweepCatalogSpec)
+    val exempt = Set("dedup_minhash_lsh", "dedup_simhash",
       "embed_docs", "media_decode", "agg_approx_distinct", "agg_approx_percentile",
-      "agg_moments")
+      "agg_moments", "metrics_ops")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -31,6 +34,13 @@ class OperatorSpec extends SparkSpec {
   test("entry flagship returns ranked rows") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length > 0)
+  }
+
+  test("quality gate actually discriminates: drops 10-90% of the corpus") {
+    val total = Tables.documents(spark, sfDir).count()
+    val kept = graft.operators.TextAnalysis.qualityGate(spark, sfDir).count()
+    assert(kept > total / 10 && kept < total * 9 / 10,
+      s"gate kept $kept of $total — not a discriminative filter")
   }
 
   test("approx_count_distinct is within 10% of exact") {
