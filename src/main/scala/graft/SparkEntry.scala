@@ -93,6 +93,8 @@ object SparkEntry {
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
     "set_intersect" -> ((s, d) => Relational.setIntersect(s, d)),
     "set_except" -> ((s, d) => Relational.setExcept(s, d)),
+    "set_intersect_all" -> ((s, d) => Relational.setIntersectAll(s, d)),
+    "set_except_all" -> ((s, d) => Relational.setExceptAll(s, d)),
     "join_full_outer" -> ((s, d) => Relational.joinFullOuter(s, d)),
     "value_counts_top" -> ((s, d) => Relational.valueCountsTop(s, d)),
     // §2.1/§2.11 — multi-model sweep, ops metrics, catalog surface
@@ -106,6 +108,8 @@ object SparkEntry {
     "flow_split_extract" -> ((s, d) => FlowParity.splitExtract(s, d)),
     "flow_offset_resume" -> ((s, d) => FlowParity.offsetResume(s, d)),
     "flow_resume_keyed" -> ((s, d) => FlowParity.resumeKeyed(s, d)),
+    "flow_json_extract" -> ((s, d) => FlowParity.jsonExtract(s, d)),
+    "flow_normalize" -> ((s, d) => FlowParity.normalizeText(s, d)),
     "metrics_summary" -> ((s, d) => FlowParity.metricsSummary(s, d)),
     "metrics_two_level" -> ((s, d) => FlowParity.metricsTwoLevel(s, d)),
     // §2.9–§2.10 — temporal / sessionization / as-of
@@ -567,6 +571,24 @@ object SparkEntry {
     "flow_resume_keyed" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id, event_type FROM events
         |WHERE event_id > 500 ORDER BY event_id LIMIT 1000""".stripMargin,
+    "flow_json_extract" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "flow_normalize" ->
+      """SELECT CAST(i AS BIGINT) AS frame_number,
+        |       trim(regexp_replace(regexp_replace(
+        |         lower(printf('%d 192.168.1.%d TCP packet %d', i, i % 256, i*10)),
+        |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |FROM range(500) t(i) ORDER BY frame_number""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT ALL SELECT CAST(l_orderkey AS BIGINT) FROM lineitem WHERE l_linestatus = 'F'
+        |ORDER BY l_orderkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |EXCEPT ALL SELECT CAST(l_orderkey AS BIGINT) FROM lineitem WHERE l_linestatus = 'F'
+        |ORDER BY l_orderkey""".stripMargin,
     "metrics_summary" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n, min(value) AS min_value, max(value) AS max_value,
         |       CAST(sum(CAST(value AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_value_c

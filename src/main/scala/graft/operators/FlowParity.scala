@@ -113,6 +113,31 @@ object FlowParity {
       .limit(n)
       .select(col("event_id"), col("event_type"))
 
+  /** P4 typed twin: schema-declared JSON extraction. [[cleanCast]] parses
+    * `props` with a regex (the reference's string munging); the idiomatic
+    * Spark form is `from_json` with an explicit schema — typed, null-safe
+    * on malformed input, and codegen'd, with the parse visible to Catalyst
+    * instead of hidden in a regex.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("j", from_json(col("props"), StructType(Seq(StructField("k", LongType)))))
+      .select(col("event_id"), col("j.k").as("k"))
+      .orderBy(col("event_id"))
+
+  /** Text normalization (the first stage of every LLM data pipeline):
+    * lowercase, strip non-alphanumerics, squeeze whitespace — pure codegen
+    * string expressions over the synthetic packet text (which carries
+    * punctuation worth stripping).
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    synthPackets(spark, 500)
+      .select(col("frame_number"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("packet_text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+      .orderBy(col("frame_number"))
+
   /** S3 scale-safe twin of [[offsetResume]]: keyed watermark resume.
     * `offset()` after a global sort funnels the whole prefix through one
     * task at deep offsets; resuming from the last-seen key instead pushes a

@@ -278,6 +278,28 @@ object Relational {
     building.except(urgent).orderBy(col("c_custkey"))
   }
 
+  /** Multiset (ALL) variants: bag semantics preserve duplicate
+    * multiplicities — `exceptAll` keeps max(m−n, 0) copies, `intersectAll`
+    * min(m, n) — which is what dataset-difference arithmetic over
+    * observation logs needs (distinct set ops silently collapse repeats).
+    * Planned as aggregate-on-counts + generate, one shuffle each.
+    */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    val f = Tables.lineitem(spark, dir)
+      .filter(col("l_linestatus") === "F").select(col("l_orderkey"))
+    r.exceptAll(f).orderBy(col("l_orderkey"))
+  }
+
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    val f = Tables.lineitem(spark, dir)
+      .filter(col("l_linestatus") === "F").select(col("l_orderkey"))
+    r.intersectAll(f).orderBy(col("l_orderkey"))
+  }
+
   /** Full outer join: per-nation customer/supplier counts including
     * nations present on only one side.
     */
