@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_banded" -> ((s, d) => Dedup.embeddingNearDupBanded(s, d)),
     // LLM-pipeline — text analysis
@@ -175,6 +176,24 @@ object SparkEntry {
       | CAST(count(*) AS BIGINT) AS n,
       | CAST(sum(CAST(value AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_value_c
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs (inverted-index formulation), shared by
+    * the pair query and the clusters query's recursive-CTE replay.
+    */
+  private val ngramJaccardSql =
+    """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+      |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+      |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+      |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b,
+      |             CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+      |      FROM p JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+      |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+      |       CAST(floor(jaccard*1000000.0) AS BIGINT) AS jaccard_micro
+      |FROM j WHERE jaccard >= 0.12 ORDER BY id_a, id_b""".stripMargin
 
   /** The composite corpus-clean pipeline, shared by its two oracle
     * entries: quality gate → keep-first exact dedup → lang-consistency
@@ -335,20 +354,19 @@ object SparkEntry {
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id_kept, CAST(count(*) AS BIGINT) AS n_copies,
         |       CAST(length(text) AS BIGINT) AS text_len
         |FROM documents GROUP BY text ORDER BY doc_id_kept""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
-        |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
-        |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
-        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
-        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |j AS (SELECT id_a, id_b,
-        |             CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
-        |      FROM p JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
-        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-        |       CAST(floor(jaccard*1000000.0) AS BIGINT) AS jaccard_micro
-        |FROM j WHERE jaccard >= 0.12 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($ngramJaccardSql)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+         |cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(min(node) AS BIGINT) AS min_member, CAST(max(node) AS BIGINT) AS max_member
+         |FROM cc GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket FROM embeddings),
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dotSql("a.embedding", "b.embedding")} AS sim

@@ -213,6 +213,64 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation (the Hash-to-Min shape): every round each node
+    * takes the minimum label in its closed neighborhood; rounds needed ≤
+    * component diameter (near-dup clusters are near-cliques ⇒ 1–2 rounds).
+    *
+    * Scale shape: each round is ONE equi-join + partial-aggregated min —
+    * all shuffle-parallel, no driver-side graph. `localCheckpoint` after
+    * each round truncates the growing lineage (iterative plans otherwise
+    * re-derive every prior round; on a cluster use `checkpoint` to a
+    * reliable dir instead). The convergence probe reads one count per
+    * round — tiny.
+    *
+    * Returns (node, label) where label = min node id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNbr = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(viaNbr, labels("node") === viaNbr("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    require(converged, s"connected components did not converge in $maxIters rounds")
+    labels
+  }
+
+  /** Near-dup CLUSTERS: the step that turns pairwise hits into dedup
+    * groups — connected components over the n-gram Jaccard candidate
+    * graph, one row per cluster (survivor = min doc_id = the cluster id,
+    * matching [[exactDedup]]'s min-id survivor rule).
+    */
+  def nearDupClusters(spark: SparkSession, dir: String,
+                      threshold: Double = 0.12): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, threshold)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(pairs)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("node")).as("min_member"), max(col("node")).as("max_member"))
+      .select(col("label").as("cluster_id"), col("n_members"),
+        col("min_member"), col("max_member"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Scale path for [[embeddingNearDup]]: multi-band sign-LSH blocking with
     * OR-amplification — the same banding construction as
     * [[minhashLshPairs]]. Band `b` keys on the signs of the `bitsPerBand`

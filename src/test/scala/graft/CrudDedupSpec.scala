@@ -134,6 +134,30 @@ class CrudDedupSpec extends SparkSpec {
     assert(banded.subsetOf(truth), "no false positives after exact verify")
   }
 
+  test("connected components: chains merge transitively, labels are component minima") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .select($"node", $"label").as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L), "chain 1-2-3-4 is one cluster")
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+  }
+
+  test("near-dup clusters are consistent with the pair graph") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val labels = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(spark, sfDir).select($"id_a", $"id_b"))
+      .select($"node", $"label").as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    val clusters = Dedup.nearDupClusters(spark, sfDir).collect()
+    assert(clusters.forall(r => r.getLong(1) >= 2), "every emitted cluster has >= 2 members")
+    assert(clusters.forall(r => r.getLong(0) == r.getLong(2)), "cluster_id == min member")
+  }
+
   test("jaccard pairs: duplicate texts score 1.0") {
     val dupPairs = Dedup.ngramJaccardPairs(spark, sfDir, threshold = 0.999)
     val exact = Dedup.exactDedup(spark, sfDir).filter($"n_copies" > 1)
