@@ -80,6 +80,9 @@ object SparkEntry {
     "join_anti" -> ((s, d) => Relational.antiJoin(s, d)),
     "window_top_orders" -> ((s, d) => Relational.windowTopOrders(s, d)),
     "window_running" -> ((s, d) => Relational.windowRunning(s, d)),
+    "window_rank_family" -> ((s, d) => Relational.windowRankFamily(s, d)),
+    "agg_array" -> ((s, d) => Relational.arrayAgg(s, d)),
+    "sql_correlated" -> ((s, d) => Relational.sqlCorrelated(s, d)),
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
     "agg_distinct" -> ((s, d) => Relational.aggDistinct(s, d)),
@@ -509,6 +512,32 @@ object SparkEntry {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)*100 AS BIGINT) AS running_value_c,
         |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "window_rank_family" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders WHERE o_custkey % 100 = 0),
+        |w AS (SELECT o_custkey, o_orderkey,
+        |        dense_rank() OVER win AS drk,
+        |        ntile(4) OVER win AS quartile,
+        |        CAST(p - coalesce(lag(p, 1) OVER win, 0) AS DECIMAL(18,2)) AS delta
+        |      FROM o WINDOW win AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |       CAST(drk AS BIGINT) AS drk, CAST(quartile AS BIGINT) AS quartile,
+        |       CAST(delta*100 AS BIGINT) AS delta_c
+        |FROM w ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "agg_array" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |       array_to_string(list_sort(list(CAST(o_orderkey AS BIGINT))), ',') AS order_keys,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_custkey % 500 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_correlated" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_qty_c

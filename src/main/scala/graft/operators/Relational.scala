@@ -129,6 +129,63 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** The rest of the rank family in one query: dense_rank (no gaps),
+    * ntile (equi-depth buckets), and lag delta — the §2.9 functions the
+    * top-k/running queries don't touch. One window spec ⇒ one shuffle+sort
+    * shared by all four expressions.
+    */
+  def windowRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") % 100 === 0)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"),
+        (dec2(col("o_totalprice")) -
+          coalesce(lag(dec2(col("o_totalprice")), 1).over(w), lit(0)))
+          .cast("decimal(18,2)").as("delta"))
+      .select(col("o_custkey"), col("o_orderkey"), col("drk").cast("long").as("drk"),
+        col("quartile").cast("long").as("quartile"),
+        (col("delta") * 100).cast("long").as("delta_c"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Group values into deterministic arrays: collect_list is
+    * order-nondeterministic under parallel merge, so the engine's array agg
+    * is sort_array(collect_list(...)) — reproducible on any partitioning
+    * (the same determinism rule as the decimal money sums).
+    */
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 500 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey").cast("long"))).as("order_keys"),
+        count(lit(1)).as("n"))
+      // surface the array as a joined string so the cross-engine compare
+      // sees a scalar cell (hashing array cells is driver-format-dependent)
+      .select(col("o_custkey"),
+        concat_ws(",", transform(col("order_keys"), _.cast("string"))).as("order_keys"),
+        col("n"))
+      .orderBy(col("o_custkey"))
+
+  /** Correlated scalar subquery through the SQL surface: the orders that
+    * are their customer's most expensive (max is exact on doubles, so the
+    * correlation predicate is engine-independent). Catalyst decorrelates
+    * it into an aggregate + join — the rewrite is the point (hand-written
+    * per-key loops are what the engine replaces).
+    */
+  def sqlCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        |FROM graft_orders_v o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM graft_orders_v o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   /** ROLLUP over lineitem flags (A6 grouping-sets surface). */
   def aggRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
