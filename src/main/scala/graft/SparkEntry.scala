@@ -64,10 +64,15 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_bigram_top" -> ((s, d) => TextAnalysis.bigramTop(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(s, d)),
+    "sample_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
+    "sample_uniform" -> ((s, d) => Sampling.uniformSample(s, d)),
+    "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
     "pipeline_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d)),
     // LLM-pipeline — embedding + multimodal plumbing
     "embed_docs" -> ((s, d) => EmbedQueries.embedDocs(s, d)),
+    "embed_dim_stats" -> ((s, d) => EmbedQueries.dimStats(s, d)),
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "media_decode" -> ((s, d) => EmbedQueries.mediaDecode(s, d)),
     "media_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
@@ -443,6 +448,39 @@ object SparkEntry {
         |       CAST(nd AS BIGINT) AS n_distinct, CAST(mf AS BIGINT) AS max_tok,
         |       CAST(floor(score*1000000.0) AS BIGINT) AS score_micro
         |FROM s WHERE score >= 0.75 ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, tf.term, tf, df, CAST(tf * 1000000 * n_docs // df AS BIGINT) AS score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 AND doc_id % 20 = 0 ORDER BY doc_id, rank""".stripMargin,
+    "sample_split" ->
+      """WITH h AS (SELECT doc_id,
+        |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS bucket
+        |           FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |       CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "sample_uniform" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+        |FROM documents ORDER BY h8, doc_id LIMIT 50""".stripMargin,
+    "sample_stratified" ->
+      """WITH d AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM d)
+        |SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "embed_dim_stats" ->
+      """WITH x AS (SELECT embedding, unnest(range(len(embedding))) AS i FROM embeddings),
+        |v AS (SELECT CAST(i AS BIGINT) AS dim,
+        |             CAST(floor(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE)*1000000.0) AS BIGINT) AS vm
+        |      FROM x)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT) AS sum_micro,
+        |       min(vm) AS min_micro, max(vm) AS max_micro
+        |FROM v GROUP BY dim ORDER BY dim""".stripMargin,
     "pipeline_clean_corpus" -> (cleanCorpusSql + "\nORDER BY doc_id"),
     "pipeline_corpus_stats" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words

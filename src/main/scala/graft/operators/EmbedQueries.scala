@@ -26,6 +26,25 @@ object EmbedQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-dimension feature statistics over the embedding column — the
+    * normalization-stats pass (mean/min/max per coordinate) every feature
+    * pipeline runs before training. posexplode fans each vector into
+    * (dim, value) pairs map-side; the per-dim aggregation is map-combined
+    * into ≤ dim groups, so the shuffle is tiny at any corpus size.
+    *
+    * Values are fixed-point-projected to micros BEFORE summing, so the sum
+    * is pure BIGINT (fold-order-free, oracle-exact) — a double sum's value
+    * would depend on partitioning.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), micro(col("v").cast("double")).as("vm"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sum_micro"),
+        min(col("vm")).as("min_micro"), max(col("vm")).as("max_micro"))
+      .orderBy(col("dim"))
+
   /** Multimodal decode path: binary column → batched partition-local decode
     * → typed metadata struct, projected flat.
     */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorFunctions.micro
 
@@ -152,6 +153,34 @@ object TextAnalysis {
     bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
+  }
+
+  /** TF-IDF top terms per document — the classic relevance weighting, as
+    * the pure relational pipeline it is at scale: explode → (doc, term)
+    * counts → document frequency → score → per-doc rank-limit window
+    * (WindowGroupLimit). Both aggregations are map-combined; the df join
+    * shuffles on term (the natural key).
+    *
+    * The idf factor is the LINEAR variant idf = N/df, fixed-point-scaled
+    * into pure BIGINT arithmetic (`score = tf·10⁶·N ÷ df`, integer
+    * division) — rank-equivalent to tf·(N/df) and bit-identical in any
+    * engine, where a log-idf's last ulp is libm-dependent and would make
+    * the oracle hash flaky.
+    */
+  def tfIdf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nDocs = broadcast(d.agg(count(lit(1)).as("n_docs")))
+    val terms = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(nDocs)
+      .withColumn("score", expr("CAST(tf * 1000000 * n_docs DIV df AS BIGINT)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK && col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
   }
 
   /** Discriminative quality gate: a composite score of length,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TextAnalysis}
+import graft.operators.EmbedQueries
+
+/** Deterministic sampling, tf-idf, and feature-stats invariants. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train/test split is a partition of the corpus and roughly 80/20") {
+    val s = Sampling.trainTestSplit(spark, sfDir).cache()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(s.count() == total, "every row is assigned")
+    assert(s.select($"doc_id").distinct().count() == total, "exactly once")
+    val train = s.filter($"split" === "train").count()
+    val frac = train.toDouble / total
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac should be near 0.8")
+    s.unpersist(blocking = false)
+  }
+
+  test("split assignment is stable under corpus growth (hash, not RNG)") {
+    val full = Sampling.trainTestSplit(spark, sfDir)
+      .select($"doc_id", $"split")
+    val half = Sampling.trainTestSplit(spark, sfDir)
+    // restricting the corpus (as if sampled before it grew) changes NO
+    // assignment on the surviving rows
+    val restricted = half.filter($"doc_id" % 2 === 0).select($"doc_id", $"split")
+    val disagree = restricted.join(full, "doc_id")
+      .filter(restricted("split") =!= full("split")).count()
+    assert(disagree == 0)
+  }
+
+  test("uniform sample size and determinism") {
+    val a = Sampling.uniformSample(spark, sfDir, 10).collect()
+    val b = Sampling.uniformSample(spark, sfDir, 10).collect()
+    assert(a.length == 10)
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+  }
+
+  test("stratified sample takes nPer per language") {
+    val s = Sampling.stratifiedSample(spark, sfDir, 5)
+    val sizes = s.groupBy($"lang").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 5))
+    val langs = Tables.documents(spark, sfDir).select($"lang").distinct().count()
+    assert(s.select($"lang").distinct().count() == langs, "every stratum sampled")
+  }
+
+  test("tf-idf ranks a document's rare term above its common term") {
+    val r = TextAnalysis.tfIdf(spark, sfDir).cache()
+    // within a doc, rank order == score order (desc)
+    val bad = r.as[(Long, String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).values
+      .count { rows =>
+        val sorted = rows.sortBy(_._6)
+        sorted.map(_._5).toSeq != sorted.map(_._5).sortBy(-_).toSeq
+      }
+    assert(bad == 0, "rank must follow score desc")
+    // idf monotonicity: same tf, smaller df => higher score
+    val viol = r.filter($"rank" <= 3).as[(Long, String, Long, Long, Long, Long)]
+      .collect().groupBy(_._1).values.count { rows =>
+        rows.exists(a => rows.exists(b =>
+          a._3 == b._3 && a._4 < b._4 && a._5 < b._5))
+      }
+    assert(viol == 0, "with equal tf, rarer terms must not score lower")
+    r.unpersist(blocking = false)
+  }
+
+  test("dim stats cover every dimension with consistent counts and bounds") {
+    val st = EmbedQueries.dimStats(spark, sfDir).cache()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(st.count() == 64, "one row per dimension")
+    assert(st.filter($"n" =!= n).count() == 0, "every vector contributes to every dim")
+    assert(st.filter($"min_micro" > $"max_micro").count() == 0)
+    // embeddings are L2-normalized => |component| <= 1 => micros within ±1e6
+    assert(st.filter($"min_micro" < -1000000L || $"max_micro" > 1000000L).count() == 0)
+    st.unpersist(blocking = false)
+  }
+}
