@@ -34,6 +34,7 @@ object SparkEntry {
     "knn_exact_phys" -> ((s, d) => VectorSearch.knnExactPhysical(s, d)),
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
+    "knn_pq" -> ((s, d) => graft.sources.PqStore.searchQuery(s, d)),
     "knn_doc_join" -> ((s, d) => VectorSearch.knnDocJoin(s, d)),
     "vec_normalize" -> ((s, d) => VectorSearch.normalizeQuery(s, d)),
     "vec_quantize" -> ((s, d) => Quantize.quantizeQuery(s, d)),
@@ -158,6 +159,18 @@ object SparkEntry {
     * these exported centroid/assignment artifacts in pure SQL.
     */
   private val ivfStorePath = graft.sources.IndexStore.defaultPath("/root/testdata/sf0.01")
+
+  /** Where graft.sources.PqStore persists the PQ codebooks/codes the
+    * Verify run builds — the oracle replays the ADC search over them.
+    */
+  private val pqStorePath = graft.sources.PqStore.defaultPath("/root/testdata/sf0.01")
+
+  /** dot where the right side is a stored ARRAY<DOUBLE> centroid the Spark
+    * plan narrows to float first — mirror the double→float→double round-trip.
+    */
+  private def dotCentroidSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+      s"s -> CAST(s[1] AS DOUBLE)*CAST(CAST(s[2] AS FLOAT) AS DOUBLE))), (acc,x) -> acc+x)"
 
   private def microSql(x: String): String =
     s"CAST(floor(($x)*1000000.0) AS BIGINT)"
@@ -284,6 +297,22 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       ${microSql("sim")} AS sim_micro
          |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "knn_pq" ->
+      s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
+         |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |          FROM read_parquet('$pqStorePath/codes/*.parquet')),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |lut AS (SELECT q.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM q CROSS JOIN books b),
+         |s AS (SELECT l.qid, c.vec_id, sum(l.p_micro) AS adc
+         |      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(adc AS BIGINT) AS adc_micro
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "knn_doc_join" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
          |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim

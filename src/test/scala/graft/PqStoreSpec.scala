@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.PqStore
+import graft.operators.VectorSearch
+
+/** Product-quantization invariants: code-space shape, build determinism,
+  * ADC score replay, and recall against the exact search.
+  */
+class PqStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val path = "/root/repo/data/pq_store_spec"
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    super.afterAll()
+  }
+
+  test("codes cover every vector with m codes in [0, k)") {
+    PqStore.ensure(spark, sfDir, path)
+    val codes = spark.read.parquet(s"$path/codes").cache()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(codes.count() == n * PqStore.M)
+    assert(codes.groupBy($"vec_id").count().filter($"count" =!= PqStore.M).count() == 0)
+    assert(codes.filter($"code" < 0 || $"code" >= PqStore.NCodes).count() == 0)
+    assert(codes.select($"sub").distinct().count() == PqStore.M)
+    codes.unpersist(blocking = false)
+  }
+
+  test("build is deterministic: a rebuild yields identical codebooks and codes") {
+    PqStore.ensure(spark, sfDir, path)
+    val b1 = spark.read.parquet(s"$path/codebooks")
+      .orderBy($"sub", $"code").collect().map(_.toString).toSeq
+    val c1 = spark.read.parquet(s"$path/codes")
+      .orderBy($"vec_id", $"sub").collect().map(_.toString).toSeq
+    val path2 = path + "_re"
+    try {
+      PqStore.write(spark, sfDir, path2)
+      val b2 = spark.read.parquet(s"$path2/codebooks")
+        .orderBy($"sub", $"code").collect().map(_.toString).toSeq
+      val c2 = spark.read.parquet(s"$path2/codes")
+        .orderBy($"vec_id", $"sub").collect().map(_.toString).toSeq
+      assert(b1 == b2, "codebooks differ between builds")
+      assert(c1 == c2, "codes differ between builds")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(path2))
+    }
+  }
+
+  test("ADC score equals the direct sum of micro'd subspace dots") {
+    PqStore.ensure(spark, sfDir, path)
+    val hits = PqStore.search(spark, path, VectorSearch.querySet(spark, sfDir, 3), k = 3)
+      .collect()
+    // replay driver-side: reconstruct each hit's score from raw artifacts
+    val books = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val codes = spark.read.parquet(s"$path/codes").collect()
+      .groupBy(_.getLong(0))
+      .map { case (v, rs) => v -> rs.map(r => r.getInt(1) -> r.getInt(2)).toMap }
+    val qs = Tables.embeddings(spark, sfDir).filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val d = 64 / PqStore.M
+    hits.foreach { h =>
+      val (qid, vid, adc) = (h.getLong(0), h.getLong(1), h.getLong(3))
+      val q = qs(qid)
+      val expect = (0 until PqStore.M).map { s =>
+        val cent = books((s, codes(vid)(s)))
+        var acc = 0.0; var i = 0
+        while (i < d) { acc += q(s * d + i).toDouble * cent(i).toFloat.toDouble; i += 1 }
+        math.floor(acc * 1e6).toLong
+      }.sum
+      assert(adc == expect, s"ADC mismatch for ($qid, $vid)")
+    }
+  }
+
+  test("PQ top-5 recalls most of the exact top-5 (coarse but not broken)") {
+    PqStore.ensure(spark, sfDir, path)
+    val nq = 5
+    val exact = VectorSearch.knnExact(spark, sfDir, k = 5, nq = nq).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = PqStore.search(spark, path, VectorSearch.querySet(spark, sfDir, nq), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall@5 = $recall — 48-bit ADC should catch ≥40%")
+  }
+}
