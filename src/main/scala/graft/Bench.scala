@@ -54,7 +54,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nErr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}"""
+    // The driver keeps only the last ~2000 chars of stdout; with 90+ queries
+    // the full-precision line outgrows that window and truncates into
+    // unparseable JSON (BENCH_r1–r3 all recorded parsed:null). Persist the
+    // full line to a file, print it for humans, then print a compact line
+    // LAST — slowest-N queries, 3-decimal values, bounded size — so the tail
+    // always ends with one complete parseable object.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    println(full)
+    def r3(v: Double): String = f"$v%.3f"
+    val slowest = results.collect { case (k, Right(v)) => (k, v) }
+      .sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val errsShort = results.collect { case (k, Left(e)) => (k, e) }.take(5)
+      .map { case (k, e) => s"\"" + k + "\":\"" + esc(e.take(60)) + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_shown":${math.min(20, results.size)},"n_errors":$nErr,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

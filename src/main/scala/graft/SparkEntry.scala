@@ -732,6 +732,33 @@ object SparkEntry {
         |       CAST(round(quantile_cont(l_quantity, 0.95)*1000000.0) AS BIGINT) AS qty_p95_micro,
         |       CAST(round(quantile_cont(l_extendedprice, 0.5)*1000000.0) AS BIGINT) AS price_p50_micro
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_moments" ->
+      // Mirrors Relational.aggMoments exactly: cents fixed-point (DECIMAL(18,0)
+      // here — products fit DuckDB's 38-digit cap; the sums are the same exact
+      // integers as Spark's DECIMAL(38,0) path), then the identical
+      // left-to-right double expression tree for the closed-form moments.
+      """WITH c AS (SELECT l_returnflag,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS qc,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS pc,
+        |  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS dc
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(qc) AS sq, sum(pc) AS sp, sum(dc) AS sd,
+        |  sum(qc*pc) AS sqp, sum(qc*qc) AS sqq, sum(pc*pc) AS spp, sum(dc*dc) AS sdd
+        |  FROM c GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(floor(
+        |    (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE))
+        |    / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/CAST(n AS DOUBLE))
+        |         * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS corr_micro,
+        |  CAST(floor(
+        |    (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1.0) / 10000.0 * 1000000.0) AS BIGINT) AS covar_micro,
+        |  CAST(floor(
+        |    sqrt((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE)/CAST(n AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) - 1.0)) / 100.0 * 1000000.0) AS BIGINT) AS stddev_micro
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "sql_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
         |FROM lineitem

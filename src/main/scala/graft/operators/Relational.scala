@@ -250,13 +250,41 @@ object Relational {
     * check is rows-only; a spec bounds the values against DuckDB-computed
     * references via the oracle-free tolerance path.
     */
-  def aggMoments(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  def aggMoments(spark: SparkSession, dir: String): DataFrame = {
+    // Higher moments from EXACT integer power sums: each measure is first
+    // fixed-pointed to cents (exact — the data has 2 decimals), the per-group
+    // sums Σx, Σx², Σxy accumulate in DECIMAL(38,0) (128-bit, overflow-free
+    // at any SF, partitioning-independent), and only the final closed-form
+    // combination runs in double — the same expression tree the DuckDB
+    // oracle states, so corr/covar/stddev are bit-identical across engines
+    // where a streaming double accumulator (corr()/covar_samp()) is
+    // fold-order-dependent and unverifiable.
+    val qc = (col("l_quantity").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    val pc = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    val dc = (col("l_discount").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    val sums = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
-        covar_samp(col("l_quantity"), col("l_extendedprice")).as("covar_qty_price"),
-        stddev_samp(col("l_discount")).as("stddev_discount"))
+      .agg(count(lit(1)).as("n"),
+        sum(qc).as("sq"), sum(pc).as("sp"), sum(dc).as("sd"),
+        sum(qc * pc).as("sqp"), sum(qc * qc).as("sqq"),
+        sum(pc * pc).as("spp"), sum(dc * dc).as("sdd"))
+    // Identical double formulas on both sides (see oracleSql): cent scale
+    // cancels in corr; covar is rescaled cents² → units², stddev cents →
+    // units.
+    sums.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        expr("""CAST(floor(
+          (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE))
+          / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/CAST(n AS DOUBLE))
+               * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE)))
+          * 1000000.0) AS BIGINT)""").as("corr_micro"),
+        expr("""CAST(floor(
+          (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE))
+          / (CAST(n AS DOUBLE) - 1.0) / 10000.0 * 1000000.0) AS BIGINT)""").as("covar_micro"),
+        expr("""CAST(floor(
+          sqrt((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE)/CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0)) / 100.0 * 1000000.0) AS BIGINT)""").as("stddev_micro"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Approximate percentile (Greenwald-Khanna sketch) — the 100 TB path
     * next to [[aggPercentiles]]: exact percentile needs a per-group sort;

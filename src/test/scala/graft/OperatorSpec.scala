@@ -24,7 +24,7 @@ class OperatorSpec extends SparkSpec {
     // by nature, deterministic columns spec-checked in SweepCatalogSpec)
     val exempt = Set("dedup_minhash_lsh", "dedup_simhash",
       "embed_docs", "media_decode", "agg_approx_distinct", "agg_approx_percentile",
-      "agg_moments", "metrics_ops")
+      "metrics_ops")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
