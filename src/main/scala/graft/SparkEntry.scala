@@ -54,7 +54,9 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_minhash_md5" -> ((s, d) => Dedup.minhashMd5Pairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5Pairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_banded" -> ((s, d) => Dedup.embeddingNearDupBanded(s, d)),
@@ -69,6 +71,9 @@ object SparkEntry {
     "sample_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
     "sample_uniform" -> ((s, d) => Sampling.uniformSample(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "sample_domain_cap" -> ((s, d) => Sampling.domainCap(s, d)),
+    "corpus_pack" -> ((s, d) => Sampling.packSequences(s, d)),
+    "knn_ivfpq" -> ((s, d) => graft.sources.PqStore.searchIvfPq(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
     "pipeline_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d)),
     // LLM-pipeline — embedding + multimodal plumbing
@@ -313,6 +318,34 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       CAST(adc AS BIGINT) AS adc_micro
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // IVF-PQ composition: candidates from the probed IVF cells, scores from
+    // the PQ ADC tables — both read straight from the exported index stores.
+    "knn_ivfpq" ->
+      s"""WITH cents AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |               FROM read_parquet('$ivfStorePath/centroids/*.parquet')),
+         |r AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id
+         |      FROM read_parquet('$ivfStorePath/rows/*/*.parquet', hive_partitioning=1)),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |qc AS (SELECT q.qid, c.cell_id, ${sqDistCentroidSql("q.qvec", "c.centroid")} AS d2
+         |       FROM q CROSS JOIN cents c),
+         |pr AS (SELECT qid, cell_id, row_number() OVER (PARTITION BY qid ORDER BY d2, cell_id) AS cr FROM qc),
+         |probed AS (SELECT qid, cell_id FROM pr WHERE cr <= 10),
+         |cand AS (SELECT p.qid, r.vec_id FROM r JOIN probed p USING (cell_id) WHERE r.vec_id <> p.qid),
+         |books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
+         |          FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |          FROM read_parquet('$pqStorePath/codes/*.parquet')),
+         |lut AS (SELECT q.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM q CROSS JOIN books b),
+         |s AS (SELECT c.qid, c.vec_id, sum(l.p_micro) AS adc
+         |      FROM cand c JOIN codes k ON k.vec_id = c.vec_id
+         |                  JOIN lut l ON l.qid = c.qid AND l.sub = k.sub AND l.code = k.code
+         |      GROUP BY 1, 2),
+         |rk AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(adc AS BIGINT) AS adc_micro
+         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "knn_doc_join" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
          |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
@@ -392,6 +425,49 @@ object SparkEntry {
         |       CAST(length(text) AS BIGINT) AS text_len
         |FROM documents GROUP BY text ORDER BY doc_id_kept""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    // Engine-portable MinHash: md5 hex minima per permutation (lexicographic
+    // min of fixed-width hex == numeric min on both engines), 4 bands × 3.
+    "dedup_minhash_md5" -> {
+      val mins = (0 until 12)
+        .map(j => s"list_min(list_transform(sh, s -> md5('$j:' || s))) AS m$j")
+        .mkString(",\n         |        ")
+      val bandRows = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, m${b * 3} || m${b * 3 + 1} || m${b * 3 + 2} AS bk FROM sig")
+        .mkString("\n         |  UNION ALL ")
+      s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+         |               i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+         |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |sig AS (SELECT doc_id, $mins FROM sh),
+         |bands AS (
+         |  $bandRows)
+         |SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    // Engine-portable SimHash: bit b of a token's hash = integer nibble
+    // arithmetic on md5 hex; signature bit = strict per-bit majority.
+    "dedup_simhash_md5" -> {
+      val cs = (0 until 32)
+        .map(b => s"sum(((strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1) >> ${3 - b % 4}) & 1) AS c$b")
+        .mkString(",\n         |        ")
+      val sig = (0 until 32)
+        .map(b => s"(CASE WHEN c$b*2 > n THEN (1::BIGINT << $b) ELSE 0 END)")
+        .mkString(" +\n         |        ")
+      s"""WITH t AS (SELECT doc_id, substr(md5(w), 1, 8) AS h
+         |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+         |s AS (SELECT doc_id, count(*) AS n,
+         |        $cs
+         |      FROM t GROUP BY 1),
+         |g AS (SELECT doc_id,
+         |        $sig AS sh
+         |      FROM s),
+         |chunks AS (SELECT doc_id, sh, c AS chunk, (sh >> (c*8)) & 255 AS cv
+         |           FROM g, (SELECT unnest([0,1,2,3]) AS c)),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sh, b.sh)) AS hamming
+         |      FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM p WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
+    },
     "dedup_clusters" ->
       s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($ngramJaccardSql)),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
@@ -502,6 +578,24 @@ object SparkEntry {
         |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM d)
         |SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "sample_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |           FROM documents)
+        |SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+    "corpus_pack" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |             md5(CAST(doc_id AS VARCHAR) || ':pack') AS ord
+        |           FROM documents),
+        |s AS (SELECT *, CAST(strpos('0123456789abcdef', substr(ord, 1, 1)) - 1 AS BIGINT) AS shard FROM d),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM s)
+        |SELECT shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "embed_dim_stats" ->
       """WITH x AS (SELECT embedding, unnest(range(len(embedding))) AS i FROM embeddings),
         |v AS (SELECT CAST(i AS BIGINT) AS dim,

@@ -183,6 +183,78 @@ object Dedup {
     // ngramJaccardPairs note — Bench clearCache()s between queries.
     val sig = simhash(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simhashBlockJoin(sig, maxHamming)
+  }
+
+  // -------------------------------------------- Oracle-exact (md5) sketches --
+
+  /** MinHash+LSH with an engine-portable hash: permutation j hashes shingle s
+    * as md5("j:" + s). md5 yields fixed-width lowercase hex in every engine,
+    * so the LEXICOGRAPHIC min of the hex strings IS the numeric min — the
+    * whole banding construction (Broder 1997) becomes exact replayable SQL.
+    * Same plan shape as [[minhashLshPairs]] (uniform (band, key) shuffle,
+    * no all-pairs); the xxhash64 variant stays as the throughput path —
+    * one 16-byte digest per (perm, shingle) costs ~4× a xxhash64 word hash.
+    */
+  def minhashMd5Pairs(spark: SparkSession, dir: String,
+                      numPerms: Int = 12, bands: Int = 4): DataFrame = {
+    val r = numPerms / bands
+    val sig = shingles(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        array((0 until numPerms).map(j =>
+          array_min(transform(col("sh"), s => md5(concat(lit(s"$j:"), s))))): _*).as("sig"))
+    // Band key = concat of the band's r minima (null iff the doc has no
+    // shingles — <3 words — and null keys never equi-join, both engines).
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat((b * r until (b + 1) * r).map(j => element_at(col("sig"), j + 1)): _*).as("bk")))
+    val exploded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Oracle-exact 32-bit SimHash: token-hash bit b is extracted from the
+    * b/4-th hex nibble of md5(token) by pure integer arithmetic
+    * (instr('0123456789abcdef', char) − 1 — portable to any SQL engine),
+    * and the signature bit is the strict per-bit majority (ties → 0).
+    * Shape: explode tokens → 32 conditional sums in ONE map-combined
+    * groupBy(doc_id) — partial aggregation does the heavy lifting, no UDF.
+    */
+  def simhashMd5(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), substring(md5(col("w")), 1, 8).as("h"))
+    val bitSums = (0 until 32).map { b =>
+      val p = b / 4 + 1
+      val j = 3 - b % 4
+      sum(shiftright(expr(s"instr('0123456789abcdef', substring(h, $p, 1))") - 1, j)
+        .bitwiseAND(lit(1))).as(s"c$b")
+    }
+    val agg = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sig = (0 until 32)
+      .map(b => when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs over the md5 signatures — same 8-bit-chunk
+    * pigeonhole blocking + hamming verify as [[simhashPairs]], but every
+    * integer is reproducible in the oracle engine.
+    */
+  def simhashMd5Pairs(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame =
+    simhashBlockJoin(simhashMd5(Tables.documents(spark, dir)), maxHamming)
+
+  /** Chunk-block + hamming-verify self-join shared by both simhash variants:
+    * two docs within hamming 3·(chunks−1)/chunks share ≥1 of the 4 8-bit
+    * chunks (pigeonhole), so only chunk-colliding pairs are materialized.
+    */
+  private def simhashBlockJoin(sig: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 8).bitwiseAND(0xffL).as("cv"))): _*)).as("ch"))

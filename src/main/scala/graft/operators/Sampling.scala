@@ -66,4 +66,47 @@ object Sampling {
       .select(col("lang"), col("doc_id"), col("rn"))
       .orderBy(col("lang"), col("rn"))
   }
+
+  /** Per-domain quota cap — web-corpus curation's anti-skew staple: keep at
+    * most `cap` documents per source, preferring the longest (a stand-in
+    * quality key), so no single crawl domain dominates the training mix.
+    * Rank-limit window ⇒ WindowGroupLimit: each domain's losers are dropped
+    * map-side before the shuffle, so the post-filter volume is bounded by
+    * cap × n_domains regardless of corpus size.
+    */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** Token-budget sequence packing: shuffle documents into a deterministic
+    * hash order, then cut the stream into contiguous ~`budget`-token packs —
+    * the concat-and-chunk step that turns a cleaned corpus into fixed-length
+    * training sequences. The order AND the shard are both derived from the
+    * md5 hash, so packing is reproducible anywhere.
+    *
+    * Scale shape: packing is per-shard (shard = first hash nibble, 16-way
+    * here; widen to 2+ nibbles for more parallelism at 100 TB — shards are
+    * independent output files, which is what a real writer wants anyway),
+    * so the running sum is a bounded window per shard, never a global
+    * single-partition prefix sum.
+    */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit(":pack"))).as("ord"))
+      .withColumn("shard",
+        (expr("instr('0123456789abcdef', substring(ord, 1, 1))") - 1).cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"CAST((cum - n_tokens) DIV $budget AS BIGINT)"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
 }

@@ -154,4 +154,54 @@ object PqStore {
     ensure(spark, dir, path)
     search(spark, path, VectorSearch.querySet(spark, dir, 5))
   }
+
+  /** IVF-PQ composed search — the lake re-expression of FAISS `IndexIVFPQ`
+    * (coarse quantizer + PQ-compressed scan; the reference trains the flat
+    * IVF sibling, `FAISS/PlainDemo/pipeline.py:315-321`): the IVF store's
+    * broadcast centroids prune to `nprobe` cells, the candidate ids come
+    * from a statically partition-pruned scan of the clustered rows that
+    * reads ONLY `(vec_id, cell_id)` (never the float vectors), and the PQ
+    * codes ADC-score just those candidates. At 100 TB the search cost is
+    * (nprobe/nlist) of a 4-byte-code table — and since both index stores
+    * are plain parquet, the whole plan replays in the DuckDB oracle.
+    */
+  def searchIvfPq(spark: SparkSession, dir: String, k: Int = 5,
+                  nprobe: Int = 10, dim: Int = 64): DataFrame = {
+    val ivfPath = IndexStore.defaultPath(dir)
+    IndexStore.ensure(spark, dir, ivfPath)
+    val pqPath = defaultPath(dir)
+    ensure(spark, dir, pqPath)
+    val d = dsub(dim)
+    val queries = VectorSearch.querySet(spark, dir, 5)
+    val (rows, centroids) = IndexStore.read(spark, ivfPath)
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("d2", l2DistanceSq(col("qvec"), col("centroid").cast("array<float>")))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell_id"))
+    val probed = qCells.withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nprobe)
+      .select(col("qid"), col("cell_id"))
+    // Tiny driver-side cell list → literal IN-list → static PartitionFilters
+    // pruning on the clustered layout (same shape as IndexStore.searchPruned).
+    val cells = probed.select(col("cell_id")).distinct().collect().map(_.get(0))
+    val cand = rows.filter(col("cell_id").isin(cells: _*))
+      .select(col("vec_id"), col("cell_id"))
+      .join(broadcast(probed), "cell_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val books = spark.read.parquet(s"$pqPath/codebooks")
+    val codes = spark.read.parquet(s"$pqPath/codes")
+    val lut = queries.crossJoin(broadcast(books))
+      .select(col("qid"), col("sub"), col("code"),
+        micro(dot(slice(col("qvec"), col("sub") * d + 1, lit(d)),
+          col("centroid").cast("array<float>"))).as("p_micro"))
+    val scored = codes.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("p_micro")).as("adc_micro"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_micro").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), col("adc_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
 }

@@ -85,6 +85,41 @@ class CrudDedupSpec extends SparkSpec {
     assert(dups.subsetOf(pairs), s"missing ${(dups -- pairs).take(5)}")
   }
 
+  test("md5 minhash: exact duplicates are candidates; candidates need a shared shingle") {
+    val pairs = Dedup.minhashMd5Pairs(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val dups = Tables.documents(spark, sfDir)
+      .groupBy($"text").agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, a -> transform(ids, b -> struct(a, b))))")))
+      .select($"col.a", $"col.b").filter($"a" < $"b")
+      .as[(Long, Long)].collect().toSet
+    assert(dups.subsetOf(pairs), s"missing ${(dups -- pairs).take(5)}")
+    // a band collision (3 shared minima) without any shared shingle would be
+    // an md5 collision — candidates must overlap in shingle space
+    val withJaccard = Dedup.ngramJaccardPairs(spark, sfDir, threshold = 0.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(withJaccard), s"phantom ${(pairs -- withJaccard).take(5)}")
+  }
+
+  test("md5 simhash pairs: hamming bound respected and hamming<=3 pairs are complete") {
+    val sigs = Dedup.simhashMd5(Tables.documents(spark, sfDir))
+      .as[(Long, Long)].collect()
+    val got = Dedup.simhashMd5Pairs(spark, sfDir)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    assert(got.forall(_._3 <= 6))
+    // pigeonhole: 32-bit sig in 4 chunks ⇒ any pair within hamming 3 shares
+    // a chunk, so the block join CANNOT miss it
+    val brute = for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)
+    val gotSet = got.map(t => (t._1, t._2)).toSet
+    assert(brute.forall(t => gotSet((t._1, t._2))),
+      s"missed close pair among ${brute.take(3).mkString(",")}")
+  }
+
   test("simhash: identical texts collide at hamming 0") {
     val docs = Seq((1L, "spark native analytics engine for packets"),
       (2L, "spark native analytics engine for packets")).toDF("doc_id", "text")

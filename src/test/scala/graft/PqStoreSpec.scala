@@ -93,4 +93,20 @@ class PqStoreSpec extends SparkSpec {
     val recall = (exact intersect pq).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall@5 = $recall — 48-bit ADC should catch ≥40%")
   }
+
+  test("IVF-PQ: full rank sets, and every score equals the unpruned ADC score") {
+    val ivfpq = PqStore.searchIvfPq(spark, sfDir).cache()
+    val perQ = ivfpq.groupBy($"qid")
+      .agg(count(lit(1)).as("n"), max($"rank").as("mr"))
+      .as[(Long, Long, Int)].collect()
+    assert(perQ.length == 5 && perQ.forall(t => t._2 == 5 && t._3 == 5))
+    // IVF pruning narrows the candidate set but must never change a score:
+    // each (qid, vec_id) ADC agrees with the exhaustive PQ search's value.
+    val scores = ivfpq.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val full = PqStore.search(spark, PqStore.defaultPath(sfDir),
+        VectorSearch.querySet(spark, sfDir, 5), k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    scores.foreach { case (key, v) => assert(full(key) == v, s"ADC drift at $key") }
+  }
 }

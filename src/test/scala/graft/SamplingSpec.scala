@@ -46,6 +46,28 @@ class SamplingSpec extends SparkSpec {
     assert(s.select($"lang").distinct().count() == langs, "every stratum sampled")
   }
 
+  test("domain cap keeps min(cap, |domain|) longest docs per source") {
+    val capped = Sampling.domainCap(spark, sfDir).cache()
+    val per = capped.groupBy($"source").count().as[(String, Long)].collect()
+    val totals = Tables.documents(spark, sfDir)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(per.nonEmpty)
+    per.foreach { case (s, n) => assert(n == math.min(20L, totals(s)), s"$s: $n") }
+  }
+
+  test("sequence packing conserves tokens and packs are contiguous per shard") {
+    val packs = Sampling.packSequences(spark, sfDir).cache()
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(size(split($"text", " ")).cast("long")).as[Long].collect().sum
+    assert(packs.agg(sum($"sum_tokens")).as[Long].head() == totalTokens,
+      "every token lands in exactly one pack")
+    val byShard = packs.select($"shard", $"pack_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted.toSeq }
+    byShard.foreach { case (s, ids) =>
+      assert(ids == (0L until ids.length), s"shard $s pack ids not contiguous: $ids")
+    }
+  }
+
   test("tf-idf ranks a document's rare term above its common term") {
     val r = TextAnalysis.tfIdf(spark, sfDir).cache()
     // within a doc, rank order == score order (desc)
