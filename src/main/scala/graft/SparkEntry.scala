@@ -74,6 +74,7 @@ object SparkEntry {
     "sample_domain_cap" -> ((s, d) => Sampling.domainCap(s, d)),
     "corpus_pack" -> ((s, d) => Sampling.packSequences(s, d)),
     "knn_ivfpq" -> ((s, d) => graft.sources.PqStore.searchIvfPq(s, d)),
+    "knn_refine" -> ((s, d) => graft.sources.PqStore.searchRefined(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
     "pipeline_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d)),
     // LLM-pipeline — embedding + multimodal plumbing
@@ -318,6 +319,28 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       CAST(adc AS BIGINT) AS adc_micro
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Two-stage refine: PQ ADC shortlist (rank ≤ 20), exact re-rank of only
+    // the shortlist's float vectors.
+    "knn_refine" ->
+      s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
+         |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |          FROM read_parquet('$pqStorePath/codes/*.parquet')),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |lut AS (SELECT q.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM q CROSS JOIN books b),
+         |s AS (SELECT l.qid, c.vec_id, sum(l.p_micro) AS adc
+         |      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+         |sl AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS r FROM s),
+         |short AS (SELECT qid, vec_id FROM sl WHERE r <= 20),
+         |x AS (SELECT sh.qid, sh.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id JOIN q ON q.qid = sh.qid),
+         |rk AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM x)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // IVF-PQ composition: candidates from the probed IVF cells, scores from
     // the PQ ADC tables — both read straight from the exported index stores.
     "knn_ivfpq" ->

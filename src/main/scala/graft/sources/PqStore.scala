@@ -155,6 +155,35 @@ object PqStore {
     search(spark, path, VectorSearch.querySet(spark, dir, 5))
   }
 
+  /** Two-stage refine search (the `IndexRefineFlat` serving pattern: ANN
+    * shortlist, exact re-rank): PQ ADC shortlists `shortlist` candidates
+    * per query from the 4-byte codes alone, then ONLY those candidates'
+    * float vectors are fetched (broadcast the tiny shortlist against the
+    * embeddings scan — nq·shortlist rows survive the join) and re-scored
+    * with the exact codegen dot for the final top-k. At 100 TB the float
+    * table contributes a hash-join probe, never a full-corpus similarity
+    * scan; compression error cancels wherever it matters because the final
+    * order is exact.
+    */
+  def searchRefined(spark: SparkSession, dir: String,
+                    k: Int = 5, shortlist: Int = 20): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val queries = VectorSearch.querySet(spark, dir, 5)
+    val short = search(spark, path, queries, k = shortlist)
+      .select(col("qid"), col("vec_id"))
+    val exact = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(queries), "qid")
+      .withColumn("sim", dot(col("qvec"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** IVF-PQ composed search — the lake re-expression of FAISS `IndexIVFPQ`
     * (coarse quantizer + PQ-compressed scan; the reference trains the flat
     * IVF sibling, `FAISS/PlainDemo/pipeline.py:315-321`): the IVF store's

@@ -94,6 +94,26 @@ class PqStoreSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall@5 = $recall — 48-bit ADC should catch ≥40%")
   }
 
+  test("refine: exact re-rank of the PQ shortlist, bit-identical sims, recall >= PQ") {
+    val exact = VectorSearch.knnExact(spark, sfDir, k = 5, nq = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val refined = PqStore.searchRefined(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // wherever refine and exact agree on a pair, the refined similarity is
+    // the same codegen dot — bit-identical micros
+    refined.foreach { case (key, sim) =>
+      exact.get(key).foreach(e => assert(e == sim, s"sim drift at $key"))
+    }
+    val pq = PqStore.search(spark, PqStore.defaultPath(sfDir),
+        VectorSearch.querySet(spark, sfDir, 5), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rExact = exact.keySet
+    val recallPq = (rExact intersect pq).size.toDouble / rExact.size
+    val recallRef = (rExact intersect refined.keySet).size.toDouble / rExact.size
+    assert(recallRef >= recallPq,
+      s"refine recall $recallRef dropped below raw PQ $recallPq")
+  }
+
   test("IVF-PQ: full rank sets, and every score equals the unpruned ADC score") {
     val ivfpq = PqStore.searchIvfPq(spark, sfDir).cache()
     val perQ = ivfpq.groupBy($"qid")
