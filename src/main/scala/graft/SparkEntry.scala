@@ -448,19 +448,25 @@ object SparkEntry {
         |       CAST(length(text) AS BIGINT) AS text_len
         |FROM documents GROUP BY text ORDER BY doc_id_kept""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
-    // Engine-portable MinHash: md5 hex minima per permutation (lexicographic
-    // min of fixed-width hex == numeric min on both engines), 4 bands × 3.
+    // Engine-portable MinHash: one md5 per shingle, Kirsch–Mitzenmacher
+    // double-hashed permutations over two nibble-arithmetic 32-bit words,
+    // 4 bands × 3 — the exact integer replay of Dedup.minhashMd5Pairs.
     "dedup_minhash_md5" -> {
+      val p = graft.operators.Dedup.MinhashP32
       val mins = (0 until 12)
-        .map(j => s"list_min(list_transform(sh, s -> md5('$j:' || s))) AS m$j")
+        .map(j => s"min((h1 + $j*h2) % $p) AS m$j")
         .mkString(",\n         |        ")
       val bandRows = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band, m${b * 3} || m${b * 3 + 1} || m${b * 3 + 2} AS bk FROM sig")
+        .map(b => s"SELECT doc_id, $b AS band, m${b * 3}::VARCHAR || '|' || m${b * 3 + 1}::VARCHAR || '|' || m${b * 3 + 2}::VARCHAR AS bk FROM sig")
         .mkString("\n         |  UNION ALL ")
       s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
          |               i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
          |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
-         |sig AS (SELECT doc_id, $mins FROM sh),
+         |dgt AS (SELECT doc_id, md5('mh:' || unnest(sh)) AS dg FROM sh),
+         |hw AS (SELECT doc_id,
+         |         ${graft.operators.Dedup.hexWordSql("strpos", "dg", 1)} AS h1,
+         |         ${graft.operators.Dedup.hexWordSql("strpos", "dg", 9)} AS h2 FROM dgt),
+         |sig AS (SELECT doc_id, $mins FROM hw GROUP BY 1),
          |bands AS (
          |  $bandRows)
          |SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b

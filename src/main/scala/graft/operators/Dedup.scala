@@ -188,26 +188,46 @@ object Dedup {
 
   // -------------------------------------------- Oracle-exact (md5) sketches --
 
-  /** MinHash+LSH with an engine-portable hash: permutation j hashes shingle s
-    * as md5("j:" + s). md5 yields fixed-width lowercase hex in every engine,
-    * so the LEXICOGRAPHIC min of the hex strings IS the numeric min — the
-    * whole banding construction (Broder 1997) becomes exact replayable SQL.
-    * Same plan shape as [[minhashLshPairs]] (uniform (band, key) shuffle,
-    * no all-pairs); the xxhash64 variant stays as the throughput path —
-    * one 16-byte digest per (perm, shingle) costs ~4× a xxhash64 word hash.
+  /** Prime just under 2³² for the double-hashed permutation family. */
+  val MinhashP32 = 4294967291L
+
+  /** SQL text for the integer value of 8 hex chars of `col` starting at
+    * 1-based `off` — pure nibble arithmetic (position in the hex alphabet ×
+    * powers of 16), so the SAME formula runs on any engine ([[Dedup.minhashMd5Pairs]]
+    * builds it with `instr`, the DuckDB oracle with `strpos`).
+    */
+  def hexWordSql(posFn: String, col: String, off: Int): String =
+    (0 until 8).map(i =>
+      s"(($posFn('0123456789abcdef', substring($col, ${off + i}, 1)) - 1) * ${1L << (4 * (7 - i))})")
+      .mkString("(", " + ", ")")
+
+  /** MinHash+LSH with an engine-portable hash family: ONE md5 per shingle,
+    * two 32-bit words h1/h2 pulled out of the digest by nibble arithmetic,
+    * and permutation j = (h1 + j·h2) mod p — Kirsch–Mitzenmacher double
+    * hashing (ESA 2006), the standard trick for deriving k hash functions
+    * from two. Every step is integer SQL, so the banding construction
+    * (Broder 1997) replays exactly in the DuckDB oracle; the xxhash64
+    * variant stays as the raw-throughput path.
+    * Plan shape: explode shingles → ONE map-combined groupBy(doc_id) with
+    * numPerms min-aggregates → uniform (band, key) self-join. No all-pairs.
     */
   def minhashMd5Pairs(spark: SparkSession, dir: String,
                       numPerms: Int = 12, bands: Int = 4): DataFrame = {
     val r = numPerms / bands
-    val sig = shingles(Tables.documents(spark, dir))
+    val hw = shingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), md5(concat(lit("mh:"), col("s"))).as("dg"))
       .select(col("doc_id"),
-        array((0 until numPerms).map(j =>
-          array_min(transform(col("sh"), s => md5(concat(lit(s"$j:"), s))))): _*).as("sig"))
-    // Band key = concat of the band's r minima (null iff the doc has no
-    // shingles — <3 words — and null keys never equi-join, both engines).
+        expr(hexWordSql("instr", "dg", 1)).cast("long").as("h1"),
+        expr(hexWordSql("instr", "dg", 9)).cast("long").as("h2"))
+    val mins = (0 until numPerms).map(j =>
+      min((col("h1") + lit(j.toLong) * col("h2")) % MinhashP32).as(s"m$j"))
+    val sig = hw.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // Band key = the band's r minima joined as text. Docs with <3 words have
+    // no shingles, hence no sig row — they can't near-dup anything anyway.
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        concat((b * r until (b + 1) * r).map(j => element_at(col("sig"), j + 1)): _*).as("bk")))
+        concat_ws("|", (b * r until (b + 1) * r).map(j => col(s"m$j").cast("string")): _*).as("bk")))
     val exploded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
     exploded.as("a").join(exploded.as("b"),
