@@ -198,7 +198,10 @@ object Dedup {
     */
   def hexWordSql(posFn: String, col: String, off: Int): String =
     (0 until 8).map(i =>
-      s"(($posFn('0123456789abcdef', substring($col, ${off + i}, 1)) - 1) * ${1L << (4 * (7 - i))})")
+      // The weight literal is CAST AS BIGINT so the nibble×weight product is
+      // 64-bit on every engine: a bare INT literal would make Spark 4's ANSI
+      // mode overflow at 2³¹ whenever the top nibble ≥ 8 (half of all md5s).
+      s"(($posFn('0123456789abcdef', substring($col, ${off + i}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT))")
       .mkString("(", " + ", ")")
 
   /** MinHash+LSH with an engine-portable hash family: ONE md5 per shingle,
