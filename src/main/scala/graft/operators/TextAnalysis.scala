@@ -144,12 +144,12 @@ object TextAnalysis {
     */
   def bigramTop(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).withColumn("ws", words(col("text")))
+    // Aligned-slice zip_with, not indexed transform — see Dedup.shingles.
     val bigrams = d.select(explode(
-      filter(
-        transform(col("ws"), (w, i) =>
-          when(i < size(col("ws")) - 1,
-            concat_ws(" ", w, element_at(col("ws"), i + 2))).otherwise(lit(null))),
-        x => x.isNotNull)).as("bigram"))
+      zip_with(
+        slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
     bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
