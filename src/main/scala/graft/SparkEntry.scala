@@ -307,7 +307,7 @@ object SparkEntry {
       s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
          |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
          |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
-         |          FROM read_parquet('$pqStorePath/codes/*.parquet')),
+         |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          |lut AS (SELECT q.qid, b.sub, b.code,
          |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
@@ -325,7 +325,7 @@ object SparkEntry {
       s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
          |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
          |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
-         |          FROM read_parquet('$pqStorePath/codes/*.parquet')),
+         |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          |lut AS (SELECT q.qid, b.sub, b.code,
          |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
@@ -357,7 +357,7 @@ object SparkEntry {
          |books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
          |          FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
          |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
-         |          FROM read_parquet('$pqStorePath/codes/*.parquet')),
+         |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
          |lut AS (SELECT q.qid, b.sub, b.code,
          |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
          |        FROM q CROSS JOIN books b),

@@ -96,13 +96,22 @@ object PqStore {
   }
 
   /** Build and persist: codebooks under `path/codebooks`, long-form codes
-    * under `path/codes`.
+    * under `path/codes` CLUSTERED BY the IVF coarse cell
+    * (`partitionBy(cell_id)` — known at encode time from the IVF store's
+    * assignment, like FAISS's IVFPQ storing codes inside inverted lists).
+    * The directory layout is what lets [[searchIvfPq]] prune the code scan
+    * to nprobe/nlist of the files statically; full-corpus readers
+    * ([[search]]) just ignore the partition column.
     */
   def write(spark: SparkSession, dir: String, path: String): Unit = {
+    val ivfPath = IndexStore.defaultPath(dir)
+    IndexStore.ensure(spark, dir, ivfPath)
+    val cellOf = IndexStore.read(spark, ivfPath)._1.select(col("vec_id"), col("cell_id"))
     val books = train(spark, dir).cache()
     books.write.mode("overwrite").parquet(s"$path/codebooks")
     encode(Tables.embeddings(spark, dir), books)
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .join(cellOf, "vec_id")
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/codes")
     books.unpersist(blocking = false)
   }
 
@@ -113,9 +122,16 @@ object PqStore {
   def defaultPath(dir: String): String =
     "/root/repo/data/pq_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Build only if the artifacts don't exist yet. */
-  def ensure(spark: SparkSession, dir: String, path: String): Unit =
-    if (!new java.io.File(s"$path/codebooks").exists()) write(spark, dir, path)
+  /** Build only if the artifacts don't exist yet (or predate the clustered
+    * `codes/cell_id=*` layout — a flat store from an older build is rebuilt
+    * in place rather than failing the pruned scan).
+    */
+  def ensure(spark: SparkSession, dir: String, path: String): Unit = {
+    val clustered = Option(new java.io.File(s"$path/codes").listFiles())
+      .exists(_.exists(_.getName.startsWith("cell_id=")))
+    if (!new java.io.File(s"$path/codebooks").exists() || !clustered)
+      write(spark, dir, path)
+  }
 
   /** ADC top-k search against the persisted codes. `queries` carries
     * (qid, qvec); scores are integer ADC similarities (sum of m micro'd
@@ -202,7 +218,7 @@ object PqStore {
     ensure(spark, dir, pqPath)
     val d = dsub(dim)
     val queries = VectorSearch.querySet(spark, dir, 5)
-    val (rows, centroids) = IndexStore.read(spark, ivfPath)
+    val centroids = IndexStore.read(spark, ivfPath)._2
     val qCells = queries.crossJoin(broadcast(centroids))
       .withColumn("d2", l2DistanceSq(col("qvec"), col("centroid").cast("array<float>")))
     val wc = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell_id"))
@@ -210,20 +226,20 @@ object PqStore {
       .filter(col("cr") <= nprobe)
       .select(col("qid"), col("cell_id"))
     // Tiny driver-side cell list → literal IN-list → static PartitionFilters
-    // pruning on the clustered layout (same shape as IndexStore.searchPruned).
+    // pruning on the CODES' clustered layout (same shape as
+    // IndexStore.searchPruned): candidates and their 1-byte codes come from
+    // one scan that reads nprobe/nlist of the code files — the float rows
+    // table is never touched.
     val cells = probed.select(col("cell_id")).distinct().collect().map(_.get(0))
-    val cand = rows.filter(col("cell_id").isin(cells: _*))
-      .select(col("vec_id"), col("cell_id"))
-      .join(broadcast(probed), "cell_id")
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"))
     val books = spark.read.parquet(s"$pqPath/codebooks")
     val codes = spark.read.parquet(s"$pqPath/codes")
     val lut = queries.crossJoin(broadcast(books))
       .select(col("qid"), col("sub"), col("code"),
         micro(dot(slice(col("qvec"), col("sub") * d + 1, lit(d)),
           col("centroid").cast("array<float>"))).as("p_micro"))
-    val scored = codes.join(broadcast(cand), Seq("vec_id"))
+    val scored = codes.filter(col("cell_id").isin(cells: _*))
+      .join(broadcast(probed), "cell_id")
+      .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(lut), Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("p_micro")).as("adc_micro"))
