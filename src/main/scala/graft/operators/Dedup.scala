@@ -71,13 +71,24 @@ object Dedup {
     * Only pairs sharing ≥1 shingle are ever materialized (same result set as
     * brute force, linear-ish work instead of O(n²)).
     */
+  /** Session-lifetime memo of the persisted sketch tables: repeated calls
+    * in one session reuse ONE cached DataFrame per (session, table) instead
+    * of persist()ing a fresh plan each call — pinned blocks can't
+    * accumulate across executions. `spark.catalog.clearCache()` stays safe:
+    * it drops the blocks and the memoized plan just recomputes uncached.
+    */
+  private val sketchMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  /** Test hook: number of memoized persisted sketch tables. */
+  private[graft] def sketchMemoSize: Int = sketchMemo.size
+  private def memoPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    sketchMemo.getOrElseUpdate((System.identityHashCode(spark).toString, key),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.12): DataFrame = {
     // Cached because the shingle table feeds four plan branches (sizes,
-    // df-prune, both self-join sides); spill-safe level. Lifetime is the
-    // session: callers that loop queries (graft.Bench) clearCache() between
-    // them so repeated executions don't accumulate pinned blocks.
-    val sh = shingles(Tables.documents(spark, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df-prune, both self-join sides); spill-safe level.
+    val sh = memoPersist(spark, s"shingles|$dir")(shingles(Tables.documents(spark, dir)))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     // Join on the shingle's 64-bit hash, not the string: the shuffle moves
     // 8-byte keys instead of ~25-byte text. A collision would need two
@@ -182,10 +193,8 @@ object Dedup {
     * of 4 chunks — pigeonhole), verify hamming via bit_count(xor).
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    // Session-lifetime cache (both self-join sides read it); see the
-    // ngramJaccardPairs note — Bench clearCache()s between queries.
-    val sig = simhash(Tables.documents(spark, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Memoized session-lifetime cache (both self-join sides read it).
+    val sig = memoPersist(spark, s"simhash|$dir")(simhash(Tables.documents(spark, dir)))
     simhashBlockJoin(sig, maxHamming)
   }
 

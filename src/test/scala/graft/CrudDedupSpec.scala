@@ -199,4 +199,14 @@ class CrudDedupSpec extends SparkSpec {
     // at least every exact-duplicate group yields a jaccard-1 pair
     assert(dupPairs.count() >= exact.count())
   }
+
+  test("repeated sketch-pair calls reuse one persisted table (no cache accumulation)") {
+    Dedup.ngramJaccardPairs(spark, sfDir).count()
+    Dedup.simhashPairs(spark, sfDir).count()
+    val after = Dedup.sketchMemoSize
+    Dedup.ngramJaccardPairs(spark, sfDir).count()
+    Dedup.simhashPairs(spark, sfDir).count()
+    assert(Dedup.sketchMemoSize == after,
+      "re-running the pair generators must not persist new sketch tables")
+  }
 }

@@ -31,6 +31,22 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "join should produce pairs on the testdata")
   }
 
+  test("mergeKeepLatest keeps the newest version per key and leaves no swap debris") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val store = s"$tmp/store"
+    val v1 = spark.range(0, 10).select($"id".as("event_id"), lit("old").as("payload"))
+    val v2 = spark.range(5, 15).select($"id".as("event_id"), lit("new").as("payload"))
+    StreamOps.mergeKeepLatest(spark, v1, store, version = 1L)
+    StreamOps.mergeKeepLatest(spark, v2, store, version = 2L)
+    val got = spark.read.parquet(store)
+    assert(got.count() == 15, "union of keys")
+    assert(got.filter($"event_id" >= 5 && $"event_id" < 10 && $"payload" =!= "new").count() == 0,
+      "overlapping keys take the later version")
+    assert(!new java.io.File(store + ".tmp").exists(), "tmp snapshot removed")
+    assert(!new java.io.File(store + ".old").exists(), "aside snapshot removed")
+  }
+
   test("foreachBatch upsert store converges to the keyed snapshot") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
     val store = s"$tmp/store"
