@@ -769,7 +769,9 @@ object SparkEntry {
         |ORDER BY nationkey""".stripMargin,
     "metrics_combined" ->
       """WITH d AS (SELECT count(*) AS n FROM documents),
-        |m AS (SELECT * FROM (VALUES ('hash32', 32), ('hash64', 64), ('hash128', 128)) t(model, dim))
+        |m AS (SELECT * FROM (VALUES ('paraphrase_minilm_l12', 384), ('all_minilm_l6', 384),
+        |        ('distilbert_nli_stsb', 768), ('codebert_base', 768), ('bert_base_nli', 768),
+        |        ('komninos_word_avg', 300), ('all_mpnet_base', 768)) t(model, dim))
         |SELECT model, 'embed' AS op, CAST(n AS BIGINT) AS n_rows, CAST(dim AS BIGINT) AS dim
         |FROM m CROSS JOIN d
         |UNION ALL

@@ -33,10 +33,16 @@ object Featurizer {
     h
   }
 
-  /** Embed one text: signed hashed char-trigrams, L2-normalized. */
-  def embed(text: String, dim: Int = DefaultDim): Array[Float] = {
+  /** Embed one text: signed hashed char-trigrams, L2-normalized. `salt`
+    * names the "model": a non-empty salt perturbs every trigram window, so
+    * two same-dim models still define distinct vector spaces (the role the
+    * reference's different checkpoints play). Empty salt = the historical
+    * hash space, bit-identical to pre-salt builds.
+    */
+  def embed(text: String, dim: Int = DefaultDim, salt: String = ""): Array[Float] = {
     val v = new Array[Float](dim)
-    val s = " " + (if (text == null) "" else text.toLowerCase) + " "
+    val body = if (text == null) "" else text.toLowerCase
+    val s = " " + (if (salt.isEmpty) body else salt + ":" + body) + " "
     var i = 0
     val n = s.length - 3
     while (i <= n) {
@@ -70,14 +76,15 @@ object Featurizer {
     * exercised and tested.
     */
   def embedBatched(df: DataFrame, textCol: String, outCol: String,
-                   dim: Int = DefaultDim, batchSize: Int = 32): DataFrame = {
+                   dim: Int = DefaultDim, batchSize: Int = 32,
+                   salt: String = ""): DataFrame = {
     val schema = df.schema.add(StructField(outCol, ArrayType(FloatType, containsNull = false)))
     implicit val enc: Encoder[Row] = Encoders.row(schema)
     val idx = df.schema.fieldIndex(textCol)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // one "model call" per batch
-        val vecs = batch.map(r => embed(r.getString(idx), dim))
+        val vecs = batch.map(r => embed(r.getString(idx), dim, salt))
         batch.iterator.zip(vecs.iterator).map { case (r, v) =>
           Row.fromSeq(r.toSeq :+ v.toSeq)
         }

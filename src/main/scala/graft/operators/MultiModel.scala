@@ -12,12 +12,13 @@ import graft.functions.VectorFunctions._
   * per embedding model; `:357-400`: union every model's records into ONE
   * long-format metrics table).
   *
-  * The "models" here are hashing featurizers of different output dimension
-  * (32/64/128) — the same role the reference's 7 sentence-transformer
-  * checkpoints play (each defines a vector space; the workload re-runs per
-  * space). Each model's workload genuinely executes: the corpus is embedded
-  * with that dim and an exact top-k search runs in that space; the combined
-  * table is the `unionByName` of per-model metric rows.
+  * The "models" here are 7 hashing featurizers mirroring the reference's 7
+  * sentence-transformer checkpoints (`pipeline.py:290-298`) — same count,
+  * same output-dimension spread (300/384/768), and each salted by its name
+  * so same-dim models still define DISTINCT vector spaces. Each model's
+  * workload genuinely executes: the corpus is embedded in that model's
+  * space and an exact top-k search runs in it; the combined table is the
+  * `unionByName` of per-model metric rows.
   *
   * Scale shape: the per-model pipelines are independent DataFrame branches
   * of one plan — on a cluster they schedule concurrently, and nothing is
@@ -25,9 +26,18 @@ import graft.functions.VectorFunctions._
   */
 object MultiModel {
 
-  /** The sweep's model list: name → output dimension. */
-  val models: Seq[(String, Int)] =
-    Seq(("hash32", 32), ("hash64", 64), ("hash128", 128))
+  /** The sweep's model list: name → output dimension, one per reference
+    * checkpoint (`pipeline.py:290-298`), dims matching each model's real
+    * embedding width.
+    */
+  val models: Seq[(String, Int)] = Seq(
+    ("paraphrase_minilm_l12", 384),
+    ("all_minilm_l6", 384),
+    ("distilbert_nli_stsb", 768),
+    ("codebert_base", 768),
+    ("bert_base_nli", 768),
+    ("komninos_word_avg", 300),
+    ("all_mpnet_base", 768))
 
   private def metricRow(df: DataFrame, model: String, op: String, dim: Int): DataFrame =
     df.agg(count(lit(1)).as("n_rows"))
@@ -41,7 +51,7 @@ object MultiModel {
   def modelMetrics(spark: SparkSession, dir: String, model: String, dim: Int,
                    nq: Int = 3, k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val embedded = Featurizer.embedBatched(docs, "text", "embedding", dim)
+    val embedded = Featurizer.embedBatched(docs, "text", "embedding", dim, salt = model)
     val q = embedded.filter(col("doc_id") < nq)
       .select(col("doc_id").as("qid"), col("embedding").as("qvec"))
     val scored = embedded.crossJoin(broadcast(q))
