@@ -58,7 +58,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5Pairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
-    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // bits pinned to 4: this query is the oracle anchor for the bucket
+    // function (the library default auto-scales bits with corpus size).
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d, bits = 4)),
     "dedup_embedding_banded" -> ((s, d) => Dedup.embeddingNearDupBanded(s, d)),
     // LLM-pipeline — text analysis
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),

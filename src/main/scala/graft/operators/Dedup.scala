@@ -309,9 +309,21 @@ object Dedup {
     * SQL on both engines.
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
-                       threshold: Double = 0.30, bits: Int = 4): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), signLshBucket(col("embedding"), bits).as("bucket"))
+                       threshold: Double = 0.30, bits: Int = 0): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // bits=0 (the library default) scales the bucket count with the corpus:
+    // ~64 vectors per bucket, clamped to [4, 20] (20 sign bits = 1M buckets;
+    // beyond that recall decays and the banded variant
+    // [[embeddingNearDupBanded]] is the right scale path anyway). A fixed
+    // bits=4 would make the within-bucket self-join O(n²/16) at corpus
+    // scale; callers that need a reproducible bucket function (the oracle
+    // anchor query) pass bits explicitly.
+    val b = if (bits > 0) bits else {
+      val n = math.max(1L, emb.count())
+      math.min(20, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(n / 64)))
+    }
+    val e = emb
+      .select(col("vec_id"), col("embedding"), signLshBucket(col("embedding"), b).as("bucket"))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", dot(col("a.embedding"), col("b.embedding")))

@@ -200,6 +200,20 @@ class CrudDedupSpec extends SparkSpec {
     assert(dupPairs.count() >= exact.count())
   }
 
+  test("auto-scaled sign-LSH bits: finer buckets yield a subset of the bits=4 pairs") {
+    // bucket equality at k' > k bits implies equality at k bits (prefix
+    // property), so the auto-bits result can only shrink the anchor set —
+    // and every surviving pair still meets the threshold.
+    val anchor = Dedup.embeddingNearDup(spark, sfDir, bits = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val auto = Dedup.embeddingNearDup(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(auto.subsetOf(anchor), "auto-bits pairs must be a subset of the 4-bit anchor")
+    val bad = Dedup.embeddingNearDup(spark, sfDir)
+      .filter($"sim_micro" < (0.30 * 1e6).toLong - 1).count()
+    assert(bad == 0, "every pair meets the cosine threshold")
+  }
+
   test("repeated sketch-pair calls reuse one persisted table (no cache accumulation)") {
     Dedup.ngramJaccardPairs(spark, sfDir).count()
     Dedup.simhashPairs(spark, sfDir).count()
