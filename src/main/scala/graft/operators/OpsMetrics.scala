@@ -22,21 +22,49 @@ import graft.Tables
 object OpsMetrics {
 
   /** Run a fixed set of representative ops, one metric row each:
-    * (op, rows_out, wall_ms). rows_out is deterministic; wall_ms ≥ 0.
+    * (op, rows_out, wall_ms, peak_mem_bytes). rows_out is deterministic;
+    * wall_ms ≥ 0; peak_mem_bytes is the max operator "peak memory" SQL
+    * metric across the executed plan — the engine's analog of the
+    * reference's per-op RSS sampling (`Milvus/stream1.py:44-62`), read from
+    * the accumulator-backed metrics that are consistent on the driver once
+    * the action returns (no listener-bus race).
     */
   def opsMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ops: Seq[(String, () => Long)] = Seq(
-      ("insert", () => Crud.insert(spark, dir).count()),
-      ("query", () => VectorSearch.knnExact(spark, dir).count()),
-      ("delete", () => Crud.deleteByPredicate(spark, dir).count()),
-      ("update", () => Crud.update(spark, dir).count()))
-    val rows = ops.map { case (name, run) =>
+    val ops: Seq[(String, () => DataFrame)] = Seq(
+      ("insert", () => Crud.insert(spark, dir)),
+      ("query", () => VectorSearch.knnExact(spark, dir)),
+      ("delete", () => Crud.deleteByPredicate(spark, dir)),
+      ("update", () => Crud.update(spark, dir)),
+      // aggregate-bearing op: its HashAggregate tracks peak memory, so the
+      // memory column carries a real measurement (narrow scans report 0)
+      ("stats", () => Crud.counts(spark, dir)))
+    val rows = ops.map { case (name, build) =>
       val t0 = System.nanoTime()
-      val n = run()
+      val qe = build().queryExecution
+      // Execute THIS queryExecution's physical plan (count() would plan a
+      // separate aggregate whose metrics we couldn't read back).
+      val n = qe.toRdd.count()
       val ms = math.max(0L, (System.nanoTime() - t0) / 1000000L)
-      (name, n, ms)
+      val peak = allNodes(qe.executedPlan)
+        .flatMap(_.metrics.collect { case (k, m) if k.toLowerCase.contains("peak") => m.value })
+        .foldLeft(0L)(math.max)
+      (name, n, ms, peak)
     }
-    rows.toDF("op", "rows_out", "wall_ms").orderBy("op")
+    rows.toDF("op", "rows_out", "wall_ms", "peak_mem_bytes").orderBy("op")
   }
+
+  /** Flatten an executed plan INCLUDING the subtrees that AQE hides behind
+    * leaf-like wrapper nodes (AdaptiveSparkPlanExec / QueryStageExec), which
+    * TreeNode.collect would otherwise stop at.
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allNodes(q.plan)
+      case other => other.children.flatMap(allNodes)
+    })
 }

@@ -33,13 +33,19 @@ class SweepCatalogSpec extends SparkSpec {
 
   test("ops metrics: deterministic rows_out, non-negative wall_ms") {
     val out = OpsMetrics.opsMetrics(spark, sfDir).collect()
-    assert(out.map(_.getString(0)).toSeq == Seq("delete", "insert", "query", "update"))
+    assert(out.map(_.getString(0)).toSeq == Seq("delete", "insert", "query", "stats", "update"))
     val byOp = out.map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byOp("insert") == Crud.insert(spark, sfDir).count())
     assert(byOp("query") == VectorSearch.knnExact(spark, sfDir).count())
     assert(byOp("delete") == Crud.deleteByPredicate(spark, sfDir).count())
     assert(byOp("update") == Crud.update(spark, sfDir).count())
+    assert(byOp("stats") == Crud.counts(spark, sfDir).count())
     assert(out.forall(_.getLong(2) >= 0L))
+    // peak memory: never negative, and the aggregate-bearing stats op
+    // reports a real measurement (HashAggregate tracks peak memory)
+    assert(out.forall(_.getLong(3) >= 0L))
+    assert(out.find(_.getString(0) == "stats").exists(_.getLong(3) > 0L),
+      "aggregate-bearing op should report operator peak memory")
   }
 
   test("catalog drop-by-prefix leaves non-matching stores untouched") {
