@@ -261,14 +261,18 @@ object Dedup {
     * groupBy(doc_id) — partial aggregation does the heavy lifting, no UDF.
     */
   def simhashMd5(docs: DataFrame): DataFrame = {
+    // The 8 hex nibbles are decoded ONCE per token into integer attributes;
+    // the 32 bit-sums then read shiftright(nibble) off those bindings
+    // instead of re-running instr+substring per bit (8 decodes, not 32).
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), substring(md5(col("w")), 1, 8).as("h"))
+      .select(col("doc_id") +: (1 to 8).map(p =>
+        (expr(s"instr('0123456789abcdef', substring(h, $p, 1))") - 1).as(s"nib$p")): _*)
     val bitSums = (0 until 32).map { b =>
       val p = b / 4 + 1
       val j = 3 - b % 4
-      sum(shiftright(expr(s"instr('0123456789abcdef', substring(h, $p, 1))") - 1, j)
-        .bitwiseAND(lit(1))).as(s"c$b")
+      sum(shiftright(col(s"nib$p"), j).bitwiseAND(lit(1))).as(s"c$b")
     }
     val agg = toks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), bitSums: _*)

@@ -25,15 +25,22 @@ object TextAnalysis {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
     val d = Tables.documents(spark, dir)
       .withColumn("ws", words(col("text")))
+    // sum of word lengths = chars − separators: split's segments joined by
+    // single spaces reconstruct the text EXACTLY (empty segments included),
+    // so the identity len(text) − (n_words − 1) replaces a per-row fold.
+    // The stopword count is bound once and the ratio reads the attribute —
+    // the filter HOF runs one pass per row, not two.
     d.select(
         col("doc_id"),
         length(col("text")).as("n_chars_calc"),
         col("n_chars"),
         size(col("ws")).as("n_words"),
-        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("sum_word_len"),
-        size(filter(col("ws"), w => w.isin(stop.map(lit): _*))).as("n_stopwords"),
-        micro(size(filter(col("ws"), w => w.isin(stop.map(lit): _*))).cast("double") /
-          size(col("ws")).cast("double")).as("stopword_ratio_micro"))
+        (length(col("text")) - size(col("ws")) + 1).cast("long").as("sum_word_len"),
+        size(filter(col("ws"), w => w.isin(stop.map(lit): _*))).as("n_stopwords"))
+      .select(col("doc_id"), col("n_chars_calc"), col("n_chars"), col("n_words"),
+        col("sum_word_len"), col("n_stopwords"),
+        micro(col("n_stopwords").cast("double") /
+          col("n_words").cast("double")).as("stopword_ratio_micro"))
       .orderBy(col("doc_id"))
   }
 
