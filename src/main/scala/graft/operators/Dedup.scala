@@ -81,9 +81,14 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   /** Test hook: number of memoized persisted sketch tables. */
   private[graft] def sketchMemoSize: Int = sketchMemo.size
-  private def memoPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    sketchMemo.getOrElseUpdate((System.identityHashCode(spark).toString, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  private def memoPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val df = sketchMemo.getOrElseUpdate((System.identityHashCode(spark).toString, key), build)
+    // Re-pin after an external clearCache(): same plan ⇒ same CacheManager
+    // entry, so this can never stack blocks — it only restores the level.
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.12): DataFrame = {
     // Cached because the shingle table feeds four plan branches (sizes,
