@@ -29,6 +29,21 @@ class KnnJoinSpec extends SparkSpec {
     assert(!p.contains("!KnnJoin"), "node still flagged with missing input: " + p.take(2000))
   }
 
+  test("mismatched vector dimensions fail fast instead of truncating") {
+    val base = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val q = VectorSearch.querySet(spark, sfDir, 2)
+      .select($"qid", slice($"qvec", 1, 8).as("qvec")) // 8-dim vs the 64-dim base
+    val ex = intercept[Exception] {
+      KnnJoinApi.knnJoin(spark, q, base, k = 3).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).flatMap(c => Option(c.getMessage)).exists(_.contains("dimension mismatch")),
+      s"expected a dimension-mismatch failure, got: $ex")
+  }
+
   test("k larger than the base returns all non-self rows") {
     val base = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding")
