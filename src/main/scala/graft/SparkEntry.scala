@@ -70,6 +70,8 @@ object SparkEntry {
     "text_bigram_top" -> ((s, d) => TextAnalysis.bigramTop(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(s, d)),
+    "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "text_commonness" -> ((s, d) => TextAnalysis.commonness(s, d)),
     "sample_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
     "sample_uniform" -> ((s, d) => Sampling.uniformSample(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -594,6 +596,26 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3 AND doc_id % 20 = 0 ORDER BY doc_id, rank""".stripMargin,
+    // Gopher/C4 decontamination: 4-gram overlap vs the doc_id%97 eval set.
+    "text_decontaminate" ->
+      """WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(greatest(len(ws)-3, 0)),
+        |             i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS gram
+        |           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT CAST(g.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM g JOIN e USING (gram) WHERE g.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Unigram-LM commonness (perplexity-proxy): per-token (c*1e6) DIV total
+    // micros, integer mean per doc — identical BIGINT folds on both engines.
+    "text_commonness" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+        |s AS (SELECT doc_id, count(*) AS n_tokens, sum(c.c * 1000000 // n.total) AS sm
+        |      FROM t JOIN c USING (w) CROSS JOIN n GROUP BY 1)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(sm // n_tokens AS BIGINT) AS common_micro
+        |FROM s ORDER BY doc_id""".stripMargin,
     "sample_split" ->
       """WITH h AS (SELECT doc_id,
         |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS bucket

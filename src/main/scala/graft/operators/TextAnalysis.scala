@@ -136,6 +136,66 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Word k-grams as a left fold of zip_with over k aligned slices —
+    * "w1 w2 … wk" strings in two linear passes per level, no per-element
+    * index lookups (see [[graft.operators.Dedup.shingles]] for why the
+    * indexed-transform form is avoided).
+    */
+  private def kgramCol(ws: Column, k: Int): Column = {
+    val n = greatest(size(ws) - (k - 1), lit(0))
+    (2 to k).foldLeft(slice(ws, lit(1), n)) { (acc, i) =>
+      zip_with(acc, slice(ws, lit(i), n), (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
+  /** Benchmark decontamination (the Gopher/C4 rule: drop training docs that
+    * overlap an evaluation set on any long n-gram; production filters use
+    * 8–13-grams, this corpus's short synthetic docs overlap at 4). The
+    * "benchmark" is the deterministic held-out subset doc_id % 97 == 0; a
+    * training doc is flagged with the count of distinct k-grams it shares
+    * with ANY eval doc.
+    *
+    * Scale shape: eval suites are tiny next to a 100 TB corpus, so the
+    * distinct eval-gram set is broadcast and the corpus side is one
+    * scan+explode — no shuffle of training data, flag counts map-combined.
+    */
+  def decontaminate(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(array_distinct(kgramCol(col("ws"), k))).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), "gram")
+      // grams are already distinct per doc, so count == distinct shared
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram-LM "perplexity" proxy for quality filtering: each token scores
+    * its global corpus frequency as micros — (c·10⁶) DIV total — and a doc's
+    * commonness is the integer mean of its token scores. Rare-token-heavy
+    * (low-commonness) docs are what perplexity filters drop. Pure BIGINT
+    * arithmetic end to end: the per-token DIV bounds every intermediate
+    * (c ≤ total ⇒ c·10⁶ < 2⁶³ for any real corpus; Σ micros ≤ n·10⁶), so the
+    * score is fold-order-free and replays exactly in any engine.
+    * Shape: two map-combined aggregations + an equi-join on the token (the
+    * natural key; AQE covers stop-word skew).
+    */
+  def commonness(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val cnt = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(cnt, "w").crossJoin(broadcast(total))
+      .select(col("doc_id"), expr("c * 1000000 DIV total").as("m"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("m")).as("sm"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sm DIV n_tokens").as("common_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Dataset-card summary over the cleaned corpus: docs + token volume per
     * language.
     */

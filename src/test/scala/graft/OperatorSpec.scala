@@ -36,6 +36,36 @@ class OperatorSpec extends SparkSpec {
     assert(rows.length > 0)
   }
 
+  test("decontaminate matches an independent driver-side recompute") {
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(t: String, k: Int): Set[String] =
+      t.split(" ", -1).sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet
+    val evalGrams = texts.filter(_._1 % 97 == 0).flatMap(t => grams(t._2, 4)).toSet
+    val want = texts.filter(_._1 % 97 != 0)
+      .map { case (id, t) => id -> grams(t, 4).count(evalGrams) }
+      .filter(_._2 > 0).toMap
+    val got = TextAnalysis.decontaminate(spark, sfDir)
+      .as[(Long, Long)].collect().map { case (id, n) => id -> n.toInt }.toMap
+    assert(got == want, s"spark=$got scala=$want")
+  }
+
+  test("commonness matches an independent driver-side recompute") {
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val all = texts.flatMap(_._2.split(" ", -1))
+    val cnt = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = all.length.toLong
+    val want = texts.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val sm = toks.map(w => cnt(w) * 1000000L / total).sum
+      (id, toks.length.toLong, sm / toks.length)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.commonness(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("quality gate actually discriminates: drops 10-90% of the corpus") {
     val total = Tables.documents(spark, sfDir).count()
     val kept = graft.operators.TextAnalysis.qualityGate(spark, sfDir).count()
