@@ -44,26 +44,14 @@ object Dedup {
       .select(col("doc_id_kept"), col("n_copies"), length(col("text")).as("text_len"))
       .orderBy(col("doc_id_kept"))
 
-  /** Word 3-gram shingle set per document (distinct), as three aligned
-    * slices zipped into "a b c" strings: two linear zip_with passes, no
-    * per-element index lookups. (The obvious indexed-transform form —
-    * `transform(ws, (_, i) => when(i < n-2, concat_ws of 3 element_at))`
-    * + null filter — produces the same strings but ~6× slower: the
-    * conditional + repeated element_at path stays interpreted per element.
-    * For docs with <3 words the slice length clamps to 0 → empty set.)
+  /** Word 3-gram shingle set per document (distinct), built by the shared
+    * aligned-slice construction ([[graft.functions.Grams.kgrams]] — see
+    * there for why the indexed-transform form is avoided).
     */
   def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), greatest(size(col("ws")) - 2, lit(0)).as("n3"), col("ws"))
       .select(col("doc_id"),
-        array_distinct(
-          zip_with(
-            slice(col("ws"), lit(1), col("n3")),
-            zip_with(
-              slice(col("ws"), lit(2), col("n3")),
-              slice(col("ws"), lit(3), col("n3")),
-              (b, c) => concat(b, lit(" "), c)),
-            (a, bc) => concat(a, lit(" "), bc))).as("sh"))
+        array_distinct(graft.functions.Grams.kgrams(col("ws"), 3)).as("sh"))
 
   /** N-gram Jaccard near-dup pairs, inverted-index formulation:
     * explode shingles → self-equi-join on shingle → per-pair common count c
@@ -76,13 +64,28 @@ object Dedup {
     * of persist()ing a fresh plan each call — pinned blocks can't
     * accumulate across executions. `spark.catalog.clearCache()` stays safe:
     * it drops the blocks and the memoized plan just recomputes uncached.
+    *
+    * Sessions are held WEAKLY and validated by identity: a stopped
+    * session's entries are pruned on the next call (no unbounded retention
+    * in multi-session JVMs), and an identity-hash collision with a dead
+    * session can never hand out a DataFrame bound to the wrong session.
     */
-  private val sketchMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val sketchMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (java.lang.ref.WeakReference[SparkSession], DataFrame)]
   /** Test hook: number of memoized persisted sketch tables. */
   private[graft] def sketchMemoSize: Int = sketchMemo.size
+  /** Embeddings row count per data dir (for the auto-bits default). */
+  private val dirCount = scala.collection.concurrent.TrieMap.empty[String, Long]
   private def memoPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val df = sketchMemo.getOrElseUpdate((System.identityHashCode(spark).toString, key), build)
+    sketchMemo.filterInPlace { case (_, (ref, _)) => ref.get != null }
+    val k = (System.identityHashCode(spark), key)
+    val df = sketchMemo.get(k) match {
+      case Some((ref, cached)) if ref.get eq spark => cached
+      case _ =>
+        val built = build
+        sketchMemo.update(k, (new java.lang.ref.WeakReference(spark), built))
+        built
+    }
     // Re-pin after an external clearCache(): same plan ⇒ same CacheManager
     // entry, so this can never stack blocks — it only restores the level.
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
@@ -328,7 +331,9 @@ object Dedup {
     // scale; callers that need a reproducible bucket function (the oracle
     // anchor query) pass bits explicitly.
     val b = if (bits > 0) bits else {
-      val n = math.max(1L, emb.count())
+      // The corpus size is a pure function of the data dir — memoized so
+      // repeated default-bits calls don't each pay a count job.
+      val n = math.max(1L, dirCount.getOrElseUpdate(dir, emb.count()))
       math.min(20, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(n / 64)))
     }
     val e = emb

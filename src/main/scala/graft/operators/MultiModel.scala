@@ -51,15 +51,20 @@ object MultiModel {
   def modelMetrics(spark: SparkSession, dir: String, model: String, dim: Int,
                    nq: Int = 3, k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // ONE full-corpus embed per model (the search base). The query side
+    // filters FIRST and embeds nq rows (embedBatched is opaque to Catalyst,
+    // so the predicate must be applied before the mapPartitions by hand),
+    // and the embed-count row counts docs — embedding is 1:1 row-preserving
+    // by construction, so the count is identical without a third embed pass.
     val embedded = Featurizer.embedBatched(docs, "text", "embedding", dim, salt = model)
-    val q = embedded.filter(col("doc_id") < nq)
-      .select(col("doc_id").as("qid"), col("embedding").as("qvec"))
+    val q = Featurizer.embedBatched(docs.filter(col("doc_id") < nq), "text", "qvec", dim, salt = model)
+      .select(col("doc_id").as("qid"), col("qvec"))
     val scored = embedded.crossJoin(broadcast(q))
       .filter(col("doc_id") =!= col("qid"))
       .withColumn("sim", dot(col("qvec"), col("embedding")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("doc_id"))
     val hits = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-    metricRow(embedded, model, "embed", dim)
+    metricRow(docs, model, "embed", dim)
       .unionByName(metricRow(hits, model, "search", dim))
   }
 

@@ -136,18 +136,6 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Word k-grams as a left fold of zip_with over k aligned slices —
-    * "w1 w2 … wk" strings in two linear passes per level, no per-element
-    * index lookups (see [[graft.operators.Dedup.shingles]] for why the
-    * indexed-transform form is avoided).
-    */
-  private def kgramCol(ws: Column, k: Int): Column = {
-    val n = greatest(size(ws) - (k - 1), lit(0))
-    (2 to k).foldLeft(slice(ws, lit(1), n)) { (acc, i) =>
-      zip_with(acc, slice(ws, lit(i), n), (a, b) => concat(a, lit(" "), b))
-    }
-  }
-
   /** Benchmark decontamination (the Gopher/C4 rule: drop training docs that
     * overlap an evaluation set on any long n-gram; production filters use
     * 8–13-grams, this corpus's short synthetic docs overlap at 4). The
@@ -162,7 +150,8 @@ object TextAnalysis {
   def decontaminate(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"), explode(array_distinct(kgramCol(col("ws"), k))).as("gram"))
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.Grams.kgrams(col("ws"), k))).as("gram"))
     val evalGrams = grams.filter(col("doc_id") % 97 === 0)
       .select(col("gram")).distinct()
     grams.filter(col("doc_id") % 97 =!= 0)
@@ -211,12 +200,7 @@ object TextAnalysis {
     */
   def bigramTop(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).withColumn("ws", words(col("text")))
-    // Aligned-slice zip_with, not indexed transform — see Dedup.shingles.
-    val bigrams = d.select(explode(
-      zip_with(
-        slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
-        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val bigrams = d.select(explode(graft.functions.Grams.kgrams(col("ws"), 2)).as("bigram"))
     bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)

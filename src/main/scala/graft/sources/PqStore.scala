@@ -122,14 +122,20 @@ object PqStore {
   def defaultPath(dir: String): String =
     "/root/repo/data/pq_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Build only if the artifacts don't exist yet (or predate the clustered
-    * `codes/cell_id=*` layout — a flat store from an older build is rebuilt
-    * in place rather than failing the pruned scan).
+  /** Build only if the artifacts don't exist yet, predate the clustered
+    * `codes/cell_id=*` layout, or are OLDER than the IVF store whose cell
+    * assignment is baked into them — a rebuilt coarse quantizer must
+    * invalidate the codes, or searchIvfPq would probe new centroids against
+    * stale baked cell_ids and silently return wrong candidates.
     */
   def ensure(spark: SparkSession, dir: String, path: String): Unit = {
+    val books = new java.io.File(s"$path/codebooks")
     val clustered = Option(new java.io.File(s"$path/codes").listFiles())
       .exists(_.exists(_.getName.startsWith("cell_id=")))
-    if (!new java.io.File(s"$path/codebooks").exists() || !clustered)
+    val ivfCentroids = new java.io.File(s"${IndexStore.defaultPath(dir)}/centroids")
+    val staleVsIvf = ivfCentroids.exists() &&
+      ivfCentroids.lastModified() > books.lastModified()
+    if (!books.exists() || !clustered || staleVsIvf)
       write(spark, dir, path)
   }
 

@@ -20,7 +20,7 @@ class SweepCatalogSpec extends SparkSpec {
     }
   }
 
-  test("model spaces differ: hash32 and hash128 rank neighbors differently or equally-validly") {
+  test("model spaces differ: 32- and 128-dim featurizer outputs have their declared dims") {
     // sanity that the sweep actually runs distinct featurizers: embeddings
     // of the same doc under different dims have different lengths
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text").limit(5)
