@@ -372,13 +372,15 @@ object Dedup {
     while (!converged && i < maxIters) {
       val viaNbr = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // The previous label rides along into the checkpoint, so convergence
+      // is ONE scan of the materialized rows — not a join per round.
       val next = labels.join(viaNbr, labels("node") === viaNbr("src"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          col("label").as("prev"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("node"), col("label"))
       i += 1
     }
     edges.unpersist(blocking = false)
