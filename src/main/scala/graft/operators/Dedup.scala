@@ -93,7 +93,8 @@ object Dedup {
     df
   }
 
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.12): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.12,
+                        dfCap: Long = Long.MaxValue): DataFrame = {
     // Cached because the shingle table feeds four plan branches (sizes,
     // df-prune, both self-join sides); spill-safe level.
     val sh = memoPersist(spark, s"shingles|$dir")(shingles(Tables.documents(spark, dir)))
@@ -107,10 +108,15 @@ object Dedup {
     // Document-frequency prune: a shingle appearing in a single document
     // joins only with itself and contributes no pair, so dropping df=1
     // keys shrinks the self-join input (most shingles are unique) without
-    // changing ANY pair's common count — results stay oracle-exact. At
-    // corpus scale this is also the skew guard: a df cap on stop-shingles
-    // would go here.
-    val df2 = inv.groupBy(col("sh_h")).count().filter(col("count") >= 2)
+    // changing ANY pair's common count — results stay oracle-exact.
+    // `dfCap` is the skew guard for corpus scale: a stop-shingle shared by
+    // millions of docs would fan the self-join out quadratically on one
+    // key, so keys with df > dfCap are dropped. Capping only LOWERS a
+    // pair's common count (sizes are unaffected), so the capped result is
+    // always a subset of the exact one — the standard recall/cost dial of
+    // production MinHash/Jaccard dedup. Default = no cap (oracle anchor).
+    val df2 = inv.groupBy(col("sh_h")).count()
+      .filter(col("count") >= 2 && col("count") <= dfCap)
       .select(col("sh_h"))
     val inv2 = inv.join(df2, "sh_h")
     val pairs = inv2.as("a").join(inv2.as("b"),

@@ -214,6 +214,14 @@ class CrudDedupSpec extends SparkSpec {
     assert(bad == 0, "every pair meets the cosine threshold")
   }
 
+  test("df-capped jaccard is a subset of the exact result (skew guard only loses recall)") {
+    val exact = Dedup.ngramJaccardPairs(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(spark, sfDir, dfCap = 3L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact), "capping shingle df must never invent pairs")
+  }
+
   test("repeated sketch-pair calls reuse one persisted table (no cache accumulation)") {
     Dedup.ngramJaccardPairs(spark, sfDir).count()
     Dedup.simhashPairs(spark, sfDir).count()
