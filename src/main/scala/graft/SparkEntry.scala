@@ -46,6 +46,7 @@ object SparkEntry {
     "crud_delete_pred" -> ((s, d) => Crud.deleteByPredicate(s, d)),
     "crud_delete_seeded" -> ((s, d) => Crud.deleteSeeded(s, d)),
     "crud_update" -> ((s, d) => Crud.update(s, d)),
+    "crud_update_positional" -> ((s, d) => Crud.updatePositional(s, d)),
     "crud_upsert" -> ((s, d) => Crud.upsert(s, d)),
     "crud_point_lookup" -> ((s, d) => Crud.pointLookup(s, d)),
     "crud_counts" -> ((s, d) => Crud.counts(s, d)),
@@ -164,16 +165,31 @@ object SparkEntry {
     s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
       s"s -> (CAST(s[1] AS DOUBLE)-CAST(CAST(s[2] AS FLOAT) AS DOUBLE))*(CAST(s[1] AS DOUBLE)-CAST(CAST(s[2] AS FLOAT) AS DOUBLE)))), (acc,x) -> acc+x)"
 
-  /** Where graft.sources.IndexStore persists the IVF index the driver's
-    * Verify run (sf0.01) builds — the oracle replays the probed search over
-    * these exported centroid/assignment artifacts in pure SQL.
+  /** The data dir the ORACLE SQL assumes the index stores were built from.
+    * [[Verify]] pins the `graft.oracle.sfdir` system property to the sfDir
+    * it actually verifies before dumping `oracle_sql.json`, so the exported
+    * store paths always match the verified scale factor (previously the
+    * sf0.01 path was baked in — a driver verifying at another sf would have
+    * silently broken knn_ivf/knn_pq/knn_ivfpq/knn_refine). The
+    * `SPARK_GRAFT_ORACLE_SF_DIR` env var is the out-of-process override;
+    * the default preserves the driver's current sf0.01 contract.
     */
-  private val ivfStorePath = graft.sources.IndexStore.defaultPath("/root/testdata/sf0.01")
+  private[graft] def oracleSfDir: String =
+    sys.props.get("graft.oracle.sfdir")
+      .orElse(sys.env.get("SPARK_GRAFT_ORACLE_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.01")
+
+  /** Where graft.sources.IndexStore persists the IVF index the driver's
+    * Verify run builds — the oracle replays the probed search over these
+    * exported centroid/assignment artifacts in pure SQL. A `def` (not a
+    * `val`): [[oracleSql]] re-derives it from [[oracleSfDir]] on each call.
+    */
+  private def ivfStorePath = graft.sources.IndexStore.defaultPath(oracleSfDir)
 
   /** Where graft.sources.PqStore persists the PQ codebooks/codes the
     * Verify run builds — the oracle replays the ADC search over them.
     */
-  private val pqStorePath = graft.sources.PqStore.defaultPath("/root/testdata/sf0.01")
+  private def pqStorePath = graft.sources.PqStore.defaultPath(oracleSfDir)
 
   /** dot where the right side is a stored ARRAY<DOUBLE> centroid the Spark
     * plan narrows to float first — mirror the double→float→double round-trip.
@@ -429,6 +445,17 @@ object SparkEntry {
       """SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |       CAST(CASE WHEN vec_id % 7 = 3 THEN label + 100 ELSE label END AS BIGINT) AS label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "crud_update_positional" ->
+      """WITH mx AS (SELECT max(vec_id) AS max_id FROM embeddings),
+        |v AS (SELECT label, row_number() OVER (ORDER BY vec_id) AS rn
+        |      FROM embeddings WHERE vec_id % 7 = 3)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label,
+        |       CAST(0 AS BIGINT) AS reassigned
+        |FROM embeddings WHERE vec_id % 7 <> 3
+        |UNION ALL
+        |SELECT CAST(max_id + rn AS BIGINT), CAST(label + 100 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM v CROSS JOIN mx
+        |ORDER BY vec_id""".stripMargin,
     "crud_upsert" ->
       """SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |       CAST(CASE WHEN vec_id < 50 THEN label + 1000 ELSE label END AS BIGINT) AS label

@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Pin the oracle's index-store paths to the sf dir actually verified:
+    // SparkEntry.oracleSql derives knn_ivf/knn_pq/... artifact locations
+    // from this property (default sf0.01) — see SparkEntry.oracleSfDir.
+    sys.props("graft.oracle.sfdir") = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

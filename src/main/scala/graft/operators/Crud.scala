@@ -97,6 +97,37 @@ object Crud {
       .orderBy(col("vec_id"))
   }
 
+  /** C4 second half — the FAISS POSITIONAL update (`FAISS/PlainDemo/
+    * pipeline.py:91-104,114-123`): `remove_ids(sampled)` then `index.add`
+    * of the re-encoded vectors, which assigns FRESH sequential positions
+    * (ntotal, ntotal+1, …) — the updated rows lose their identity, unlike
+    * the PK-preserving [[update]] (the canonical form; SURVEY §5 models
+    * both). Victims are the deterministic vec_id ≡ 3 (mod 7) sample; fresh
+    * ids are max(vec_id)+1… in old-id order, mirroring FAISS's arange
+    * append. `reassigned` marks the identity-losing rows so the oracle
+    * checks the semantics, not just the union.
+    *
+    * The global row_number runs over the sampled victims only (a small
+    * fraction of the store). At 100 TB an identity-losing re-add would
+    * block-allocate fresh id ranges per partition instead of a global
+    * ordering — positional identity is, by definition, not being preserved —
+    * but the total order here is what keeps the query oracle-exact.
+    */
+  def updatePositional(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val mx = broadcast(e.agg(max(col("vec_id")).as("max_id")))
+    val untouched = e.filter(!(col("vec_id") % 7 === 3))
+      .select(col("vec_id"), col("label").cast("long").as("label"), lit(0L).as("reassigned"))
+    val w = Window.orderBy(col("vec_id"))
+    val readded = e.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"), col("label"))
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(mx)
+      .select((col("max_id") + col("rn")).as("vec_id"),
+        (col("label") + 100).cast("long").as("label"), lit(1L).as("reassigned"))
+    untouched.unionByName(readded).orderBy(col("vec_id"))
+  }
+
   /** C5: upsert by PK — keep-latest-version merge (`Milvus/stream1.py:370-371`).
     * union + window dedup ≡ MERGE; one shuffle on the key.
     */

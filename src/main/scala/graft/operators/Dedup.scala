@@ -36,12 +36,27 @@ object Dedup {
       .orderBy(col("k"))
   }
 
-  /** Exact dedup by content: one survivor (min doc_id) per distinct text. */
+  /** Exact dedup by content: one survivor (min doc_id) per distinct text.
+    *
+    * The shuffle key is `xxhash64(text)` (8 bytes), not the document itself —
+    * at corpus scale grouping by raw text moves every byte of every document
+    * through the exchange (~25× the bytes for this corpus). Equality within
+    * a hash group is verified by an independent 128-bit md5 witness: if two
+    * DISTINCT texts ever collided on xxhash64 (needs a simultaneous
+    * 64+128-bit double collision to go unseen, P ≈ 2⁻¹⁹²·n²), the query
+    * fails loudly via `assert_true` instead of silently merging them.
+    */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id_kept"), count(lit(1)).as("n_copies"))
-      .select(col("doc_id_kept"), col("n_copies"), length(col("text")).as("text_len"))
+      .select(col("doc_id"), xxhash64(col("text")).as("h"),
+        md5(col("text")).as("w128"), length(col("text")).as("len"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id_kept"), count(lit(1)).as("n_copies"),
+        min(col("len")).as("text_len"),
+        min(col("w128")).as("w_lo"), max(col("w128")).as("w_hi"))
+      .filter(assert_true(col("w_lo") === col("w_hi"),
+        lit("xxhash64 collision in exactDedup — distinct texts in one group")).isNull)
+      .select(col("doc_id_kept"), col("n_copies"), col("text_len"))
       .orderBy(col("doc_id_kept"))
 
   /** Word 3-gram shingle set per document (distinct), built by the shared
@@ -352,46 +367,85 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Connected components over an undirected pair graph by iterative
-    * min-label propagation (the Hash-to-Min shape): every round each node
-    * takes the minimum label in its closed neighborhood; rounds needed ≤
-    * component diameter (near-dup clusters are near-cliques ⇒ 1–2 rounds).
+  /** Connected components over an undirected pair graph by ALTERNATING
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014). Each iteration:
     *
-    * Scale shape: each round is ONE equi-join + partial-aggregated min —
-    * all shuffle-parallel, no driver-side graph. `localCheckpoint` after
-    * each round truncates the growing lineage (iterative plans otherwise
-    * re-derive every prior round; on a cluster use `checkpoint` to a
-    * reliable dir instead). The convergence probe reads one count per
-    * round — tiny.
+    *  - large-star: every node connects its strictly-LARGER neighbors to
+    *    the minimum of its closed neighborhood;
+    *  - small-star: every node connects its smaller neighbors (and itself)
+    *    to the minimum among them.
+    *
+    * The edge set converges to a star forest whose centers are the
+    * component minima in O(log n) iterations REGARDLESS of component
+    * diameter. (The previous min-label propagation needed O(diameter)
+    * rounds: fine for today's near-clique near-dup graphs, but a
+    * chained-duplicate corpus A~B~C~… at 100 TB degrades it to O(n) full
+    * joins. CCSpec asserts a 1000-node chain converges within 2·log₂ n
+    * iterations.)
+    *
+    * Scale shape: each half-step is ONE partial-aggregated min + ONE
+    * equi-join on node id — shuffle-parallel, no driver-side graph.
+    * `localCheckpoint` truncates the iterative lineage each iteration (on
+    * a real cluster use `checkpoint` to a reliable dir). The convergence
+    * probe is an exact edge-set comparison (two anti-joins over the tiny
+    * checkpointed pair tables).
     *
     * Returns (node, label) where label = min node id of the component.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIters)._1
+
+  /** [[connectedComponents]] plus the iteration count it took — the round
+    * bound is part of the operator's contract (CCSpec asserts it).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
       .localCheckpoint()
+    if (edges.isEmpty)
+      return (edges.select(col("lo").as("node"), col("lo").as("label")), 0)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val viaNbr = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      // The previous label rides along into the checkpoint, so convergence
-      // is ONE scan of the materialized rows — not a join per round.
-      val next = labels.join(viaNbr, labels("node") === viaNbr("src"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          col("label").as("prev"))
+      // -- large-star: emit (min(N⁺(u)), v) for every neighbor v > u ------
+      val sym = edges.select(col("lo").as("src"), col("hi").as("dst"))
+        .unionByName(edges.select(col("hi").as("src"), col("lo").as("dst")))
+      val mins = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val ls = sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("m").as("lo"), col("dst").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+      // -- small-star: emit (min(N⁻(u) ∪ {u}), v) for v ∈ N⁻(u) ∪ {u} -----
+      val sym2 = ls.select(col("lo").as("src"), col("hi").as("dst"))
+        .unionByName(ls.select(col("hi").as("src"), col("lo").as("dst")))
+      val smaller = sym2.filter(col("dst") < col("src"))
+      val mins2 = smaller.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val ss = smaller.join(mins2, "src")
+        .select(explode(array(
+          struct(col("m").as("lo"), col("src").as("hi")),
+          struct(col("m").as("lo"), col("dst").as("hi")))).as("e"))
+        .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
         .localCheckpoint()
-      converged = next.filter(col("label") =!= col("prev")).isEmpty
-      labels = next.select(col("node"), col("label"))
+      converged = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      edges = ss
       i += 1
     }
-    edges.unpersist(blocking = false)
-    require(converged, s"connected components did not converge in $maxIters rounds")
-    labels
+    require(converged, s"connected components did not converge in $maxIters iterations")
+    // Star state: every member appears exactly once as `hi` with its
+    // component-min center as `lo`; centers label themselves.
+    val members = edges.select(col("hi").as("node"), col("lo").as("label"))
+    val centers = edges.select(col("lo").as("node"), col("lo").as("label")).distinct()
+    (members.unionByName(centers).distinct(), i)
   }
 
   /** Near-dup CLUSTERS: the step that turns pairwise hits into dedup

@@ -103,34 +103,45 @@ object TextAnalysis {
     * before the next.
     */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).withColumn("ws", words(col("text")))
-      .withColumn("n_words", size(col("ws")))
-      .withColumn("n_stop", size(filter(col("ws"),
-        w => w.isin(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*))))
-    val quality = d.filter(col("n_words") >= 5 &&
-      col("n_stop").cast("double") / col("n_words").cast("double") < lit(0.5))
-    // min over the struct = keep the lowest-doc_id row's attributes —
-    // deterministic, unlike first() under shuffled grouping
-    val survivors = quality.groupBy(col("text"))
-      .agg(min(struct(col("doc_id"), col("lang"), col("n_words"))).as("kept"))
-      .select(col("text"), col("kept.doc_id").as("doc_id"),
-        col("kept.lang").as("lang"), col("kept.n_words").as("n_words"))
     val lex: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "a", "of", "and"),
       "es" -> Seq("el", "la", "de", "que"),
       "de" -> Seq("der", "die", "und", "das"),
       "fr" -> Seq("le", "la", "et", "les"),
       "zh" -> Seq("的", "了", "是", "在"))
-    val withScores = lex.foldLeft(survivors.withColumn("ws", words(col("text")))) {
-      case (df, (l, ms)) =>
-        df.withColumn(s"score_$l", size(filter(col("ws"), w => w.isin(ms.map(lit): _*))))
+    val d = Tables.documents(spark, dir).withColumn("ws", words(col("text")))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("n_stop", size(filter(col("ws"),
+        w => w.isin(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*))))
+    val quality = d.filter(col("n_words") >= 5 &&
+      col("n_stop").cast("double") / col("n_words").cast("double") < lit(0.5))
+    // The lang marker scores are computed BEFORE the dedup shuffle (all rows
+    // of a group share the text, hence the scores), so the group-by can key
+    // on `xxhash64(text)` and carry only small integers — at corpus scale
+    // the exchange moves 8-byte keys + a few longs instead of every document
+    // byte. min over the struct = keep the lowest-doc_id row's attributes —
+    // deterministic, unlike first() under shuffled grouping. The md5 witness
+    // turns an (astronomically unlikely) xxhash64 collision between distinct
+    // texts into a loud failure rather than a silent merge.
+    val withScores = lex.foldLeft(quality) { case (df, (l, ms)) =>
+      df.withColumn(s"score_$l", size(filter(col("ws"), w => w.isin(ms.map(lit): _*))))
     }
+    val survivors = withScores
+      .select(xxhash64(col("text")).as("h"), md5(col("text")).as("w128"),
+        struct(col("doc_id") +: col("lang") +: col("n_words") +:
+          lex.map { case (l, _) => col(s"score_$l") }: _*).as("payload"))
+      .groupBy(col("h"))
+      .agg(min(col("payload")).as("kept"),
+        min(col("w128")).as("w_lo"), max(col("w128")).as("w_hi"))
+      .filter(assert_true(col("w_lo") === col("w_hi"),
+        lit("xxhash64 collision in cleanCorpus — distinct texts in one group")).isNull)
+      .select(col("kept.*"))
     val best = lex.map(_._1).map(l => col(s"score_$l"))
     val pred = lex.map(_._1).foldRight(lit("unk"): org.apache.spark.sql.Column) {
       case (l, els) =>
         when(col(s"score_$l") === greatest(best: _*) && greatest(best: _*) > 0, lit(l)).otherwise(els)
     }
-    withScores.withColumn("lang_pred", pred)
+    survivors.withColumn("lang_pred", pred)
       .filter(col("lang_pred") === col("lang"))
       .select(col("doc_id"), col("lang"), col("n_words").cast("long").as("n_words"))
       .orderBy(col("doc_id"))
@@ -224,11 +235,16 @@ object TextAnalysis {
     val terms = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // The doc selection (every 20th doc) is applied on the tf side BEFORE
+    // the df join and the rank window: df must stay corpus-wide (idf is a
+    // global statistic), but only the selected docs' terms need to flow
+    // through the join + window shuffle — 1/20th of the rows, same result.
+    val tfSel = tf.filter(col("doc_id") % 20 === 0)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(df, "term").crossJoin(nDocs)
+    tfSel.join(df, "term").crossJoin(nDocs)
       .withColumn("score", expr("CAST(tf * 1000000 * n_docs DIV df AS BIGINT)"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK && col("doc_id") % 20 === 0)
+      .filter(col("rank") <= topK)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("score"), col("rank"))
       .orderBy(col("doc_id"), col("rank"))

@@ -179,6 +179,26 @@ class CrudDedupSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
   }
 
+  test("connected components: 1000-node chain converges in O(log n) iterations") {
+    // The adversarial case for label propagation: a path graph, where
+    // diameter = n. Alternating large-star/small-star must close it in
+    // logarithmic iterations (the contract that survives a 100 TB
+    // chained-duplicate corpus), with every node labelled by the min.
+    val n = 1000
+    val pairs = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val bound = 2 * math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt
+    assert(rounds <= bound, s"chain of $n took $rounds iterations (bound $bound)")
+    val out = labels.select($"node", $"label").as[(Long, Long)].collect()
+    assert(out.length == n, "every chain node is labelled exactly once")
+    assert(out.forall(_._2 == 0L), "all labels collapse to the component min")
+  }
+
+  test("connected components: empty pair graph yields empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+  }
+
   test("near-dup clusters are consistent with the pair graph") {
     val pairs = Dedup.ngramJaccardPairs(spark, sfDir)
       .select($"id_a", $"id_b").as[(Long, Long)].collect()
