@@ -80,29 +80,61 @@ object Dedup {
     * accumulate across executions. `spark.catalog.clearCache()` stays safe:
     * it drops the blocks and the memoized plan just recomputes uncached.
     *
-    * Sessions are held WEAKLY and validated by identity: a stopped
-    * session's entries are pruned on the next call (no unbounded retention
-    * in multi-session JVMs), and an identity-hash collision with a dead
-    * session can never hand out a DataFrame bound to the wrong session.
+    * Retention contract: the session is held weakly AND the DataFrame —
+    * which strongly references its session via queryExecution — is held
+    * SOFTLY, so the memo never makes a session strongly reachable. A
+    * stopped or unreferenced session's entries are pruned on the next call
+    * (the `isStopped` check) or reclaimed under memory pressure (the soft
+    * reference) — no JVM-lifetime retention in multi-session JVMs. A
+    * cleared soft reference only costs a rebuild of the plan OBJECT: the
+    * canonical plan is unchanged, so `persist` re-attaches to the existing
+    * CacheManager entry instead of recomputing blocks.
+    *
+    * Memo keys embed [[dirFingerprint]] of the data dir, so a dir whose
+    * parquet contents are regenerated within one JVM invalidates its
+    * sketch/count entries instead of serving stale data.
     */
   private val sketchMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (java.lang.ref.WeakReference[SparkSession], DataFrame)]
+    .empty[(Int, String), (java.lang.ref.WeakReference[SparkSession],
+      java.lang.ref.SoftReference[DataFrame])]
   /** Test hook: number of memoized persisted sketch tables. */
   private[graft] def sketchMemoSize: Int = sketchMemo.size
-  /** Embeddings row count per data dir (for the auto-bits default). */
-  private val dirCount = scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def memoPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    sketchMemo.filterInPlace { case (_, (ref, _)) => ref.get != null }
-    val k = (System.identityHashCode(spark), key)
-    val df = sketchMemo.get(k) match {
-      case Some((ref, cached)) if ref.get eq spark => cached
-      case _ =>
-        val built = build
-        sketchMemo.update(k, (new java.lang.ref.WeakReference(spark), built))
-        built
+  /** Embeddings row count per (data dir, content fingerprint). */
+  private val dirCount = scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+
+  /** Cheap content fingerprint of a data dir: a fold over every file's
+    * path, length, and mtime (recursive — the table dirs are shallow and
+    * contain a handful of parquet part-files, so this is a metadata-only
+    * driver-side walk).
+    */
+  private def dirFingerprint(dir: String): Long = {
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
+      else Iterator.single(f)
+    walk(new java.io.File(dir)).foldLeft(17L) { (acc, f) =>
+      ((acc * 31 + f.getPath.hashCode) * 31 + f.length()) * 31 + f.lastModified()
     }
-    // Re-pin after an external clearCache(): same plan ⇒ same CacheManager
-    // entry, so this can never stack blocks — it only restores the level.
+  }
+
+  private def memoPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    sketchMemo.filterInPlace { case (_, (sref, dref)) =>
+      val s = sref.get
+      s != null && !s.sparkContext.isStopped && dref.get != null
+    }
+    val k = (System.identityHashCode(spark), key)
+    val cached = sketchMemo.get(k) match {
+      case Some((sref, dref)) if sref.get eq spark => Option(dref.get)
+      case _ => None
+    }
+    val df = cached.getOrElse {
+      val built = build
+      sketchMemo.update(k, (new java.lang.ref.WeakReference(spark),
+        new java.lang.ref.SoftReference(built)))
+      built
+    }
+    // Re-pin after an external clearCache() or a soft-ref miss: same plan ⇒
+    // same CacheManager entry, so this can never stack blocks — it only
+    // restores the level.
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
@@ -112,7 +144,8 @@ object Dedup {
                         dfCap: Long = Long.MaxValue): DataFrame = {
     // Cached because the shingle table feeds four plan branches (sizes,
     // df-prune, both self-join sides); spill-safe level.
-    val sh = memoPersist(spark, s"shingles|$dir")(shingles(Tables.documents(spark, dir)))
+    val sh = memoPersist(spark, s"shingles|$dir|${dirFingerprint(dir)}")(
+      shingles(Tables.documents(spark, dir)))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     // Join on the shingle's 64-bit hash, not the string: the shuffle moves
     // 8-byte keys instead of ~25-byte text. A collision would need two
@@ -223,7 +256,8 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
     // Memoized session-lifetime cache (both self-join sides read it).
-    val sig = memoPersist(spark, s"simhash|$dir")(simhash(Tables.documents(spark, dir)))
+    val sig = memoPersist(spark, s"simhash|$dir|${dirFingerprint(dir)}")(
+      simhash(Tables.documents(spark, dir)))
     simhashBlockJoin(sig, maxHamming)
   }
 
@@ -352,9 +386,14 @@ object Dedup {
     // scale; callers that need a reproducible bucket function (the oracle
     // anchor query) pass bits explicitly.
     val b = if (bits > 0) bits else {
-      // The corpus size is a pure function of the data dir — memoized so
-      // repeated default-bits calls don't each pay a count job.
-      val n = math.max(1L, dirCount.getOrElseUpdate(dir, emb.count()))
+      // The corpus size is a pure function of the data dir's CONTENT —
+      // memoized per (dir, fingerprint) so repeated default-bits calls
+      // don't each pay a count job, while a regenerated dir re-counts
+      // instead of serving a stale total. Superseded fingerprints for the
+      // same dir are dropped so the memo stays bounded.
+      val fp = dirFingerprint(dir)
+      dirCount.filterInPlace { case ((d, f), _) => d != dir || f == fp }
+      val n = math.max(1L, dirCount.getOrElseUpdate((dir, fp), emb.count()))
       math.min(20, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(n / 64)))
     }
     val e = emb

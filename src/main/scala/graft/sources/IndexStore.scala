@@ -19,7 +19,12 @@ import graft.functions.VectorFunctions._
 object IndexStore {
 
   /** Build and persist the clustered index: rows under
-    * `path/rows/cell_id=*` and centroids under `path/centroids`.
+    * `path/rows/cell_id=*` and centroids under `path/centroids`, plus a
+    * `_build_id` marker stamped fresh per build — dependent artifacts
+    * (PqStore's codes, which bake in this index's cell assignment) record
+    * the marker they were built against and compare CONTENT, not
+    * filesystem mtimes (directory mtimes are not preserved across
+    * copy/restore and only change on direct-child writes).
     */
   def write(spark: SparkSession, dir: String, path: String): Unit = {
     val (assigned, centroids) = VectorSearch.ivfBuild(spark, dir)
@@ -27,6 +32,20 @@ object IndexStore {
       .partitionBy("cell_id")
       .parquet(s"$path/rows")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    stampBuildId(path)
+  }
+
+  private def stampBuildId(path: String): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_build_id"),
+      java.util.UUID.randomUUID().toString)
+
+  /** The build marker of the store at `path`, if present. */
+  def buildId(path: String): Option[String] = {
+    val p = java.nio.file.Paths.get(s"$path/_build_id")
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim)
+    else None
   }
 
   /** Open the clustered index. */
@@ -53,9 +72,13 @@ object IndexStore {
   def defaultPath(dir: String): String =
     "/root/repo/data/ivf_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Build the index only if its artifacts don't exist yet. */
+  /** Build the index only if its artifacts don't exist yet. A pre-marker
+    * store (artifacts present, `_build_id` missing) is stamped in place so
+    * downstream marker comparisons work without a rebuild.
+    */
   def ensure(spark: SparkSession, dir: String, path: String): Unit =
     if (!new java.io.File(s"$path/centroids").exists()) write(spark, dir, path)
+    else if (buildId(path).isEmpty) stampBuildId(path)
 
   /** Probed search with STATIC partition pruning: the probed cell set is
     * tiny driver-side metadata (≤ nq·nprobe ints — the same coarse-quantizer

@@ -113,6 +113,11 @@ object PqStore {
       .join(cellOf, "vec_id")
       .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/codes")
     books.unpersist(blocking = false)
+    // Record WHICH IVF build the baked-in cell assignment came from —
+    // ensure() compares marker content, not directory mtimes.
+    IndexStore.buildId(ivfPath).foreach(id =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/_ivf_build_id"), id))
   }
 
   /** Canonical on-disk location for a data dir (same convention as
@@ -123,18 +128,29 @@ object PqStore {
     "/root/repo/data/pq_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Build only if the artifacts don't exist yet, predate the clustered
-    * `codes/cell_id=*` layout, or are OLDER than the IVF store whose cell
-    * assignment is baked into them — a rebuilt coarse quantizer must
-    * invalidate the codes, or searchIvfPq would probe new centroids against
-    * stale baked cell_ids and silently return wrong candidates.
+    * `codes/cell_id=*` layout, or were built against a DIFFERENT IVF build
+    * than the current one — a rebuilt coarse quantizer must invalidate the
+    * codes, or searchIvfPq would probe new centroids against stale baked
+    * cell_ids and silently return wrong candidates. Staleness is decided
+    * by comparing explicit `_build_id` markers written at build time
+    * (directory mtimes change on any direct-child write and don't survive
+    * copy/restore, so they can both miss a rebuild and force spurious
+    * ones); a PQ store with no recorded marker (legacy layout) rebuilds
+    * once and records it.
     */
   def ensure(spark: SparkSession, dir: String, path: String): Unit = {
     val books = new java.io.File(s"$path/codebooks")
     val clustered = Option(new java.io.File(s"$path/codes").listFiles())
       .exists(_.exists(_.getName.startsWith("cell_id=")))
-    val ivfCentroids = new java.io.File(s"${IndexStore.defaultPath(dir)}/centroids")
-    val staleVsIvf = ivfCentroids.exists() &&
-      ivfCentroids.lastModified() > books.lastModified()
+    val ivfPath = IndexStore.defaultPath(dir)
+    val recorded = {
+      val p = java.nio.file.Paths.get(s"$path/_ivf_build_id")
+      if (java.nio.file.Files.exists(p))
+        Some(java.nio.file.Files.readString(p).trim)
+      else None
+    }
+    val staleVsIvf = new java.io.File(s"$ivfPath/centroids").exists() &&
+      (recorded.isEmpty || recorded != IndexStore.buildId(ivfPath))
     if (!books.exists() || !clustered || staleVsIvf)
       write(spark, dir, path)
   }
