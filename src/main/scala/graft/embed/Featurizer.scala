@@ -1,6 +1,6 @@
 package graft.embed
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoder, Encoders, Row}
 import org.apache.spark.sql.types._
@@ -17,6 +17,20 @@ import org.apache.spark.sql.types._
   * similar strings ⇒ similar vectors, ‖v‖₂ = 1 (so inner product == cosine,
   * mirroring `pipeline.py:237-240`).
   */
+/** Typed (id, vec) embedding row — top-level so the product encoder's
+  * codegen sees a stable class (nested case classes trip it, see
+  * SparkSpec notes), with `Array[Float]` hitting the primitive-array
+  * fast path (UnsafeArrayData, no per-element boxing).
+  */
+case class IdVec(id: Long, vec: Array[Float])
+
+/** Typed (model, id, vec) row for multi-model sweeps — one scan carries
+  * every model's embedding space as a column instead of one plan branch per
+  * model (168 tiny branches was the measured bottleneck: ~0.2 s fixed
+  * overhead each).
+  */
+case class ModelIdVec(model: String, id: Long, vec: Array[Float])
+
 object Featurizer {
   val DefaultDim = 64
 
@@ -87,6 +101,53 @@ object Featurizer {
         val vecs = batch.map(r => embed(r.getString(idx), dim, salt))
         batch.iterator.zip(vecs.iterator).map { case (r, v) =>
           Row.fromSeq(r.toSeq :+ v.toSeq)
+        }
+      }
+    }
+  }
+
+  /** Typed fast path: (id, text) → Dataset[IdVec]. The generic
+    * [[embedBatched]] keeps arbitrary input columns but pays the Row
+    * encoder's per-element float boxing; high-volume callers (the op-size
+    * sweep embeds ~10⁶ rows per run) use this primitive-array encoder
+    * instead — same batch shape, same embedding.
+    */
+  def embedBatchedTyped(df: DataFrame, idCol: String, textCol: String,
+                        dim: Int = DefaultDim, batchSize: Int = 32,
+                        salt: String = ""): Dataset[IdVec] = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    implicit val enc: Encoder[IdVec] = Encoders.product[IdVec]
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "model call" per batch
+        val vecs = batch.map(r => embed(r.getString(txtIdx), dim, salt))
+        batch.iterator.zip(vecs.iterator).map { case (r, v) =>
+          IdVec(r.getLong(idIdx), v)
+        }
+      }
+    }
+  }
+
+  /** Multi-model variant: each row names its model (salt) in `modelCol`;
+    * `dims` maps model → output dimension. Rows within a batch are grouped
+    * by model so the "one model call per batch" boundary holds per model.
+    * One scan embeds every model's space — the sweep fan-out is a COLUMN,
+    * not a plan branch per model.
+    */
+  def embedSweepTyped(df: DataFrame, modelCol: String, idCol: String,
+                      textCol: String, dims: Map[String, Int],
+                      batchSize: Int = 32): Dataset[ModelIdVec] = {
+    val mIdx = df.schema.fieldIndex(modelCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    implicit val enc: Encoder[ModelIdVec] = Encoders.product[ModelIdVec]
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.groupBy(_.getString(mIdx)).iterator.flatMap { case (m, rows) =>
+          // one "model call" per (batch, model)
+          val dim = dims(m)
+          rows.iterator.map(r => ModelIdVec(m, r.getLong(idIdx), embed(r.getString(txtIdx), dim, m)))
         }
       }
     }

@@ -1,34 +1,72 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.embed.Featurizer
 import graft.functions.VectorFunctions._
 
-/** S6: the multi-model sweep + combined metrics sink — the reference's core
-  * loop (`FAISS/PlainDemo/pipeline.py:290-298`: run the full workload once
-  * per embedding model; `:357-400`: union every model's records into ONE
-  * long-format metrics table).
+/** S6: the multi-model op-size sweep + combined metrics sink — the
+  * reference's core loop (`FAISS/PlainDemo/pipeline.py:290-298`: run the
+  * full workload once per embedding model; `:325-343`: for each of 6
+  * operation sizes, track insertion / deletion / update / query;
+  * `:357-400` + `README.md:96-99`: union every model's records into ONE
+  * long-format table `(model_name, operation_type, operation_size, ...)`).
   *
   * The "models" here are 7 hashing featurizers mirroring the reference's 7
   * sentence-transformer checkpoints (`pipeline.py:290-298`) — same count,
   * same output-dimension spread (300/384/768), and each salted by its name
-  * so same-dim models still define DISTINCT vector spaces. Each model's
-  * workload genuinely executes: the corpus is embedded in that model's
-  * space and an exact top-k search runs in it; the combined table is the
-  * `unionByName` of per-model metric rows.
+  * so same-dim models still define DISTINCT vector spaces.
   *
-  * Scale shape: the per-model pipelines are independent DataFrame branches
-  * of one plan — on a cluster they schedule concurrently, and nothing is
-  * collected to the driver.
+  * Sweep shape — this is where the Spark-first formulation departs from the
+  * reference's imperative per-cell benchmark loop. The reference re-runs
+  * each op independently per (model, size); a first cut that mirrored that
+  * (one plan branch per cell) spent ~0.2 s of fixed stage overhead × 168
+  * branches ≈ 35 s on ~5 s of actual work. Instead:
+  *
+  *  - the MODEL axis is a column: one `spark.range` × broadcast model-dim
+  *    fan-out feeds ONE embed scan per op kind
+  *    ([[Featurizer.embedSweepTyped]] — per-row salt/dim, batch boundary
+  *    preserved per model);
+  *  - the SIZE axis is conditional aggregation: the size-`s` op is a prefix
+  *    (ids `< s`) of the max-size op, so one map-side-combined agg with one
+  *    `sum(when(id < s, 1))` per size yields every cell's count — no work
+  *    is skipped (every row the largest size touches is embedded/joined/
+  *    scored exactly once) and none is repeated;
+  *  - the query op's candidate set is a broadcast DIMENSION TABLE
+  *    (model, cand, cvec) instead of a per-cell literal array — 7×16 rows,
+  *    the same bounded-metadata contract as collected IVF centroids (and it
+  *    keeps task binaries small).
+  *
+  * The four tracked ops are genuinely executed at the largest size:
+  *
+  *  - insertion (`pipeline.py:329-331`): synthesize packet texts with the
+  *    reference's exact f-string shape and embed them in every model's
+  *    space (batched mapPartitions — the "model call" boundary).
+  *  - deletion (`pipeline.py:332-333`): FAISS `remove_ids` is id-based, so
+  *    the op is an anti-join of (base ∪ inserted) ids against the inserted
+  *    id set; the metric row counts the surviving index. The surviving set
+  *    is model- and size-invariant (remove exactly what size `s` inserted
+  *    ⇒ base survives), so the anti-join runs once and the count fans out.
+  *  - update (`pipeline.py:334-336`): remove + re-add — embed the
+  *    replacement texts and join them onto the inserted id set (broadcast).
+  *  - query (`pipeline.py:338-340`): query texts scaling with num_ops, k=5
+  *    — each embedded query scores the broadcast candidates and keeps its
+  *    top-5 by inner product (WindowGroupLimit rank path, the same O2
+  *    top-k shape as kNN).
+  *
+  * Scale shape: no driver loop materializes rows, embeds are
+  * partition-parallel, every join is broadcast, the only shuffles are the
+  * tiny (model,id,cand,sim) top-k exchange and the final per-model aggs,
+  * and nothing data-sized reaches the driver.
   */
 object MultiModel {
 
-  /** The sweep's model list: name → output dimension, one per reference
-    * checkpoint (`pipeline.py:290-298`), dims matching each model's real
-    * embedding width.
+  /** The reference's 7 embedding models (name, dim) —
+    * `FAISS/PlainDemo/pipeline.py:290-298`. Dims mirror the real
+    * checkpoints (MiniLM 384, DistilBERT/BERT/MPNet/CodeBERT 768,
+    * Komninos 300).
     */
   val models: Seq[(String, Int)] = Seq(
     ("paraphrase_minilm_l12", 384),
@@ -39,40 +77,121 @@ object MultiModel {
     ("komninos_word_avg", 300),
     ("all_mpnet_base", 768))
 
-  private def metricRow(df: DataFrame, model: String, op: String, dim: Int): DataFrame =
-    df.agg(count(lit(1)).as("n_rows"))
-      .select(lit(model).as("model"), lit(op).as("op"),
-        col("n_rows"), lit(dim.toLong).as("dim"))
+  private val dimOf: Map[String, Int] = models.toMap
 
-  /** One model's workload: embed the corpus, then exact top-k search for
-    * the first `nq` docs in that model's space. Returns the two metric rows
-    * (`op = embed | search`) the combined sink unions.
+  /** The reference's operation sizes (`pipeline.py:325`). */
+  val opSizes: Seq[Int] = Seq(2500, 5000, 7500, 10000, 20000, 30000)
+
+  /** Query/insert top-k (`pipeline.py:340` k=5). */
+  val K = 5
+
+  /** Candidate-set size for the query op's broadcast stage. */
+  private val NCand = 16
+
+  /** Synthetic ids start above any base vec_id so deletion can't collide
+    * with the pre-existing index contents.
     */
-  def modelMetrics(spark: SparkSession, dir: String, model: String, dim: Int,
-                   nq: Int = 3, k: Int = 3): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    // ONE full-corpus embed per model (the search base). The query side
-    // filters FIRST and embeds nq rows (embedBatched is opaque to Catalyst,
-    // so the predicate must be applied before the mapPartitions by hand),
-    // and the embed-count row counts docs — embedding is 1:1 row-preserving
-    // by construction, so the count is identical without a third embed pass.
-    val embedded = Featurizer.embedBatched(docs, "text", "embedding", dim, salt = model)
-    val q = Featurizer.embedBatched(docs.filter(col("doc_id") < nq), "text", "qvec", dim, salt = model)
-      .select(col("doc_id").as("qid"), col("qvec"))
-    val scored = embedded.crossJoin(broadcast(q))
-      .filter(col("doc_id") =!= col("qid"))
-      .withColumn("sim", dot(col("qvec"), col("embedding")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("doc_id"))
-    val hits = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-    metricRow(docs, model, "embed", dim)
-      .unionByName(metricRow(hits, model, "search", dim))
+  private val IdBase = 1000000L
+
+  /** Reference insertion/query text (`pipeline.py:329,338`). */
+  private def insertText(i: Column): Column =
+    format_string("192.168.1.%d 192.168.1.%d TCP %d", i, i + lit(1L), i * lit(10L))
+  private def insertTextAt(i: Long): String =
+    s"192.168.1.$i 192.168.1.${i + 1} TCP ${i * 10}"
+
+  /** Reference update text (`pipeline.py:334`). */
+  private def updateText(i: Column): Column =
+    format_string("10.0.0.%d 10.0.0.%d UDP %d", i, i + lit(1L), i * lit(5L))
+
+  /** `n` synthetic rows × every model: (model, id, text). A range scan
+    * crossed with the broadcast 7-row model table — no driver loop; at
+    * cluster scale the same generator fans out by raising the range's
+    * partition count.
+    */
+  private def synthAllModels(spark: SparkSession, n: Int,
+                             text: Column => Column): DataFrame = {
+    val parts = math.max(1, math.min(32, n / 1000))
+    val modelDf = modelsDf(spark)
+    spark.range(0, n.toLong, 1, parts).toDF("i")
+      .crossJoin(broadcast(modelDf.select(col("model"))))
+      .select(col("model"), (col("i") + lit(IdBase)).as("id"), text(col("i")).as("text"))
   }
 
-  /** The combined multi-model metrics table (`pipeline.py:357-400`):
-    * long format (model, op, n_rows, dim), one `unionByName` across models.
+  private def modelsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    models.toDF("model", "dim_i")
+  }
+
+  /** One embed scan for a sweep op: (model, id) rows, one per unit the
+    * op's metric counts.
     */
-  def combinedMetrics(spark: SparkSession, dir: String): DataFrame =
-    models.map { case (name, dim) => modelMetrics(spark, dir, name, dim) }
-      .reduce(_ unionByName _)
-      .orderBy(col("model"), col("op"))
+  private def embedAll(spark: SparkSession, n: Int, text: Column => Column): DataFrame =
+    Featurizer.embedSweepTyped(
+      synthAllModels(spark, n, text), "model", "id", "text", dimOf).toDF()
+
+  /** Fold one op's (model, id)-unit rows into long format: the size-`s`
+    * cell counts units with id below the size boundary — six conditional
+    * map-side-combined sums, exploded to (model, op, op_size, n_rows).
+    */
+  private def sweepAgg(df: DataFrame, op: String, sizes: Seq[Int]): DataFrame = {
+    val sums = sizes.map(s =>
+      sum(when(col("id") < lit(IdBase + s), 1L).otherwise(0L)).as(s"n_$s"))
+    val perSize = array(sizes.map(s =>
+      struct(lit(s.toLong).as("op_size"), col(s"n_$s").as("n_rows"))): _*)
+    df.groupBy(col("model")).agg(sums.head, sums.tail: _*)
+      .select(col("model"), lit(op).as("op"), explode(perSize).as("p"))
+      .select(col("model"), col("op"), col("p.op_size"), col("p.n_rows"))
+  }
+
+  /** The combined multi-model metrics table (`pipeline.py:357-400`,
+    * `README.md:96-99` CSV shape): long format
+    * (model, op, op_size, n_rows, dim) — |models| × 4 ops × |sizes| rows.
+    */
+  def combinedMetrics(spark: SparkSession, dir: String,
+                      sizes: Seq[Int] = opSizes): DataFrame = {
+    import spark.implicits._
+    val n = sizes.max
+    val insIds = spark.range(0, n.toLong).select((col("id") + lit(IdBase)).as("id"))
+
+    // insertion: embed the add-to-index payload in every model's space.
+    val insertion = sweepAgg(embedAll(spark, n, insertText), "insertion", sizes)
+
+    // deletion: anti-join (base ∪ inserted) against the inserted ids; the
+    // survivor set is model/size-invariant, so ONE anti-join feeds all 42
+    // cells (dedup the work, not the semantics).
+    val base = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+    val survivors = base.unionByName(insIds)
+      .join(broadcast(insIds), Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_rows"))
+    val deletion = modelsDf(spark).select(col("model"))
+      .crossJoin(sizes.map(s => s.toLong).toDF("op_size"))
+      .crossJoin(survivors)
+      .select(col("model"), lit("deletion").as("op"), col("op_size"), col("n_rows"))
+
+    // update: remove + re-add — embed replacement texts, broadcast-join
+    // onto the inserted id set.
+    val update = sweepAgg(
+      embedAll(spark, n, updateText).join(broadcast(insIds), Seq("id")),
+      "update", sizes)
+
+    // query: embed the query texts, broadcast-join the candidate dimension
+    // table, keep top-K per (model, query) by inner product. The vector
+    // columns are projected away BEFORE the rank exchange — only
+    // (model, id, cand, sim) shuffles.
+    val cands = models.flatMap { case (m, d) =>
+      (0L until NCand.toLong).map(c => (m, c, Featurizer.embed(insertTextAt(c), d, m).toSeq))
+    }.toDF("model", "cand", "cvec")
+    val scored = embedAll(spark, n, insertText)
+      .join(broadcast(cands), Seq("model"))
+      .select(col("model"), col("id"), col("cand"), dot(col("cvec"), col("vec")).as("sim"))
+    val w = Window.partitionBy(col("model"), col("id"))
+      .orderBy(col("sim").desc, col("cand"))
+    val hits = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+    val query = sweepAgg(hits, "query", sizes)
+
+    val dimMap = map(models.flatMap { case (m, d) => Seq(lit(m), lit(d.toLong)) }: _*)
+    insertion.unionByName(deletion).unionByName(update).unionByName(query)
+      .withColumn("dim", element_at(dimMap, col("model")))
+      .orderBy(col("model"), col("op"), col("op_size"))
+  }
 }

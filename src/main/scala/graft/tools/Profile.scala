@@ -27,18 +27,23 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     t("warmup")(spark.read.parquet(s"$sfDir/lineitem.parquet").count())
-    val e = Tables.embeddings(spark, sfDir)
-    t("embeddings count")(e.count())
-    val nlist = 44
-    val centroids = t("kmeans 5 iters")(VectorSearch.kmeansFit(e, nlist))
-    val assigned = t("assign")(VectorSearch.assignCells(e, centroids)).cache()
-    t("assigned materialize")(assigned.count())
-    val q = VectorSearch.querySet(spark, sfDir, 5)
-    t("ivf search")(VectorSearch.ivfSearch(assigned, centroids, q).count())
-    t("ivf end-to-end again")(VectorSearch.ivfSearchQuery(spark, sfDir).count())
-    t("knn exact")(VectorSearch.knnExact(spark, sfDir).count())
-    t("dedup jaccard")(graft.operators.Dedup.ngramJaccardPairs(spark, sfDir).count())
-    t("dedup jaccard again")(graft.operators.Dedup.ngramJaccardPairs(spark, sfDir).count())
+    import graft.operators.MultiModel
+    import org.apache.spark.sql.functions._
+    // raw driver-side embed throughput, single thread
+    t("driver 30k embeds d768") {
+      var i = 0L; var acc = 0f
+      while (i < 30000) { acc += graft.embed.Featurizer.embed(s"192.168.1.$i 192.168.1.${i + 1} TCP ${i * 10}", 768, "bert_base_nli")(0); i += 1 }
+      acc
+    }
+    // embed-only Spark branch: 30k rows, typed encoder, count
+    val synth = spark.range(0, 30000, 1, 3).toDF("i")
+      .select(col("i").as("id"), format_string("192.168.1.%d 192.168.1.%d TCP %d", col("i"), col("i") + lit(1L), col("i") * lit(10L)).as("text"))
+    t("spark 30k embed d768 p3")(graft.embed.Featurizer.embedBatchedTyped(synth, "id", "text", 768, salt = "bert_base_nli").toDF().agg(count(lit(1))).collect()(0).getLong(0))
+    val synth32 = spark.range(0, 30000, 1, 32).toDF("i")
+      .select(col("i").as("id"), format_string("192.168.1.%d 192.168.1.%d TCP %d", col("i"), col("i") + lit(1L), col("i") * lit(10L)).as("text"))
+    t("spark 30k embed d768 p32")(graft.embed.Featurizer.embedBatchedTyped(synth32, "id", "text", 768, salt = "bert_base_nli").toDF().agg(count(lit(1))).collect()(0).getLong(0))
+    t("sweep full")(MultiModel.combinedMetrics(spark, sfDir).collect().length)
+    t("sweep full again")(MultiModel.combinedMetrics(spark, sfDir).collect().length)
     spark.stop()
   }
 }

@@ -7,16 +7,21 @@ import graft.operators.{CatalogOps, Crud, MultiModel, OpsMetrics, VectorSearch}
 class SweepCatalogSpec extends SparkSpec {
   import spark.implicits._
 
-  test("combined metrics: one embed + one search row per model, real counts") {
-    val out = MultiModel.combinedMetrics(spark, sfDir).collect()
-    assert(out.length == MultiModel.models.size * 2)
-    val nDocs = Tables.documents(spark, sfDir).count()
+  test("combined metrics: 4 genuinely-executed op rows per (model, size)") {
+    val sizes = Seq(10, 25) // spec-scale stand-ins for the reference's 6 sizes
+    val out = MultiModel.combinedMetrics(spark, sfDir, sizes).collect()
+    assert(out.length == MultiModel.models.size * 4 * sizes.size)
+    val nBase = Tables.embeddings(spark, sfDir).count()
     MultiModel.models.foreach { case (name, dim) =>
-      val embed = out.find(r => r.getString(0) == name && r.getString(1) == "embed").get
-      assert(embed.getLong(2) == nDocs, s"$name embed count")
-      assert(embed.getLong(3) == dim.toLong)
-      val search = out.find(r => r.getString(0) == name && r.getString(1) == "search").get
-      assert(search.getLong(2) == 3L * math.min(3L, nDocs - 1), s"$name search hits")
+      sizes.foreach { s =>
+        def row(op: String) = out.find(r =>
+          r.getString(0) == name && r.getString(1) == op && r.getLong(2) == s.toLong).get
+        assert(row("insertion").getLong(3) == s.toLong, s"$name insertion@$s")
+        assert(row("deletion").getLong(3) == nBase, s"$name deletion@$s")
+        assert(row("update").getLong(3) == s.toLong, s"$name update@$s")
+        assert(row("query").getLong(3) == MultiModel.K.toLong * s, s"$name query@$s")
+        assert(row("insertion").getLong(4) == dim.toLong)
+      }
     }
   }
 
