@@ -32,6 +32,7 @@ object SparkEntry {
     // §2.5/§2.7/§2.8 — vector search (the flagship surface)
     "knn_exact" -> ((s, d) => VectorSearch.knnExact(s, d)),
     "knn_exact_phys" -> ((s, d) => VectorSearch.knnExactPhysical(s, d)),
+    "knn_batch" -> ((s, d) => VectorSearch.knnBatch(s, d)),
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
     "knn_pq" -> ((s, d) => graft.sources.PqStore.searchQuery(s, d)),
@@ -276,7 +277,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops
     * (dedup_minhash_lsh, dedup_simhash, embed_docs, media_decode,
-    * agg_approx_distinct) → driver records a rows-only check; those are
+    * agg_approx_distinct, knn_batch — its 5000-query batch is synthesized
+    * by the Featurizer, which SQL can't replay; KnnJoinSpec asserts the
+    * heap path equals the declarative form row-for-row at that nq)
+    * → driver records a rows-only check; those are
     * covered by ScalaTest property specs instead. knn_ivf IS oracle-checked:
     * k-means itself isn't SQL, but the probed search over the EXPORTED
     * centroid/assignment artifacts is (see ivfStorePath).

@@ -39,21 +39,48 @@ object VectorSearch {
       .filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-  /** Exact top-k cosine (embeddings are L2-normalized ⇒ dot == cosine,
-    * `pipeline.py:237-240`). Excludes self-matches.
+  /** Synthetic query batch for batch-scale search: the reference queries in
+    * batches scaling to 30 000 (`FAISS/PlainDemo/pipeline.py:339-340`), far
+    * beyond the base table at test SF — so the batch is synthesized by
+    * embedding the reference's query-text shape (`pipeline.py:338`) at the
+    * base dimension. Ids offset above every base vec_id.
     */
-  def knnExact(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5): DataFrame = {
-    val base = Tables.embeddings(spark, dir)
-    val q = querySet(spark, dir, nq)
+  def syntheticQueries(spark: SparkSession, nq: Int, dim: Int = 64): DataFrame = {
+    val parts = math.max(1, math.min(32, nq / 1000))
+    val texts = spark.range(0, nq.toLong, 1, parts).toDF("i")
+      .select((col("i") + lit(1000000L)).as("qid"),
+        format_string("192.168.1.%d 192.168.1.%d TCP %d",
+          col("i"), col("i") + lit(1L), col("i") * lit(10L)).as("text"))
+    graft.embed.Featurizer.embedBatchedTyped(texts, "qid", "text", dim).toDF()
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+  }
+
+  /** Declarative kNN join over an explicit query set: broadcast the query
+    * side, score every base row, rank-window top-k. The comparator form for
+    * every other strategy — correct at any nq, but every scored row
+    * (nq·|base|) flows through the window exchange.
+    */
+  def knnDeclarative(q: DataFrame, base: DataFrame, k: Int): DataFrame = {
     val scored = base.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", dot(col("qvec"), col("embedding")))
+    rankTopK(scored, k)
+  }
+
+  /** Shared tail: per-query rank window + output contract. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Exact top-k cosine (embeddings are L2-normalized ⇒ dot == cosine,
+    * `pipeline.py:237-240`). Excludes self-matches.
+    */
+  def knnExact(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5): DataFrame =
+    knnDeclarative(querySet(spark, dir, nq), Tables.embeddings(spark, dir), k)
 
   /** Exact top-k through the custom Catalyst operator
     * (graft.plans.KnnJoin → KnnJoinExec, registered via GraftExtensions):
@@ -66,10 +93,20 @@ object VectorSearch {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val q = querySet(spark, dir, nq)
     val hits = graft.plans.KnnJoinApi.knnJoin(spark, q, base, k)
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    hits.withColumn("rank", row_number().over(w))
-      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
-      .orderBy(col("qid"), col("rank"))
+    rankTopK(hits, k)
+  }
+
+  /** Batch-scale exact kNN (J1/O2 at the reference's query-batch sizes,
+    * `pipeline.py:339-340`): nq in the thousands flips which side is
+    * "small". The declarative form pushes nq·|base| scored rows through the
+    * rank-window exchange; the KnnJoinExec heap path keeps per-partition
+    * top-k heaps and shuffles only nq·k winners — KnnJoinSpec asserts it
+    * returns identical rows AND beats the declarative form at nq=5000.
+    */
+  def knnBatch(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5000): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val hits = graft.plans.KnnJoinApi.knnJoin(spark, syntheticQueries(spark, nq), base, k)
+    rankTopK(hits, k)
   }
 
   /** Approximate top-k via sign-LSH bucket blocking: candidates restricted
@@ -84,11 +121,7 @@ object VectorSearch {
     val scored = base.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", dot(col("qvec"), col("embedding")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
-      .orderBy(col("qid"), col("rank"))
+    rankTopK(scored, k)
   }
 
   // ---------------------------------------------------------------- IVF --
@@ -219,11 +252,7 @@ object VectorSearch {
     val scored = assigned.join(broadcast(probed), "cell_id")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", dot(col("qvec"), col("embedding")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
-      .orderBy(col("qid"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** End-to-end IVF query (build + probe) as a single named query.

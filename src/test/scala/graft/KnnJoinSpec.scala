@@ -61,4 +61,50 @@ class KnnJoinSpec extends SparkSpec {
     assert(top.forall(r => r.getLong(0) == r.getLong(1)), "self is nearest")
     assert(top.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-5))
   }
+
+  // --- batch scale: the reference searches query batches up to 30 000
+  // (FAISS/PlainDemo/pipeline.py:339-340); nq=5 hides the query-side scale
+  // axis. At nq=5000 × the sf0.1 base the declarative form pushes 10M
+  // scored rows through the rank-window exchange while the heap path
+  // shuffles only nq·k winners — same rows, and measurably faster.
+
+  private val sf01 = "/root/testdata/sf0.1"
+  private val bigNq = 5000
+
+  test("batch nq=5000: heap path equals the declarative window top-k and wins") {
+    val base = Tables.embeddings(spark, sf01).select($"vec_id", $"embedding")
+    val q = VectorSearch.syntheticQueries(spark, bigNq).cache()
+    q.count() // materialize so neither path pays the embed
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (decl, tDecl) = timed(VectorSearch.knnDeclarative(q, base, 5).collect().toSeq)
+    val (phys, tPhys) = timed {
+      val hits = KnnJoinApi.knnJoin(spark, q, base, 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      hits.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        .select($"qid", $"vec_id", $"rank",
+          graft.functions.VectorFunctions.micro($"sim").as("sim_micro"))
+        .orderBy($"qid", $"rank").collect().toSeq
+    }
+    assert(decl.size == bigNq * 5)
+    assert(phys == decl, s"heap path diverged: ${phys.take(3)} vs ${decl.take(3)}")
+    assert(tPhys < tDecl,
+      f"heap path should beat the declarative window at nq=$bigNq: $tPhys%.2fs vs $tDecl%.2fs")
+    q.unpersist(blocking = false)
+  }
+
+  test("batch nq=5000: IVF probing all cells reproduces the exact result") {
+    val (assigned, centroids) = VectorSearch.ivfBuild(spark, sf01)
+    val nlist = centroids.count().toInt
+    val q = VectorSearch.syntheticQueries(spark, bigNq).cache()
+    q.count()
+    val ivf = VectorSearch.ivfSearch(assigned, centroids, q, k = 5, nprobe = nlist)
+      .collect().toSeq
+    val base = Tables.embeddings(spark, sf01).select($"vec_id", $"embedding")
+    val exact = VectorSearch.knnDeclarative(q, base, 5).collect().toSeq
+    assert(ivf == exact, "full-probe IVF must degenerate to exact kNN")
+    q.unpersist(blocking = false)
+  }
 }
