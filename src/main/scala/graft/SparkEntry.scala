@@ -74,6 +74,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_commonness" -> ((s, d) => TextAnalysis.commonness(s, d)),
+    "text_redact" -> ((s, d) => TextAnalysis.redactQuery(s)),
     "sample_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
     "sample_uniform" -> ((s, d) => Sampling.uniformSample(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -647,6 +648,18 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |       CAST(sm // n_tokens AS BIGINT) AS common_micro
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      """WITH p AS (SELECT i, printf('%d 192.168.1.%d TCP packet %d', i, i % 256, i*10) AS t
+        |           FROM range(500) t(i))
+        |SELECT CAST(i AS BIGINT) AS frame_number,
+        |       regexp_replace(regexp_replace(regexp_replace(t,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |         '\b\d{4,}\b', '<NUM>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(t, '\b\d{4,}\b')) AS BIGINT) AS n_nums,
+        |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+        |FROM p ORDER BY frame_number""".stripMargin,
     "sample_split" ->
       """WITH h AS (SELECT doc_id,
         |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS bucket

@@ -18,6 +18,44 @@ object TextAnalysis {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** PII patterns for [[redact]] — written in the Java-regex ∩ RE2 common
+    * subset so the DuckDB oracle replays them verbatim.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val LongNumRe = "\\b\\d{4,}\\b"
+
+  /** PII scrub — the standard pre-training privacy pass (C4/Gopher-style
+    * pipelines mask addresses and identifiers before anything is trained
+    * on). Emails, IPv4 addresses, and long digit runs (phone/account-like)
+    * become typed mask tokens; per-row match counts make the scrub
+    * auditable (sum them for the corpus privacy report). Pure scan-bound
+    * regexp projections — no shuffle at any scale, and idempotent (mask
+    * tokens contain no maskable text; asserted in the spec).
+    */
+  def redact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)).cast("long"))
+      .withColumn("n_nums", regexp_count(col(textCol), lit(LongNumRe)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          LongNumRe, "<NUM>"))
+
+  /** [[redact]] as a named query, over the corpus that actually carries
+    * PII-shaped text: the synthetic packet feed (every row an IPv4; digit
+    * runs appear only where frames are large — the op must bite
+    * differentially, not uniformly). The documents table is PII-free by
+    * construction — OperatorSpec asserts redaction is the identity there.
+    */
+  def redactQuery(spark: SparkSession): DataFrame =
+    redact(FlowParity.synthPackets(spark), "packet_text")
+      .select(col("frame_number"), col("redacted"),
+        col("n_ips"), col("n_nums"), col("n_emails"))
+      .orderBy(col("frame_number"))
+
   /** Quality-scoring stats: char/word counts, word-length distribution,
     * stopword ratio — the standard heuristic-filter features.
     */

@@ -21,10 +21,12 @@ class OperatorSpec extends SparkSpec {
   test("every query key has either an oracle or a documented exemption") {
     // knn_ivf graduated to oracle-checked in round 3 (SQL replay over the
     // exported index); metrics_ops emits wall-clock measurements (rows-only
-    // by nature, deterministic columns spec-checked in SweepCatalogSpec)
+    // by nature, deterministic columns spec-checked in SweepCatalogSpec);
+    // knn_batch's 5000-query batch is Featurizer-synthesized (not SQL-
+    // replayable) — KnnJoinSpec asserts heap ≡ declarative at that nq
     val exempt = Set("dedup_minhash_lsh", "dedup_simhash",
       "embed_docs", "media_decode", "agg_approx_distinct", "agg_approx_percentile",
-      "metrics_ops")
+      "metrics_ops", "knn_batch")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -34,6 +36,27 @@ class OperatorSpec extends SparkSpec {
   test("entry flagship returns ranked rows") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length > 0)
+  }
+
+  test("redact masks PII-shaped text, leaves the clean corpus intact, and is idempotent") {
+    // documents carry no PII by construction → redaction is the identity
+    val docs = TextAnalysis.redact(Tables.documents(spark, sfDir), "text")
+    assert(docs.filter($"redacted" =!= $"text" ||
+      $"n_ips" + $"n_nums" + $"n_emails" =!= 0L).count() == 0)
+    // the packet feed: every row carries exactly one IPv4; digit runs only
+    // where i*10 has ≥4 digits — the op must bite differentially
+    val pk = TextAnalysis.redactQuery(spark).collect()
+    assert(pk.forall(_.getAs[Long]("n_ips") == 1L))
+    assert(pk.forall(r => !r.getAs[String]("redacted").contains("192.168")))
+    val masked = pk.count(_.getAs[Long]("n_nums") == 1L)
+    assert(masked == 400 && pk.length == 500, s"digit-run rows: $masked")
+    // independent recompute of one row
+    val r123 = pk.find(_.getAs[Long]("frame_number") == 123L).get
+    assert(r123.getAs[String]("redacted") == "123 <IP> TCP packet <NUM>")
+    // idempotence: mask tokens contain nothing maskable
+    val again = TextAnalysis.redact(
+      TextAnalysis.redactQuery(spark).select($"frame_number", $"redacted".as("t")), "t")
+    assert(again.filter($"redacted" =!= $"t").count() == 0)
   }
 
   test("decontaminate matches an independent driver-side recompute") {
