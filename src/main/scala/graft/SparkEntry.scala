@@ -33,6 +33,9 @@ object SparkEntry {
     "knn_exact" -> ((s, d) => VectorSearch.knnExact(s, d)),
     "knn_exact_phys" -> ((s, d) => VectorSearch.knnExactPhysical(s, d)),
     "knn_batch" -> ((s, d) => VectorSearch.knnBatch(s, d)),
+    "knn_range" -> ((s, d) => VectorSearch.rangeSearch(s, d)),
+    "knn_filtered" -> ((s, d) => VectorSearch.knnFiltered(s, d)),
+    "rag_fusion" -> ((s, d) => VectorSearch.ragFusion(s, d)),
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
     "knn_pq" -> ((s, d) => graft.sources.PqStore.searchQuery(s, d)),
@@ -75,10 +78,14 @@ object SparkEntry {
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_commonness" -> ((s, d) => TextAnalysis.commonness(s, d)),
     "text_redact" -> ((s, d) => TextAnalysis.redactQuery(s)),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
+    "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
+    "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "sample_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
     "sample_uniform" -> ((s, d) => Sampling.uniformSample(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "sample_domain_cap" -> ((s, d) => Sampling.domainCap(s, d)),
+    "sample_mix" -> ((s, d) => Sampling.mixSample(s, d)),
     "corpus_pack" -> ((s, d) => Sampling.packSequences(s, d)),
     "knn_ivfpq" -> ((s, d) => graft.sources.PqStore.searchIvfPq(s, d)),
     "knn_refine" -> ((s, d) => graft.sources.PqStore.searchRefined(s, d)),
@@ -226,6 +233,29 @@ object SparkEntry {
       | CAST(sum(CAST(value AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_value_c
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Okapi BM25 CTE chain (k1 = 1, b = 0.75, linear idf; per-term integer
+    * micros) ending in `bm25agg(doc_id, score_micro, n_terms)` — shared by
+    * the `text_bm25` oracle and the `rag_fusion` lexical leg.
+    */
+  private val bm25CtesSql =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_words FROM lens),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+      |       WHERE term IN ('vector', 'spark', 'stream') GROUP BY 1, 2),
+      |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |pt AS (SELECT tf.doc_id,
+      |         CAST(floor(((CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) *
+      |           (CAST(tf AS DOUBLE) * 2.0) /
+      |           (CAST(tf AS DOUBLE) + (0.25 + 0.75 *
+      |             (CAST(dl AS DOUBLE) / (CAST(total_words AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |           * 1000000.0) AS BIGINT) AS score_micro
+      |       FROM tf JOIN dfr USING (term) JOIN lens USING (doc_id) CROSS JOIN corpus),
+      |bm25agg AS (SELECT doc_id, CAST(sum(score_micro) AS BIGINT) AS score_micro,
+      |          CAST(count(*) AS BIGINT) AS n_terms
+      |        FROM pt GROUP BY 1)""".stripMargin
+
   /** N-gram Jaccard near-dup pairs (inverted-index formulation), shared by
     * the pair query and the clusters query's recursive-CTE replay.
     */
@@ -303,6 +333,23 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       ${microSql("sim")} AS sim_micro
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Scalar-filtered search: the label predicate restricts the BASE side
+    // (k fills from qualifying rows only — never post-filter the top-k).
+    "knn_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid AND e.label < 5),
+         |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "knn_range" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM s WHERE ${microSql("sim")} >= 200000 ORDER BY qid, sim_micro DESC, vec_id""".stripMargin,
     "knn_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qvec, ${bucketSql("embedding", 8)} AS bucket FROM embeddings WHERE vec_id < 10),
@@ -660,6 +707,67 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(t, '\b\d{4,}\b')) AS BIGINT) AS n_nums,
         |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
         |FROM p ORDER BY frame_number""".stripMargin,
+    // Gopher repetition signals: dup-word fraction + top-bigram fraction as
+    // integer micros. The oracle computes the bigram mode the relational way
+    // (unnest + group + max) — same value as the Spark side's sorted-run fold.
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |        CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        |        list_transform(range(greatest(len(ws)-1, 0)), i -> ws[i+1] || ' ' || ws[i+2]) AS bs
+        |      FROM w),
+        |m AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
+        |      FROM (SELECT doc_id, bg, count(*) AS c
+        |            FROM (SELECT doc_id, unnest(bs) AS bg FROM b) GROUP BY 1, 2)
+        |      GROUP BY 1)
+        |SELECT CAST(b.doc_id AS BIGINT) AS doc_id, n_words, n_distinct,
+        |       CAST((n_words - n_distinct) * 1000000 // n_words AS BIGINT) AS dup_word_micro,
+        |       CAST(len(bs) AS BIGINT) AS n_bigrams,
+        |       CAST(COALESCE(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |       CAST(CASE WHEN len(bs) > 0 THEN top_bigram_n * 1000000 // len(bs) ELSE 0 END AS BIGINT) AS top_bigram_micro
+        |FROM b LEFT JOIN m ON b.doc_id = m.doc_id ORDER BY doc_id""".stripMargin,
+    // Sliding-window chunking: starts = range(0, n, stride) (same set as
+    // Spark's sequence(0, n-1, stride)); DuckDB list_slice is inclusive-end.
+    "text_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws), 1), 30)) AS st FROM w)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(st // 30 AS BIGINT) AS chunk_idx,
+        |       CAST(len(list_slice(ws, st + 1, st + 40)) AS BIGINT) AS n_words,
+        |       array_to_string(list_slice(ws, st + 1, st + 40), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Okapi BM25 (k1 = 1, b = 0.75, linear idf): every constant is exactly
+    // representable and every op is IEEE +*/ in mirrored order, so the
+    // doubles replay bit-identically; per-term micros sum as BIGINT.
+    "text_bm25" ->
+      s"""WITH $bm25CtesSql
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, score_micro, n_terms,
+         |       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+         |FROM bm25agg ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+    // RRF hybrid fusion: full-outer join of the bm25 top-20 and the dense
+    // top-20 for query vector 0; integer-micro 1e6 // (60 + rank) terms.
+    "rag_fusion" ->
+      s"""WITH $bm25CtesSql,
+         |lex AS (SELECT doc_id, lex_rank FROM (
+         |          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |                 CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank
+         |          FROM bm25agg) WHERE lex_rank <= 20),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 1),
+         |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |dense AS (SELECT doc_id, dense_rank FROM (
+         |            SELECT CAST(vec_id AS BIGINT) AS doc_id,
+         |                   CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS dense_rank
+         |            FROM s) WHERE dense_rank <= 20),
+         |f AS (SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+         |        COALESCE(lex_rank, 0) AS lex_rank, COALESCE(dense_rank, 0) AS dense_rank
+         |      FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id),
+         |g AS (SELECT doc_id, lex_rank, dense_rank,
+         |        CAST(CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank) ELSE 0 END +
+         |             CASE WHEN dense_rank > 0 THEN 1000000 // (60 + dense_rank) ELSE 0 END AS BIGINT) AS rrf_micro
+         |      FROM f)
+         |SELECT doc_id, lex_rank, dense_rank, rrf_micro,
+         |       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS fused_rank
+         |FROM g ORDER BY fused_rank""".stripMargin,
     "sample_split" ->
       """WITH h AS (SELECT doc_id,
         |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS bucket
@@ -682,6 +790,14 @@ object SparkEntry {
         |SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
         |       CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+    // Language-mix resampling: per-language quota fill in salted-hash order.
+    "sample_mix" ->
+      """WITH d AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR) || ':mix') AS h FROM documents),
+        |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM d)
+        |SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 40 WHEN 'de' THEN 30
+        |                             WHEN 'fr' THEN 20 WHEN 'zh' THEN 10 ELSE 0 END
+        |ORDER BY lang, rn""".stripMargin,
     "corpus_pack" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |             md5(CAST(doc_id AS VARCHAR) || ':pack') AS ord

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [comma-separated query-name filter]
+    // The driver always passes exactly two; the optional third is the
+    // local dev loop (verify just the queries being worked on).
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     // Pin the oracle's index-store paths to the sf dir actually verified:
     // SparkEntry.oracleSql derives knn_ivf/knn_pq/... artifact locations
     // from this property (default sf0.01) — see SparkEntry.oracleSfDir.
@@ -26,7 +31,9 @@ object Verify {
     // `verify_error` parquet in its slot, so the driver's DuckDB compare
     // produces an explicit mismatching row instead of silently skipping.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         // Upcast int→long / float→double so the parquet the driver hashes
         // has the same physical types as DuckDB's BIGINT/DOUBLE results.

@@ -83,6 +83,38 @@ object Sampling {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Language-mix resampling — the data-mixing step that composes a training
+    * corpus to TARGET proportions (e.g. 50% en / 20% es / …) rather than the
+    * crawl's natural skew. Per-language quotas are filled in deterministic
+    * hash order (salted md5, doc_id tiebreak), so the selected set is a pure
+    * function of the keys: re-running over a grown corpus keeps previously
+    * selected documents selected until higher-hash rows displace them, and
+    * two engines agree row-for-row.
+    *
+    * Scale shape: quota lookup is a broadcast-literal map projection
+    * (`element_at`, null for unbudgeted languages ⇒ dropped by the filter),
+    * and the rank-limit window plans as WindowGroupLimit — each language's
+    * losers are cut map-side before the stratum shuffle, so post-filter
+    * volume is bounded by Σ quotas regardless of corpus size.
+    */
+  def mixSample(spark: SparkSession, dir: String,
+                quotas: Map[String, Int] = Map(
+                  "en" -> 100, "es" -> 40, "de" -> 30, "fr" -> 20, "zh" -> 10)): DataFrame = {
+    val cap = element_at(typedLit(quotas), col("lang"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":mix"))).as("h"))
+      .withColumn("rn", row_number().over(w))
+      // The LITERAL max-quota conjunct is what lets Spark infer
+      // WindowGroupLimit (the rule needs rank ≤ literal): every language's
+      // candidates are bounded at max(quotas) map-side BEFORE the stratum
+      // shuffle; the per-language column cap then refines exactly.
+      .filter(col("rn") <= lit(quotas.values.max) && col("rn") <= cap)
+      .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Token-budget sequence packing: shuffle documents into a deterministic
     * hash order, then cut the stream into contiguous ~`budget`-token packs —
     * the concat-and-chunk step that turns a cleaned corpus into fixed-length

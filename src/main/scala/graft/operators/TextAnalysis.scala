@@ -234,6 +234,104 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition signals — the "excessive repetition" family of
+    * pretraining quality filters (duplicate-word fraction and most-frequent-
+    * bigram fraction; production filters threshold these to drop template
+    * spam and boilerplate). Entirely scan-bound: the bigram mode is NOT an
+    * explode + groupBy (that shuffles every bigram of every doc) but a
+    * per-row sorted-run-length fold — after `array_sort`, the count of the
+    * most frequent element IS the longest equal run, computed by one
+    * `aggregate` pass over the row's own array. Fractions are integer
+    * micros (x·10⁶ DIV n), fold-order-free and oracle-exact.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    // Longest equal run in the sorted bigram array = max bigram frequency.
+    // Bigrams are never '' (they contain a space), so '' is a safe init.
+    val topRun = expr(
+      """aggregate(
+        |  array_sort(bs),
+        |  named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+        |  (acc, x) -> named_struct(
+        |    'prev', x,
+        |    'run', IF(x = acc.prev, acc.run + 1L, 1L),
+        |    'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+        |  acc -> acc.best)""".stripMargin)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("bs", graft.functions.Grams.kgrams(col("ws"), 2))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        size(col("bs")).cast("long").as("n_bigrams"),
+        topRun.as("top_bigram_n"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        expr("(n_words - n_distinct) * 1000000 DIV n_words").as("dup_word_micro"),
+        col("n_bigrams"), col("top_bigram_n"),
+        when(col("n_bigrams") > 0, expr("top_bigram_n * 1000000 DIV n_bigrams"))
+          .otherwise(lit(0L)).as("top_bigram_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sliding-window document chunking — the RAG/embedding prep step that
+    * turns documents into overlapping fixed-size passages (`width` words
+    * every `stride`, trailing partial chunks kept). One generated-column
+    * projection + posexplode per row: chunk starts are `sequence(0, n−1,
+    * stride)` and each chunk is a `slice` — no shuffle anywhere except the
+    * presentation sort, and chunk identity (doc_id, chunk_idx) is
+    * deterministic, so re-chunking a grown corpus never renumbers existing
+    * chunks (the property an incremental embedding index needs).
+    */
+  def chunk(spark: SparkSession, dir: String, width: Int = 40, stride: Int = 30): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("ws")) - 1, lit(0)), lit(stride)),
+          st => slice(col("ws"), st + 1, lit(width)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_words"),
+        array_join(col("col"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** BM25 document ranking for a term query — the lexical-retrieval scoring
+    * half of a RAG stack (the dense half is the kNN family). Okapi BM25
+    * with k1 = 1, b = 0.75 and the LINEAR idf = N/df (same rationale as
+    * [[tfIdf]]: no libm, so the doubles replay bit-identically in any
+    * engine; k1 = 1 keeps every constant exactly representable). Per-term
+    * partial scores are floored to integer micros BEFORE the per-doc sum,
+    * so the reduction is fold-order-free.
+    *
+    * Scale shape: the explode prunes to the query's terms immediately
+    * (map-side), df and corpus stats are broadcast, and the final top-k is
+    * orderBy+limit ⇒ TakeOrderedAndProject — no global window; the rank
+    * column is numbered AFTER the limit, over topK rows only.
+    */
+  def bm25(spark: SparkSession, dir: String,
+           terms: Seq[String] = Seq("vector", "spark", "stream"),
+           topK: Int = 20): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), words(col("text")).as("ws"))
+    val lens = d.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val corpus = broadcast(lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_words")))
+    val tf = d.select(col("doc_id"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = col("n_docs").cast("double")
+    val scoreD = (nd / col("df").cast("double")) *
+      (col("tf").cast("double") * lit(2.0)) /
+      (col("tf").cast("double") + (lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") / (col("total_words").cast("double") / nd))))
+    val top = tf.join(broadcast(df), "term").join(lens, "doc_id").crossJoin(corpus)
+      .withColumn("score_micro", micro(scoreD))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_micro")).as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(topK)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
   /** Dataset-card summary over the cleaned corpus: docs + token volume per
     * language.
     */

@@ -109,6 +109,75 @@ object VectorSearch {
     rankTopK(hits, k)
   }
 
+  /** Scalar-filtered kNN — the Milvus hybrid surface: the reference applies
+    * scalar `expr` predicates to the vector collection
+    * (`Milvus/stream1.py:299` `collection.query(expr="frame_number >= 0")`,
+    * `:313` delete-by-expr), and Milvus composes the same predicates under
+    * `collection.search`. Here the predicate lands on the BASE side BELOW
+    * the score join, as a plan-visible filter that reaches the parquet scan
+    * (`PushedFilters: [LessThan(label,...)]`) — disqualified rows are never
+    * read, never scored, and k fills from the qualifying set only. The
+    * alternative (post-filter the unfiltered top-k) silently under-fills k
+    * whenever matches are sparse — the classic filtered-ANN correctness
+    * trap this form avoids by construction.
+    */
+  def knnFiltered(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5,
+                  maxLabel: Int = 5): DataFrame =
+    knnDeclarative(querySet(spark, dir, nq),
+      Tables.embeddings(spark, dir).filter(col("label") < maxLabel), k)
+
+  /** Reciprocal-rank fusion of lexical (BM25) and dense (exact kNN) hits —
+    * the standard hybrid-retrieval merge (RRF: score = Σ 1/(c + rank),
+    * c = 60): rank-based, so the incomparable score scales of BM25 and
+    * cosine never need calibrating. Realized as a full-outer equi-join of
+    * the two top-k lists (each already bounded at k rows — the join input
+    * is tiny by construction at any corpus scale) with integer-micro RRF
+    * contributions (10⁶ DIV (c + rank), fold-order-free). Documents and
+    * vectors share ids (vec_id == doc_id, the [[knnDocJoin]] contract).
+    */
+  def ragFusion(spark: SparkSession, dir: String,
+                terms: Seq[String] = Seq("vector", "spark", "stream"),
+                kLex: Int = 20, kDense: Int = 20, c: Int = 60): DataFrame = {
+    val lex = TextAnalysis.bm25(spark, dir, terms, kLex)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val dense = knnExact(spark, dir, k = kDense, nq = 1)
+      .select(col("vec_id").as("doc_id"), col("rank").as("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+      .withColumn("rrf_micro",
+        expr(s"IF(lex_rank > 0, 1000000 DIV ($c + lex_rank), 0L) + " +
+          s"IF(dense_rank > 0, 1000000 DIV ($c + dense_rank), 0L)"))
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
+      .orderBy(col("fused_rank"))
+  }
+
+  /** Range search — FAISS's other query surface (`index.range_search`,
+    * the fixed-radius sibling of `index.search`): ALL neighbors with
+    * cosine ≥ threshold, however many there are, instead of a fixed k.
+    * The retrieval primitive when hit counts are unknown a priori
+    * (near-dup candidate generation, radius-bounded recommendation).
+    *
+    * Same broadcast-queries shape as [[knnExact]], but selection is a pure
+    * FILTER — no rank window at all, so nothing accumulates per-query
+    * state: the scored stream prunes map-side and only survivors reach the
+    * presentation sort. The cut is applied to the integer micro score, so
+    * the boundary is engine-exact (a raw double `>=` would also replay, but
+    * the integer form keeps the oracle contract uniform). At 100 TB the
+    * same filter composes under the LSH/IVF pruned joins ([[knnLsh]],
+    * `IndexStore.searchQuery`) — probe first, then radius-cut.
+    */
+  def rangeSearch(spark: SparkSession, dir: String, nq: Int = 5,
+                  thresholdMicro: Long = 200000L): DataFrame =
+    Tables.embeddings(spark, dir).crossJoin(broadcast(querySet(spark, dir, nq)))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim_micro", micro(dot(col("qvec"), col("embedding"))))
+      .filter(col("sim_micro") >= thresholdMicro)
+      .select(col("qid"), col("vec_id"), col("sim_micro"))
+      .orderBy(col("qid"), col("sim_micro").desc, col("vec_id"))
+
   /** Approximate top-k via sign-LSH bucket blocking: candidates restricted
     * to the query's bucket (V6-shaped recall knob: more bits ⇒ fewer
     * candidates ⇒ faster/lower recall). Equi-join ⇒ shuffle on bucket only.

@@ -38,6 +38,56 @@ class OperatorSpec extends SparkSpec {
     assert(rows.length > 0)
   }
 
+  test("repetition signals are bounded and the sorted-run fold equals the relational bigram mode") {
+    val sig = TextAnalysis.repetitionSignals(spark, sfDir).cache()
+    assert(sig.filter($"n_distinct" > $"n_words" || $"top_bigram_n" > $"n_bigrams" ||
+      $"dup_word_micro" < 0 || $"dup_word_micro" > 1000000L ||
+      $"top_bigram_micro" < 0 || $"top_bigram_micro" > 1000000L).count() == 0)
+    // independent recompute of the bigram mode the shuffle-heavy way
+    val mode = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(graft.functions.Grams.kgrams(split($"text", " "), 2)).as("bg"))
+      .groupBy($"doc_id", $"bg").count()
+      .groupBy($"doc_id").agg(max($"count").as("expect"))
+    assert(sig.join(mode, "doc_id").filter($"top_bigram_n" =!= $"expect").count() == 0)
+    sig.unpersist(blocking = false)
+  }
+
+  test("chunking covers every word exactly to the end, in order, with ceil(n/stride) chunks") {
+    val width = 40; val stride = 30
+    val ch = TextAnalysis.chunk(spark, sfDir, width, stride).cache()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", size(split($"text", " ")).cast("long").as("n"))
+    val per = ch.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max($"chunk_idx" * stride + $"n_words").as("covered"),
+      max($"n_words").as("max_w"))
+    val j = per.join(docs, "doc_id")
+    assert(j.filter($"n_chunks" =!= expr(s"(n + $stride - 1) DIV $stride")).count() == 0,
+      "chunk count = ceil(n/stride)")
+    assert(j.filter($"covered" =!= $"n").count() == 0, "last chunk reaches the last word")
+    assert(j.filter($"max_w" > width).count() == 0, "no chunk exceeds width")
+    // order-preservation: chunk 0 is a prefix of the document text
+    val first = ch.filter($"chunk_idx" === 0).join(docs, "doc_id")
+    assert(first.filter(!$"text".startsWith($"chunk_text")).count() == 0)
+    ch.unpersist(blocking = false)
+  }
+
+  test("bm25 ranks are dense, scores ordered, and every ranked doc contains a query term") {
+    val terms = Seq("vector", "spark", "stream")
+    val r = TextAnalysis.bm25(spark, sfDir, terms, topK = 10).collect()
+    assert(r.length == 10)
+    assert(r.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+    assert(r.forall(_.getAs[Long]("score_micro") > 0))
+    assert(r.forall(x => x.getAs[Long]("n_terms") >= 1 && x.getAs[Long]("n_terms") <= terms.size))
+    val scores = r.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("score_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores non-increasing")
+    val ids = r.map(_.getAs[Long]("doc_id")).toSeq
+    val withTerm = Tables.documents(spark, sfDir)
+      .filter($"doc_id".isin(ids: _*))
+      .filter(size(array_intersect(split($"text", " "), typedlit(terms))) > 0)
+    assert(withTerm.count() == ids.length)
+  }
+
   test("redact masks PII-shaped text, leaves the clean corpus intact, and is idempotent") {
     // documents carry no PII by construction → redaction is the identity
     val docs = TextAnalysis.redact(Tables.documents(spark, sfDir), "text")

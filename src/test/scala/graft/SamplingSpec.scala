@@ -31,6 +31,24 @@ class SamplingSpec extends SparkSpec {
     assert(disagree == 0)
   }
 
+  test("mix sample fills each language quota (or exhausts the stratum) deterministically") {
+    val quotas = Map("en" -> 8, "es" -> 4, "de" -> 3, "fr" -> 2, "zh" -> 1)
+    val m = Sampling.mixSample(spark, sfDir, quotas).cache()
+    val perLang = m.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = Tables.documents(spark, sfDir).groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    quotas.foreach { case (lang, cap) =>
+      val expect = math.min(cap.toLong, avail.getOrElse(lang, 0L))
+      assert(perLang.getOrElse(lang, 0L) == expect, s"$lang: got ${perLang.get(lang)}, want $expect")
+    }
+    assert(perLang.keySet.subsetOf(quotas.keySet), "no unbudgeted language leaks through")
+    // determinism + growth stability: selection is a pure function of keys
+    val again = Sampling.mixSample(spark, sfDir, quotas)
+    assert(m.exceptAll(again).isEmpty && again.exceptAll(m).isEmpty)
+    m.unpersist(blocking = false)
+  }
+
   test("uniform sample size and determinism") {
     val a = Sampling.uniformSample(spark, sfDir, 10).collect()
     val b = Sampling.uniformSample(spark, sfDir, 10).collect()

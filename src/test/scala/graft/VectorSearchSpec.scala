@@ -70,6 +70,74 @@ class VectorSearchSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low for half the cells probed")
   }
 
+  test("filtered kNN fills k from qualifying rows only — a driver-side brute force agrees") {
+    val maxLabel = 5
+    val got = VectorSearch.knnFiltered(spark, sfDir, k = 5, nq = 3, maxLabel = maxLabel)
+      .select($"qid", $"vec_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // independent recompute: collect the tiny sf0.001 base and brute-force
+    val base = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val queries = base.filter(_._1 < 3)
+    val expect = queries.flatMap { case (qid, qv, _) =>
+      base.filter { case (vid, _, lab) => vid != qid && lab < maxLabel }
+        .map { case (vid, v, _) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += qv(i).toDouble * v(i).toDouble; i += 1 }
+          (qid, vid, s)
+        }
+        .sortBy { case (_, vid, s) => (-s, vid) }.take(5).zipWithIndex
+        .map { case ((q, vid, _), i) => (q, vid, i + 1) }
+    }
+    assert(got.sorted.toSeq == expect.sorted.toSeq)
+    // and the filter actually bites: some unfiltered top-5 hit is excluded
+    val unfiltered = VectorSearch.knnExact(spark, sfDir, k = 5, nq = 3)
+      .join(Tables.embeddings(spark, sfDir).select($"vec_id", $"label"), "vec_id")
+    assert(unfiltered.filter($"label" >= maxLabel).count() > 0,
+      "test corpus should have high-label rows in the unfiltered top-k")
+  }
+
+  test("RRF fusion: dense ranks, exact integer arithmetic, and both-leg docs outrank single-leg peers") {
+    val f = VectorSearch.ragFusion(spark, sfDir).cache()
+    val rows = f.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("fused_rank")).sorted.toSeq == (1L to rows.length))
+    // every row carries at least one leg, and the RRF arithmetic replays
+    rows.foreach { r =>
+      val (lex, dense) = (r.getAs[Long]("lex_rank"), r.getAs[Long]("dense_rank"))
+      assert(lex > 0 || dense > 0)
+      val expect = (if (lex > 0) 1000000L / (60 + lex) else 0L) +
+        (if (dense > 0) 1000000L / (60 + dense) else 0L)
+      assert(r.getAs[Long]("rrf_micro") == expect)
+    }
+    // a doc present in both legs beats any doc whose single leg rank is no
+    // better than both of its legs
+    val both = rows.filter(r => r.getAs[Long]("lex_rank") > 0 && r.getAs[Long]("dense_rank") > 0)
+    val single = rows.filter(r => r.getAs[Long]("lex_rank") == 0 || r.getAs[Long]("dense_rank") == 0)
+    for (b <- both; s <- single) {
+      val bBest = math.min(b.getAs[Long]("lex_rank"), b.getAs[Long]("dense_rank"))
+      val sRank = math.max(s.getAs[Long]("lex_rank"), s.getAs[Long]("dense_rank"))
+      if (sRank >= bBest) assert(b.getAs[Long]("rrf_micro") >= s.getAs[Long]("rrf_micro"))
+    }
+    f.unpersist(blocking = false)
+  }
+
+  test("range search is the exact above-threshold set: filter-consistent with kNN and monotone") {
+    val thr = 150000L
+    val r = VectorSearch.rangeSearch(spark, sfDir, nq = 5, thresholdMicro = thr).cache()
+    assert(r.count() > 0)
+    assert(r.filter($"sim_micro" < thr).count() == 0, "no hit below the radius")
+    // every exact top-k hit above the threshold must appear in the range set
+    val fromKnn = VectorSearch.knnExact(spark, sfDir, k = 5, nq = 5)
+      .filter($"sim_micro" >= thr).select($"qid", $"vec_id", $"sim_micro")
+    assert(fromKnn.exceptAll(r.select($"qid", $"vec_id", $"sim_micro")).isEmpty)
+    // raising the radius cut only shrinks the set (and stays a subset)
+    val tight = VectorSearch.rangeSearch(spark, sfDir, nq = 5, thresholdMicro = thr + 100000L)
+    assert(tight.select($"qid", $"vec_id").exceptAll(r.select($"qid", $"vec_id")).isEmpty)
+    r.unpersist(blocking = false)
+  }
+
   test("LSH candidates are a subset of exact top-k ordering semantics") {
     // every LSH hit must carry the same sim as exact scoring gives that pair
     val lsh = VectorSearch.knnLsh(spark, sfDir, k = 3, nq = 5, bits = 4)
