@@ -62,6 +62,7 @@ object SparkEntry {
     "dedup_minhash_md5" -> ((s, d) => Dedup.minhashMd5Pairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5Pairs(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     // bits pinned to 4: this query is the oracle anchor for the bucket
     // function (the library default auto-scales bits with corpus size).
@@ -79,6 +80,7 @@ object SparkEntry {
     "text_commonness" -> ((s, d) => TextAnalysis.commonness(s, d)),
     "text_redact" -> ((s, d) => TextAnalysis.redactQuery(s)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
+    "text_vocab" -> ((s, d) => TextAnalysis.vocabReport(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "sample_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
@@ -531,6 +533,25 @@ object SparkEntry {
         |       CAST(length(text) AS BIGINT) AS text_len
         |FROM documents GROUP BY text ORDER BY doc_id_kept""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    // Asymmetric containment near-dup: same inverted index, score =
+    // common / min(|A|,|B|), cut on the floored micro (engine-exact).
+    "dedup_containment" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+        |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |c AS (SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, common,
+        |        CAST(floor(CAST(common AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) * 1000000.0) AS BIGINT) AS containment_micro
+        |      FROM p JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       CAST(common AS BIGINT) AS common, containment_micro,
+        |       CAST(CASE WHEN n_a < n_b THEN id_a WHEN n_b < n_a THEN id_b
+        |                 ELSE least(id_a, id_b) END AS BIGINT) AS contained_id
+        |FROM c WHERE containment_micro >= 500000 ORDER BY id_a, id_b""".stripMargin,
     // Engine-portable MinHash: one md5 per shingle, Kirsch–Mitzenmacher
     // double-hashed permutations over two nibble-arithmetic 32-bit words,
     // 4 bands × 3 — the exact integer replay of Dedup.minhashMd5Pairs.
@@ -707,6 +728,19 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(t, '\b\d{4,}\b')) AS BIGINT) AS n_nums,
         |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
         |FROM p ORDER BY frame_number""".stripMargin,
+    // Tokenizer-prep vocabulary census: top-N words, mass share + running
+    // coverage in integer micros; windows run over the limited N rows only.
+    "text_vocab" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+        |c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        |top AS (SELECT word, n, total FROM c CROSS JOIN n ORDER BY n DESC, word LIMIT 50),
+        |r AS (SELECT word, n, n * 1000000 // total AS share_micro,
+        |        CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank
+        |      FROM top)
+        |SELECT rank, word, n, CAST(share_micro AS BIGINT) AS share_micro,
+        |       CAST(sum(share_micro) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_share_micro
+        |FROM r ORDER BY rank""".stripMargin,
     // Gopher repetition signals: dup-word fraction + top-bigram fraction as
     // integer micros. The oracle computes the bigram mode the relational way
     // (unnest + group + max) — same value as the Spark side's sorted-run fold.

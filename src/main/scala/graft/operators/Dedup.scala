@@ -181,6 +181,51 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Shingle-CONTAINMENT near-dup pairs — the asymmetric relation Jaccard
+    * misses: a short document pasted inside a much longer one scores
+    * common/min(|A|,|B|) ≈ 1 while its Jaccard c/(|A|+|B|−c) stays low
+    * (the union is dominated by the longer doc). This is the document-level
+    * form of the substring-dedup rule ("drop a doc mostly contained in
+    * another") that suffix-array pipelines apply at span level.
+    *
+    * Same inverted-index skeleton as [[ngramJaccardPairs]] — shared
+    * memoized shingle table, 8-byte xxhash64 join keys, df ≥ 2 prune,
+    * `dfCap` skew guard — only the final score differs, and the threshold
+    * cut is applied to the integer micro value so the boundary replays
+    * exactly in the oracle.
+    */
+  def containmentPairs(spark: SparkSession, dir: String, thresholdMicro: Long = 500000L,
+                       dfCap: Long = Long.MaxValue): DataFrame = {
+    val sh = memoPersist(spark, s"shingles|$dir|${dirFingerprint(dir)}")(
+      shingles(Tables.documents(spark, dir)))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    val df2 = inv.groupBy(col("sh_h")).count()
+      .filter(col("count") >= 2 && col("count") <= dfCap)
+      .select(col("sh_h"))
+    val inv2 = inv.join(df2, "sh_h")
+    val pairs = inv2.as("a").join(inv2.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("containment_micro",
+        micro(col("common").cast("double") / least(col("n_a"), col("n_b")).cast("double")))
+      .filter(col("containment_micro") >= thresholdMicro)
+      // the contained doc = the smaller shingle set (ties → lower id)
+      .withColumn("contained_id",
+        when(col("n_a") < col("n_b"), col("id_a"))
+          .when(col("n_b") < col("n_a"), col("id_b"))
+          .otherwise(least(col("id_a"), col("id_b"))))
+      .select(col("id_a"), col("id_b"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"), col("common"),
+        col("containment_micro"), col("contained_id"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------- MinHash --
 
   /** Fixed affine-permutation constants for MinHash (Broder 1997): h_j(x) =

@@ -341,6 +341,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"))
       .orderBy(col("lang"))
 
+  /** Vocabulary report — the tokenizer-prep census: top-N words by corpus
+    * frequency with per-word mass share and cumulative coverage (both
+    * integer micros). The last row's cumulative share IS the coverage of an
+    * N-word vocab; 10⁶ minus it is the OOV mass a tokenizer trained on this
+    * vocab would shatter. Shape: one map-combined count aggregation + a
+    * TakeOrderedAndProject top-N; rank and the running coverage sum are
+    * windows over the ALREADY-limited N rows, never the full vocabulary.
+    */
+  def vocabReport(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+    val total = broadcast(toks.agg(count(lit(1)).as("total")))
+    val top = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .crossJoin(total)
+      .orderBy(col("n").desc, col("word"))
+      .limit(topN)
+    val wRank = Window.orderBy(col("n").desc, col("word"))
+    top
+      .withColumn("share_micro", expr("n * 1000000 DIV total"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("cum_share_micro",
+        sum(col("share_micro")).over(
+          wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("word"), col("n"), col("share_micro"), col("cum_share_micro"))
+      .orderBy(col("rank"))
+  }
+
   /** Corpus-level word-bigram frequency, top-20: the explode → count →
     * top-N shape (the heavy-shuffle text aggregation; partial aggregation
     * makes it map-combined at scale).

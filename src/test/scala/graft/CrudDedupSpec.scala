@@ -213,6 +213,35 @@ class CrudDedupSpec extends SparkSpec {
     assert(clusters.forall(r => r.getLong(0) == r.getLong(2)), "cluster_id == min member")
   }
 
+  test("containment dominates jaccard pairwise and names the smaller doc as contained") {
+    val cont = Dedup.containmentPairs(spark, sfDir, thresholdMicro = 0L).cache()
+    // c/min(|A|,|B|) ≥ c/(|A|+|B|−c) for every pair — containment can only
+    // be larger than jaccard on the same common count
+    val jac = Dedup.ngramJaccardPairs(spark, sfDir, threshold = 0.0)
+    val joined = cont.join(jac, Seq("id_a", "id_b"))
+    assert(joined.count() > 0)
+    assert(joined.filter($"containment_micro" < $"jaccard_micro").count() == 0)
+    // bounds + direction contract
+    assert(cont.filter($"containment_micro" > 1000000L || $"common" > least($"n_a", $"n_b"))
+      .count() == 0)
+    assert(cont.filter($"contained_id" =!= $"id_a" && $"contained_id" =!= $"id_b").count() == 0)
+    assert(cont.filter(
+      ($"n_a" < $"n_b" && $"contained_id" =!= $"id_a") ||
+      ($"n_b" < $"n_a" && $"contained_id" =!= $"id_b")).count() == 0)
+    // a doc fully pasted into a bigger one: containment 1.0 even though
+    // jaccard is diluted by the union
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+    ).toDF("doc_id", "text")
+    val p = Dedup.shingles(docs)
+    val sh1 = p.filter($"doc_id" === 1L).select(explode($"sh").as("s"))
+    val sh2 = p.filter($"doc_id" === 2L).select(explode($"sh").as("s"))
+    assert(sh1.exceptAll(sh2).count() == 0, "doc 1's shingles all appear in doc 2")
+    cont.unpersist(blocking = false)
+  }
+
   test("jaccard pairs: duplicate texts score 1.0") {
     val dupPairs = Dedup.ngramJaccardPairs(spark, sfDir, threshold = 0.999)
     val exact = Dedup.exactDedup(spark, sfDir).filter($"n_copies" > 1)

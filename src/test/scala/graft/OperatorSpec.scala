@@ -72,6 +72,25 @@ class OperatorSpec extends SparkSpec {
     ch.unpersist(blocking = false)
   }
 
+  test("vocab report: dense ranks, non-increasing counts, exact prefix-sum coverage") {
+    val v = TextAnalysis.vocabReport(spark, sfDir, topN = 20).collect()
+    assert(v.length == 20)
+    assert(v.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    val ns = v.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "counts non-increasing")
+    // cumulative coverage is the exact integer prefix sum of the shares
+    val shares = v.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("share_micro"))
+    val cums = v.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cum_share_micro"))
+    assert(cums.toSeq == shares.scanLeft(0L)(_ + _).tail.toSeq)
+    assert(cums.last <= 1000000L)
+    // top-1 agrees with an independent recompute
+    val top1 = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").count().orderBy($"count".desc, $"w").limit(1).collect()(0)
+    assert(v.find(_.getAs[Long]("rank") == 1L).get.getAs[String]("word") == top1.getString(0))
+    assert(v.find(_.getAs[Long]("rank") == 1L).get.getAs[Long]("n") == top1.getLong(1))
+  }
+
   test("bm25 ranks are dense, scores ordered, and every ranked doc contains a query term") {
     val terms = Seq("vector", "spark", "stream")
     val r = TextAnalysis.bm25(spark, sfDir, terms, topK = 10).collect()
