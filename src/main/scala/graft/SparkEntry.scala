@@ -34,6 +34,7 @@ object SparkEntry {
     "knn_exact_phys" -> ((s, d) => VectorSearch.knnExactPhysical(s, d)),
     "knn_batch" -> ((s, d) => VectorSearch.knnBatch(s, d)),
     "knn_range" -> ((s, d) => VectorSearch.rangeSearch(s, d)),
+    "knn_range_ivf" -> ((s, d) => graft.sources.IndexStore.rangeQuery(s, d)),
     "knn_filtered" -> ((s, d) => VectorSearch.knnFiltered(s, d)),
     "rag_fusion" -> ((s, d) => VectorSearch.ragFusion(s, d)),
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
@@ -377,6 +378,23 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       ${microSql("sim")} AS sim_micro
          |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Radius search replayed over the same exported IVF artifacts: probe
+    // the 10 nearest cells, then a micro-threshold cut instead of top-k.
+    "knn_range_ivf" ->
+      s"""WITH cents AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |               FROM read_parquet('$ivfStorePath/centroids/*.parquet')),
+         |r AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id, embedding
+         |      FROM read_parquet('$ivfStorePath/rows/*/*.parquet', hive_partitioning=1)),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |qc AS (SELECT q.qid, q.qvec, c.cell_id, ${sqDistCentroidSql("q.qvec", "c.centroid")} AS d2
+         |       FROM q CROSS JOIN cents c),
+         |pr AS (SELECT qid, qvec, cell_id, row_number() OVER (PARTITION BY qid ORDER BY d2, cell_id) AS cr FROM qc),
+         |probed AS (SELECT qid, qvec, cell_id FROM pr WHERE cr <= 10),
+         |s AS (SELECT p.qid, r.vec_id, ${dotSql("p.qvec", "r.embedding")} AS sim
+         |      FROM r JOIN probed p USING (cell_id) WHERE r.vec_id <> p.qid)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM s WHERE ${microSql("sim")} >= 200000 ORDER BY qid, sim_micro DESC, vec_id""".stripMargin,
     "knn_pq" ->
       s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
          |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),

@@ -121,4 +121,40 @@ object IndexStore {
     ensure(spark, dir, path)
     searchPruned(spark, path, VectorSearch.querySet(spark, dir, 5))
   }
+
+  /** Radius (range) search over the persisted pruned index — the scale
+    * path of [[graft.operators.VectorSearch.rangeSearch]]: probe the
+    * nprobe nearest cells exactly as [[searchPruned]] does (static IN-list
+    * `PartitionFilters` — unprobed cells' files are never read), then cut
+    * on the integer micro radius instead of ranking top-k. No rank window
+    * at all: selection stays a map-side filter over the pruned scan, so
+    * per-query state never accumulates however many hits the radius
+    * admits. Approximate exactly like FAISS IVF range_search: hits outside
+    * probed cells are missed — the same nprobe recall dial.
+    */
+  def rangeSearchPruned(spark: SparkSession, path: String, queries: DataFrame,
+                        thresholdMicro: Long = 200000L, nprobe: Int = 10): DataFrame = {
+    val (rows, centroids) = read(spark, path)
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("d2", l2DistanceSq(col("qvec"), col("centroid").cast("array<float>")))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell_id"))
+    val probed = qCells.withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cell_id"))
+    val cells = probed.select(col("cell_id")).distinct().collect().map(_.get(0))
+    val pruned = rows.filter(col("cell_id").isin(cells: _*))
+    pruned.join(broadcast(probed), "cell_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim_micro", micro(dot(col("qvec"), col("embedding"))))
+      .filter(col("sim_micro") >= thresholdMicro)
+      .select(col("qid"), col("vec_id"), col("sim_micro"))
+      .orderBy(col("qid"), col("sim_micro").desc, col("vec_id"))
+  }
+
+  /** Range search over the persisted index as a named query. */
+  def rangeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    rangeSearchPruned(spark, path, VectorSearch.querySet(spark, dir, 5))
+  }
 }

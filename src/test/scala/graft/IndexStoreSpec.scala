@@ -44,6 +44,24 @@ class IndexStoreSpec extends SparkSpec {
     assert(a == b, "pruning the scan must not change the result set")
   }
 
+  test("pruned range search: subset of exact range, exact at nprobe=nlist, radius respected") {
+    val q = VectorSearch.querySet(spark, sfDir, 5)
+    val thr = 150000L
+    val pruned = IndexStore.rangeSearchPruned(spark, path, q, thresholdMicro = thr, nprobe = 2)
+      .select($"qid", $"vec_id", $"sim_micro").cache()
+    assert(pruned.filter($"sim_micro" < thr).count() == 0, "radius respected")
+    // exact range over the full base (the unprobed reference)
+    val exact = VectorSearch.rangeSearch(spark, sfDir, nq = 5, thresholdMicro = thr)
+      .select($"qid", $"vec_id", $"sim_micro")
+    assert(pruned.exceptAll(exact).count() == 0, "probing can only MISS hits, never invent them")
+    // probing every cell reproduces the exact range set
+    val nlist = IndexStore.read(spark, path)._2.count().toInt
+    val all = IndexStore.rangeSearchPruned(spark, path, q, thresholdMicro = thr, nprobe = nlist)
+      .select($"qid", $"vec_id", $"sim_micro")
+    assert(all.exceptAll(exact).count() == 0 && exact.exceptAll(all).count() == 0)
+    pruned.unpersist(blocking = false)
+  }
+
   test("pruned search scan carries a static PartitionFilters IN-list on cell_id") {
     val q = VectorSearch.querySet(spark, sfDir, 3)
     val plan = IndexStore.searchPruned(spark, path, q, k = 5, nprobe = 10)
