@@ -35,6 +35,7 @@ object SparkEntry {
     "knn_batch" -> ((s, d) => VectorSearch.knnBatch(s, d)),
     "knn_range" -> ((s, d) => VectorSearch.rangeSearch(s, d)),
     "knn_range_ivf" -> ((s, d) => graft.sources.IndexStore.rangeQuery(s, d)),
+    "index_stats" -> ((s, d) => graft.sources.IndexStore.statsQuery(s, d)),
     "knn_filtered" -> ((s, d) => VectorSearch.knnFiltered(s, d)),
     "rag_fusion" -> ((s, d) => VectorSearch.ragFusion(s, d)),
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
@@ -153,6 +154,7 @@ object SparkEntry {
     // §2.10 — an actual Structured Streaming execution, oracle-checked
     "stream_hourly" -> ((s, d) => StreamOps.streamHourly(s, d)),
     "stream_interval_join" -> ((s, d) => StreamOps.streamIntervalJoin(s, d)),
+    "stream_knn" -> ((s, d) => StreamOps.streamKnnSearch(s, d)),
   )
 
   // ------------------------------------------------------------ oracles --
@@ -235,6 +237,28 @@ object SparkEntry {
       | CAST(count(*) AS BIGINT) AS n,
       | CAST(sum(CAST(value AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_value_c
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Probed IVF search replayed in SQL over the exported store artifacts —
+    * shared by `knn_ivf` (batch) and `stream_knn` (the AvailableNow
+    * streaming execution of the same search). A `def`: [[ivfStorePath]]
+    * re-derives from the pinned oracle sf dir on each call.
+    */
+  private def ivfProbedSearchSql: String =
+    s"""WITH cents AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+       |               FROM read_parquet('$ivfStorePath/centroids/*.parquet')),
+       |r AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id, embedding
+       |      FROM read_parquet('$ivfStorePath/rows/*/*.parquet', hive_partitioning=1)),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |qc AS (SELECT q.qid, q.qvec, c.cell_id, ${sqDistCentroidSql("q.qvec", "c.centroid")} AS d2
+       |       FROM q CROSS JOIN cents c),
+       |pr AS (SELECT qid, qvec, cell_id, row_number() OVER (PARTITION BY qid ORDER BY d2, cell_id) AS cr FROM qc),
+       |probed AS (SELECT qid, qvec, cell_id FROM pr WHERE cr <= 10),
+       |s AS (SELECT p.qid, r.vec_id, ${dotSql("p.qvec", "r.embedding")} AS sim
+       |      FROM r JOIN probed p USING (cell_id) WHERE r.vec_id <> p.qid),
+       |rk AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+       |       ${microSql("sim")} AS sim_micro
+       |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** Okapi BM25 CTE chain (k1 = 1, b = 0.75, linear idf; per-term integer
     * micros) ending in `bm25agg(doc_id, score_micro, n_terms)` — shared by
@@ -362,22 +386,11 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       ${microSql("sim")} AS sim_micro
          |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
-    "knn_ivf" ->
-      s"""WITH cents AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
-         |               FROM read_parquet('$ivfStorePath/centroids/*.parquet')),
-         |r AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id, embedding
-         |      FROM read_parquet('$ivfStorePath/rows/*/*.parquet', hive_partitioning=1)),
-         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
-         |qc AS (SELECT q.qid, q.qvec, c.cell_id, ${sqDistCentroidSql("q.qvec", "c.centroid")} AS d2
-         |       FROM q CROSS JOIN cents c),
-         |pr AS (SELECT qid, qvec, cell_id, row_number() OVER (PARTITION BY qid ORDER BY d2, cell_id) AS cr FROM qc),
-         |probed AS (SELECT qid, qvec, cell_id FROM pr WHERE cr <= 10),
-         |s AS (SELECT p.qid, r.vec_id, ${dotSql("p.qvec", "r.embedding")} AS sim
-         |      FROM r JOIN probed p USING (cell_id) WHERE r.vec_id <> p.qid),
-         |rk AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
-         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
-         |       ${microSql("sim")} AS sim_micro
-         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "knn_ivf" -> ivfProbedSearchSql,
+    // The streaming run searches the SAME persisted store with the same
+    // k/nprobe/query set — one oracle serves both the batch and the
+    // AvailableNow streaming execution.
+    "stream_knn" -> ivfProbedSearchSql,
     // Radius search replayed over the same exported IVF artifacts: probe
     // the 10 nearest cells, then a micro-threshold cut instead of top-k.
     "knn_range_ivf" ->
@@ -395,6 +408,16 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
          |       ${microSql("sim")} AS sim_micro
          |FROM s WHERE ${microSql("sim")} >= 200000 ORDER BY qid, sim_micro DESC, vec_id""".stripMargin,
+    // Index health (num_entities / invlist balance): per-cell counts, key
+    // range, integer-mean norm — replayed over the exported clustered rows.
+    "index_stats" ->
+      s"""WITH r AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id, embedding
+         |           FROM read_parquet('$ivfStorePath/rows/*/*.parquet', hive_partitioning=1))
+         |SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+         |       CAST(max(vec_id) AS BIGINT) AS max_vec_id,
+         |       CAST(sum(${microSql(s"sqrt(${dotSql("embedding", "embedding")})")}) // count(*) AS BIGINT) AS mean_norm_micro
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "knn_pq" ->
       s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
          |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),

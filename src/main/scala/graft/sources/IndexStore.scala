@@ -91,6 +91,24 @@ object IndexStore {
     */
   def searchPruned(spark: SparkSession, path: String, queries: DataFrame,
                    k: Int = 5, nprobe: Int = 10): DataFrame = {
+    val scored = scoreProbed(spark, path, queries, nprobe)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Shared probe+score front half of every persisted-index query: rank
+    * cells per query against the broadcast centroids, keep the nprobe
+    * nearest, inline the probed cell ids as a literal IN-list (static
+    * `PartitionFilters` — the coarse-quantizer skip, decided driver-side
+    * from ≤ nq·nprobe ints), equi-join and score. Callers choose the tail:
+    * top-k rank window ([[searchPruned]]) or a radius filter
+    * ([[rangeSearchPruned]]).
+    */
+  private def scoreProbed(spark: SparkSession, path: String, queries: DataFrame,
+                          nprobe: Int): DataFrame = {
     val (rows, centroids) = read(spark, path)
     val qCells = queries.crossJoin(broadcast(centroids))
       .withColumn("d2", l2DistanceSq(col("qvec"), col("centroid").cast("array<float>")))
@@ -99,15 +117,10 @@ object IndexStore {
       .filter(col("cr") <= nprobe)
       .select(col("qid"), col("qvec"), col("cell_id"))
     val cells = probed.select(col("cell_id")).distinct().collect().map(_.get(0))
-    val pruned = rows.filter(col("cell_id").isin(cells: _*))
-    val scored = pruned.join(broadcast(probed), "cell_id")
+    rows.filter(col("cell_id").isin(cells: _*))
+      .join(broadcast(probed), "cell_id")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", dot(col("qvec"), col("embedding")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
-      .orderBy(col("qid"), col("rank"))
   }
 
   /** The V5 named query, build-once / search-many: ensure the persisted
@@ -133,28 +146,42 @@ object IndexStore {
     * probed cells are missed — the same nprobe recall dial.
     */
   def rangeSearchPruned(spark: SparkSession, path: String, queries: DataFrame,
-                        thresholdMicro: Long = 200000L, nprobe: Int = 10): DataFrame = {
-    val (rows, centroids) = read(spark, path)
-    val qCells = queries.crossJoin(broadcast(centroids))
-      .withColumn("d2", l2DistanceSq(col("qvec"), col("centroid").cast("array<float>")))
-    val wc = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell_id"))
-    val probed = qCells.withColumn("cr", row_number().over(wc))
-      .filter(col("cr") <= nprobe)
-      .select(col("qid"), col("qvec"), col("cell_id"))
-    val cells = probed.select(col("cell_id")).distinct().collect().map(_.get(0))
-    val pruned = rows.filter(col("cell_id").isin(cells: _*))
-    pruned.join(broadcast(probed), "cell_id")
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("sim_micro", micro(dot(col("qvec"), col("embedding"))))
+                        thresholdMicro: Long = 200000L, nprobe: Int = 10): DataFrame =
+    scoreProbed(spark, path, queries, nprobe)
+      .withColumn("sim_micro", micro(col("sim")))
       .filter(col("sim_micro") >= thresholdMicro)
       .select(col("qid"), col("vec_id"), col("sim_micro"))
       .orderBy(col("qid"), col("sim_micro").desc, col("vec_id"))
-  }
 
   /** Range search over the persisted index as a named query. */
   def rangeQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = defaultPath(dir)
     ensure(spark, dir, path)
     rangeSearchPruned(spark, path, VectorSearch.querySet(spark, dir, 5))
+  }
+
+  /** Index-health statistics — the `collection.num_entities` /
+    * inverted-list-balance surface every vector DB exposes
+    * (`Milvus/stream1.py:201,227,238` gates its loads on entity counts;
+    * FAISS ops watch invlist imbalance because one hot cell serializes
+    * probes). Per cell: entity count, key range, and integer-mean vector
+    * norm (Σ floor(1e6·‖v‖) DIV n — fold-order-free). One map-combined
+    * aggregation over the clustered layout; at 100 TB each partition
+    * aggregates its own file split, no row ever moves except the ≤ nlist
+    * partial buffers.
+    */
+  def statsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val (rows, _) = read(spark, path)
+    rows
+      .select(col("cell_id").cast("long").as("cell_id"), col("vec_id"),
+        micro(norm2(col("embedding"))).as("nm"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"),
+        expr("sum(nm) DIV count(1)").as("mean_norm_micro"))
+      .orderBy(col("cell_id"))
   }
 }

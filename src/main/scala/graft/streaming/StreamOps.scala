@@ -233,6 +233,54 @@ object StreamOps {
         })
   }
 
+  /** embeddings schema for the streaming query source. */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming kNN search — the reference's serve loop: queries arrive
+    * continuously and each round searches the collection
+    * (`Milvus/stream1.py:161-162` `collection.search(...)` inside the
+    * streaming benchmark loop; `:386,398` query batches). Realized as a
+    * file-source stream of query vectors whose every micro-batch runs the
+    * partition-pruned probed search against the PERSISTED index
+    * ([[graft.sources.IndexStore.searchPruned]] — the same static
+    * `PartitionFilters` skip as the batch path) and appends its hits to a
+    * result sink. Per-query top-k is correct under ANY batch split because
+    * each query row lives in exactly one micro-batch and queries are
+    * independent. AvailableNow + awaitTermination returns the completed
+    * result as a batch DataFrame, so the driver's DuckDB oracle checks a
+    * REAL streaming execution against the same exported-store replay as
+    * `knn_ivf`.
+    */
+  def streamKnnSearch(spark: SparkSession, dir: String, k: Int = 5,
+                      nq: Int = 5, nprobe: Int = 10): DataFrame = {
+    val path = graft.sources.IndexStore.defaultPath(dir)
+    graft.sources.IndexStore.ensure(spark, dir, path)
+    val out = java.nio.file.Files.createTempDirectory("graft-streamknn").toString
+    val hitsDir = s"$out/hits"
+    val src = spark.readStream.schema(embeddingsSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/embeddings.parquet*")
+      .filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val q = src.writeStream
+      .option("checkpointLocation", s"$out/chk")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.sources.IndexStore
+          .searchPruned(batch.sparkSession, path, batch.toDF(), k, nprobe)
+          .write.mode("append").parquet(hitsDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(hitsDir)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
+        col("sim_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** S9/T2: synthetic continuous packet source — rate source + generated
     * columns, the Spark twin of the 32-replica simulator emitting one op
     * every 8–12 s (`network_simulator.py:178-192`, compose `replicas: 32`).

@@ -62,6 +62,22 @@ class IndexStoreSpec extends SparkSpec {
     pruned.unpersist(blocking = false)
   }
 
+  test("index stats: per-cell counts partition the base, norms are ~1 for the normalized corpus") {
+    val (rows, centroids) = IndexStore.read(spark, path)
+    val stats = rows
+      .select($"cell_id".cast("long").as("cell_id"), $"vec_id",
+        graft.functions.VectorFunctions.micro(
+          graft.functions.VectorFunctions.norm2($"embedding")).as("nm"))
+      .groupBy($"cell_id")
+      .agg(count(lit(1)).as("n_vecs"), expr("sum(nm) DIV count(1)").as("mean_norm_micro"))
+      .collect()
+    assert(stats.map(_.getAs[Long]("n_vecs")).sum == Tables.embeddings(spark, sfDir).count())
+    assert(stats.length.toLong == rows.select($"cell_id").distinct().count())
+    // the corpus is L2-normalized: every cell's mean norm is 1.0 ± 1 ulp-ish
+    assert(stats.forall(r => math.abs(r.getAs[Long]("mean_norm_micro") - 1000000L) <= 2L),
+      stats.map(_.getAs[Long]("mean_norm_micro")).mkString(","))
+  }
+
   test("pruned search scan carries a static PartitionFilters IN-list on cell_id") {
     val q = VectorSearch.querySet(spark, sfDir, 3)
     val plan = IndexStore.searchPruned(spark, path, q, k = 5, nprobe = 10)

@@ -68,6 +68,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(stateful).count() == 0)
   }
 
+  test("streaming kNN search equals the batch probed search over the same store") {
+    import graft.sources.IndexStore
+    import graft.operators.VectorSearch
+    val streamed = StreamOps.streamKnnSearch(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed.nonEmpty)
+    // the stream call ensured the store — the batch twin searches it directly
+    val path = IndexStore.defaultPath(sfDir)
+    val batch = IndexStore
+      .searchPruned(spark, path, VectorSearch.querySet(spark, sfDir, 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3))).toSeq
+    assert(streamed == batch, "AvailableNow streaming execution must equal the batch search")
+  }
+
   test("streaming vector ingest fills the clustered store end-to-end") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val centroids = graft.operators.VectorSearch.kmeansFit(
