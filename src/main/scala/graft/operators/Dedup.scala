@@ -140,46 +140,57 @@ object Dedup {
     df
   }
 
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.12,
-                        dfCap: Long = Long.MaxValue): DataFrame = {
+  /** Shared candidate-pair front half of the shingle-overlap family
+    * ([[ngramJaccardPairs]], [[containmentPairs]]): memoized shingle table
+    * → inverted index on the shingle's 64-bit hash → df-pruned self-join →
+    * per-pair common counts, joined back to both docs' set sizes.
+    *
+    * Join on the hash, not the string: the shuffle moves 8-byte keys
+    * instead of ~25-byte text. A collision would need two distinct
+    * shingles at the same 64-bit value inside one doc pair — P ≈ n²/2⁶⁵,
+    * negligible even at 100 TB corpus scale.
+    *
+    * Document-frequency prune: a shingle appearing in a single document
+    * joins only with itself and contributes no pair, so dropping df=1
+    * keys shrinks the self-join input (most shingles are unique) without
+    * changing ANY pair's common count — results stay oracle-exact.
+    * `dfCap` is the skew guard for corpus scale: a stop-shingle shared by
+    * millions of docs would fan the self-join out quadratically on one
+    * key, so keys with df > dfCap are dropped. Capping only LOWERS a
+    * pair's common count (sizes are unaffected), so the capped result is
+    * always a subset of the exact one — the standard recall/cost dial of
+    * production MinHash/Jaccard dedup. Default = no cap (oracle anchor).
+    *
+    * Returns (id_a, id_b, common, n_a, n_b) with id_a < id_b.
+    */
+  private def shinglePairCommon(spark: SparkSession, dir: String, dfCap: Long): DataFrame = {
     // Cached because the shingle table feeds four plan branches (sizes,
     // df-prune, both self-join sides); spill-safe level.
     val sh = memoPersist(spark, s"shingles|$dir|${dirFingerprint(dir)}")(
       shingles(Tables.documents(spark, dir)))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    // Join on the shingle's 64-bit hash, not the string: the shuffle moves
-    // 8-byte keys instead of ~25-byte text. A collision would need two
-    // distinct shingles at the same 64-bit value inside one doc pair —
-    // P ≈ n²/2⁶⁵, negligible even at 100 TB corpus scale.
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
-    // Document-frequency prune: a shingle appearing in a single document
-    // joins only with itself and contributes no pair, so dropping df=1
-    // keys shrinks the self-join input (most shingles are unique) without
-    // changing ANY pair's common count — results stay oracle-exact.
-    // `dfCap` is the skew guard for corpus scale: a stop-shingle shared by
-    // millions of docs would fan the self-join out quadratically on one
-    // key, so keys with df > dfCap are dropped. Capping only LOWERS a
-    // pair's common count (sizes are unaffected), so the capped result is
-    // always a subset of the exact one — the standard recall/cost dial of
-    // production MinHash/Jaccard dedup. Default = no cap (oracle anchor).
     val df2 = inv.groupBy(col("sh_h")).count()
       .filter(col("count") >= 2 && col("count") <= dfCap)
       .select(col("sh_h"))
     val inv2 = inv.join(df2, "sh_h")
-    val pairs = inv2.as("a").join(inv2.as("b"),
+    inv2.as("a").join(inv2.as("b"),
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    pairs
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+  }
+
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.12,
+                        dfCap: Long = Long.MaxValue): DataFrame =
+    shinglePairCommon(spark, dir, dfCap)
       .withColumn("jaccard", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), micro(col("jaccard")).as("jaccard_micro"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** Shingle-CONTAINMENT near-dup pairs — the asymmetric relation Jaccard
     * misses: a short document pasted inside a much longer one scores
@@ -195,23 +206,8 @@ object Dedup {
     * exactly in the oracle.
     */
   def containmentPairs(spark: SparkSession, dir: String, thresholdMicro: Long = 500000L,
-                       dfCap: Long = Long.MaxValue): DataFrame = {
-    val sh = memoPersist(spark, s"shingles|$dir|${dirFingerprint(dir)}")(
-      shingles(Tables.documents(spark, dir)))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
-    val df2 = inv.groupBy(col("sh_h")).count()
-      .filter(col("count") >= 2 && col("count") <= dfCap)
-      .select(col("sh_h"))
-    val inv2 = inv.join(df2, "sh_h")
-    val pairs = inv2.as("a").join(inv2.as("b"),
-        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+                       dfCap: Long = Long.MaxValue): DataFrame =
+    shinglePairCommon(spark, dir, dfCap)
       .withColumn("containment_micro",
         micro(col("common").cast("double") / least(col("n_a"), col("n_b")).cast("double")))
       .filter(col("containment_micro") >= thresholdMicro)
@@ -224,7 +220,6 @@ object Dedup {
         col("n_b").cast("long").as("n_b"), col("common"),
         col("containment_micro"), col("contained_id"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   // ------------------------------------------------------------- MinHash --
 

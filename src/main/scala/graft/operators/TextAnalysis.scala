@@ -313,7 +313,7 @@ object TextAnalysis {
     val lens = d.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
     val corpus = broadcast(lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_words")))
     val tf = d.select(col("doc_id"), explode(col("ws")).as("term"))
-      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = col("n_docs").cast("double")
