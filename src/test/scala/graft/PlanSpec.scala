@@ -49,6 +49,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("filtered kNN pushes the scalar predicate into the base scan, below the score join") {
+    val p = plan(VectorSearch.knnFiltered(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("LessThan(label,5)"), p.take(3000))
+  }
+
+  test("repetition signals are scan-bound: no Exchange except the presentation sort") {
+    val p = plan(TextAnalysis.repetitionSignals(spark, sfDir))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected at most the final sort exchange, got $exchanges\n" + p.take(3000))
+  }
+
+  test("mix sampling plans WindowGroupLimit from the literal max-quota conjunct") {
+    val p = plan(Sampling.mixSample(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("bm25 top-k is TakeOrderedAndProject — no global window over the corpus") {
+    val p = plan(TextAnalysis.bm25(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("vector kernels stay inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.limit(3).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
