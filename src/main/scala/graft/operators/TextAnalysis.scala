@@ -312,8 +312,11 @@ object TextAnalysis {
     val d = Tables.documents(spark, dir).select(col("doc_id"), words(col("text")).as("ws"))
     val lens = d.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
     val corpus = broadcast(lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_words")))
-    val tf = d.select(col("doc_id"), explode(col("ws")).as("term"))
-      .filter(col("term").isin(terms: _*))
+    // Prune INSIDE the row before exploding (duplicate-preserving HOF
+    // filter, not array_intersect which dedups): the generate emits only
+    // the query's term hits instead of every corpus token.
+    val tf = d.select(col("doc_id"),
+        explode(filter(col("ws"), w => w.isin(terms.map(lit): _*))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = col("n_docs").cast("double")
