@@ -66,9 +66,12 @@ object SparkEntry {
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5Pairs(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
-    // bits pinned to 4: this query is the oracle anchor for the bucket
-    // function (the library default auto-scales bits with corpus size).
-    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d, bits = 4)),
+    // Library-default auto-bits (~64 vectors per sign-LSH bucket): the
+    // oracle replays the same bits-from-count formula in SQL, so the
+    // anchored query IS the scale path — a pinned small bits value would
+    // make the in-bucket self-join quadratic at corpus scale. (bits=4 is
+    // exercised as a spec-only case in DedupSpec.)
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_banded" -> ((s, d) => Dedup.embeddingNearDupBanded(s, d)),
     // LLM-pipeline — text analysis
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
@@ -655,7 +658,20 @@ object SparkEntry {
          |       CAST(min(node) AS BIGINT) AS min_member, CAST(max(node) AS BIGINT) AS max_member
          |FROM cc GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket FROM embeddings),
+      // Replays Dedup.embeddingNearDup's auto-bits formula exactly:
+      // n = max(1, count), bits = clamp(64 - nlz(n/64), 4, 20) — for
+      // n/64 >= 1 that is floor(log2(n/64)) + 1, and the n/64 = 0 branch
+      // clamps to 4 either way. The bucket is then the dynamic-width sign
+      // pattern over the first `bits` coordinates.
+      s"""WITH nb AS (SELECT least(20, greatest(4,
+         |        CAST(floor(log2(greatest(1, count(*) // 64))) AS BIGINT) + 1)) AS bits
+         |      FROM embeddings),
+         |e AS (SELECT vec_id, embedding,
+         |        list_reduce(list_prepend(0::BIGINT, list_transform(range(1, bits + 1),
+         |          i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0
+         |                    THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)),
+         |          (acc, x) -> acc + x) AS bucket
+         |      FROM embeddings CROSS JOIN nb),
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dotSql("a.embedding", "b.embedding")} AS sim
          |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, ${microSql("sim")} AS sim_micro

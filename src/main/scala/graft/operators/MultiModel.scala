@@ -143,6 +143,31 @@ object MultiModel {
       .select(col("model"), col("op"), col("p.op_size"), col("p.n_rows"))
   }
 
+  /** Fold the query op's top-K hit rows into BOTH the insertion and the
+    * query cells of the long format. The two ops embed the SAME texts, so
+    * one featurizer scan feeds both (a separate insertion branch would
+    * re-embed all n×|models| rows — Catalyst does not common up duplicate
+    * subplans across a union): every embedded (model, id) row surfaces
+    * exactly K hit rows (the broadcast candidate join always matches and
+    * NCand ≥ K), so rank=1 slices out one row per embedded unit (the
+    * insertion metric) while the full slice counts query hits.
+    */
+  private def sweepAggInsertQuery(hits: DataFrame, sizes: Seq[Int]): DataFrame = {
+    val insSums = sizes.map(s =>
+      sum(when(col("id") < lit(IdBase + s) && col("rank") === 1, 1L).otherwise(0L)).as(s"ins_$s"))
+    val qrySums = sizes.map(s =>
+      sum(when(col("id") < lit(IdBase + s), 1L).otherwise(0L)).as(s"qry_$s"))
+    val allSums = insSums ++ qrySums
+    val cells = array(
+      (sizes.map(s => struct(lit("insertion").as("op"), lit(s.toLong).as("op_size"),
+          col(s"ins_$s").as("n_rows"))) ++
+        sizes.map(s => struct(lit("query").as("op"), lit(s.toLong).as("op_size"),
+          col(s"qry_$s").as("n_rows")))): _*)
+    hits.groupBy(col("model")).agg(allSums.head, allSums.tail: _*)
+      .select(col("model"), explode(cells).as("p"))
+      .select(col("model"), col("p.op"), col("p.op_size"), col("p.n_rows"))
+  }
+
   /** The combined multi-model metrics table (`pipeline.py:357-400`,
     * `README.md:96-99` CSV shape): long format
     * (model, op, op_size, n_rows, dim) — |models| × 4 ops × |sizes| rows.
@@ -152,9 +177,6 @@ object MultiModel {
     import spark.implicits._
     val n = sizes.max
     val insIds = spark.range(0, n.toLong).select((col("id") + lit(IdBase)).as("id"))
-
-    // insertion: embed the add-to-index payload in every model's space.
-    val insertion = sweepAgg(embedAll(spark, n, insertText), "insertion", sizes)
 
     // deletion: anti-join (base ∪ inserted) against the inserted ids; the
     // survivor set is model/size-invariant, so ONE anti-join feeds all 42
@@ -174,10 +196,11 @@ object MultiModel {
       embedAll(spark, n, updateText).join(broadcast(insIds), Seq("id")),
       "update", sizes)
 
-    // query: embed the query texts, broadcast-join the candidate dimension
-    // table, keep top-K per (model, query) by inner product. The vector
-    // columns are projected away BEFORE the rank exchange — only
-    // (model, id, cand, sim) shuffles.
+    // insertion + query: ONE embed scan feeds both ops (they embed the
+    // same texts — see [[sweepAggInsertQuery]]). Embed, broadcast-join the
+    // candidate dimension table, keep top-K per (model, query) by inner
+    // product; the vector columns are projected away BEFORE the rank
+    // exchange — only (model, id, cand, sim) shuffles.
     val cands = models.flatMap { case (m, d) =>
       (0L until NCand.toLong).map(c => (m, c, Featurizer.embed(insertTextAt(c), d, m).toSeq))
     }.toDF("model", "cand", "cvec")
@@ -187,10 +210,10 @@ object MultiModel {
     val w = Window.partitionBy(col("model"), col("id"))
       .orderBy(col("sim").desc, col("cand"))
     val hits = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
-    val query = sweepAgg(hits, "query", sizes)
+    val insertionAndQuery = sweepAggInsertQuery(hits, sizes)
 
     val dimMap = map(models.flatMap { case (m, d) => Seq(lit(m), lit(d.toLong)) }: _*)
-    insertion.unionByName(deletion).unionByName(update).unionByName(query)
+    insertionAndQuery.unionByName(deletion).unionByName(update)
       .withColumn("dim", element_at(dimMap, col("model")))
       .orderBy(col("model"), col("op"), col("op_size"))
   }

@@ -17,6 +17,34 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
+  /** Streaming state parallelism. A streaming query's shuffle-partition
+    * count fixes its state-store partition count for the checkpoint's
+    * lifetime, and EVERY micro-batch pays a per-partition state commit
+    * (delta file + fsync) — for a stream-stream join that is 4 stores per
+    * side × partitions commits per batch. So the right number tracks state
+    * VOLUME, not the session's batch parallelism: inheriting local[32]'s 32
+    * shuffle partitions put 128 state commits behind a 100k-row interval
+    * join and cost ~3× the join itself (measured: 17-25 s vs ~2 s at 8).
+    * Each query below pins this for the duration of its run and restores
+    * the session value after; a real deployment sizes it to expected state
+    * rows / executor count when the checkpoint is first created (it cannot
+    * change afterwards without a new checkpoint).
+    */
+  private def streamStatePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8").toInt
+
+  /** Run `f` with the session's shuffle partitions pinned to the streaming
+    * state parallelism, restoring the prior value afterwards. Streaming
+    * plans capture the setting at `start()`, so the override only needs to
+    * span query construction + execution.
+    */
+  private def withStreamPartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, streamStatePartitions.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** events schema for the streaming file source (explicit StructType —
     * streaming sources cannot infer). ts arrives as epoch-nanos LongType
     * (the parquet is TIMESTAMP(NANOS); read under
@@ -57,13 +85,15 @@ object StreamOps {
     */
   def streamHourly(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_hourly_${System.nanoTime()}"
-    val src = readEventsStream(spark, dir)
-    val q = hourlyAgg(src.withWatermark("ts", "2 hours"))
-      .writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val src = readEventsStream(spark, dir)
+      val q = hourlyAgg(src.withWatermark("ts", "2 hours"))
+        .writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy(col("hour_epoch"), col("event_type"))
   }
 
@@ -73,7 +103,7 @@ object StreamOps {
     * `mergeInto` is the MERGE the reference's upsert implies.
     */
   def foreachBatchUpsert(spark: SparkSession, dir: String, storePath: String,
-                         checkpoint: String): Unit = {
+                         checkpoint: String): Unit = withStreamPartitions(spark) {
     val src = readEventsStream(spark, dir)
     val q = src.writeStream
       .option("checkpointLocation", checkpoint)
@@ -135,7 +165,7 @@ object StreamOps {
     */
   def streamingVectorIngest(spark: SparkSession, dir: String,
                             centroids: DataFrame, storePath: String,
-                            checkpoint: String): Unit = {
+                            checkpoint: String): Unit = withStreamPartitions(spark) {
     val docs = spark.readStream.schema(documentsSchema)
       .option("basePath", dir)
       .parquet(s"$dir/documents.parquet*")
@@ -174,19 +204,21 @@ object StreamOps {
     */
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_cv_${System.nanoTime()}"
-    val src = readEventsStream(spark, dir)
-    val clicks = src.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val views = readEventsStream(spark, dir).filter(col("event_type") === "view")
-      .select(col("event_id").as("view_id"), col("user_id").as("view_user"), col("ts").as("view_ts"))
-      .withWatermark("view_ts", "5 hours") // join-window + click delay: state cleanup bound
-    val q = clickViewIntervalJoin(clicks, views)
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val src = readEventsStream(spark, dir)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val views = readEventsStream(spark, dir).filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("view_user"), col("ts").as("view_ts"))
+        .withWatermark("view_ts", "5 hours") // join-window + click delay: state cleanup bound
+      val q = clickViewIntervalJoin(clicks, views)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy(col("click_id"), col("view_id"))
   }
 
@@ -233,12 +265,6 @@ object StreamOps {
         })
   }
 
-  /** embeddings schema for the streaming query source. */
-  val embeddingsSchema: StructType = StructType(Seq(
-    StructField("vec_id", LongType),
-    StructField("embedding", ArrayType(FloatType)),
-    StructField("label", IntegerType)))
-
   /** Streaming kNN search — the reference's serve loop: queries arrive
     * continuously and each round searches the collection
     * (`Milvus/stream1.py:161-162` `collection.search(...)` inside the
@@ -260,25 +286,43 @@ object StreamOps {
     graft.sources.IndexStore.ensure(spark, dir, path)
     val out = java.nio.file.Files.createTempDirectory("graft-streamknn").toString
     val hitsDir = s"$out/hits"
-    val src = spark.readStream.schema(embeddingsSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/embeddings.parquet*")
-      .filter(col("vec_id") < nq)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val q = src.writeStream
-      .option("checkpointLocation", s"$out/chk")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        graft.sources.IndexStore
-          .searchPruned(batch.sparkSession, path, batch.toDF(), k, nprobe)
-          .write.mode("append").parquet(hitsDir)
-      }
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(hitsDir)
-      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
-        col("sim_micro"))
-      .orderBy(col("qid"), col("rank"))
+    // The stream schema tracks the batch reader instead of a hand-copied
+    // StructType: a generator-side type change surfaces as a loud analysis
+    // error here rather than silent nulls diverging stream_knn from knn_ivf.
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val result = withStreamPartitions(spark) {
+      val src = spark.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/embeddings.parquet*")
+        .filter(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val q = src.writeStream
+        .option("checkpointLocation", s"$out/chk")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          // foreachBatch is at-least-once (the checkpoint only guards
+          // cross-restart replays): write idempotently by OVERWRITING this
+          // batch's own partition, so a failed-then-retried micro-batch
+          // replaces its rows instead of appending duplicates.
+          graft.sources.IndexStore
+            .searchPruned(batch.sparkSession, path, batch.toDF(), k, nprobe)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(hitsDir)
+        }
+        .start()
+      q.awaitTermination()
+      // Materialize the (nq·k)-row result off the temp files (eager local
+      // checkpoint) so the scratch dir can be deleted before returning.
+      spark.read.parquet(hitsDir)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
+          col("sim_micro"))
+        .localCheckpoint(true)
+    }
+    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
+    rm(new java.io.File(out))
+    result.orderBy(col("qid"), col("rank"))
   }
 
   /** S9/T2: synthetic continuous packet source — rate source + generated
