@@ -22,23 +22,42 @@ object StreamOps {
     * lifetime, and EVERY micro-batch pays a per-partition state commit
     * (delta file + fsync) — for a stream-stream join that is 4 stores per
     * side × partitions commits per batch. So the right number tracks state
-    * VOLUME, not the session's batch parallelism: inheriting local[32]'s 32
-    * shuffle partitions put 128 state commits behind a 100k-row interval
-    * join and cost ~3× the join itself (measured: 17-25 s vs ~2 s at 8).
-    * Each query below pins this for the duration of its run and restores
-    * the session value after; a real deployment sizes it to expected state
-    * rows / executor count when the checkpoint is first created (it cannot
-    * change afterwards without a new checkpoint).
+    * VOLUME, not the session's batch parallelism. Measured on the sf0.1
+    * interval join (~40k state rows, single-source form, warm JVM,
+    * StreamProfile): summed state commitTimeMs ≈ 3-8 s at 8 partitions vs
+    * ~0.4 s at 2-3; end-to-end ~3.7-4.6 s at 8, ~2.8-3.0 s at 2-3, worse
+    * again at 1 (join runs single-threaded). Default 3 ≈ state-rows/13k;
+    * a real deployment sizes this to expected state rows / executor count
+    * when the checkpoint is first created (it cannot change afterwards
+    * without a new checkpoint).
     */
-  private def streamStatePartitions: Int =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8").toInt
+  private def streamStatePartitions: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "3")
+    // Validated: a malformed or non-positive override falls back to the
+    // default with a warning instead of throwing NumberFormatException from
+    // inside every streaming query (or pinning Spark to 0 partitions).
+    scala.util.Try(raw.toInt).toOption.filter(_ >= 1).getOrElse {
+      System.err.println(
+        s"[graft] ignoring invalid SPARK_GRAFT_STREAM_PARTITIONS='$raw' (want int >= 1); using 3")
+      3
+    }
+  }
 
   /** Run `f` with the session's shuffle partitions pinned to the streaming
     * state parallelism, restoring the prior value afterwards. Streaming
     * plans capture the setting at `start()`, so the override only needs to
     * span query construction + execution.
+    *
+    * Applied ONLY to state-HEAVY queries (the stream-stream interval join,
+    * whose state is 4 stores per side × partitions commits per micro-batch)
+    * — state-light streaming aggregates (stream_hourly: a few thousand
+    * hourly rows) and stateless foreachBatch wrappers keep the session's
+    * parallelism, because for them the pin only under-parallelizes the real
+    * batch work. NOT thread-safe: mutates the session-global conf for the
+    * duration of `f` (Bench/Verify run queries serially — a concurrent
+    * caller would need spark.newSession() with the pinned conf instead).
     */
-  private def withStreamPartitions[T](spark: SparkSession)(f: => T): T = {
+  private[graft] def withStreamPartitions[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
     spark.conf.set(key, streamStatePartitions.toString)
@@ -85,6 +104,11 @@ object StreamOps {
     */
   def streamHourly(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_hourly_${System.nanoTime()}"
+    // Pinned: the scan's parallelism comes from FILE SPLITS (maxPartitionBytes),
+    // not shuffle partitions — only the few-thousand-group final aggregate
+    // runs at the pinned width, so the pin costs nothing while cutting the
+    // per-batch state commits (2 stores × partitions). Measured at sf0.1,
+    // warm: ~3.1-3.4 s unpinned (32) vs ~1.9-2.1 s at 3.
     withStreamPartitions(spark) {
       val src = readEventsStream(spark, dir)
       val q = hourlyAgg(src.withWatermark("ts", "2 hours"))
@@ -103,7 +127,10 @@ object StreamOps {
     * `mergeInto` is the MERGE the reference's upsert implies.
     */
   def foreachBatchUpsert(spark: SparkSession, dir: String, storePath: String,
-                         checkpoint: String): Unit = withStreamPartitions(spark) {
+                         checkpoint: String): Unit = {
+    // No partition pin: stateless (offsets in the checkpoint, no state
+    // stores) — the merge window inside foreachBatch is real batch work
+    // that wants the session's parallelism.
     val src = readEventsStream(spark, dir)
     val q = src.writeStream
       .option("checkpointLocation", checkpoint)
@@ -165,7 +192,9 @@ object StreamOps {
     */
   def streamingVectorIngest(spark: SparkSession, dir: String,
                             centroids: DataFrame, storePath: String,
-                            checkpoint: String): Unit = withStreamPartitions(spark) {
+                            checkpoint: String): Unit = {
+    // No partition pin: stateless — the embed + cell-assign inside
+    // foreachBatch is the expensive part and wants session parallelism.
     val docs = spark.readStream.schema(documentsSchema)
       .option("basePath", dir)
       .parquet(s"$dir/documents.parquet*")
@@ -193,6 +222,25 @@ object StreamOps {
         expr("user_id = view_user AND view_ts BETWEEN click_ts - INTERVAL 4 HOURS AND click_ts"))
       .select(col("click_id"), col("view_id"), col("user_id"))
 
+  /** Click/view sides for the stream-stream interval join, both derived
+    * from ONE streaming source (a stream self-join): a single file-stream
+    * source means one offset log, one file listing, and one getBatch per
+    * micro-batch — the two-independent-sources form scanned the input
+    * twice per batch and ran two sources' offset machinery. Shared by
+    * [[streamIntervalJoin]] and graft.tools.StreamProfile so the profiler
+    * can never diverge from the production query.
+    */
+  private[graft] def clickViewStreams(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val src = readEventsStream(spark, dir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "5 hours") // join-window + click delay: state cleanup bound
+    (clicks, views)
+  }
+
   /** Stream-stream interval join, executed for real: both sides are
     * watermarked streams, so Spark bounds the join state — views are
     * dropped from state once the click-side watermark passes their
@@ -205,13 +253,7 @@ object StreamOps {
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_cv_${System.nanoTime()}"
     withStreamPartitions(spark) {
-      val src = readEventsStream(spark, dir)
-      val clicks = src.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-      val views = readEventsStream(spark, dir).filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id").as("view_user"), col("ts").as("view_ts"))
-        .withWatermark("view_ts", "5 hours") // join-window + click delay: state cleanup bound
+      val (clicks, views) = clickViewStreams(spark, dir)
       val q = clickViewIntervalJoin(clicks, views)
         .writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name)
@@ -290,38 +332,42 @@ object StreamOps {
     // StructType: a generator-side type change surfaces as a loud analysis
     // error here rather than silent nulls diverging stream_knn from knn_ivf.
     val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
-    val result = withStreamPartitions(spark) {
-      val src = spark.readStream.schema(schema)
-        .option("basePath", dir)
-        .parquet(s"$dir/embeddings.parquet*")
-        .filter(col("vec_id") < nq)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val q = src.writeStream
-        .option("checkpointLocation", s"$out/chk")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          // foreachBatch is at-least-once (the checkpoint only guards
-          // cross-restart replays): write idempotently by OVERWRITING this
-          // batch's own partition, so a failed-then-retried micro-batch
-          // replaces its rows instead of appending duplicates.
-          graft.sources.IndexStore
-            .searchPruned(batch.sparkSession, path, batch.toDF(), k, nprobe)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(hitsDir)
-        }
-        .start()
-      q.awaitTermination()
-      // Materialize the (nq·k)-row result off the temp files (eager local
-      // checkpoint) so the scratch dir can be deleted before returning.
-      spark.read.parquet(hitsDir)
-        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
-          col("sim_micro"))
-        .localCheckpoint(true)
-    }
+    // Pinned partitions here even though the query is stateless: each
+    // micro-batch's work (a pruned search over nq=5 queries) is tiny, so
+    // fewer shuffle partitions means fewer near-empty tasks per batch —
+    // a bench-scale consistency pin, not a state-commit one.
     def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
-    rm(new java.io.File(out))
+    val result =
+      try withStreamPartitions(spark) {
+        val src = spark.readStream.schema(schema)
+          .option("basePath", dir)
+          .parquet(s"$dir/embeddings.parquet*")
+          .filter(col("vec_id") < nq)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val q = src.writeStream
+          .option("checkpointLocation", s"$out/chk")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            // foreachBatch is at-least-once (the checkpoint only guards
+            // cross-restart replays): write idempotently by OVERWRITING this
+            // batch's own partition, so a failed-then-retried micro-batch
+            // replaces its rows instead of appending duplicates.
+            graft.sources.IndexStore
+              .searchPruned(batch.sparkSession, path, batch.toDF(), k, nprobe)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(hitsDir)
+          }
+          .start()
+        q.awaitTermination()
+        // Materialize the (nq·k)-row result off the temp files (eager local
+        // checkpoint) so the scratch dir can be deleted before returning.
+        spark.read.parquet(hitsDir)
+          .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
+            col("sim_micro"))
+          .localCheckpoint(true)
+      } finally rm(new java.io.File(out)) // also on failure: no scratch leak
     result.orderBy(col("qid"), col("rank"))
   }
 

@@ -1,13 +1,16 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 /** Scratch profiler for the streaming bench queries: re-runs the
   * stream-stream interval join with progress capture and prints each
   * micro-batch's duration breakdown (dev tool, not part of the driver
-  * contract).
+  * contract). Uses the SAME query construction as the production path
+  * (StreamOps.clickViewStreams) under the SAME partition pin
+  * (StreamOps.withStreamPartitions), so what it measures is what
+  * `stream_interval_join` runs — set SPARK_GRAFT_STREAM_PARTITIONS to
+  * sweep the pin.
   */
 object StreamProfile {
   def main(args: Array[String]): Unit = {
@@ -27,20 +30,16 @@ object StreamProfile {
     for (round <- 1 to 3) {
       val name = s"prof_cv_$round"
       val t0 = System.nanoTime()
-      val src = graft.streaming.StreamOps.readEventsStream(spark, sfDir)
-      val clicks = src.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-      val views = graft.streaming.StreamOps.readEventsStream(spark, sfDir)
-        .filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id").as("view_user"), col("ts").as("view_ts"))
-        .withWatermark("view_ts", "5 hours")
-      val q = graft.streaming.StreamOps.clickViewIntervalJoin(clicks, views)
-        .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val q = graft.streaming.StreamOps.withStreamPartitions(spark) {
+        val (clicks, views) = graft.streaming.StreamOps.clickViewStreams(spark, sfDir)
+        val started = graft.streaming.StreamOps.clickViewIntervalJoin(clicks, views)
+          .writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        started.awaitTermination()
+        started
+      }
       val total = (System.nanoTime() - t0) / 1e9
       println(f"== round $round total $total%.2f s, ${q.recentProgress.length} progress entries")
       q.recentProgress.foreach { p =>
