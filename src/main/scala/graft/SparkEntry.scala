@@ -33,6 +33,7 @@ object SparkEntry {
     "knn_exact" -> ((s, d) => VectorSearch.knnExact(s, d)),
     "knn_exact_phys" -> ((s, d) => VectorSearch.knnExactPhysical(s, d)),
     "knn_batch" -> ((s, d) => VectorSearch.knnBatch(s, d)),
+    "knn_batch_oracle" -> ((s, d) => VectorSearch.knnBatchOracle(s, d)),
     "knn_range" -> ((s, d) => VectorSearch.rangeSearch(s, d)),
     "knn_range_ivf" -> ((s, d) => graft.sources.IndexStore.rangeQuery(s, d)),
     "index_stats" -> ((s, d) => graft.sources.IndexStore.statsQuery(s, d)),
@@ -340,7 +341,8 @@ object SparkEntry {
     * (dedup_minhash_lsh, dedup_simhash, embed_docs, media_decode,
     * agg_approx_distinct, knn_batch — its 5000-query batch is synthesized
     * by the Featurizer, which SQL can't replay; KnnJoinSpec asserts the
-    * heap path equals the declarative form row-for-row at that nq)
+    * heap path equals the declarative form row-for-row at that nq, and
+    * knn_batch_oracle DuckDB-checks the same physical operator at nq=200)
     * → driver records a rows-only check; those are
     * covered by ScalaTest property specs instead. knn_ivf IS oracle-checked:
     * k-means itself isn't SQL, but the probed search over the EXPORTED
@@ -349,6 +351,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "knn_exact" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // The custom KnnJoinExec path at batch size nq=200 with REAL embedding
+    // rows as queries — the SQL replay of the heap+merge physical operator
+    // (knn_batch's synthetic 5000-query batch is Featurizer-made and not
+    // SQL-expressible; this entry closes the oracle gap through the same
+    // operator).
+    "knn_batch_oracle" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 200),
          |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
          |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
          |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)

@@ -100,6 +100,12 @@ object Sampling {
   def mixSample(spark: SparkSession, dir: String,
                 quotas: Map[String, Int] = Map(
                   "en" -> 100, "es" -> 40, "de" -> 30, "fr" -> 20, "zh" -> 10)): DataFrame = {
+    // An empty quota map selects nothing — return the empty result with the
+    // contract schema instead of letting `quotas.values.max` throw below.
+    if (quotas.isEmpty)
+      return Tables.documents(spark, dir)
+        .select(col("lang"), col("doc_id"), lit(0L).as("rn"))
+        .limit(0)
     val cap = element_at(typedLit(quotas), col("lang"))
     val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
     Tables.documents(spark, dir)

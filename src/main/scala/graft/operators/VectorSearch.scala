@@ -109,6 +109,19 @@ object VectorSearch {
     rankTopK(hits, k)
   }
 
+  /** Batch kNN through the SAME KnnJoinExec physical path as [[knnBatch]],
+    * but with an oracle-replayable query set: the nq lowest-vec_id rows of
+    * the embeddings table itself (the synthetic 5000-query batch goes
+    * through the Featurizer, which SQL can't replay). nq=200 keeps the
+    * custom operator's partition-heap + keyed-merge pipeline oracle-checked
+    * end-to-end by DuckDB, row for row and micro for micro.
+    */
+  def knnBatchOracle(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 200): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val hits = graft.plans.KnnJoinApi.knnJoin(spark, querySet(spark, dir, nq), base, k)
+    rankTopK(hits, k)
+  }
+
   /** Scalar-filtered kNN — the Milvus hybrid surface: the reference applies
     * scalar `expr` predicates to the vector collection
     * (`Milvus/stream1.py:299` `collection.query(expr="frame_number >= 0")`,

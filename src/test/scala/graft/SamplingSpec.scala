@@ -49,6 +49,12 @@ class SamplingSpec extends SparkSpec {
     m.unpersist(blocking = false)
   }
 
+  test("mix sample with an empty quota map returns an empty frame, not an exception") {
+    val empty = Sampling.mixSample(spark, sfDir, Map.empty)
+    assert(empty.columns.toSeq == Seq("lang", "doc_id", "rn"), "contract schema preserved")
+    assert(empty.count() == 0)
+  }
+
   test("uniform sample size and determinism") {
     val a = Sampling.uniformSample(spark, sfDir, 10).collect()
     val b = Sampling.uniformSample(spark, sfDir, 10).collect()
