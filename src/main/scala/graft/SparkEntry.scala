@@ -104,6 +104,7 @@ object SparkEntry {
     "embed_dim_stats" -> ((s, d) => EmbedQueries.dimStats(s, d)),
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "media_decode" -> ((s, d) => EmbedQueries.mediaDecode(s, d)),
+    "media_decode_real" -> ((s, d) => Multimodal.realDecodeQuery(s, d)),
     "media_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
     "media_resize" -> ((s, d) => Multimodal.resizeQuery(s, d)),
     // §2.6–§2.9 — relational breadth
@@ -927,6 +928,17 @@ object SparkEntry {
     "pipeline_corpus_stats" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words
          |FROM ($cleanCorpusSql) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Real-codec round-trip: the Spark side PNG-encodes an image with these
+    // formula dimensions, decodes it with javax.imageio, resizes to 12x9 and
+    // decodes again — the oracle replays the formulas arithmetically, so a
+    // hash match proves a real encoder+decoder ran on every row.
+    "media_decode_real" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(8 + doc_id % 16 AS BIGINT) AS width,
+        |       CAST(8 + doc_id % 7 AS BIGINT) AS height,
+        |       'png' AS format,
+        |       CAST(12 AS BIGINT) AS rs_width, CAST(9 AS BIGINT) AS rs_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       CAST(ascii(text) AS BIGINT) AS first_cp

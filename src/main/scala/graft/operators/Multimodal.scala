@@ -9,10 +9,14 @@ import graft.Tables
   * BINARY columns + typed metadata, with decode / feature-extraction as
   * batched partition-local functions.
   *
-  * No image/audio codecs exist in this container, so the decode step is a
-  * clearly-marked deterministic STUB (`fakeDecode`) — the Spark-side
-  * contract (schema, batch shape, partition locality, null handling) is
-  * real and tested, and a production codec drops into the same slot.
+  * Two decoders fill the same bytes→meta slot:
+  *  - [[imageDecode]] — a REAL codec (`javax.imageio`, JDK-only: PNG/JPEG
+  *    decode, resize via Graphics2D), exercised by [[realDecodeQuery]]
+  *    over deterministically generated PNG fixtures whose dimensions the
+  *    DuckDB oracle replays arithmetically;
+  *  - [[fakeDecode]] — a deterministic stub for the text-bytes stand-in
+  *    corpus (documents.text cast to binary is not a valid image), kept so
+  *    the plumbing queries run on the driver testdata unchanged.
   */
 object Multimodal {
 
@@ -33,6 +37,70 @@ object Multimodal {
       if (n % 2 == 0) "png" else "jpeg")
   }
 
+  /** REAL image decode (`javax.imageio`, part of the JDK — no external
+    * dependency): bytes → (width, height, format). The format name comes
+    * from the matched ImageReader ("png"/"JPEG"/…), lowercased. Unreadable
+    * or null bytes decode to (0, 0, "unknown") — a pipeline over crawled
+    * media must treat decode failure as data, not as an exception.
+    */
+  def imageDecode(bytes: Array[Byte]): (Int, Int, String) = {
+    if (bytes == null || bytes.length == 0) return (0, 0, "unknown")
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return (0, 0, "unknown")
+      val r = readers.next()
+      try {
+        r.setInput(in)
+        (r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase)
+      } finally r.dispose()
+    } catch { case _: java.io.IOException => (0, 0, "unknown") }
+    finally in.close()
+  }
+
+  /** REAL resize: decode, Graphics2D bilinear scale into a w×h canvas,
+    * re-encode PNG. Unreadable input yields an empty array.
+    */
+  def imageResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = try {
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        if (bytes == null) Array.emptyByteArray else bytes))
+    } catch { case _: java.io.IOException => null }
+    if (img == null) return Array.emptyByteArray
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic PNG fixture: a w×h image whose pixels are a pure
+    * function of (seed, x, y), PNG-encoded. Used by [[syntheticImages]]
+    * and the specs — the oracle never checks the bytes, only the
+    * round-tripped dimensions, so encoder-version drift can't break it.
+    */
+  def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (seed * 31 + x * 7 + y * 131).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Documents with a BINARY media column (UTF-8 bytes of the text stand in
     * for the opaque blob) — the ingest shape for multimodal tables.
     */
@@ -40,17 +108,37 @@ object Multimodal {
     Tables.documents(spark, dir)
       .withColumn("media", col("text").cast("binary"))
 
+  /** Real-image twin of [[withBinary]]: one generated PNG per document,
+    * width = 8 + doc_id % 16, height = 8 + doc_id % 7 — dimension formulas
+    * the oracle replays in SQL. Batched partition-local generation (same
+    * mapPartitions shape as the decode), no shuffle.
+    */
+  def syntheticImages(spark: SparkSession, dir: String, batchSize: Int = 32): DataFrame = {
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val outSchema = ids.schema.add(StructField("media", BinaryType, nullable = false))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodePng(8 + (id % 16).toInt, 8 + (id % 7).toInt, id))
+      })
+    }
+  }
+
   /** Batched partition-local decode: mapPartitions in groups of 32 (the
     * batch shape a GPU/codec UDF needs), emitting the typed meta struct.
+    * `decoder` fills the bytes→meta slot — [[imageDecode]] for real media,
+    * [[fakeDecode]] (the default) for the text-bytes stand-in corpus.
     */
-  def decodeMeta(df: DataFrame, binCol: String, batchSize: Int = 32): DataFrame = {
+  def decodeMeta(df: DataFrame, binCol: String, batchSize: Int = 32,
+                 decoder: Array[Byte] => (Int, Int, String) = fakeDecode): DataFrame = {
     val outSchema = df.schema
       .add(StructField("meta", metaSchema, nullable = false))
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val metas = batch.map(r => fakeDecode(r.getAs[Array[Byte]](idx)))
+        val metas = batch.map(r => decoder(r.getAs[Array[Byte]](idx)))
         batch.iterator.zip(metas.iterator).map { case (r, (w, h, f)) =>
           Row.fromSeq(r.toSeq :+ Row(w, h, f))
         }
@@ -100,6 +188,35 @@ object Multimodal {
             s"i -> struct(i AS frame_no, substring($binCol, i * $frameBytes * $everyNth + 1, $frameBytes) AS frame_bytes))")))
       .select(col("doc_id"), col("frame.frame_no").as("frame_no"),
         octet_length(col("frame.frame_bytes")).as("frame_len"))
+
+  /** Named query: REAL codec round-trip, oracle-checked. Generate a PNG
+    * per document with formula-derived dimensions, decode it with
+    * `javax.imageio` ([[imageDecode]] through the [[decodeMeta]] slot),
+    * then resize to 12×9 ([[imageResize]]) and decode AGAIN — the output
+    * (orig dims, format, resized dims) matches the oracle's arithmetic
+    * replay only if a real encoder+decoder round-tripped every image.
+    */
+  def realDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val decoded = decodeMeta(syntheticImages(spark, dir), "media", decoder = imageDecode)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("rs_width", LongType, nullable = false),
+      StructField("rs_height", LongType, nullable = false)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val mediaIdx = decoded.schema.fieldIndex("media")
+    val metaIdx = decoded.schema.fieldIndex("meta")
+    decoded.mapPartitions { it =>
+      it.map { r =>
+        val meta = r.getStruct(metaIdx)
+        val (rw, rh, _) = imageDecode(imageResize(r.getAs[Array[Byte]](mediaIdx), 12, 9))
+        Row(r.getLong(0), meta.getInt(0).toLong, meta.getInt(1).toLong,
+          meta.getString(2), rw.toLong, rh.toLong)
+      }
+    }.orderBy(col("doc_id"))
+  }
 
   /** Named query: binary-column metadata projection. The oracle checks the
     * engine-agnostic parts (byte length, first code point); the stubbed

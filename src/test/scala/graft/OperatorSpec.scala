@@ -212,6 +212,41 @@ class OperatorSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("real javax.imageio decode round-trips generated PNG and JPEG fixtures") {
+    import graft.operators.Multimodal
+    // PNG: encode with known dims, decode with the real codec
+    for ((w, h, seed) <- Seq((8, 8, 1L), (23, 14, 42L), (16, 9, 7L))) {
+      val (dw, dh, fmt) = Multimodal.imageDecode(Multimodal.encodePng(w, h, seed))
+      assert((dw, dh, fmt) == (w, h, "png"), s"png $w x $h decoded as ($dw, $dh, $fmt)")
+    }
+    // JPEG: same contract through a second real codec
+    val img = new java.awt.image.BufferedImage(20, 11, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val (jw, jh, jf) = Multimodal.imageDecode(bos.toByteArray)
+    assert((jw, jh, jf) == (20, 11, "jpeg"))
+    // resize is a real re-encode: decoding the output yields the target box
+    val resized = Multimodal.imageResize(Multimodal.encodePng(23, 14, 42L), 12, 9)
+    assert(Multimodal.imageDecode(resized) == ((12, 9, "png")))
+    // garbage bytes are data, not exceptions
+    assert(Multimodal.imageDecode("not an image".getBytes) == ((0, 0, "unknown")))
+    assert(Multimodal.imageDecode(null) == ((0, 0, "unknown")))
+    assert(Multimodal.imageResize("junk".getBytes, 4, 4).isEmpty)
+  }
+
+  test("real decode query matches the fixture dimension formulas end-to-end") {
+    import graft.operators.Multimodal
+    val out = Multimodal.realDecodeQuery(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 8 + id % 16, s"width mismatch at $id")
+      assert(r.getLong(2) == 8 + id % 7, s"height mismatch at $id")
+      assert(r.getString(3) == "png")
+      assert(r.getLong(4) == 12 && r.getLong(5) == 9)
+    }
+  }
+
   test("asof join matches a per-row reference computation") {
     val e = Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", $"event_type", $"ts".cast("long").as("ep"),
