@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5Pairs(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     // Library-default auto-bits (~64 vectors per sign-LSH bucket): the
     // oracle replays the same bits-from-count formula in SQL, so the
@@ -94,6 +95,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "sample_domain_cap" -> ((s, d) => Sampling.domainCap(s, d)),
     "sample_mix" -> ((s, d) => Sampling.mixSample(s, d)),
+    "sample_quality_tiers" -> ((s, d) => Sampling.qualityTierSample(s, d)),
     "corpus_pack" -> ((s, d) => Sampling.packSequences(s, d)),
     "knn_ivfpq" -> ((s, d) => graft.sources.PqStore.searchIvfPq(s, d)),
     "knn_refine" -> ((s, d) => graft.sources.PqStore.searchRefined(s, d)),
@@ -287,6 +289,31 @@ object SparkEntry {
       |bm25agg AS (SELECT doc_id, CAST(sum(score_micro) AS BIGINT) AS score_micro,
       |          CAST(count(*) AS BIGINT) AS n_terms
       |        FROM pt GROUP BY 1)""".stripMargin
+
+  /** Shared MinHash construction CTEs ending in `bands(doc_id, band, bk)` —
+    * one md5 per shingle, Kirsch–Mitzenmacher double-hashed permutations,
+    * 4 bands × 3 rows. Used by `dedup_minhash_md5` (self-join) and
+    * `dedup_incremental` (incoming-vs-corpus probe).
+    */
+  private def minhashMd5BandCtesSql: String = {
+    val p = graft.operators.Dedup.MinhashP32
+    val mins = (0 until 12)
+      .map(j => s"min((h1 + $j*h2) % $p) AS m$j")
+      .mkString(",\n      |        ")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, m${b * 3}::VARCHAR || '|' || m${b * 3 + 1}::VARCHAR || '|' || m${b * 3 + 2}::VARCHAR AS bk FROM sig")
+      .mkString("\n      |  UNION ALL ")
+    s"""sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+      |               i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+      |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |dgt AS (SELECT doc_id, md5('mh:' || unnest(sh)) AS dg FROM sh),
+      |hw AS (SELECT doc_id,
+      |         ${graft.operators.Dedup.hexWordSql("strpos", "dg", 1)} AS h1,
+      |         ${graft.operators.Dedup.hexWordSql("strpos", "dg", 9)} AS h2 FROM dgt),
+      |sig AS (SELECT doc_id, $mins FROM hw GROUP BY 1),
+      |bands AS (
+      |  $bandRows)""".stripMargin
+  }
 
   /** N-gram Jaccard near-dup pairs (inverted-index formulation), shared by
     * the pair query and the clusters query's recursive-CTE replay.
@@ -615,28 +642,21 @@ object SparkEntry {
     // Engine-portable MinHash: one md5 per shingle, Kirsch–Mitzenmacher
     // double-hashed permutations over two nibble-arithmetic 32-bit words,
     // 4 bands × 3 — the exact integer replay of Dedup.minhashMd5Pairs.
-    "dedup_minhash_md5" -> {
-      val p = graft.operators.Dedup.MinhashP32
-      val mins = (0 until 12)
-        .map(j => s"min((h1 + $j*h2) % $p) AS m$j")
-        .mkString(",\n         |        ")
-      val bandRows = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band, m${b * 3}::VARCHAR || '|' || m${b * 3 + 1}::VARCHAR || '|' || m${b * 3 + 2}::VARCHAR AS bk FROM sig")
-        .mkString("\n         |  UNION ALL ")
-      s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
-         |               i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
-         |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
-         |dgt AS (SELECT doc_id, md5('mh:' || unnest(sh)) AS dg FROM sh),
-         |hw AS (SELECT doc_id,
-         |         ${graft.operators.Dedup.hexWordSql("strpos", "dg", 1)} AS h1,
-         |         ${graft.operators.Dedup.hexWordSql("strpos", "dg", 9)} AS h2 FROM dgt),
-         |sig AS (SELECT doc_id, $mins FROM hw GROUP BY 1),
-         |bands AS (
-         |  $bandRows)
+    "dedup_minhash_md5" ->
+      s"""WITH $minhashMd5BandCtesSql
          |SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Incremental probe: incoming batch (doc_id%10=0) vs the corpus band
+    // index (the rest). Band rows are per-doc, so filtering the shared
+    // bands CTE by side replays Dedup.incrementalNearDup exactly.
+    "dedup_incremental" ->
+      s"""WITH $minhashMd5BandCtesSql
+         |SELECT DISTINCT CAST(q.doc_id AS BIGINT) AS incoming_id,
+         |       CAST(c.doc_id AS BIGINT) AS corpus_id
+         |FROM bands q JOIN bands c ON q.band = c.band AND q.bk = c.bk
+         |WHERE q.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |ORDER BY incoming_id, corpus_id""".stripMargin,
     // Engine-portable SimHash: bit b of a token's hash = integer nibble
     // arithmetic on md5 hex; signature bit = strict per-bit majority.
     "dedup_simhash_md5" -> {
@@ -905,6 +925,26 @@ object SparkEntry {
         |FROM r WHERE rn <= CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 40 WHEN 'de' THEN 30
         |                             WHEN 'fr' THEN 20 WHEN 'zh' THEN 10 ELSE 0 END
         |ORDER BY lang, rn""".stripMargin,
+    // Quality-tier quota sample: same score CTE as text_quality, fixed
+    // micro-threshold tiers (map-side, no global ntile), salted-hash fill.
+    "sample_quality_tiers" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, len(ws) AS nw, len(list_distinct(ws)) AS nd,
+        |         list_max(list_transform(list_distinct(ws), tk -> len(list_filter(ws, w -> w = tk)))) AS mf
+        |      FROM d),
+        |s AS (SELECT doc_id,
+        |         CAST(floor((CAST(least(nw, 50) AS DOUBLE)/50.0 + CAST(nd AS DOUBLE)/CAST(nw AS DOUBLE)
+        |              + 1.0 - CAST(mf AS DOUBLE)/CAST(nw AS DOUBLE))/3.0*1000000.0) AS BIGINT) AS score_micro
+        |      FROM t),
+        |b AS (SELECT doc_id, score_micro, least(score_micro // 250000, 3) AS tier,
+        |             md5(CAST(doc_id AS VARCHAR) || ':qtier') AS h
+        |      FROM s),
+        |r AS (SELECT tier, doc_id, score_micro,
+        |             row_number() OVER (PARTITION BY tier ORDER BY h, doc_id) AS rn
+        |      FROM b)
+        |SELECT CAST(tier AS BIGINT) AS tier, CAST(doc_id AS BIGINT) AS doc_id,
+        |       score_micro, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 50 ORDER BY tier, rn""".stripMargin,
     "corpus_pack" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |             md5(CAST(doc_id AS VARCHAR) || ':pack') AS ord

@@ -331,8 +331,26 @@ object Dedup {
     */
   def minhashMd5Pairs(spark: SparkSession, dir: String,
                       numPerms: Int = 12, bands: Int = 4): DataFrame = {
+    val exploded = md5BandFrame(Tables.documents(spark, dir), numPerms, bands)
+    exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** (doc_id, band, bk) MinHash band index over `docs` — the md5/KM double
+    * hashing construction shared by the full-corpus pair query
+    * ([[minhashMd5Pairs]], self-join) and the incremental probe
+    * ([[incrementalNearDup]], delta-vs-index equi-join). This frame IS the
+    * artifact a production pipeline persists (bucketed by (band, bk)):
+    * dedup of a new crawl batch is then an equi-join against it, never a
+    * recompute over the corpus.
+    */
+  private def md5BandFrame(docs: DataFrame, numPerms: Int, bands: Int): DataFrame = {
     val r = numPerms / bands
-    val hw = shingles(Tables.documents(spark, dir))
+    val hw = shingles(docs)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), md5(concat(lit("mh:"), col("s"))).as("dg"))
       .select(col("doc_id"),
@@ -346,14 +364,31 @@ object Dedup {
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         concat_ws("|", (b * r until (b + 1) * r).map(j => col(s"m$j").cast("string")): _*).as("bk")))
-    val exploded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
-    exploded.as("a").join(exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+  }
+
+  /** Incremental near-dup — the dedup shape a GROWING corpus actually runs:
+    * an incoming batch (here doc_id % 10 == 0, standing in for today's
+    * crawl) is probed against the band index of the existing corpus (the
+    * other 90%), and only (incoming, corpus) band collisions surface. The
+    * corpus side is touched once to build its index (persisted in
+    * production; bucketed by band key so the probe is a co-located join) —
+    * cost per batch is O(|batch| + collisions), independent of corpus
+    * size, which is the entire reason LSH banding exists at 100 TB.
+    * Same md5/Kirsch–Mitzenmacher construction as [[minhashMd5Pairs]], so
+    * the DuckDB oracle replays it integer for integer.
+    */
+  def incrementalNearDup(spark: SparkSession, dir: String,
+                         numPerms: Int = 12, bands: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpusIndex = md5BandFrame(docs.filter(col("doc_id") % 10 =!= 0), numPerms, bands)
+    val probes = md5BandFrame(docs.filter(col("doc_id") % 10 === 0), numPerms, bands)
+    probes.as("q").join(corpusIndex.as("c"),
+        col("q.band") === col("c.band") && col("q.bk") === col("c.bk"))
+      .select(col("q.doc_id").as("incoming_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
-      .orderBy(col("id_a"), col("id_b"))
+      .orderBy(col("incoming_id"), col("corpus_id"))
   }
 
   /** Oracle-exact 32-bit SimHash: token-hash bit b is extracted from the

@@ -121,6 +121,28 @@ object Sampling {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Quality-stratified quota sampling — curation's "N docs per quality
+    * band": the Gopher-style score (TextAnalysis.qualityStats, the same
+    * expression tree as the `text_quality` gate) is bucketed into 4 FIXED
+    * tiers map-side (`least(3, score_micro DIV 250000)` — no global ntile,
+    * which would sort the corpus on one partition), then each tier fills
+    * to `cap` in salted-hash order. The literal rank bound plans as
+    * WindowGroupLimit, so post-filter volume is ≤ 4·cap at any corpus
+    * size; the score itself is one explode + two map-combined aggregates.
+    */
+  def qualityTierSample(spark: SparkSession, dir: String, cap: Int = 50): DataFrame = {
+    val scored = TextAnalysis.qualityStats(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.micro(col("score")).as("score_micro"))
+      .withColumn("tier", expr("least(score_micro DIV 250000, CAST(3 AS BIGINT))"))
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":qtier"))))
+    val w = Window.partitionBy(col("tier")).orderBy(col("h"), col("doc_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("tier"), col("doc_id"), col("score_micro"), col("rn").cast("long").as("rn"))
+      .orderBy(col("tier"), col("rn"))
+  }
+
   /** Token-budget sequence packing: shuffle documents into a deterministic
     * hash order, then cut the stream into contiguous ~`budget`-token packs —
     * the concat-and-chunk step that turns a cleaned corpus into fixed-length

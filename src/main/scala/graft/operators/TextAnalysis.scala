@@ -429,22 +429,28 @@ object TextAnalysis {
     * words) per row, and Catalyst's filter-pushdown duplicates the whole
     * composite expression — measured 33 s vs <1 s at sf0.1.)
     */
-  def qualityGate(spark: SparkSession, dir: String, threshold: Double = 0.75): DataFrame = {
+  def qualityGate(spark: SparkSession, dir: String, threshold: Double = 0.75): DataFrame =
+    qualityStats(spark, dir)
+      .filter(col("score") >= threshold)
+      .select(col("doc_id"), col("nw").cast("long").as("n_words"),
+        col("nd").cast("long").as("n_distinct"), col("mf").cast("long").as("max_tok"),
+        graft.functions.VectorFunctions.micro(col("score")).as("score_micro"))
+      .orderBy(col("doc_id"))
+
+  /** Per-doc quality stats + score (doc_id, nw, nd, mf, score) — the shared
+    * front half of [[qualityGate]] and Sampling.qualityTierSample.
+    */
+  private[operators] def qualityStats(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
     val t = tf.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("nw"), count(lit(1)).as("nd"), max(col("c")).as("mf"))
     // ((len_score + ttr) + 1 − repetition) / 3 — same association order as
-    // the oracle SQL so the threshold comparison is bit-identical
+    // the oracle SQL so threshold/tier comparisons are bit-identical
     val score = (least(col("nw"), lit(50)).cast("double") / lit(50.0)
       + col("nd").cast("double") / col("nw").cast("double")
       + lit(1.0) - col("mf").cast("double") / col("nw").cast("double")) / lit(3.0)
     t.withColumn("score", score)
-      .filter(col("score") >= threshold)
-      .select(col("doc_id"), col("nw").cast("long").as("n_words"),
-        col("nd").cast("long").as("n_distinct"), col("mf").cast("long").as("max_tok"),
-        graft.functions.VectorFunctions.micro(col("score")).as("score_micro"))
-      .orderBy(col("doc_id"))
   }
 }

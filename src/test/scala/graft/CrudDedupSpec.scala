@@ -103,6 +103,24 @@ class CrudDedupSpec extends SparkSpec {
     assert(pairs.subsetOf(withJaccard), s"phantom ${(pairs -- withJaccard).take(5)}")
   }
 
+  test("incremental near-dup equals the cross-side slice of the full pair query") {
+    // Probing the corpus band index with the incoming batch must find
+    // exactly the full self-join's pairs that straddle the split — no
+    // pair lost by splitting, none invented.
+    val inc = Dedup.incrementalNearDup(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashMd5Pairs(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val crossSide = full.collect {
+      case (a, b) if a % 10 == 0 && b % 10 != 0 => (a, b)
+      case (a, b) if b % 10 == 0 && a % 10 != 0 => (b, a)
+    }
+    assert(inc == crossSide,
+      s"missing ${(crossSide -- inc).take(5)}, phantom ${(inc -- crossSide).take(5)}")
+    // and no incoming-incoming or corpus-corpus pair leaks through
+    assert(inc.forall { case (q, c) => q % 10 == 0 && c % 10 != 0 })
+  }
+
   test("md5 simhash pairs: hamming bound respected and hamming<=3 pairs are complete") {
     val sigs = Dedup.simhashMd5(Tables.documents(spark, sfDir))
       .as[(Long, Long)].collect()

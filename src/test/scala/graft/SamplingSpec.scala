@@ -55,6 +55,20 @@ class SamplingSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("quality-tier sample: bounded per tier, tiers in range, deterministic") {
+    val s = Sampling.qualityTierSample(spark, sfDir, cap = 10).cache()
+    val perTier = s.groupBy($"tier").count().as[(Long, Long)].collect().toMap
+    assert(perTier.nonEmpty)
+    assert(perTier.keySet.forall(t => t >= 0 && t <= 3), s"tiers out of range: ${perTier.keySet}")
+    assert(perTier.values.forall(_ <= 10), "cap respected per tier")
+    // tier is a pure function of the score
+    val bad = s.filter(!($"tier" === least($"score_micro" / 250000, lit(3)).cast("long"))).count()
+    assert(bad == 0)
+    val again = Sampling.qualityTierSample(spark, sfDir, cap = 10)
+    assert(s.exceptAll(again).isEmpty && again.exceptAll(s).isEmpty)
+    s.unpersist(blocking = false)
+  }
+
   test("uniform sample size and determinism") {
     val a = Sampling.uniformSample(spark, sfDir, 10).collect()
     val b = Sampling.uniformSample(spark, sfDir, 10).collect()
