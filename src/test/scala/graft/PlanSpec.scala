@@ -66,6 +66,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("quality-tier sample: map-side WindowGroupLimit, no global ntile sort") {
+    val p = plan(Sampling.qualityTierSample(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    // tiers come from fixed thresholds, never a corpus-wide single-partition sort
+    assert(!p.contains("ntile"), p.take(3000))
+  }
+
+  test("incremental dedup probes the band index with an equi-join — no cartesian") {
+    val p = plan(graft.operators.Dedup.incrementalNearDup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("bm25 top-k is TakeOrderedAndProject — no global window over the corpus") {
     val p = plan(TextAnalysis.bm25(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
