@@ -58,6 +58,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.select($"event_id").distinct().count() == want.count())
   }
 
+  test("foreachBatch upsert resumes from the checkpoint: a restart processes only new files") {
+    // Write a DataFrame as ONE parquet file at `target` (the file-stream
+    // source's `events.parquet*` glob matches plain files like the
+    // driver-generated testdata).
+    def writeOne(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory("graft-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(target))
+      def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
+      rm(new java.io.File(staging))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val src = s"$tmp/src"; new java.io.File(src).mkdirs()
+    val store = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
+    // Raw read keeps ts as plain LONG nanos, so the re-written halves match
+    // the streaming source schema exactly (no TIMESTAMP annotation).
+    val raw = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sfDir/events.parquet")
+    writeOne(raw.filter($"event_id" % 2 === 0), s"$src/events.parquet.a")
+    StreamOps.foreachBatchUpsert(spark, src, store, ckpt)
+    assert(spark.read.parquet(store).count() == raw.filter($"event_id" % 2 === 0).count())
+    // "restart": a second run over the SAME checkpoint after a new file lands
+    writeOne(raw.filter($"event_id" % 2 === 1), s"$src/events.parquet.b")
+    StreamOps.foreachBatchUpsert(spark, src, store, ckpt)
+    val after = spark.read.parquet(store).cache()
+    assert(after.count() == raw.count(), "every event ingested exactly once across the restart")
+    assert(after.select($"event_id").distinct().count() == raw.count())
+    // The checkpoint, not the data, prevented reprocessing: file A's rows
+    // keep their run-1 merge version, file B's carry a later batch id.
+    assert(after.filter($"event_id" % 2 === 0 && $"v" > 0).count() == 0,
+      "file A was re-merged after the restart — offsets did not resume")
+    assert(after.filter($"event_id" % 2 === 1).agg(min($"v")).head.getLong(0) >= 1)
+    after.unpersist(blocking = false)
+  }
+
   test("stateful sessionization agrees with the batch window sessionize") {
     val batch = Temporal.sessionize(spark, sfDir)
       .select($"user_id", $"session_id", $"n_events", $"start_epoch", $"end_epoch")
