@@ -37,36 +37,50 @@ object Multimodal {
       if (n % 2 == 0) "png" else "jpeg")
   }
 
+  /** In-memory codec I/O: the inputs are byte arrays already, so ImageIO's
+    * default disk-backed stream cache would only spill a temp file per
+    * decode/encode (≈5 per row on the [[realDecodeQuery]] hot path).
+    * Evaluated once per JVM (lazy val forced by each codec entry point).
+    */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** REAL image decode (`javax.imageio`, part of the JDK — no external
     * dependency): bytes → (width, height, format). The format name comes
-    * from the matched ImageReader ("png"/"JPEG"/…), lowercased. Unreadable
-    * or null bytes decode to (0, 0, "unknown") — a pipeline over crawled
-    * media must treat decode failure as data, not as an exception.
+    * from the matched ImageReader ("png"/"JPEG"/…), lowercased. Unreadable,
+    * null, or CORRUPT bytes decode to (0, 0, "unknown") — a pipeline over
+    * crawled media must treat every decode failure as data, not as an
+    * exception, and javax.imageio readers are known to throw unchecked
+    * exceptions on crafted headers, so the net catches NonFatal, not just
+    * IOException.
     */
   def imageDecode(bytes: Array[Byte]): (Int, Int, String) = {
+    imageIoNoDiskCache
     if (bytes == null || bytes.length == 0) return (0, 0, "unknown")
-    val in = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(in)
-      if (!readers.hasNext) return (0, 0, "unknown")
-      val r = readers.next()
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
       try {
-        r.setInput(in)
-        (r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase)
-      } finally r.dispose()
-    } catch { case _: java.io.IOException => (0, 0, "unknown") }
-    finally in.close()
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return (0, 0, "unknown")
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          (r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase)
+        } finally r.dispose()
+      } finally if (in != null) in.close()
+    } catch { case scala.util.control.NonFatal(_) => (0, 0, "unknown") }
   }
 
   /** REAL resize: decode, Graphics2D bilinear scale into a w×h canvas,
     * re-encode PNG. Unreadable input yields an empty array.
     */
   def imageResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    imageIoNoDiskCache
     val img = try {
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
         if (bytes == null) Array.emptyByteArray else bytes))
-    } catch { case _: java.io.IOException => null }
+    } catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return Array.emptyByteArray
     val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val g = out.createGraphics()
@@ -86,6 +100,7 @@ object Multimodal {
     * round-tripped dimensions, so encoder-version drift can't break it.
     */
   def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    imageIoNoDiskCache
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -110,19 +125,17 @@ object Multimodal {
 
   /** Real-image twin of [[withBinary]]: one generated PNG per document,
     * width = 8 + doc_id % 16, height = 8 + doc_id % 7 — dimension formulas
-    * the oracle replays in SQL. Batched partition-local generation (same
-    * mapPartitions shape as the decode), no shuffle.
+    * the oracle replays in SQL. Partition-local generation (per-row encode;
+    * the codec has no batch mode to exploit), no shuffle.
     */
-  def syntheticImages(spark: SparkSession, dir: String, batchSize: Int = 32): DataFrame = {
+  def syntheticImages(spark: SparkSession, dir: String): DataFrame = {
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
     val outSchema = ids.schema.add(StructField("media", BinaryType, nullable = false))
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
-    ids.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(_.iterator.map { r =>
-        val id = r.getLong(0)
-        Row(id, encodePng(8 + (id % 16).toInt, 8 + (id % 7).toInt, id))
-      })
-    }
+    ids.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      Row(id, encodePng(8 + (id % 16).toInt, 8 + (id % 7).toInt, id))
+    })
   }
 
   /** Batched partition-local decode: mapPartitions in groups of 32 (the

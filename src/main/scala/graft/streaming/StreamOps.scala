@@ -64,6 +64,15 @@ object StreamOps {
     try f finally spark.conf.set(key, old)
   }
 
+  /** Recursive scratch-dir delete (local-FS dev/test paths only — production
+    * stores live behind FileSystem APIs). Shared by the temp-dir users here
+    * and the streaming specs.
+    */
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
   /** events schema for the streaming file source (explicit StructType —
     * streaming sources cannot infer). ts arrives as epoch-nanos LongType
     * (the parquet is TIMESTAMP(NANOS); read under
@@ -159,7 +168,6 @@ object StreamOps {
         old.unionByName(incoming)
           .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
       } else incoming
-    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
     val tmp = new java.io.File(storePath + ".tmp")
     merged.write.mode("overwrite").parquet(tmp.getPath)
     // Promote via rename-aside: the live store is moved out of the way (not
@@ -167,14 +175,14 @@ object StreamOps {
     // only copy; every rename's result is checked.
     val live = new java.io.File(storePath)
     val aside = new java.io.File(storePath + ".old")
-    if (aside.exists()) rm(aside)
+    if (aside.exists()) rmTree(aside)
     if (live.exists() && !live.renameTo(aside))
       throw new java.io.IOException(s"could not move $storePath aside for swap")
     if (!tmp.renameTo(live)) {
       if (aside.exists()) aside.renameTo(live) // restore the previous snapshot
       throw new java.io.IOException(s"could not promote ${tmp.getPath} to $storePath")
     }
-    if (aside.exists()) rm(aside)
+    if (aside.exists()) rmTree(aside)
   }
 
   /** documents schema for the streaming ingest source. */
@@ -336,7 +344,6 @@ object StreamOps {
     // micro-batch's work (a pruned search over nq=5 queries) is tiny, so
     // fewer shuffle partitions means fewer near-empty tasks per batch —
     // a bench-scale consistency pin, not a state-commit one.
-    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
     val result =
       try withStreamPartitions(spark) {
         val src = spark.readStream.schema(schema)
@@ -367,7 +374,7 @@ object StreamOps {
           .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
             col("sim_micro"))
           .localCheckpoint(true)
-      } finally rm(new java.io.File(out)) // also on failure: no scratch leak
+      } finally rmTree(new java.io.File(out)) // also on failure: no scratch leak
     result.orderBy(col("qid"), col("rank"))
   }
 

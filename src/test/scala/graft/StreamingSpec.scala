@@ -68,8 +68,7 @@ class StreamingSpec extends SparkSpec {
       val part = new java.io.File(staging).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(target))
-      def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
-      rm(new java.io.File(staging))
+      StreamOps.rmTree(new java.io.File(staging))
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val src = s"$tmp/src"; new java.io.File(src).mkdirs()
