@@ -26,6 +26,17 @@ object FlowParity {
   def readFlowCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").schema(flowSchema).csv(path)
 
+  /** S2: inferred-schema CSV read — the Milvus loader's `pd.read_csv`
+    * dtype inference (`Milvus/stream1.py:209`). Provided for reference
+    * parity; the engine's DEFAULT ingest stays explicit StructType +
+    * try_cast (SURVEY §1.2) because inference costs an extra full pass
+    * over the file, and at 100 TB one malformed shard silently flips a
+    * column's type for the whole table — the explicit path turns the same
+    * rows into per-row nulls instead (see [[cleanCast]]).
+    */
+  def readFlowCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
   /** P1: null-safe document-text concat — pandas `fillna('') + " "`
     * (`pipeline.py:280-288`). The reference concatenates the protocol column
     * twice (`:283,:286`); replicated deliberately with event_type.

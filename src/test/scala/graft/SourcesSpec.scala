@@ -38,6 +38,21 @@ class SourcesSpec extends SparkSpec {
     assert(texts.contains(" ARP"))
   }
 
+  test("S2: inferred-schema read types clean columns and degrades mixed ones to string") {
+    // clean file: every column infers to a non-string type
+    val cleanDir = Files.createTempDirectory("graft-csv-clean").toString
+    Files.writeString(java.nio.file.Paths.get(s"$cleanDir/clean.csv"),
+      Seq("frame_number,frame_len", "1,1500", "2,88").mkString("\n"))
+    val clean = FlowParity.readFlowCsvInferred(spark, s"$cleanDir/clean.csv")
+    assert(clean.schema.fields.forall(_.dataType != StringType),
+      clean.schema.treeString)
+    // mixed file: the 'x' frame_number degrades THAT column to string —
+    // the whole-table type flip the explicit-schema default avoids
+    val mixed = FlowParity.readFlowCsvInferred(spark, csvPath)
+    assert(mixed.schema("frame_number").dataType == StringType)
+    assert(mixed.count() == 3)
+  }
+
   test("S4: header-only schema sniff runs no job over the data") {
     val schema = spark.read.option("header", "true").csv(csvPath).schema
     assert(schema.fieldNames.toSeq ==
