@@ -85,6 +85,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_commonness" -> ((s, d) => TextAnalysis.commonness(s, d)),
+    "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "text_redact" -> ((s, d) => TextAnalysis.redactQuery(s)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabReport(s, d)),
@@ -809,6 +810,24 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |       CAST(sm // n_tokens AS BIGINT) AS common_micro
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Conditional bigram LM with add-one smoothing, integer micros — same
+    // BIGINT folds as text_commonness so both engines agree bit-for-bit.
+    "text_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(greatest(len(ws)-1, 0)),
+        |        i -> ws[i+1] || ' ' || ws[i+2])) AS bg FROM w),
+        |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cab FROM b GROUP BY 1),
+        |pc AS (SELECT split_part(bg, ' ', 1) AS pfx, CAST(count(*) AS BIGINT) AS ca
+        |       FROM b GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT t.w) AS BIGINT) AS v
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t),
+        |s AS (SELECT doc_id, (cab + 1) * 1000000 // (ca + v) AS m
+        |      FROM b JOIN bc ON b.bg = bc.bg
+        |      JOIN pc ON split_part(b.bg, ' ', 1) = pc.pfx
+        |      CROSS JOIN v)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(m) // count(*) AS BIGINT) AS lm_micro
+        |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_redact" ->
       """WITH p AS (SELECT i, printf('%d 192.168.1.%d TCP packet %d', i, i % 256, i*10) AS t
         |           FROM range(500) t(i))

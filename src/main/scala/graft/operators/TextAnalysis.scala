@@ -234,6 +234,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Conditional bigram-LM fluency score — the full LM-filtering step that
+    * [[commonness]] proxies (CCNet-style: score each document under a
+    * language model trained on the corpus itself; public knowledge — Wenzek
+    * et al. 2020, Jurafsky & Martin ch. 3). Each bigram (a,b) scores its
+    * add-one-smoothed conditional probability P(b|a) = (C(ab)+1)/(C(a·)+V)
+    * in integer micros, and a doc's fluency is the integer mean of its
+    * bigram scores — low = improbable token transitions (gibberish,
+    * boilerplate tables, OCR noise), the docs an LM filter drops. Pure
+    * BIGINT end to end like its sibling, so the score replays exactly in
+    * any engine; docs with <2 tokens have no bigrams and no row.
+    * Shape: one bigram explode feeding three map-combined aggregations
+    * (bigram counts, prefix counts, vocab size) and two equi-joins on the
+    * natural keys; the vocab scalar broadcasts. At corpus scale the bigram
+    * count table is the big side — it shuffles on the bigram string once,
+    * exactly the ngram-index shape AQE already handles for dedup; a real
+    * deployment would swap countDistinct(w) for approx_count_distinct (V
+    * only smooths — the oracle needs the exact fold).
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val bg = docs.select(col("doc_id"),
+      explode(graft.functions.Grams.kgrams(col("ws"), 2)).as("bg"))
+    val bigramCnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+    // Prefix = the bigram's first token (tokens never contain the space
+    // separator, so substring_index is exact); C(a·) = occurrences of a as
+    // a bigram prefix, i.e. the conditional denominator before smoothing.
+    val prefixCnt = bg.select(substring_index(col("bg"), " ", 1).as("pfx"))
+      .groupBy(col("pfx")).agg(count(lit(1)).as("ca"))
+    val vocab = docs.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bg.join(bigramCnt, "bg")
+      .withColumn("pfx", substring_index(col("bg"), " ", 1))
+      .join(prefixCnt, "pfx")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), expr("(cab + 1) * 1000000 DIV (ca + v)").as("m"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("m")).as("sm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sm DIV n_bigrams").as("lm_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition signals — the "excessive repetition" family of
     * pretraining quality filters (duplicate-word fraction and most-frequent-
     * bigram fraction; production filters threshold these to drop template

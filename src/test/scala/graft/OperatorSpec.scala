@@ -158,6 +158,33 @@ class OperatorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bigram LM score matches an independent driver-side recompute and is bounded") {
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def bigrams(t: String): Array[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 2) Array.empty[String]
+      else ws.sliding(2).map(_.mkString(" ")).toArray
+    }
+    def prefix(bg: String): String = bg.takeWhile(_ != ' ')
+    val allB = texts.flatMap(x => bigrams(x._2))
+    val cab = allB.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ca = allB.groupBy(prefix).view.mapValues(_.length.toLong).toMap
+    val v = texts.flatMap(_._2.split(" ", -1)).distinct.length.toLong
+    val want = texts.flatMap { case (id, t) =>
+      val bs = bigrams(t)
+      if (bs.isEmpty) None
+      else {
+        val sm = bs.map(b => (cab(b) + 1) * 1000000L / (ca(prefix(b)) + v)).sum
+        Some((id, bs.length.toLong, sm / bs.length))
+      }
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.lmScore(spark, sfDir).as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // C(ab) ≤ C(a·) and V ≥ 1 ⇒ every per-bigram micro ≤ 10⁶; smoothing ⇒ > 0
+    assert(got.forall { case (_, _, m) => m >= 0 && m <= 1000000L })
+  }
+
   test("quality gate actually discriminates: drops 10-90% of the corpus") {
     val total = Tables.documents(spark, sfDir).count()
     val kept = graft.operators.TextAnalysis.qualityGate(spark, sfDir).count()
