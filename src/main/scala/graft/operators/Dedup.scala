@@ -502,8 +502,21 @@ object Dedup {
     * equi-join on node id — shuffle-parallel, no driver-side graph.
     * `localCheckpoint` truncates the iterative lineage each iteration (on
     * a real cluster use `checkpoint` to a reliable dir). The convergence
-    * probe is an exact edge-set comparison (two anti-joins over the tiny
-    * checkpointed pair tables).
+    * probe is an exact edge-set comparison done as ONE signed-count job
+    * (old edges +1, new edges −1, any nonzero group ⇒ not converged)
+    * rather than two anti-joins.
+    *
+    * The loop runs with shuffle partitions sized to the MATERIALIZED edge
+    * count (~64k edges/partition, clamped to the session setting): the
+    * candidate-pair graph is orders of magnitude smaller than the corpus
+    * that produced it, and the iterations are many small stages whose
+    * fixed overhead dominates when each task carries a few hundred rows.
+    * The initial distinct+checkpoint — the part that actually sees
+    * corpus-sized input — still runs at full session parallelism; only
+    * the iterations over the checkpointed edge set are pinned. Like
+    * StreamOps.withStreamPartitions this mutates the session conf for the
+    * loop's duration and restores it after (Bench/Verify run serially; a
+    * concurrent caller would need its own session).
     *
     * Returns (node, label) where label = min node id of the component.
     */
@@ -521,8 +534,15 @@ object Dedup {
       .filter(col("lo") =!= col("hi"))
       .distinct()
       .localCheckpoint()
-    if (edges.isEmpty)
+    val nEdges = edges.count()
+    if (nEdges == 0)
       return (edges.select(col("lo").as("node"), col("lo").as("label")), 0)
+    val spark = edges.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val sessionParts = spark.conf.get(key).toInt
+    val loopParts = math.max(1L, math.min(sessionParts.toLong, nEdges / 65536 + 1))
+    spark.conf.set(key, loopParts.toString)
+    try {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -550,7 +570,14 @@ object Dedup {
         .filter(col("lo") =!= col("hi"))
         .distinct()
         .localCheckpoint()
-      converged = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      // Exact edge-set equality in one job: +1 per old edge, −1 per new —
+      // the sets differ iff some (lo,hi) group sums nonzero. Both inputs
+      // are checkpointed, so this re-scans cached blocks, not lineage.
+      converged = edges.select(col("lo"), col("hi"), lit(1).as("s"))
+        .unionByName(ss.select(col("lo"), col("hi"), lit(-1).as("s")))
+        .groupBy(col("lo"), col("hi")).agg(sum(col("s")).as("d"))
+        .filter(col("d") =!= 0)
+        .isEmpty
       edges = ss
       i += 1
     }
@@ -560,6 +587,7 @@ object Dedup {
     val members = edges.select(col("hi").as("node"), col("lo").as("label"))
     val centers = edges.select(col("lo").as("node"), col("lo").as("label")).distinct()
     (members.unionByName(centers).distinct(), i)
+    } finally spark.conf.set(key, sessionParts.toString)
   }
 
   /** Near-dup CLUSTERS: the step that turns pairwise hits into dedup

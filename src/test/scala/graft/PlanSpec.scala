@@ -54,6 +54,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("LessThan(label,5)"), p.take(3000))
   }
 
+  test("lm score broadcasts the vocab scalar — the only nested-loop join is that 1-row cross") {
+    val p = plan(TextAnalysis.lmScore(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // count-table joins must stay partitioned equi-joins (shuffle or
+    // sort-merge), never a broadcast of a corpus-sized count table
+    val nested = p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
+    assert(nested == 1, s"$nested nested-loop joins\n${p.take(3000)}")
+  }
+
   test("repetition signals are scan-bound: no Exchange except the presentation sort") {
     val p = plan(TextAnalysis.repetitionSignals(spark, sfDir))
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
