@@ -159,6 +159,7 @@ object SparkEntry {
     "sessionize" -> ((s, d) => Temporal.sessionize(s, d)),
     "window_sliding" -> ((s, d) => Temporal.eventsSliding(s, d)),
     "asof_join" -> ((s, d) => Temporal.asofClickView(s, d)),
+    "range_join_bucketed" -> ((s, d) => Temporal.rangeJoinBucketed(s, d)),
     // §2.10 — an actual Structured Streaming execution, oracle-checked
     "stream_hourly" -> ((s, d) => StreamOps.streamHourly(s, d)),
     "stream_interval_join" -> ((s, d) => StreamOps.streamIntervalJoin(s, d)),
@@ -1277,6 +1278,20 @@ object SparkEntry {
         |       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
         |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // Overlap semantics replayed as DuckDB's native inequality join — the
+    // bucketing is a Spark-side execution strategy, invisible in the result.
+    "range_join_bucketed" ->
+      """WITH ep AS (SELECT user_id, event_id, event_type,
+        |            CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+        |s AS (SELECT user_id, ep // 86400 AS day, min(ep) AS s, max(ep) AS e
+        |      FROM ep GROUP BY 1, 2),
+        |i AS (SELECT event_id AS incident_id, ep - 120 AS a, ep + 120 AS b
+        |      FROM ep WHERE event_type = 'error' AND event_id % 199 = 0)
+        |SELECT CAST(s.user_id AS BIGINT) AS user_id, CAST(day AS BIGINT) AS day,
+        |       CAST(count(*) AS BIGINT) AS n_incidents,
+        |       CAST(min(incident_id) AS BIGINT) AS first_incident
+        |FROM s JOIN i ON s.s <= i.b AND i.a <= s.e
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "asof_join" ->
       """WITH c AS (SELECT user_id, ts, event_id AS click_id, CAST(NULL AS BIGINT) AS view_id, 1 AS side
         |           FROM events WHERE event_type = 'click'),

@@ -59,6 +59,46 @@ object Temporal {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Interval-overlap range join, bucketed — the no-equi-key join family
+    * ([[asofClickView]] is its ordered-point sibling). Joins per-user daily
+    * activity spans [min ts, max ts] against sampled global incident
+    * windows [ts−120 s, ts+120 s] on interval OVERLAP (s ≤ b ∧ a ≤ e):
+    * there is NO equi key, so the naive plan is a nested-loop cartesian —
+    * O(|spans|·|incidents|) at corpus scale. The scale path bucketizes
+    * time: each interval explodes to the epoch buckets it covers (spans ≤
+    * 25 per day at 1 h buckets, incidents ≤ 2), the join becomes an
+    * equi-join on the bucket id (uniform keys — time-partitioned, no
+    * skew), and the exact overlap predicate filters bucket-collision
+    * false positives before a distinct collapses multi-bucket pairs.
+    * Fan-out is bounded by interval-length/bucket-width, not by the other
+    * side's cardinality. PlanSpec pins the no-cartesian claim.
+    */
+  def rangeJoinBucketed(spark: SparkSession, dir: String,
+                        bucketSecs: Long = 3600L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val spans = ev
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ep"))
+      .withColumn("day", expr("ep DIV 86400"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(col("ep")).as("s"), max(col("ep")).as("e"))
+    val incidents = ev
+      .filter(col("event_type") === "error" && col("event_id") % 199 === 0)
+      .select(col("event_id").as("incident_id"),
+        (unix_timestamp(col("ts")) - 120L).as("a"),
+        (unix_timestamp(col("ts")) + 120L).as("b"))
+    val sb = spans.withColumn("bucket",
+      explode(expr(s"sequence(s DIV $bucketSecs, e DIV $bucketSecs)")))
+    val ib = incidents.withColumn("bucket",
+      explode(expr(s"sequence(a DIV $bucketSecs, b DIV $bucketSecs)")))
+    sb.join(ib, "bucket")
+      .filter(col("s") <= col("b") && col("a") <= col("e"))
+      .select(col("user_id"), col("day"), col("incident_id")).distinct()
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_incidents"),
+        min(col("incident_id")).as("first_incident"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** As-of join: for every `click` event, the latest `view` event of the
     * same user at or before it. Spark lacks a native as-of join; rather
     * than a range join (O(n·m) blow-up) this uses the scalable union-tag

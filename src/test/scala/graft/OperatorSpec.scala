@@ -158,6 +158,26 @@ class OperatorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bucketed range join equals the naive cross-filter overlap join") {
+    val ev = Tables.events(spark, sfDir)
+    val spans = ev.select($"user_id", unix_timestamp($"ts").as("ep"))
+      .withColumn("day", expr("ep DIV 86400"))
+      .groupBy($"user_id", $"day").agg(min($"ep").as("s"), max($"ep").as("e"))
+    val incidents = ev.filter($"event_type" === "error" && $"event_id" % 199 === 0)
+      .select($"event_id".as("incident_id"),
+        (unix_timestamp($"ts") - 120L).as("a"), (unix_timestamp($"ts") + 120L).as("b"))
+    val naive = spans.crossJoin(incidents)
+      .filter($"s" <= $"b" && $"a" <= $"e")
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_incidents"), min($"incident_id").as("first_incident"))
+      .orderBy($"user_id", $"day")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val bucketed = Temporal.rangeJoinBucketed(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(bucketed == naive)
+    assert(bucketed.nonEmpty)
+  }
+
   test("bigram LM score matches an independent driver-side recompute and is bounded") {
     val texts = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").as[(Long, String)].collect()

@@ -54,6 +54,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("LessThan(label,5)"), p.take(3000))
   }
 
+  test("bucketed range join plans as an equi-join on the bucket — no cartesian/nested-loop") {
+    val p = plan(Temporal.rangeJoinBucketed(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("lm score broadcasts the vocab scalar — the only nested-loop join is that 1-row cross") {
     val p = plan(TextAnalysis.lmScore(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
