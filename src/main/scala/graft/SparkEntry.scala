@@ -75,6 +75,7 @@ object SparkEntry {
     // exercised as a spec-only case in DedupSpec.)
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_banded" -> ((s, d) => Dedup.embeddingNearDupBanded(s, d)),
+    "decontam_embedding" -> ((s, d) => Dedup.embeddingDecontam(s, d)),
     // LLM-pipeline — text analysis
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -724,6 +725,16 @@ object SparkEntry {
          |       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
          |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, ${microSql("sim")} AS sim_micro
          |FROM p WHERE sim >= 0.30 ORDER BY id_a, id_b""".stripMargin,
+    // Semantic decontamination: exact cosine of every train row (vec_id % 97
+    // <> 0) against the broadcast eval holdout (vec_id % 97 = 0).
+    "decontam_embedding" ->
+      s"""WITH p AS (SELECT t.vec_id AS vec_id, q.vec_id AS eval_id,
+         |             ${dotSql("t.embedding", "q.embedding")} AS sim
+         |           FROM embeddings t JOIN embeddings q
+         |             ON t.vec_id % 97 <> 0 AND q.vec_id % 97 = 0)
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+         |       ${microSql("max(sim)")} AS max_sim_micro, CAST(min(eval_id) AS BIGINT) AS first_eval_id
+         |FROM p WHERE sim >= 0.30 GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_stats" ->
       """WITH d AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS ws FROM documents),
         |t AS (SELECT doc_id, length(text) AS n_chars_calc, n_chars, len(ws) AS n_words,

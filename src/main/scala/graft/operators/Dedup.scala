@@ -650,4 +650,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), micro(col("sim")).as("sim_micro"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Embedding-level decontamination — the semantic twin of
+    * TextAnalysis.decontaminate (n-gram overlap can't see paraphrased eval
+    * leakage; cosine similarity can). Flags every train vector whose
+    * cosine to ANY eval-set vector (the vec_id % 97 holdout, matching the
+    * text op's eval rule) reaches τ, reporting how many eval rows it hits
+    * and the strongest hit.
+    *
+    * Scale asymmetry is the point, and it dictates EXACT scoring rather
+    * than LSH blocking: at 100 TB the train side is the corpus but the
+    * eval side is a benchmark suite (thousands of rows), so the eval
+    * vectors broadcast whole and every train partition scores its rows
+    * against them map-side — one corpus scan, a broadcast-nested-loop
+    * cross, partial aggregation before the only exchange (≤ one row per
+    * flagged train vector per partition moves). Sign-LSH banding (the
+    * [[embeddingNearDupBanded]] trick) is the wrong tool here: at the
+    * moderate τ decontamination uses, band-collision recall collapses
+    * (measured 1/24 at τ=0.30 on the test corpus) while the exact cross
+    * against a bounded eval suite is embarrassingly parallel and
+    * shuffle-free.
+    */
+  def embeddingDecontam(spark: SparkSession, dir: String,
+                        threshold: Double = 0.30): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val trainVec = e.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id"), col("embedding").as("tv"))
+    val evalVec = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    trainVec.crossJoin(broadcast(evalVec))
+      .withColumn("sim", dot(col("tv"), col("ev")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        micro(max(col("sim"))).as("max_sim_micro"),
+        min(col("eval_id")).as("first_eval_id"))
+      .orderBy(col("vec_id"))
+  }
 }

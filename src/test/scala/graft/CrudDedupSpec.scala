@@ -187,6 +187,28 @@ class CrudDedupSpec extends SparkSpec {
     assert(banded.subsetOf(truth), "no false positives after exact verify")
   }
 
+  test("embedding decontam: exact recall vs brute force, train/eval sides disjoint") {
+    import graft.functions.VectorFunctions._
+    val out = Dedup.embeddingDecontam(spark, sfDir)
+    // no eval vector may appear as a flagged train row
+    assert(out.filter($"vec_id" % 97 === 0).count() == 0)
+    // exact scoring: flagged set == brute-force truth set (full recall)
+    val truth = {
+      val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+      e.as("t").join(e.as("q"),
+          $"t.vec_id" % 97 =!= 0 && $"q.vec_id" % 97 === 0 &&
+            dot($"t.embedding", $"q.embedding") >= 0.30)
+        .select($"t.vec_id".as[Long]).distinct().collect().toSet
+    }
+    val flagged = out.select($"vec_id".as[Long]).collect().toSet
+    assert(flagged == truth, s"missed ${(truth -- flagged).take(5)}")
+    // scale shape: the eval side broadcasts (nested-loop over broadcast,
+    // no shuffle of corpus vectors before the partial agg)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("connected components: chains merge transitively, labels are component minima") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
       .toDF("id_a", "id_b")
