@@ -1,0 +1,53 @@
+package graft
+
+/** Suite-wide scale lint: every registered query's physical plan is checked
+  * for the two patterns that do not survive a 100× scale-up —
+  * `CartesianProduct` (unbounded quadratic, never acceptable) and
+  * `BroadcastNestedLoopJoin` outside an explicit allowlist of deliberate,
+  * bounded broadcast crosses (small query batch × base, 7-row model table,
+  * 1-row scalar totals, broadcast eval holdout). Per-query PlanSpec tests pin
+  * the shapes we *want*; this lint pins the absence of the shapes we must
+  * never get, across the whole `SparkEntry.queries` surface, so a new query
+  * or a refactor cannot silently reintroduce a scale-killer.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** Real streaming runs: building the DataFrame executes the stream, and
+    * their plan shapes are asserted in StreamingSpec — skip here.
+    */
+  private val streamingRuns = Set("stream_hourly", "stream_interval_join", "stream_knn")
+
+  /** Queries whose ONE nested-loop join is a deliberate broadcast of a
+    * provably bounded side (≤ query batch / model table / scalar totals /
+    * eval holdout — each justified at its operator's Scaladoc).
+    */
+  private val broadcastCrossOk = Set(
+    "knn_exact", "knn_doc_join", "knn_refine", "knn_filtered",
+    "knn_range",          // broadcast query batch × base scan
+    "knn_ivf", "knn_ivfpq", "knn_pq", "knn_quantized",
+    "knn_range_ivf",      // broadcast probe batch / ≤100 centroids / 8×256 LUT
+    "rag_fusion",         // fuses two ≤k ranked lists
+    "decontam_embedding", // broadcast eval holdout
+    "metrics_combined",   // 7-row model table cross
+    "text_lm_score", "text_commonness", "text_tfidf", // 1-row scalar totals cross
+    "text_bm25", "text_vocab",         // 1-row avgdl / vocab-size scalar cross
+    "crud_update_positional"           // 1-row broadcast max-id aggregate
+  )
+
+  test("no registered query plans a CartesianProduct or an un-allowlisted nested-loop join") {
+    val plans = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => streamingRuns(name) }
+      .sortBy(_._1)
+      .map { case (name, q) => name -> q(spark, sfDir).queryExecution.executedPlan.toString }
+    val cartesian = plans.collect { case (n, p) if p.contains("CartesianProduct") => n }
+    assert(cartesian.isEmpty, s"CartesianProduct in: ${cartesian.mkString(", ")}")
+    // exact-set compare: an un-allowlisted nested loop is a scale regression,
+    // and a stale allowlist entry means the lint has drifted from the code —
+    // both fail, so the allowlist stays an audited inventory, not a wildcard
+    val nested = plans.collect { case (n, p) if p.contains("BroadcastNestedLoopJoin") => n }.toSet
+    assert((nested -- broadcastCrossOk).isEmpty,
+      s"un-allowlisted BroadcastNestedLoopJoin in: ${(nested -- broadcastCrossOk).mkString(", ")}")
+    assert((broadcastCrossOk -- nested).isEmpty,
+      s"stale allowlist entries (no nested loop planned): ${(broadcastCrossOk -- nested).mkString(", ")}")
+  }
+}
