@@ -165,6 +165,7 @@ object SparkEntry {
     "stream_hourly" -> ((s, d) => StreamOps.streamHourly(s, d)),
     "stream_interval_join" -> ((s, d) => StreamOps.streamIntervalJoin(s, d)),
     "stream_knn" -> ((s, d) => StreamOps.streamKnnSearch(s, d)),
+    "stream_dedup" -> ((s, d) => StreamOps.streamDedupRun(s, d)),
   )
 
   // ------------------------------------------------------------ oracles --
@@ -1217,6 +1218,12 @@ object SparkEntry {
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_hourly" -> hourlySql,
     "stream_hourly" -> hourlySql,
+    // Keys-only projection makes the streaming dropDuplicates deterministic:
+    // the surviving key set == SELECT DISTINCT regardless of arrival order.
+    "stream_dedup" ->
+      """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type,
+        |       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch
+        |FROM events ORDER BY 1, 2, 3""".stripMargin,
     "stream_interval_join" ->
       """SELECT CAST(c.event_id AS BIGINT) AS click_id, CAST(v.event_id AS BIGINT) AS view_id,
         |       CAST(c.user_id AS BIGINT) AS user_id

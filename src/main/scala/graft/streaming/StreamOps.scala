@@ -278,6 +278,40 @@ object StreamOps {
   def streamDedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** T3 as a named, oracle-checked query: replay the events parquet as a
+    * file-source stream and drop duplicate (user_id, event_type, hour)
+    * arrivals — the at-least-once ingest collapse rule. The projection is
+    * keys-only BEFORE the dedup, which is what makes a streaming
+    * dropDuplicates oracle-able at all: which physical row survives per key
+    * is arrival-order-dependent, but the surviving KEY set is exactly
+    * `SELECT DISTINCT`, so emitting keys only gives a deterministic,
+    * hash-comparable result from a real streaming execution.
+    *
+    * Scale shape: the event-time column (the truncated hour) is part of the
+    * dedup key, so the watermark evicts state — steady-state store size is
+    * active-keys-per-watermark-window, not corpus cardinality. State-heavy
+    * (one store × partitions commits per batch) → partition pin applies.
+    */
+  def streamDedupRun(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_dedup_${System.nanoTime()}"
+    withStreamPartitions(spark) {
+      val src = readEventsStream(spark, dir)
+      val keyed = src
+        .select(col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("ts_hour"))
+        .withWatermark("ts_hour", "2 hours")
+        .dropDuplicates("user_id", "event_type", "ts_hour")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts_hour")).as("hour_epoch"))
+      val q = keyed.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy(col("user_id"), col("event_type"), col("hour_epoch"))
+  }
+
   /** Session state for stateful sessionization. */
   case class SessionAcc(userId: Long, sessionId: Long, nEvents: Long,
                         startEpoch: Long, endEpoch: Long)

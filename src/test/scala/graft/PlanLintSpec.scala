@@ -15,7 +15,8 @@ class PlanLintSpec extends SparkSpec {
   /** Real streaming runs: building the DataFrame executes the stream, and
     * their plan shapes are asserted in StreamingSpec — skip here.
     */
-  private val streamingRuns = Set("stream_hourly", "stream_interval_join", "stream_knn")
+  private val streamingRuns =
+    Set("stream_hourly", "stream_interval_join", "stream_knn", "stream_dedup")
 
   /** Queries whose ONE nested-loop join is a deliberate broadcast of a
     * provably bounded side (≤ query batch / model table / scalar totals /

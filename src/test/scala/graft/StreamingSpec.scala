@@ -140,4 +140,20 @@ class StreamingSpec extends SparkSpec {
     assert(doubled.dropDuplicates("event_id").count() ==
       Tables.events(spark, sfDir).count())
   }
+
+  test("streamDedupRun (real streaming execution) equals the batch DISTINCT key set") {
+    val streamed = StreamOps.streamDedupRun(spark, sfDir)
+      .select($"user_id".as[Long], $"event_type".as[String], $"hour_epoch".as[Long])
+      .collect().toSet
+    val batch = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type",
+        unix_timestamp(date_trunc("hour", $"ts")).as("hour_epoch"))
+      .distinct()
+      .select($"user_id".as[Long], $"event_type".as[String], $"hour_epoch".as[Long])
+      .collect().toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    // and the collapse is real: duplicates existed in the input
+    assert(batch.size < Tables.events(spark, sfDir).count())
+  }
 }
