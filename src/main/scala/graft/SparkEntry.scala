@@ -34,6 +34,7 @@ object SparkEntry {
     "knn_exact_phys" -> ((s, d) => VectorSearch.knnExactPhysical(s, d)),
     "knn_batch" -> ((s, d) => VectorSearch.knnBatch(s, d)),
     "knn_batch_oracle" -> ((s, d) => VectorSearch.knnBatchOracle(s, d)),
+    "knn_hard_negatives" -> ((s, d) => VectorSearch.hardNegatives(s, d)),
     "knn_range" -> ((s, d) => VectorSearch.rangeSearch(s, d)),
     "knn_range_ivf" -> ((s, d) => graft.sources.IndexStore.rangeQuery(s, d)),
     "index_stats" -> ((s, d) => graft.sources.IndexStore.statsQuery(s, d)),
@@ -387,6 +388,18 @@ object SparkEntry {
          |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
          |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Hard-negative mining: top-k most-similar vectors with a DIFFERENT label.
+    "knn_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+         |           FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, e.vec_id, e.label, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlabel),
+         |r AS (SELECT qid, vec_id, label, sim,
+         |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+         |       CAST(label AS BIGINT) AS neg_label, CAST(rank AS BIGINT) AS rank,
          |       ${microSql("sim")} AS sim_micro
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // The custom KnnJoinExec path at batch size nq=200 with REAL embedding

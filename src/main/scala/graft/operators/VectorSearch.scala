@@ -122,6 +122,32 @@ object VectorSearch {
     rankTopK(hits, k)
   }
 
+  /** Hard-negative mining — the contrastive-training companion of plain
+    * kNN: for each anchor vector, the top-k most-SIMILAR corpus vectors
+    * carrying a DIFFERENT label (near the anchor in embedding space, wrong
+    * by supervision — exactly the negatives that make a triplet/InfoNCE
+    * batch hard). Same scale shape as [[knnDeclarative]]: broadcast the
+    * anchor batch, score map-side, label-mismatch filter BEFORE the rank
+    * window (disqualified rows never reach the top-k exchange), per-anchor
+    * WindowGroupLimit top-k.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val scored = e.select(col("vec_id"), col("embedding"), col("label"))
+      .crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("sim", dot(col("qvec"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("label").cast("long").as("neg_label"),
+        col("rank"), micro(col("sim")).as("sim_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Scalar-filtered kNN — the Milvus hybrid surface: the reference applies
     * scalar `expr` predicates to the vector collection
     * (`Milvus/stream1.py:299` `collection.query(expr="frame_number >= 0")`,

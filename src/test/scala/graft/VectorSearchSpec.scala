@@ -148,6 +148,27 @@ class VectorSearchSpec extends SparkSpec {
     lsh.foreach { case (k2, sim) => assert(exactAll(k2) == sim, s"sim mismatch at $k2") }
   }
 
+  test("hard negatives: label-disjoint from the anchor, top-k by sim, map-side rank limit") {
+    val out = VectorSearch.hardNegatives(spark, sfDir, k = 5, nq = 5)
+    val anchors = Tables.embeddings(spark, sfDir).filter($"vec_id" < 5)
+      .select($"vec_id".as[Long], $"label".cast("long").as[Long]).collect().toMap
+    val rows = out.select($"qid".as[Long], $"neg_label".as[Long], $"rank".as[Long],
+      $"sim_micro".as[Long]).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, negLabel, _, _) =>
+      assert(negLabel != anchors(qid), s"anchor $qid got a same-label negative")
+    }
+    // per anchor: ranks are 1..k and sims are non-increasing in rank
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val byRank = rs.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1L to byRank.length).toSeq, s"rank gap for $qid")
+      assert(byRank.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4),
+        s"sim not monotone for $qid")
+    }
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   private implicit class Tup3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => ((r._1, r._2), r._3)).toMap
   }
