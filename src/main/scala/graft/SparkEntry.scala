@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "dedup_keep_best" -> ((s, d) => Dedup.keepBestDedup(s, d)),
     // Library-default auto-bits (~64 vectors per sign-LSH bucket): the
     // oracle replays the same bits-from-count formula in SQL, so the
     // anchored query IS the scale path — a pinned small bits value would
@@ -710,6 +711,33 @@ object SparkEntry {
          |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
          |       CAST(min(node) AS BIGINT) AS min_member, CAST(max(node) AS BIGINT) AS max_member
          |FROM cc GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // Keep-best dedup: same recursive-CTE components as dedup_clusters,
+    // same quality score as text_quality, argmax survivor per cluster.
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($ngramJaccardSql)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+         |cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+         |t AS (SELECT doc_id, len(ws) AS nw, len(list_distinct(ws)) AS nd,
+         |         list_max(list_transform(list_distinct(ws), tk -> len(list_filter(ws, w -> w = tk)))) AS mf
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |q AS (SELECT doc_id, CAST(floor(((CAST(least(nw, 50) AS DOUBLE)/50.0
+         |         + CAST(nd AS DOUBLE)/CAST(nw AS DOUBLE)
+         |         + 1.0 - CAST(mf AS DOUBLE)/CAST(nw AS DOUBLE))/3.0)*1000000.0) AS BIGINT) AS score_micro
+         |      FROM t),
+         |lab AS (SELECT q.doc_id, coalesce(cc.cluster_id, q.doc_id) AS cluster_id, q.score_micro
+         |        FROM q LEFT JOIN cc ON cc.node = q.doc_id),
+         |r AS (SELECT cluster_id, doc_id, score_micro,
+         |             row_number() OVER (PARTITION BY cluster_id ORDER BY score_micro DESC, doc_id) AS rk,
+         |             count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |      FROM lab)
+         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, CAST(doc_id AS BIGINT) AS survivor_id,
+         |       CAST(n_members AS BIGINT) AS n_members, score_micro
+         |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     "dedup_embedding" ->
       // Replays Dedup.embeddingNearDup's auto-bits formula exactly:
       // n = max(1, count), bits = clamp(64 - nlz(n/64), 4, 20) — for

@@ -608,6 +608,38 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** Keep-BEST dedup — the action half of near-dup clustering: one
+    * survivor per cluster, chosen by QUALITY (argmax quality score, min
+    * doc_id on ties) instead of [[exactDedup]]'s positional keep-first.
+    * This is the rule a production corpus clean actually wants: when a
+    * boilerplate page and its well-written twin collide, keep the good one.
+    * Singleton documents survive as their own cluster.
+    *
+    * Scale shape: the quality scan and the candidate graph reuse their
+    * existing bucketed paths ([[ngramJaccardPairs]] inverted index +
+    * O(log n)-round [[connectedComponents]]); the survivor choice is ONE
+    * hash aggregation — `max(struct(score, −doc_id))` is an argmax that
+    * partially aggregates map-side, so no window state and only one row
+    * per cluster per partition reaches the exchange.
+    */
+  def keepBestDedup(spark: SparkSession, dir: String,
+                    threshold: Double = 0.12): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, threshold)
+      .select(col("id_a"), col("id_b"))
+    val cc = connectedComponents(pairs)
+    val scored = TextAnalysis.qualityStats(spark, dir)
+      .select(col("doc_id"), micro(col("score")).as("score_micro"))
+    scored.join(cc, scored("doc_id") === cc("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"), col("score_micro"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score_micro"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("survivor_id"),
+        col("n_members"), col("best.score_micro").as("score_micro"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Scale path for [[embeddingNearDup]]: multi-band sign-LSH blocking with
     * OR-amplification — the same banding construction as
     * [[minhashLshPairs]]. Band `b` keys on the signs of the `bitsPerBand`

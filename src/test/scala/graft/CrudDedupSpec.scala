@@ -209,6 +209,28 @@ class CrudDedupSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("keep-best dedup: partition of the corpus, survivor is argmax quality in-cluster") {
+    val out = Dedup.keepBestDedup(spark, sfDir)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // clusters partition the corpus: member counts add up to every doc once
+    assert(out.agg(sum($"n_members")).as[Long].head() == nDocs)
+    // the survivor really is in its own cluster (cluster_id = min member id,
+    // survivor may differ — that's the point of keep-BEST over keep-first)
+    val cc = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(spark, sfDir).select($"id_a", $"id_b"))
+      .select($"node".as[Long], $"label".as[Long]).collect()
+    val members = cc.groupBy(_._2).map { case (l, ns) => l -> ns.map(_._1).toSet }
+    out.select($"cluster_id".as[Long], $"survivor_id".as[Long]).collect().foreach {
+      case (cid, sid) =>
+        members.get(cid).foreach(m => assert(m.contains(sid), s"survivor $sid not in cluster $cid"))
+    }
+    // at least one multi-member cluster exists and keep-best beat keep-first
+    // somewhere (a survivor that is not the min id), else the test is vacuous
+    assert(out.filter($"n_members" > 1).count() > 0)
+    assert(out.filter($"survivor_id" =!= $"cluster_id" && $"n_members" > 1).count() > 0,
+      "keep-best never disagreed with keep-first — argmax not exercised")
+  }
+
   test("connected components: chains merge transitively, labels are component minima") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
       .toDF("id_a", "id_b")
