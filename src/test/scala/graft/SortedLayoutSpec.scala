@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SortedLayout
+
+/** Range-clustered parquet layout: disjoint per-file key ranges (the
+  * precondition for min/max pruning), bounded file sizes, and a range
+  * predicate that reaches the scan as a pushed filter.
+  */
+class SortedLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val out = s"/tmp/graft_sorted_layout_${System.nanoTime()}"
+
+  test("file key ranges are pairwise disjoint and files are size-bounded") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    SortedLayout.write(docs, out, "doc_id", numFiles = 4, maxRecordsPerFile = 100L)
+    val ranges = SortedLayout.fileRanges(spark, out, "doc_id")
+      .select($"lo".as[Long], $"hi".as[Long], $"rows".as[Long]).collect()
+    assert(ranges.length >= 4, s"expected >=4 files, got ${ranges.length}")
+    assert(ranges.forall(_._3 <= 100L), "maxRecordsPerFile bound violated")
+    // sorted by lo; every file's range must end before the next begins —
+    // exactly the property parquet min/max stats need to prune a range scan
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"overlap: $a vs $b")
+      case _           =>
+    }
+    // nothing lost in the layout shuffle
+    assert(SortedLayout.read(spark, out).count() == docs.count())
+  }
+
+  test("a range predicate over the sorted layout is pushed to the scan") {
+    val p = SortedLayout.read(spark, out)
+      .filter($"doc_id" >= 100 && $"doc_id" < 200)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(doc_id,100)"),
+      p.take(2000))
+  }
+
+  override def afterAll(): Unit = {
+    graft.streaming.StreamOps.rmTree(new java.io.File(out))
+    super.afterAll()
+  }
+}
