@@ -163,6 +163,7 @@ object SparkEntry {
     "window_sliding" -> ((s, d) => Temporal.eventsSliding(s, d)),
     "asof_join" -> ((s, d) => Temporal.asofClickView(s, d)),
     "range_join_bucketed" -> ((s, d) => Temporal.rangeJoinBucketed(s, d)),
+    "events_funnel" -> ((s, d) => Temporal.eventsFunnel(s, d)),
     // §2.10 — an actual Structured Streaming execution, oracle-checked
     "stream_hourly" -> ((s, d) => StreamOps.streamHourly(s, d)),
     "stream_interval_join" -> ((s, d) => StreamOps.streamIntervalJoin(s, d)),
@@ -1259,6 +1260,22 @@ object SparkEntry {
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_hourly" -> hourlySql,
     "stream_hourly" -> hourlySql,
+    // Strict-sequence funnel: each stage's min is conditioned on the prior
+    // stage's timestamp, so a click before the first view never counts.
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+        |SELECT CAST(v.user_id AS BIGINT) AS user_id,
+        |       CAST(floor(epoch(v.t_view)) AS BIGINT) AS view_epoch,
+        |       CAST(floor(epoch(c.t_click)) AS BIGINT) AS click_epoch,
+        |       CAST(floor(epoch(p.t_purchase)) AS BIGINT) AS purchase_epoch,
+        |       CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT AS BIGINT) AS stages_reached
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY 1""".stripMargin,
     // Keys-only projection makes the streaming dropDuplicates deterministic:
     // the surviving key set == SELECT DISTINCT regardless of arrival order.
     "stream_dedup" ->

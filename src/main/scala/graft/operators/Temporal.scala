@@ -123,4 +123,51 @@ object Temporal {
       .select(col("click_id"), col("user_id"), col("matched_view"))
       .orderBy(col("click_id"))
   }
+
+  /** Ordered-funnel analysis: per user, the earliest view, the earliest
+    * click AT OR AFTER that view, and the earliest purchase at or after
+    * that click — the strict-sequence conversion funnel (a click before
+    * the first view does not count).
+    *
+    * Single-pass shape: the sequence constraint is resolved with running
+    * window minima over ONE user_id shuffle+sort — a click qualifies iff
+    * some view precedes it in the sorted stream (`v_run` non-null), a
+    * purchase iff some qualifying click precedes it. The final per-user
+    * aggregate reuses the window's hash partitioning, so the whole funnel
+    * costs exactly one exchange of the (type-filtered, column-pruned)
+    * events scan. The naive form — one conditional aggregate per stage,
+    * re-joined — scans and shuffles per stage and recomputes earlier
+    * stages; a collect_list fold would bound per-user events by executor
+    * memory. Equal timestamps: views sort before clicks before purchases,
+    * preserving the at-or-after (>=) semantics.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin("view", "click", "purchase"))
+    val stageRank = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 1).otherwise(2)
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), stageRank)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val staged = e
+      .withColumn("v_run", min(when(col("event_type") === "view", col("ts"))).over(wRun))
+      .withColumn("c_q",
+        when(col("event_type") === "click" && col("v_run").isNotNull, col("ts")))
+      .withColumn("c_run", min(col("c_q")).over(wRun))
+      .withColumn("p_q",
+        when(col("event_type") === "purchase" && col("c_run").isNotNull, col("ts")))
+    staged.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(col("c_q")).as("t_click"),
+        min(col("p_q")).as("t_purchase"))
+      .filter(col("t_view").isNotNull)
+      .select(col("user_id"),
+        unix_timestamp(col("t_view")).as("view_epoch"),
+        unix_timestamp(col("t_click")).as("click_epoch"),
+        unix_timestamp(col("t_purchase")).as("purchase_epoch"),
+        (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stages_reached"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -100,6 +100,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("events funnel: one user_id exchange feeds windows AND the final aggregate") {
+    val p = plan(Temporal.eventsFunnel(spark, sfDir))
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"single-pass funnel should shuffle once, got $hashExchanges\n" + p.take(3000))
+    // the event-type disjunction reaches the parquet scan
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"), p.take(3000))
+  }
+
   test("vector kernels stay inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.limit(3).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
