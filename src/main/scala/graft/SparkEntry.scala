@@ -164,6 +164,7 @@ object SparkEntry {
     "asof_join" -> ((s, d) => Temporal.asofClickView(s, d)),
     "range_join_bucketed" -> ((s, d) => Temporal.rangeJoinBucketed(s, d)),
     "events_funnel" -> ((s, d) => Temporal.eventsFunnel(s, d)),
+    "events_retention" -> ((s, d) => Temporal.retentionCohorts(s, d)),
     // §2.10 — an actual Structured Streaming execution, oracle-checked
     "stream_hourly" -> ((s, d) => StreamOps.streamHourly(s, d)),
     "stream_interval_join" -> ((s, d) => StreamOps.streamIntervalJoin(s, d)),
@@ -1260,6 +1261,16 @@ object SparkEntry {
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_hourly" -> hourlySql,
     "stream_hourly" -> hourlySql,
+    // Cohort retention: signup-week cohorts × week offsets, distinct users.
+    "events_retention" ->
+      """WITH c AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT CAST(floor(epoch(cohort_week)) AS BIGINT) AS cohort_week_epoch,
+        |       CAST((floor(epoch(w)) - floor(epoch(cohort_week))) // 604800 AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id) WHERE w >= cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Strict-sequence funnel: each stage's min is conditioned on the prior
     // stage's timestamp, so a click before the first view never counts.
     "events_funnel" ->

@@ -170,4 +170,34 @@ object Temporal {
           + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stages_reached"))
       .orderBy(col("user_id"))
   }
+
+  /** Cohort retention: users grouped by signup week, counted as retained in
+    * every week-offset where they have ANY event at or after the cohort
+    * week. The companion report to [[eventsFunnel]] — funnel measures one
+    * conversion path, retention measures comeback over time.
+    *
+    * Scale shape: the (user, week) activity grid is pre-distinct'd BEFORE
+    * the cohort join — the map-side-combined distinct collapses each user's
+    * events to ≤ weeks-observed rows, so the join and the final count see
+    * user×week cardinality, never raw-event cardinality. The final
+    * count(DISTINCT user) per (cohort, offset) cell is exact; its expansion
+    * is bounded by the already-distinct input.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
+    val active = e.select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .filter(col("w") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        ((unix_timestamp(col("w")) - unix_timestamp(col("cohort_week")))
+          / lit(604800L)).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(unix_timestamp(col("cohort_week")).as("cohort_week_epoch"),
+        col("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week_epoch"), col("week_offset"))
+  }
 }

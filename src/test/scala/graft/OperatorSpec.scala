@@ -10,6 +10,21 @@ import graft.operators._
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("retention: week-0 cell counts every cohort member (signup is activity)") {
+    val ret = graft.operators.Temporal.retentionCohorts(spark, sfDir)
+    val week0 = ret.filter($"week_offset" === 0)
+      .select($"cohort_week_epoch".as[Long], $"n_users".as[Long]).collect().toMap
+    val cohorts = Tables.events(spark, sfDir).filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(unix_timestamp(date_trunc("week", $"ts"))).as("cw"))
+      .groupBy($"cw").agg(countDistinct($"user_id").as("n"))
+      .select($"cw".as[Long], $"n".as[Long]).collect().toMap
+    assert(week0 == cohorts, s"week-0 cells $week0 != cohort sizes $cohorts")
+    // retention never exceeds the cohort size at any offset
+    ret.select($"cohort_week_epoch".as[Long], $"n_users".as[Long]).collect().foreach {
+      case (cw, n) => assert(n <= cohorts(cw), s"cell ($cw) exceeds cohort")
+    }
+  }
+
   test("every SparkEntry query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try { if (fn(spark, sfDir).count() > 0) None else Some(s"$name: 0 rows") }
