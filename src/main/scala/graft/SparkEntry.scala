@@ -135,6 +135,7 @@ object SparkEntry {
     "agg_moments" -> ((s, d) => Relational.aggMoments(s, d)),
     "time_extract" -> ((s, d) => Relational.timeExtract(s, d)),
     "value_histogram" -> ((s, d) => Relational.valueHistogram(s, d)),
+    "quality_audit" -> ((s, d) => Relational.qualityAudit(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
     "set_intersect" -> ((s, d) => Relational.setIntersect(s, d)),
     "set_except" -> ((s, d) => Relational.setExcept(s, d)),
@@ -1349,6 +1350,28 @@ object SparkEntry {
     "value_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Expectations gate: one row per declared check, conditional aggregates.
+    "quality_audit" ->
+      """SELECT * FROM (
+        |SELECT 'lineitem' AS tbl, 'fk_orderkey_in_orders' AS chk,
+        |       CAST(count(*) AS BIGINT) AS n_checked,
+        |       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL SELECT 'lineitem', 'quantity_in_1_50', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'lineitem', 'extendedprice_positive', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'documents', 'text_nonempty', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'documents', 'n_chars_matches_text', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'documents', 'lang_nonnull', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'events', 'user_id_nonnull', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL SELECT 'events', 'value_non_negative', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |) ORDER BY tbl, chk""".stripMargin,
     "window_sliding" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
         |x AS (SELECT event_type, unnest([h, h - INTERVAL 1 HOUR]) AS ws FROM e)

@@ -406,4 +406,65 @@ object Relational {
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("event_type"))
       .limit(10)
+
+  /** Data-quality audit — the expectations gate a pipeline runs before
+    * training on a snapshot: one report row per declared check with the
+    * checked and violating counts. Checks cover the failure classes that
+    * actually corrupt downstream training: referential orphans
+    * (lineitem→orders, event user activity vs signups is skipped — users
+    * predate the window by design), nulls/empties in required fields,
+    * range violations, and derived-column consistency (n_chars vs text).
+    *
+    * Scale shape: every check is a conditional aggregate over ONE scan of
+    * its table — violations are `sum(when(...))`, never a second filtered
+    * scan — and the FK check is a left join degenerating to conditional
+    * count of unmatched rows. Per-table scans union into one tiny report;
+    * nothing corpus-sized ever shuffles (aggregates are map-side-combined
+    * scalars).
+    */
+  def qualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    def viol(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+
+    // lineitem: ONE scan serves all three checks — the FK left join keeps
+    // every lineitem row (and its columns), so range checks ride along
+    val liJoined = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+    val liReport = liJoined.agg(
+        count(lit(1)).as("n"),
+        viol(col("o_orderkey").isNull).as("v_fk"),
+        viol(col("l_quantity") < 1 || col("l_quantity") > 50).as("v_qty"),
+        viol(col("l_extendedprice") <= 0).as("v_price"))
+      .select(lit("lineitem").as("tbl"),
+        expr("""stack(3, 'fk_orderkey_in_orders', n, v_fk,
+                         'quantity_in_1_50', n, v_qty,
+                         'extendedprice_positive', n, v_price)
+                AS (chk, n_checked, n_violations)"""))
+
+    val docReport = Tables.documents(spark, dir).agg(
+        count(lit(1)).as("n"),
+        viol(col("text").isNull || length(col("text")) === 0).as("v_text"),
+        viol(col("n_chars") =!= length(col("text"))).as("v_chars"),
+        viol(col("lang").isNull).as("v_lang"))
+      .select(lit("documents").as("tbl"),
+        expr("""stack(3, 'text_nonempty', n, v_text,
+                         'n_chars_matches_text', n, v_chars,
+                         'lang_nonnull', n, v_lang)
+                AS (chk, n_checked, n_violations)"""))
+
+    val evReport = Tables.events(spark, dir).agg(
+        count(lit(1)).as("n"),
+        viol(col("user_id").isNull).as("v_user"),
+        viol(col("value") < 0).as("v_value"))
+      .select(lit("events").as("tbl"),
+        expr("""stack(2, 'user_id_nonnull', n, v_user,
+                         'value_non_negative', n, v_value)
+                AS (chk, n_checked, n_violations)"""))
+
+    liReport.unionByName(docReport).unionByName(evReport)
+      .select(col("tbl"), col("chk"), col("n_checked").cast("long"),
+        col("n_violations").cast("long"))
+      .orderBy(col("tbl"), col("chk"))
+  }
 }

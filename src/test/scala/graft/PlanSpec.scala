@@ -109,6 +109,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("In(event_type"), p.take(3000))
   }
 
+  test("quality audit scans each audited table exactly once") {
+    val p = plan(Relational.qualityAudit(spark, sfDir))
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    // lineitem + orders (FK probe) + documents + events — every check is a
+    // conditional aggregate riding an existing scan, never a re-scan
+    assert(scans == 4, s"expected 4 table scans, got $scans\n" + p.take(3000))
+  }
+
   test("vector kernels stay inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.limit(3).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
