@@ -46,7 +46,14 @@ object Plans {
       "sample_mix" -> "language-mix resampling: literal quota map projection + WindowGroupLimit quota fill per language",
       "knn_filtered" -> "scalar-filtered kNN (Milvus expr surface): the label predicate reaches the parquet scan as PushedFilters BELOW the score join — k fills from qualifying rows only",
       "rag_fusion" -> "RRF hybrid retrieval: full-outer join of two bounded top-k legs (BM25 lexical + dense kNN), integer-micro rank fusion",
-      "dedup_containment" -> "asymmetric containment near-dup: shared memoized shingle cache + inverted-index self-join on 8-byte hashed keys, df>=2 prune")
+      "dedup_containment" -> "asymmetric containment near-dup: shared memoized shingle cache + inverted-index self-join on 8-byte hashed keys, df>=2 prune",
+      "range_join_bucketed" -> "interval-overlap range join: epoch-bucket equi-join with bounded fan-out — no cartesian, no nested loop",
+      "decontam_embedding" -> "semantic decontamination: broadcast eval holdout, map-side broadcast-nested-loop scoring, partial agg before the only exchange",
+      "dedup_keep_best" -> "keep-best dedup: quality-argmax survivor via max(struct(score, -id)) — one map-side-combined hash agg, no window state",
+      "knn_hard_negatives" -> "hard-negative mining: broadcast anchor batch, label-mismatch filter below the rank window, WindowGroupLimit top-k",
+      "events_funnel" -> "strict-sequence funnel: running window minima resolve stage ordering in ONE user_id exchange, final agg reuses the window partitioning",
+      "events_retention" -> "cohort retention: (user, week) grid pre-distinct'd map-side before the cohort join",
+      "quality_audit" -> "expectations gate: conditional aggregates stacked per table — exactly one scan per audited table")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
