@@ -349,6 +349,47 @@ object StreamOps {
         })
   }
 
+  /** Per-user funnel state: stage minima, -1 = stage not reached. */
+  case class FunnelAcc(userId: Long, viewEpoch: Long, clickEpoch: Long,
+                       purchaseEpoch: Long)
+
+  /** Stateful streaming twin of Temporal.eventsFunnel: the same strict
+    * view→click→purchase sequence resolved as a per-user state machine in
+    * `flatMapGroupsWithState` — stage minima update in event-time order
+    * (in-group sort, the same AvailableNow replay contract as
+    * [[sessionizeStateful]]), a click only qualifying once a view ≤ its ts
+    * is in state, a purchase once a qualifying click is. Emits the current
+    * funnel row per user per batch; state carries stage minima so a
+    * continuation batch extends (and re-emits) rather than loses progress.
+    */
+  def funnelStateful(spark: SparkSession,
+                     events: DataFrame): Dataset[FunnelAcc] = {
+    import spark.implicits._
+    val stageRank = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 1).otherwise(2)
+    events.filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), stageRank.as("stage"), col("ts").cast("long").as("epoch"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[(Long, Int, Long)], state: GroupState[FunnelAcc]) => {
+          val sorted = it.map(e => (e._3, e._2)).toArray.sorted
+          var acc = state.getOption.getOrElse(FunnelAcc(user, -1L, -1L, -1L))
+          for ((ts, stage) <- sorted) stage match {
+            case 0 =>
+              if (acc.viewEpoch < 0 || ts < acc.viewEpoch) acc = acc.copy(viewEpoch = ts)
+            case 1 =>
+              if (acc.viewEpoch >= 0 && ts >= acc.viewEpoch &&
+                (acc.clickEpoch < 0 || ts < acc.clickEpoch)) acc = acc.copy(clickEpoch = ts)
+            case _ =>
+              if (acc.clickEpoch >= 0 && ts >= acc.clickEpoch &&
+                (acc.purchaseEpoch < 0 || ts < acc.purchaseEpoch)) acc = acc.copy(purchaseEpoch = ts)
+          }
+          state.update(acc)
+          if (acc.viewEpoch >= 0) Iterator.single(acc) else Iterator.empty
+        })
+  }
+
   /** Streaming kNN search — the reference's serve loop: queries arrive
     * continuously and each round searches the collection
     * (`Milvus/stream1.py:161-162` `collection.search(...)` inside the

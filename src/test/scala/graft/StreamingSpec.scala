@@ -103,6 +103,18 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(stateful).count() == 0)
   }
 
+  test("stateful funnel agrees with the batch single-pass window funnel") {
+    val batch = Temporal.eventsFunnel(spark, sfDir)
+      .select($"user_id", $"view_epoch",
+        coalesce($"click_epoch", lit(-1L)).as("click_epoch"),
+        coalesce($"purchase_epoch", lit(-1L)).as("purchase_epoch"))
+    val stateful = StreamOps.funnelStateful(spark, Tables.events(spark, sfDir))
+      .toDF().select($"userId".as("user_id"), $"viewEpoch".as("view_epoch"),
+        $"clickEpoch".as("click_epoch"), $"purchaseEpoch".as("purchase_epoch"))
+    assert(stateful.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(stateful).count() == 0)
+  }
+
   test("streaming kNN search equals the batch probed search over the same store") {
     import graft.sources.IndexStore
     import graft.operators.VectorSearch
