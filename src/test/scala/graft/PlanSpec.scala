@@ -109,6 +109,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("In(event_type"), p.take(3000))
   }
 
+  test("runtime bloom filter injects on a selective fact-fact join (semi-join reduction)") {
+    // The 100 TB lever for fact⋈filtered-fact: the filtered side's keys are
+    // bloom-sketched at runtime and the probe scan drops non-members before
+    // the shuffle. Thresholds are lowered so the tiny test tables qualify;
+    // the assertion is that OUR join shapes stay eligible for injection
+    // (equi-key, no expression wrapping the key, filter below the join).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, sfDir)
+      val urgent = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = plan(li.join(urgent, col("l_orderkey") === col("o_orderkey")))
+      assert(p.toLowerCase.contains("bloom"),
+        "runtime bloom filter not injected\n" + p.take(3000))
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("quality audit scans each audited table exactly once") {
     val p = plan(Relational.qualityAudit(spark, sfDir))
     val scans = p.linesIterator.count(_.contains("FileScan parquet"))
