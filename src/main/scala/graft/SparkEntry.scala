@@ -117,6 +117,7 @@ object SparkEntry {
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_shipping" -> ((s, d) => Relational.q3Shipping(s, d)),
     "q5_local_supplier" -> ((s, d) => Relational.q5LocalSupplier(s, d)),
+    "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "join_semi" -> ((s, d) => Relational.semiJoin(s, d)),
     "join_anti" -> ((s, d) => Relational.antiJoin(s, d)),
     "window_top_orders" -> ((s, d) => Relational.windowTopOrders(s, d)),
@@ -1097,6 +1098,15 @@ object SparkEntry {
          |     JOIN nation ON s_nationkey = n_nationkey
          |     JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_returns" ->
+      s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+         |       CAST(sum($discPrice)*10000 AS BIGINT) AS revenue_c,
+         |       CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |     JOIN customer ON o_custkey = c_custkey
+         |     JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY 1, 2, 3 ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin,
     "join_semi" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
         |FROM customer c

@@ -80,6 +80,30 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q10-shaped: top-20 customers by revenue lost to returned items.
+    * The `l_returnflag = 'R'` predicate is pushed into the lineitem scan;
+    * customer/nation broadcast; orders⋈lineitem is the only big shuffle;
+    * the global top-20 is TakeOrderedAndProject (partial top-k per
+    * partition, never a full sort).
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val n = Tables.nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg((sum((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_c"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_c").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("n_name"), col("revenue_c"), col("n_items"))
+  }
+
   /** Left-semi join (EXISTS): customers having at least one URGENT order. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
