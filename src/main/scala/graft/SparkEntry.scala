@@ -35,6 +35,11 @@ object SparkEntry {
     "knn_batch" -> ((s, d) => VectorSearch.knnBatch(s, d)),
     "knn_batch_oracle" -> ((s, d) => VectorSearch.knnBatchOracle(s, d)),
     "knn_hard_negatives" -> ((s, d) => VectorSearch.hardNegatives(s, d)),
+    // Greedy MMR is not SQL-expressible (each pick conditions the next) —
+    // rows-only here; determinism/containment/diversity pinned in specs.
+    "knn_mmr" -> ((s, d) => VectorSearch.mmrRerank(s, d).toDF()
+      .orderBy(org.apache.spark.sql.functions.col("qid"),
+        org.apache.spark.sql.functions.col("rank"))),
     "knn_range" -> ((s, d) => VectorSearch.rangeSearch(s, d)),
     "knn_range_ivf" -> ((s, d) => graft.sources.IndexStore.rangeQuery(s, d)),
     "index_stats" -> ((s, d) => graft.sources.IndexStore.statsQuery(s, d)),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -120,6 +120,70 @@ object VectorSearch {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val hits = graft.plans.KnnJoinApi.knnJoin(spark, querySet(spark, dir, nq), base, k)
     rankTopK(hits, k)
+  }
+
+  /** One MMR pick: qid, chosen vec_id, selection rank, MMR score micros. */
+  case class MmrPick(qid: Long, vec_id: Long, rank: Int, mmr_micro: Long)
+
+  /** Maximal-marginal-relevance re-rank — the RAG diversifier: greedily
+    * pick k results trading query relevance against redundancy with the
+    * already-picked set, score λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s).
+    * Greedy recursion is not SQL-expressible (each pick conditions the
+    * next), so per the SURVEY §2.12 contract this is spec-checked:
+    * determinism, first-pick ≡ top-1, candidate containment, and measured
+    * diversity gain vs the plain top-k.
+    *
+    * Scale shape: the expensive part is the candidate pool — the existing
+    * broadcast-kNN top-`poolSize` per query, everything bucketed as in
+    * [[knnDeclarative]]. The greedy loop then runs per-query over ≤
+    * poolSize rows INSIDE a `mapGroups` task (poolSize² dot products on
+    * ≤ poolSize×dim floats — constant work per query, no shuffle beyond
+    * the pool's own groupBy, no driver participation).
+    */
+  def mmrRerank(spark: SparkSession, dir: String, k: Int = 5,
+                poolSize: Int = 30, lambdaRel: Double = 0.7,
+                nq: Int = 5): Dataset[MmrPick] = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val pool = knnDeclarative(querySet(spark, dir, nq), base, poolSize)
+      .select(col("qid"), col("vec_id"))
+      .join(base, "vec_id")
+      .join(broadcast(querySet(spark, dir, nq)), "qid")
+      .select(col("qid").as[Long], col("vec_id").as[Long],
+        col("embedding").as[Seq[Float]], col("qvec").as[Seq[Float]])
+    pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cand = it.toArray
+      def dot(a: Seq[Float], b: Seq[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      val rel = cand.map(c => dot(c._3, c._4))
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      while (out.length < math.min(k, cand.length)) {
+        var bestIdx = -1; var bestScore = Double.MinValue
+        var i = 0
+        while (i < cand.length) {
+          if (!picked.contains(i)) {
+            val redundancy =
+              if (picked.isEmpty) 0.0
+              else picked.map(j => dot(cand(i)._3, cand(j)._3)).max
+            val score = lambdaRel * rel(i) - (1.0 - lambdaRel) * redundancy
+            // deterministic: strict improvement, ties keep the lower vec_id
+            if (score > bestScore ||
+              (score == bestScore && bestIdx >= 0 && cand(i)._2 < cand(bestIdx)._2)) {
+              bestIdx = i; bestScore = score
+            }
+          }
+          i += 1
+        }
+        picked += bestIdx
+        out += MmrPick(qid, cand(bestIdx)._2, out.length + 1,
+          math.floor(bestScore * 1000000.0).toLong)
+      }
+      out.iterator
+    }
   }
 
   /** Hard-negative mining — the contrastive-training companion of plain

@@ -38,10 +38,13 @@ class OperatorSpec extends SparkSpec {
     // exported index); metrics_ops emits wall-clock measurements (rows-only
     // by nature, deterministic columns spec-checked in SweepCatalogSpec);
     // knn_batch's 5000-query batch is Featurizer-synthesized (not SQL-
-    // replayable) — KnnJoinSpec asserts heap ≡ declarative at that nq
+    // replayable) — KnnJoinSpec asserts heap ≡ declarative at that nq;
+    // knn_mmr's greedy selection conditions each pick on the previous ones
+    // (not SQL-expressible) — VectorSearchSpec pins determinism/first-pick/
+    // containment/diversity
     val exempt = Set("dedup_minhash_lsh", "dedup_simhash",
       "embed_docs", "media_decode", "agg_approx_distinct", "agg_approx_percentile",
-      "metrics_ops", "knn_batch")
+      "metrics_ops", "knn_batch", "knn_mmr")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

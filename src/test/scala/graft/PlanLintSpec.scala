@@ -24,7 +24,8 @@ class PlanLintSpec extends SparkSpec {
     */
   private val broadcastCrossOk = Set(
     "knn_exact", "knn_doc_join", "knn_refine", "knn_filtered",
-    "knn_range", "knn_hard_negatives", // broadcast query/anchor batch × base scan
+    "knn_range", "knn_hard_negatives",
+    "knn_mmr",            // broadcast query/anchor batch × base scan
     "knn_ivf", "knn_ivfpq", "knn_pq", "knn_quantized",
     "knn_range_ivf",      // broadcast probe batch / ≤100 centroids / 8×256 LUT
     "rag_fusion",         // fuses two ≤k ranked lists

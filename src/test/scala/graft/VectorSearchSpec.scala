@@ -169,6 +169,42 @@ class VectorSearchSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("MMR re-rank: deterministic, first pick is top-1, picks diversify vs plain top-k") {
+    val mmr = VectorSearch.mmrRerank(spark, sfDir).toDF()
+    val again = VectorSearch.mmrRerank(spark, sfDir).toDF()
+    assert(mmr.exceptAll(again).count() == 0 && again.exceptAll(mmr).count() == 0,
+      "greedy selection must be deterministic")
+    val topk = VectorSearch.knnExact(spark, sfDir, k = 5, nq = 5)
+    // λ·rel dominates an empty redundancy term: pick 1 IS the top-1 hit
+    val firstPick = mmr.filter($"rank" === 1)
+      .select($"qid".as[Long], $"vec_id".as[Long]).collect().toSet
+    val top1 = topk.filter($"rank" === 1)
+      .select($"qid".as[Long], $"vec_id".as[Long]).collect().toSet
+    assert(firstPick == top1)
+    // picks come from the candidate pool and ranks are contiguous
+    val pool = VectorSearch.knnExact(spark, sfDir, k = 30, nq = 5)
+      .select($"qid".as[Long], $"vec_id".as[Long]).collect().toSet
+    val picks = mmr.select($"qid".as[Long], $"vec_id".as[Long]).collect().toSet
+    assert(picks.subsetOf(pool))
+    mmr.groupBy($"qid").agg(count(lit(1)).as("n"), max($"rank").as("mx"))
+      .select($"n".as[Long], $"mx".as[Int]).collect()
+      .foreach { case (n, mx) => assert(n == 5 && mx == 5) }
+    // diversity: the MMR set's mean pairwise cosine is <= the plain top-k's
+    val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    def meanPairSim(df: org.apache.spark.sql.DataFrame): Double = {
+      val g = df.join(e, "vec_id")
+        .select($"qid".as[Long], $"embedding".as[Seq[Float]]).collect().groupBy(_._1)
+      val sims = g.values.flatMap { vs =>
+        for (i <- vs.indices; j <- i + 1 until vs.length)
+          yield vs(i)._2.zip(vs(j)._2).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      }
+      sims.sum / sims.size
+    }
+    val dMmr = meanPairSim(mmr.select($"qid", $"vec_id"))
+    val dTop = meanPairSim(topk.select($"qid", $"vec_id"))
+    assert(dMmr <= dTop + 1e-9, s"MMR did not diversify: $dMmr vs top-k $dTop")
+  }
+
   private implicit class Tup3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => ((r._1, r._2), r._3)).toMap
   }
