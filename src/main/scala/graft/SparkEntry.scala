@@ -137,6 +137,7 @@ object SparkEntry {
     "agg_salted" -> ((s, d) => Relational.aggSalted(s, d)),
     "agg_percentiles" -> ((s, d) => Relational.aggPercentiles(s, d)),
     "agg_approx_percentile" -> ((s, d) => Relational.aggApproxPercentile(s, d)),
+    "agg_winsorized" -> ((s, d) => Relational.aggWinsorized(s, d)),
     "sql_grouping_sets" -> ((s, d) => Relational.sqlGroupingSets(s, d)),
     "agg_moments" -> ((s, d) => Relational.aggMoments(s, d)),
     "time_extract" -> ((s, d) => Relational.timeExtract(s, d)),
@@ -1326,6 +1327,19 @@ object SparkEntry {
         |       CAST(round(quantile_cont(l_quantity, 0.95)*1000000.0) AS BIGINT) AS qty_p95_micro,
         |       CAST(round(quantile_cont(l_extendedprice, 0.5)*1000000.0) AS BIGINT) AS price_p50_micro
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Winsorized stats: clamp at exact [p05, p95], same quantile_cont
+    // interpolation; avg over clamped doubles is order-independent enough
+    // only because both engines sum the same clamped set — mean surfaces
+    // as round-micro like the percentile family.
+    "agg_winsorized" ->
+      """WITH b AS (SELECT quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi FROM events),
+        |c AS (SELECT least(greatest(value, lo), hi) AS cv, value, lo, hi FROM events, b)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(avg(cv)*1000000.0) AS BIGINT) AS wmean_micro,
+        |       CAST(round(min(cv)*1000000.0) AS BIGINT) AS wmin_micro,
+        |       CAST(round(max(cv)*1000000.0) AS BIGINT) AS wmax_micro,
+        |       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        |FROM c""".stripMargin,
     "agg_moments" ->
       // Mirrors Relational.aggMoments exactly: cents fixed-point (DECIMAL(18,0)
       // here — products fit DuckDB's 38-digit cap; the sums are the same exact

@@ -256,6 +256,30 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.5)") * 1000000.0).cast("long").as("price_p50_micro"))
       .orderBy(col("l_returnflag"))
 
+  /** Winsorized robust statistics: clamp the value column at its exact
+    * [p05, p95] before aggregating — the outlier-safe mean/extremes a
+    * metrics pipeline reports when raw means are skew-dominated. Two-pass
+    * by necessity (exact global percentiles, then clamp): pass 1 is one
+    * map-combined percentile aggregate producing a 1-ROW bounds table that
+    * broadcasts into pass 2's conditional aggregation — the big table is
+    * scanned twice but shuffled never (both aggregations are scalar).
+    * Same (n−1)·q interpolation contract as [[aggPercentiles]].
+    */
+  def aggWinsorized(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.agg(
+      expr("percentile(value, 0.05)").as("lo"),
+      expr("percentile(value, 0.95)").as("hi"))
+    val clamped = least(greatest(col("value"), col("lo")), col("hi"))
+    ev.select(col("value")).crossJoin(broadcast(bounds))
+      .agg(count(lit(1)).as("n"),
+        round(avg(clamped) * 1000000.0).cast("long").as("wmean_micro"),
+        round(min(clamped) * 1000000.0).cast("long").as("wmin_micro"),
+        round(max(clamped) * 1000000.0).cast("long").as("wmax_micro"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_clamped"))
+  }
+
   /** The SQL front door: the same engine surface through `spark.sql` over
     * registered views — GROUPING SETS, which the DataFrame API only
     * reaches via rollup/cube. Shows a reference user can keep writing SQL.
