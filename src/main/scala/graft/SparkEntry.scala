@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5Pairs(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
+    "dedup_paragraph" -> ((s, d) => Dedup.paragraphDedup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestDedup(s, d)),
     // Library-default auto-bits (~64 vectors per sign-LSH bucket): the
@@ -123,6 +124,7 @@ object SparkEntry {
     "q3_shipping" -> ((s, d) => Relational.q3Shipping(s, d)),
     "q5_local_supplier" -> ((s, d) => Relational.q5LocalSupplier(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
+    "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     "join_semi" -> ((s, d) => Relational.semiJoin(s, d)),
     "join_anti" -> ((s, d) => Relational.antiJoin(s, d)),
     "window_top_orders" -> ((s, d) => Relational.windowTopOrders(s, d)),
@@ -685,6 +687,24 @@ object SparkEntry {
          |FROM bands q JOIN bands c ON q.band = c.band AND q.bk = c.bk
          |WHERE q.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
          |ORDER BY incoming_id, corpus_id""".stripMargin,
+    // Passage-exact dedup with reconstruction: non-overlapping 10-word
+    // segments, global keep-first by (doc_id, seg_no), docs rebuilt from
+    // surviving segments in order. COALESCE matches Spark's '' on a doc
+    // whose every segment duplicated an earlier one.
+    "dedup_paragraph" ->
+      """WITH segs0 AS (SELECT doc_id,
+        |                      unnest(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS seg_no, ws
+        |               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |segs AS (SELECT doc_id, seg_no,
+        |                array_to_string(list_slice(ws, seg_no*10 + 1, seg_no*10 + 10), ' ') AS seg
+        |         FROM segs0),
+        |ranked AS (SELECT doc_id, seg_no, seg,
+        |                  row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+        |           FROM segs)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_no), '') AS text_kept
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Engine-portable SimHash: bit b of a token's hash = integer nibble
     // arithmetic on md5 hex; signature bit = strict per-bit majority.
     "dedup_simhash_md5" -> {
@@ -1113,6 +1133,28 @@ object SparkEntry {
          |     JOIN nation ON c_nationkey = n_nationkey
          |WHERE l_returnflag = 'R'
          |GROUP BY 1, 2, 3 ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin,
+    // Q8-shaped market-share: same 8-table join; the share is replayed with
+    // the exact BIGINT floor division the engine uses (// in DuckDB ≡ DIV).
+    "q8_market_share" ->
+      s"""WITH j AS (
+         |  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         |         CAST($discPrice*10000 AS BIGINT) AS vol_c,
+         |         n2.n_name AS supp_nation
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |       JOIN part ON l_partkey = p_partkey
+         |       JOIN customer ON o_custkey = c_custkey
+         |       JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |       JOIN region ON n1.n_regionkey = r_regionkey
+         |       JOIN supplier ON l_suppkey = s_suppkey
+         |       JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+         |SELECT CAST(o_year AS BIGINT) AS o_year,
+         |       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END) AS BIGINT) AS nation_c,
+         |       CAST(sum(vol_c) AS BIGINT) AS total_c,
+         |       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END) * 1000000
+         |            // sum(vol_c) AS BIGINT) AS mkt_share_micro
+         |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin,
     "join_semi" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
         |FROM customer c

@@ -719,4 +719,56 @@ object Dedup {
         min(col("eval_id")).as("first_eval_id"))
       .orderBy(col("vec_id"))
   }
+
+  /** Corpus-wide exact SEGMENT dedup with document reconstruction — the
+    * sub-document exact-dedup shape ("remove every duplicated passage,
+    * keep its globally first occurrence, then rebuild each document from
+    * its surviving passages"). Passages here are non-overlapping
+    * `segWords`-word windows, the paragraph stand-in for this corpus's
+    * single-line docs. The reference dedups whole keyed rows only
+    * (`Milvus/stream1.py:215` `drop_duplicates`); passage granularity is
+    * the LLM-pipeline extension.
+    *
+    * Scale shape, and why this is a groupBy + equi-join rather than one
+    * window over the segment hash:
+    *  - the keep-first DECISION is `groupBy(h).agg(min(struct(doc_id,
+    *    seg_no)))` — partially aggregated map-side, so a boilerplate
+    *    passage shared by millions of docs combines to one row per input
+    *    partition before the exchange (a `Window.partitionBy(h)` would
+    *    funnel every copy of the hot key through one task, unsplittable);
+    *  - segment text rides the JOIN exchange exactly once, and a skewed
+    *    `h` there is AQE-splittable because each segment row only needs
+    *    the one matching first-occurrence row, not its whole group;
+    *  - reconstruction is the second and last full-bytes exchange
+    *    (`groupBy(doc_id)`, surviving bytes only).
+    * Distinct-text collisions on the 8-byte shuffle key are caught by the
+    * independent 128-bit md5 witness carried through the firsts agg, same
+    * contract as [[exactDedup]].
+    */
+  def paragraphDedup(spark: SparkSession, dir: String, segWords: Int = 10): DataFrame = {
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), ceil(size(col("ws")) / lit(segWords.toDouble)).cast("int") - 1),
+        i => concat_ws(" ", slice(col("ws"), i * segWords + 1, lit(segWords))))))
+      .withColumnRenamed("pos", "seg_no").withColumnRenamed("col", "seg")
+      .withColumn("h", xxhash64(col("seg")))
+    val firsts = segs
+      .select(col("h"), md5(col("seg")).as("w128"), struct(col("doc_id"), col("seg_no")).as("at"))
+      .groupBy(col("h"))
+      .agg(min(col("at")).as("first"),
+        min(col("w128")).as("w_lo"), max(col("w128")).as("w_hi"))
+      .filter(assert_true(col("w_lo") === col("w_hi"),
+        lit("xxhash64 collision in paragraphDedup — distinct segments in one group")).isNull)
+      .select(col("h"), col("first"))
+    segs.join(firsts, "h")
+      .withColumn("is_first",
+        (col("doc_id") === col("first.doc_id") && col("seg_no") === col("first.seg_no")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"), sum(col("is_first")).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("is_first") === 1, struct(col("seg_no"), col("seg"))))),
+          s => s.getField("seg")), " ").as("text_kept"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -104,6 +104,44 @@ object Relational {
         col("n_name"), col("revenue_c"), col("n_items"))
   }
 
+  /** TPC-H Q8-shaped: one supplier nation's market share inside a region's
+    * customer market, by order year (conditional-aggregate ratio over an
+    * 8-table join). Plan shape for scale: lineitem⋈orders is the only big
+    * shuffle; part (filtered by type), customer, supplier and both nation
+    * legs plus region broadcast; the nation/total split is a single
+    * conditional aggregate, not two passes. The share is fixed-point
+    * micro via BIGINT floor division so the oracle replays it exactly.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_type") === lit("ECONOMY"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+    val l = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+    val r = Tables.region(spark, dir).filter(col("r_name") === lit("AMERICA"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), c("c_nationkey") === col("n1_key"))
+      .join(broadcast(r), col("n1_region") === r("r_regionkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n2), s("s_nationkey") === col("n2_key"))
+      .withColumn("vol_c", ((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("decimal(18,4)") * 10000).cast("long"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === lit("NATION_3"), col("vol_c")).otherwise(lit(0L))).as("nation_c"),
+        sum(col("vol_c")).as("total_c"))
+      .withColumn("mkt_share_micro", expr("(nation_c * 1000000) DIV total_c"))
+      .select(col("o_year"), col("nation_c"), col("total_c"), col("mkt_share_micro"))
+      .orderBy(col("o_year"))
+  }
+
   /** Left-semi join (EXISTS): customers having at least one URGENT order. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)

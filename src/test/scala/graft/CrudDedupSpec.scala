@@ -333,6 +333,29 @@ class CrudDedupSpec extends SparkSpec {
     assert(capped.subsetOf(exact), "capping shingle df must never invent pairs")
   }
 
+  test("paragraph dedup: every distinct segment survives exactly once, firsts win") {
+    val out = Dedup.paragraphDedup(spark, sfDir)
+      .select($"doc_id", $"n_segs", $"n_kept", $"text_kept")
+      .as[(Long, Long, Long, String)].collect()
+    // Independent in-Scala oracle: same non-overlapping 10-word segmentation.
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val segsByDoc = docs.map { case (id, t) => id -> t.split(" ").grouped(10).map(_.mkString(" ")).toVector }
+    val firstAt = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, segs) <- segsByDoc; (s, i) <- segs.zipWithIndex)
+      if (!firstAt.contains(s)) firstAt(s) = (id, i)
+    assert(out.length == docs.length, "one output row per document")
+    assert(out.map(_._3).sum == firstAt.size, "kept segments = distinct segments corpus-wide")
+    val expected = segsByDoc.toMap
+    for ((id, nSegs, nKept, kept) <- out) {
+      val segs = expected(id)
+      assert(nSegs == segs.length)
+      val survivors = segs.zipWithIndex.collect { case (s, i) if firstAt(s) == (id, i) => s }
+      assert(nKept == survivors.length, s"doc $id survivor count")
+      assert(kept == survivors.mkString(" "), s"doc $id reconstruction")
+    }
+  }
+
   test("repeated sketch-pair calls reuse one persisted table (no cache accumulation)") {
     Dedup.ngramJaccardPairs(spark, sfDir).count()
     Dedup.simhashPairs(spark, sfDir).count()
