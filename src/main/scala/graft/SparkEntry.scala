@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_paragraph" -> ((s, d) => Dedup.paragraphDedup(s, d)),
+    "graph_pagerank" -> ((s, d) => Dedup.dupPagerank(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestDedup(s, d)),
     // Library-default auto-bits (~64 vectors per sign-LSH bucket): the
@@ -687,6 +688,26 @@ object SparkEntry {
          |FROM bands q JOIN bands c ON q.band = c.band AND q.bk = c.bk
          |WHERE q.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
          |ORDER BY incoming_id, corpus_id""".stripMargin,
+    // Integer fixed-point PageRank over the near-dup graph: 5 unrolled
+    // power-iteration CTEs replaying the engine's exact micro/floor-div
+    // recurrence (long addition is order-independent, so the sums agree).
+    "graph_pagerank" -> {
+      val iters = 5
+      val steps = (1 to iters).map { i =>
+        s"pr$i AS (SELECT e.dst AS node, CAST(150000 + (85 * sum(p.pr_micro // e.out_deg)) // 100 AS BIGINT) AS pr_micro " +
+          s"FROM g e JOIN pr${i - 1} p ON e.src = p.node GROUP BY e.dst)"
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT id_a, id_b FROM ($ngramJaccardSql)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+         |g AS (SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d ON e.src = d.src),
+         |pr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr_micro FROM deg),
+         |$steps
+         |SELECT CAST(p.node AS BIGINT) AS node, p.pr_micro,
+         |       CAST(d.out_deg AS BIGINT) AS degree
+         |FROM pr$iters p JOIN deg d ON p.node = d.src ORDER BY node""".stripMargin
+    },
     // Passage-exact dedup with reconstruction: non-overlapping 10-word
     // segments, global keep-first by (doc_id, seg_no), docs rebuilt from
     // surviving segments in order. COALESCE matches Spark's '' on a doc

@@ -720,6 +720,47 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** PageRank centrality over the near-dup similarity graph — "which
+    * duplicated content is most central in the duplicate web". Fixed
+    * power-iteration rounds (damping 0.85) over the symmetric
+    * n-gram-Jaccard candidate graph; complements [[nearDupClusters]]
+    * (WHO is connected) with HOW central each member is.
+    *
+    * The recurrence is EXACT integer fixed-point (micro units, floor
+    * division at both the per-edge contribution and the damped sum) so
+    * the DuckDB oracle replays it bit-for-bit: long addition is
+    * commutative, making the per-node sum order-independent across
+    * engines — none of the usual float-PageRank nondeterminism.
+    *
+    * Scale shape: the degree-annotated edge list is materialized ONCE
+    * (`localCheckpoint`, same contract as [[connectedComponents]]); each
+    * round is one equi-join on src + one partially-aggregated sum by dst
+    * — two shuffles per round, no driver-side graph state, plan depth
+    * bounded by the fixed iteration count. Every node of the symmetric
+    * graph has degree ≥ 1, so no dangling-mass correction is needed.
+    */
+  def dupPagerank(spark: SparkSession, dir: String,
+                  threshold: Double = 0.12, iters: Int = 5): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, threshold)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val graph = edges.join(deg, "src").localCheckpoint()
+    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr_micro"))
+    for (_ <- 1 to iters) {
+      pr = graph.join(pr, graph("src") === pr("node"))
+        .select(col("dst"), expr("pr_micro DIV out_deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("pr_micro"))
+        .select(col("dst").as("node"), col("pr_micro"))
+    }
+    pr.join(deg, pr("node") === deg("src"))
+      .select(col("node"), col("pr_micro"), col("out_deg").cast("long").as("degree"))
+      .orderBy(col("node"))
+  }
+
   /** Corpus-wide exact SEGMENT dedup with document reconstruction — the
     * sub-document exact-dedup shape ("remove every duplicated passage,
     * keep its globally first occurrence, then rebuild each document from

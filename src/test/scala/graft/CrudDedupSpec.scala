@@ -356,6 +356,22 @@ class CrudDedupSpec extends SparkSpec {
     }
   }
 
+  test("pagerank on the near-dup graph matches an in-Scala integer replay") {
+    val got = Dedup.dupPagerank(spark, sfDir)
+      .select($"node", $"pr_micro", $"degree").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    var pr: Map[Long, Long] = deg.map { case (n, _) => n -> 1000000L }.toMap
+    for (_ <- 1 to 5)
+      pr = edges.groupBy(_._2).map { case (dst, in) =>
+        dst -> (150000L + 85L * in.map { case (src, _) => pr(src) / deg(src) }.sum / 100L)
+      }
+    val expected = pr.toArray.map { case (n, p) => (n, p, deg(n)) }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq, "exact fixed-point pagerank must replay")
+  }
+
   test("repeated sketch-pair calls reuse one persisted table (no cache accumulation)") {
     Dedup.ngramJaccardPairs(spark, sfDir).count()
     Dedup.simhashPairs(spark, sfDir).count()
