@@ -181,6 +181,7 @@ object SparkEntry {
     "stream_interval_join" -> ((s, d) => StreamOps.streamIntervalJoin(s, d)),
     "stream_knn" -> ((s, d) => StreamOps.streamKnnSearch(s, d)),
     "stream_dedup" -> ((s, d) => StreamOps.streamDedupRun(s, d)),
+    "stream_enrich" -> ((s, d) => StreamOps.streamEnrich(s, d)),
   )
 
   // ------------------------------------------------------------ oracles --
@@ -1373,6 +1374,13 @@ object SparkEntry {
       """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type,
         |       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch
         |FROM events ORDER BY 1, 2, 3""".stripMargin,
+    // Stream-static enrichment: the batch replay of the broadcast join the
+    // stream runs per micro-batch (the result is batch≡stream by design).
+    "stream_enrich" ->
+      """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_interval_join" ->
       """SELECT CAST(c.event_id AS BIGINT) AS click_id, CAST(v.event_id AS BIGINT) AS view_id,
         |       CAST(c.user_id AS BIGINT) AS user_id

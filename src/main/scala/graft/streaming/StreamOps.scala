@@ -130,6 +130,38 @@ object StreamOps {
     spark.table(name).orderBy(col("hour_epoch"), col("event_type"))
   }
 
+  /** Stream-STATIC enrichment join: the serving-time pattern of joining a
+    * fact stream against a slowly-changing dimension (fact events ⋈
+    * customer on user key → per-segment/type aggregate). The static side
+    * is broadcast into every micro-batch — STATELESS, unlike a
+    * stream-stream join: no state stores, no watermark bookkeeping on the
+    * join itself, which is why this shape is the first choice at scale
+    * whenever one side is a dimension table. Runs the stream for real
+    * (AvailableNow → memory sink) and returns the final batch result so
+    * the DuckDB oracle checks an actual streaming execution, same
+    * contract as [[streamHourly]]. Pinned partitions for the same reason
+    * as the hourly agg: the only shuffle is the few-group final
+    * aggregate, so the pin cuts per-batch state commits for free.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_enrich_${System.nanoTime()}"
+    withStreamPartitions(spark) {
+      val dim = broadcast(graft.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val src = readEventsStream(spark, dir)
+      val q = src.join(dim, src("user_id") === dim("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+        .writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** T1/T4: micro-batch ingest with foreachBatch keep-latest upsert into an
     * accumulating store — the Milvus chunked add/upsert loop
     * (`Milvus/stream1.py:255-283,370`) with checkpoint-managed offsets.

@@ -168,4 +168,20 @@ class StreamingSpec extends SparkSpec {
     // and the collapse is real: duplicates existed in the input
     assert(batch.size < Tables.events(spark, sfDir).count())
   }
+
+  test("stream-static enrichment join equals the batch broadcast join") {
+    val streamed = StreamOps.streamEnrich(spark, sfDir)
+      .select($"c_mktsegment".as[String], $"event_type".as[String],
+        $"n".as[Long], $"sum_value_c".as[Long]).collect().toSet
+    val dim = Tables.customer(spark, sfDir).select($"c_custkey", $"c_mktsegment")
+    val batch = Tables.events(spark, sfDir)
+      .join(dim, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum($"value".cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+      .select($"c_mktsegment".as[String], $"event_type".as[String],
+        $"n".as[Long], $"sum_value_c".as[Long]).collect().toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
 }
