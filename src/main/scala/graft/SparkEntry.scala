@@ -126,6 +126,7 @@ object SparkEntry {
     "q5_local_supplier" -> ((s, d) => Relational.q5LocalSupplier(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "join_salted_skew" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
     "join_semi" -> ((s, d) => Relational.semiJoin(s, d)),
     "join_anti" -> ((s, d) => Relational.antiJoin(s, d)),
     "window_top_orders" -> ((s, d) => Relational.windowTopOrders(s, d)),
@@ -1177,6 +1178,13 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END) * 1000000
          |            // sum(vol_c) AS BIGINT) AS mkt_share_micro
          |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Salted skew join: the oracle replays the PLAIN join — salting must
+    // not change the result set, only the shuffle layout.
+    "join_salted_skew" ->
+      """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_wsum_c
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "join_semi" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
         |FROM customer c

@@ -142,6 +142,35 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  /** Skew-mitigated equi-join by explicit key salting — the join-side
+    * complement of [[aggSalted]]. The fact side tags each row with
+    * `salt = pmod(xxhash64(event_id), S)`; the dimension side is
+    * replicated S ways, so a hot key's rows spread across S (key, salt)
+    * buckets instead of landing in one reducer. The result set is
+    * IDENTICAL to the unsalted join (the oracle replays the plain join).
+    * At 100 TB this is the manual fallback when AQE skew-split can't
+    * apply — e.g. a hot key flowing into a mandatory sort-merge join, or
+    * a skewed shuffle feeding a stateful operator; S trades ×S dimension
+    * replication for ÷S worst-key partition size.
+    */
+  def saltedSkewJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts)))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      // merge hint: at test scale Spark would broadcast the small dim and
+      // the salt would never reach a shuffle — force the sort-merge path
+      // the mitigation exists for (at 100 TB the dim is too big to
+      // broadcast and this is the plan Spark picks on its own).
+      .hint("merge")
+    e.join(dim, e("user_id") === dim("c_custkey") && e("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("c_acctbal").cast("decimal(18,2)")) * 100).cast("long").as("acctbal_wsum_c"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** Left-semi join (EXISTS): customers having at least one URGENT order. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)

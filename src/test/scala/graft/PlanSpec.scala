@@ -152,4 +152,21 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("dotproductfloat") && l.contains("*(")),
       p.take(2000))
   }
+  test("salted skew join: salt reaches the sort-merge join keys, result equals unsalted") {
+    val salted = Relational.saltedSkewJoin(spark, sfDir)
+    val p = plan(salted)
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("salt")),
+      "the salt column must be part of the join keys: " + p.take(2000))
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val plain = Tables.events(spark, sfDir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("c_acctbal").cast("decimal(18,2)")) * 100).cast("long").as("acctbal_wsum_c"))
+    assert(salted.collect().toSeq ==
+      plain.orderBy(col("c_mktsegment"), col("event_type")).collect().toSeq,
+      "salting must not change the join result")
+  }
 }
