@@ -147,6 +147,7 @@ object SparkEntry {
     "time_extract" -> ((s, d) => Relational.timeExtract(s, d)),
     "value_histogram" -> ((s, d) => Relational.valueHistogram(s, d)),
     "quality_audit" -> ((s, d) => Relational.qualityAudit(s, d)),
+    "profile_columns" -> ((s, d) => Relational.profileColumns(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
     "set_intersect" -> ((s, d) => Relational.setIntersect(s, d)),
     "set_except" -> ((s, d) => Relational.setExcept(s, d)),
@@ -1480,6 +1481,34 @@ object SparkEntry {
         |UNION ALL SELECT 'events', 'value_non_negative', CAST(count(*) AS BIGINT),
         |       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM events
         |) ORDER BY tbl, chk""".stripMargin,
+    // One-pass profiler: single aggregate row unpivoted per column; the
+    // oracle computes the same row once (CTE) and unions the per-column
+    // projections. Timestamp min/max = floor-epoch seconds both sides.
+    "profile_columns" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,
+        |  CAST(min(event_id) AS DOUBLE) AS event_id_min, CAST(max(event_id) AS DOUBLE) AS event_id_max,
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_nulls,
+        |  CAST(floor(epoch(min(ts))) AS DOUBLE) AS ts_min, CAST(floor(epoch(max(ts))) AS DOUBLE) AS ts_max,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+        |  CAST(min(user_id) AS DOUBLE) AS user_id_min, CAST(max(user_id) AS DOUBLE) AS user_id_max,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+        |  min(value) AS value_min, max(value) AS value_max,
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+        |  min(event_type) AS event_type_min, max(event_type) AS event_type_max,
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls,
+        |  min(props) AS props_min, max(props) AS props_max
+        |  FROM events)
+        |SELECT * FROM (
+        |SELECT 'event_id' AS column_name, n_rows, event_id_nulls AS n_nulls,
+        |       event_id_min AS min_num, event_id_max AS max_num,
+        |       CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s FROM a
+        |UNION ALL SELECT 'event_type', n_rows, event_type_nulls, NULL, NULL, event_type_min, event_type_max FROM a
+        |UNION ALL SELECT 'props', n_rows, props_nulls, NULL, NULL, props_min, props_max FROM a
+        |UNION ALL SELECT 'ts', n_rows, ts_nulls, ts_min, ts_max, NULL, NULL FROM a
+        |UNION ALL SELECT 'user_id', n_rows, user_id_nulls, user_id_min, user_id_max, NULL, NULL FROM a
+        |UNION ALL SELECT 'value', n_rows, value_nulls, value_min, value_max, NULL, NULL FROM a
+        |) ORDER BY column_name""".stripMargin,
     "window_sliding" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
         |x AS (SELECT event_type, unnest([h, h - INTERVAL 1 HOUR]) AS ws FROM e)

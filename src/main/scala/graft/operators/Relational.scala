@@ -522,6 +522,50 @@ object Relational {
       .orderBy(col("n").desc, col("event_type"))
       .limit(10)
 
+  /** One-pass column profiler — ANALYZE-style statistics for every column
+    * of the events table: null counts, numeric min/max (timestamps as
+    * floor-epoch seconds), lexicographic min/max for strings. The whole
+    * profile is ONE scan + ONE map-side-combined scalar aggregate (a
+    * single row crosses the exchange), then a `stack()` unpivot into one
+    * report row per column — the shape that keeps ANALYZE cheap at 100 TB,
+    * versus a per-column loop of min/max jobs (N scans) or a naive
+    * describe(). Exact distinct counts are deliberately absent: exact
+    * multi-column distinct forces an Expand (×cols row blowup); the
+    * mergeable-sketch path for cardinality is [[aggApproxDistinct]].
+    */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    def nulls(c: String) = sum(col(c).isNull.cast("long")).as(s"${c}_nulls")
+    Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        nulls("event_id"),
+        min(col("event_id").cast("double")).as("event_id_min"),
+        max(col("event_id").cast("double")).as("event_id_max"),
+        nulls("ts"),
+        min(unix_timestamp(col("ts")).cast("double")).as("ts_min"),
+        max(unix_timestamp(col("ts")).cast("double")).as("ts_max"),
+        nulls("user_id"),
+        min(col("user_id").cast("double")).as("user_id_min"),
+        max(col("user_id").cast("double")).as("user_id_max"),
+        nulls("value"),
+        min(col("value")).as("value_min"), max(col("value")).as("value_max"),
+        nulls("event_type"),
+        min(col("event_type")).as("event_type_min"), max(col("event_type")).as("event_type_max"),
+        nulls("props"),
+        min(col("props")).as("props_min"), max(col("props")).as("props_max"))
+      .select(col("n_rows"), expr(
+        """stack(6,
+          |  'event_id', event_id_nulls, event_id_min, event_id_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  'event_type', event_type_nulls, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), event_type_min, event_type_max,
+          |  'props', props_nulls, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), props_min, props_max,
+          |  'ts', ts_nulls, ts_min, ts_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  'user_id', user_id_nulls, user_id_min, user_id_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  'value', value_nulls, value_min, value_max, CAST(NULL AS STRING), CAST(NULL AS STRING))
+          |AS (column_name, n_nulls, min_num, max_num, min_s, max_s)""".stripMargin))
+      .select(col("column_name"), col("n_rows"), col("n_nulls").cast("long"),
+        col("min_num"), col("max_num"), col("min_s"), col("max_s"))
+      .orderBy(col("column_name"))
+  }
+
   /** Data-quality audit — the expectations gate a pipeline runs before
     * training on a snapshot: one report row per declared check with the
     * checked and violating counts. Checks cover the failure classes that

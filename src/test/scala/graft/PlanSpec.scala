@@ -152,6 +152,14 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("dotproductfloat") && l.contains("*(")),
       p.take(2000))
   }
+  test("column profiler: one scan, one exchange (a single scalar row crosses it)") {
+    val p = plan(Relational.profileColumns(spark, sfDir))
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected 1 events scan, got $scans\n" + p.take(3000))
+    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges == 1, s"expected only the scalar-agg exchange, got $exchanges\n" + p.take(3000))
+  }
+
   test("salted skew join: salt reaches the sort-merge join keys, result equals unsalted") {
     val salted = Relational.saltedSkewJoin(spark, sfDir)
     val p = plan(salted)
