@@ -148,6 +148,7 @@ object SparkEntry {
     "value_histogram" -> ((s, d) => Relational.valueHistogram(s, d)),
     "quality_audit" -> ((s, d) => Relational.qualityAudit(s, d)),
     "profile_columns" -> ((s, d) => Relational.profileColumns(s, d)),
+    "zorder_box" -> ((s, d) => graft.sources.ZOrderLayout.boxQuery(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
     "set_intersect" -> ((s, d) => Relational.setIntersect(s, d)),
     "set_except" -> ((s, d) => Relational.setExcept(s, d)),
@@ -1509,6 +1510,13 @@ object SparkEntry {
         |UNION ALL SELECT 'user_id', n_rows, user_id_nulls, user_id_min, user_id_max, NULL, NULL FROM a
         |UNION ALL SELECT 'value', n_rows, value_nulls, value_min, value_max, NULL, NULL FROM a
         |) ORDER BY column_name""".stripMargin,
+    // Z-order box query: the oracle filters the RAW table — the clustered
+    // layout may only change what is scanned, never the result.
+    "zorder_box" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM events WHERE user_id BETWEEN 4 AND 6 AND value BETWEEN 10.0 AND 30.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "window_sliding" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
         |x AS (SELECT event_type, unnest([h, h - INTERVAL 1 HOUR]) AS ws FROM e)
