@@ -111,6 +111,7 @@ object SparkEntry {
     "knn_ivfpq" -> ((s, d) => graft.sources.PqStore.searchIvfPq(s, d)),
     "knn_refine" -> ((s, d) => graft.sources.PqStore.searchRefined(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
+    "pipeline_curate" -> ((s, d) => TextAnalysis.curatePipeline(s, d)),
     "pipeline_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d)),
     // LLM-pipeline — embedding + multimodal plumbing
     "embed_docs" -> ((s, d) => EmbedQueries.embedDocs(s, d)),
@@ -149,6 +150,8 @@ object SparkEntry {
     "quality_audit" -> ((s, d) => Relational.qualityAudit(s, d)),
     "profile_columns" -> ((s, d) => Relational.profileColumns(s, d)),
     "zorder_box" -> ((s, d) => graft.sources.ZOrderLayout.boxQuery(s, d)),
+    "snapshot_diff" -> ((s, d) => Crud.snapshotDiff(s, d)),
+    "agg_partial_merge" -> ((s, d) => Relational.partialMerge(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
     "set_intersect" -> ((s, d) => Relational.setIntersect(s, d)),
     "set_except" -> ((s, d) => Relational.setExcept(s, d)),
@@ -1517,6 +1520,40 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
         |FROM events WHERE user_id BETWEEN 4 AND 6 AND value BETWEEN 10.0 AND 30.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Snapshot diff: the engine compares xxhash64, the oracle md5 — hashes
+    // never cross engines, only the derived status does.
+    "snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0),
+        |n AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h
+        |      FROM documents WHERE doc_id % 17 <> 3)
+        |SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.h <> n.h THEN 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+        |ORDER BY doc_id""".stripMargin,
+    // Partial-aggregate merge: the oracle is the FULL single-pass
+    // recompute — the gate itself proves merge == recompute.
+    "agg_partial_merge" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
+        |       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Composite curation: quality gate -> exact dedup keep-first ->
+    // per-source cap -> manifest, replayed stage by stage.
+    "pipeline_curate" ->
+      """WITH d AS (SELECT doc_id, text, lang, source, string_split(text, ' ') AS ws FROM documents),
+        |q AS (SELECT doc_id, text, lang, source, len(ws) AS n_words,
+        |             len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS n_stop
+        |      FROM d),
+        |f AS (SELECT * FROM q WHERE n_words >= 5 AND CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE) < 0.5),
+        |s AS (SELECT text, min(doc_id) AS doc_id FROM f GROUP BY text),
+        |sv AS (SELECT f.doc_id, f.lang, f.source, f.n_words FROM f JOIN s ON f.doc_id = s.doc_id),
+        |c AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM sv)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
+        |FROM c WHERE rn <= 15 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "window_sliding" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
         |x AS (SELECT event_type, unnest([h, h - INTERVAL 1 HOUR]) AS ws FROM e)

@@ -156,4 +156,36 @@ object Crud {
       .rollup(col("label"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label").asc_nulls_first)
+
+  /** CDC-style snapshot diff — the table-level change feed between two
+    * corpus snapshots (the batch analogue of the reference's mutating
+    * CRUD loop: what did this refresh ADD / REMOVE / CHANGE?). Snapshots
+    * are derived deterministically from the documents table: the old
+    * snapshot is missing `doc_id % 11 = 0`, the new one drops
+    * `doc_id % 17 = 3` and rewrites the text of `doc_id % 13 = 0`.
+    *
+    * Scale shape: each side reduces to (key, 8-byte content hash) BEFORE
+    * the full-outer join, so the exchange moves 16 bytes/row instead of
+    * document bytes; the hash is only ever compared within one engine, so
+    * the oracle can use a different hash (md5) and still replay the
+    * status column exactly. Unchanged rows are filtered out — the diff is
+    * the (typically tiny) change feed, not a copy of the corpus.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), xxhash64(col("text")).as("h_old"))
+    val neu = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), xxhash64(
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
 }

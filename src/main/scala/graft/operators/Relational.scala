@@ -522,6 +522,32 @@ object Relational {
       .orderBy(col("n").desc, col("event_type"))
       .limit(10)
 
+  /** Incremental aggregate maintenance: the algebraic MERGE of partial
+    * aggregates equals the full recompute — the contract that lets a
+    * 100 TB pipeline fold a day's delta into a stored base aggregate
+    * instead of re-scanning the lake. Base (event_id % 10 < 8) and delta
+    * (the rest) are aggregated independently — in production the base
+    * half is a stored table, not a scan — then merged by re-aggregating
+    * the mergeable stats: counts and sums add, mins/maxes fold. The
+    * DuckDB oracle IS the full single-pass recompute, so the oracle gate
+    * itself proves merge ≡ recompute.
+    */
+  def partialMerge(spark: SparkSession, dir: String): DataFrame = {
+    def half(p: org.apache.spark.sql.Column) =
+      Tables.events(spark, dir).filter(p)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"),
+          min(unix_timestamp(col("ts"))).as("first_epoch"),
+          max(unix_timestamp(col("ts"))).as("last_epoch"))
+    half(col("event_id") % 10 < 8)
+      .unionByName(half(col("event_id") % 10 >= 8))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_value_c")).as("sum_value_c"),
+        min(col("first_epoch")).as("first_epoch"), max(col("last_epoch")).as("last_epoch"))
+      .orderBy(col("event_type"))
+  }
+
   /** One-pass column profiler — ANALYZE-style statistics for every column
     * of the events table: null counts, numeric min/max (timestamps as
     * floor-epoch seconds), lexicographic min/max for strings. The whole

@@ -185,6 +185,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end curation pipeline — the composite a training-data refresh
+    * actually runs, as ONE declarative plan: quality gate (length +
+    * stopword-ratio, the [[cleanCorpus]] rule) → exact dedup keep-first →
+    * per-source cap (boilerplate-domain guard) → curated-corpus manifest
+    * per (lang, source). The point over the individual operators is
+    * COMPOSITION: no intermediate materialization, one Catalyst plan end
+    * to end, so the optimizer prunes columns across stage boundaries and
+    * the only corpus-sized exchanges are the dedup group (8-byte hash
+    * keys + small payload struct, md5 witness as in [[cleanCorpus]]) and
+    * the per-source cap window (WindowGroupLimit bounds it map-side).
+    */
+  def curatePipeline(spark: SparkSession, dir: String,
+                     perSourceCap: Int = 15): DataFrame = {
+    val d = Tables.documents(spark, dir).withColumn("ws", words(col("text")))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("n_stop", size(filter(col("ws"),
+        w => w.isin(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*))))
+    val quality = d.filter(col("n_words") >= 5 &&
+      col("n_stop").cast("double") / col("n_words").cast("double") < lit(0.5))
+    val survivors = quality
+      .select(xxhash64(col("text")).as("h"), md5(col("text")).as("w128"),
+        struct(col("doc_id"), col("lang"), col("source"), col("n_words")).as("payload"))
+      .groupBy(col("h"))
+      .agg(min(col("payload")).as("kept"),
+        min(col("w128")).as("w_lo"), max(col("w128")).as("w_hi"))
+      .filter(assert_true(col("w_lo") === col("w_hi"),
+        lit("xxhash64 collision in curatePipeline — distinct texts in one group")).isNull)
+      .select(col("kept.*"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    survivors.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perSourceCap)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).cast("long").as("n_tokens"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Benchmark decontamination (the Gopher/C4 rule: drop training docs that
     * overlap an evaluation set on any long n-gram; production filters use
     * 8–13-grams, this corpus's short synthetic docs overlap at 4). The
