@@ -152,6 +152,7 @@ object SparkEntry {
     "zorder_box" -> ((s, d) => graft.sources.ZOrderLayout.boxQuery(s, d)),
     "snapshot_diff" -> ((s, d) => Crud.snapshotDiff(s, d)),
     "agg_partial_merge" -> ((s, d) => Relational.partialMerge(s, d)),
+    "stats_contingency" -> ((s, d) => Relational.contingency(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
     "set_intersect" -> ((s, d) => Relational.setIntersect(s, d)),
     "set_except" -> ((s, d) => Relational.setExcept(s, d)),
@@ -1541,6 +1542,18 @@ object SparkEntry {
         |       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
         |       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Contingency audit: expected-under-independence in integer micro;
+    // the n scalar folds into both engines' floor division identically.
+    "stats_contingency" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, sum(o) AS r FROM cells GROUP BY 1),
+        |c AS (SELECT source, sum(o) AS c FROM cells GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT cells.lang, cells.source, CAST(o AS BIGINT) AS observed,
+        |       CAST((r.r * c.c * 1000000) // n.n AS BIGINT) AS expected_micro,
+        |       CAST(abs(o * 1000000 - (r.r * c.c * 1000000) // n.n) AS BIGINT) AS dev_micro
+        |FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+        |ORDER BY 1, 2""".stripMargin,
     // Composite curation: quality gate -> exact dedup keep-first ->
     // per-source cap -> manifest, replayed stage by stage.
     "pipeline_curate" ->

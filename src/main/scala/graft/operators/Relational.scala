@@ -522,6 +522,35 @@ object Relational {
       .orderBy(col("n").desc, col("event_type"))
       .limit(10)
 
+  /** Contingency table with expected counts — the independence audit a
+    * pipeline runs to detect source/language drift: observed cell counts
+    * of lang × source against the expected count under independence
+    * (row_total × col_total / n), with the per-cell absolute deviation.
+    * All integer fixed-point (micro, floor division) so the oracle
+    * replays it exactly — deliberately NOT the squared χ² statistic,
+    * whose intermediate (o·10⁶ − e)² overflows 64-bit at corpus scale;
+    * the per-cell deviations carry the same signal and stay exact.
+    *
+    * Scale shape: one scan aggregates the cells; row totals, column
+    * totals and the grand total derive from the (tiny) cell table and
+    * broadcast back onto it — the corpus is never re-scanned or shuffled
+    * twice.
+    */
+  def contingency(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val n = d.count() // one bounded scalar to the driver
+    val cells = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy(col("lang")).agg(sum(col("observed")).as("r"))
+    val colTot = cells.groupBy(col("source")).agg(sum(col("observed")).as("c"))
+    cells.join(broadcast(rowTot), "lang").join(broadcast(colTot), "source")
+      .withColumn("expected_micro", expr(s"(r * c * 1000000) DIV $n"))
+      .withColumn("dev_micro",
+        abs(col("observed") * lit(1000000L) - col("expected_micro")))
+      .select(col("lang"), col("source"), col("observed"),
+        col("expected_micro"), col("dev_micro"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Incremental aggregate maintenance: the algebraic MERGE of partial
     * aggregates equals the full recompute — the contract that lets a
     * 100 TB pipeline fold a day's delta into a stored base aggregate
