@@ -743,22 +743,40 @@ object Dedup {
                   threshold: Double = 0.12, iters: Int = 5): DataFrame = {
     val pairs = ngramJaccardPairs(spark, dir, threshold)
       .select(col("id_a"), col("id_b"))
+    // Checkpoint the EDGE LIST, not just the degree-annotated graph: deg,
+    // pr0 and the final projection all re-derive from edges, and without
+    // truncation each of them would re-run the whole candidate-pair
+    // pipeline (measured: ~6.5 s → ~1.5 s at sf0.1, the pair front-half
+    // evaluated once instead of four times).
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
+      .localCheckpoint()
+    val nEdges = edges.count()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     val graph = edges.join(deg, "src").localCheckpoint()
-    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr_micro"))
-    for (_ <- 1 to iters) {
-      pr = graph.join(pr, graph("src") === pr("node"))
-        .select(col("dst"), expr("pr_micro DIV out_deg").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("pr_micro"))
-        .select(col("dst").as("node"), col("pr_micro"))
-    }
-    pr.join(deg, pr("node") === deg("src"))
-      .select(col("node"), col("pr_micro"), col("out_deg").cast("long").as("degree"))
-      .orderBy(col("node"))
+    // Loop shuffles carry ≤ one row per node: size them to the
+    // materialized graph instead of the session default (same contract as
+    // [[connectedComponentsWithRounds]] — tiny loop frames at 32
+    // partitions are pure per-task overhead × iterations).
+    val key = "spark.sql.shuffle.partitions"
+    val sessionParts = spark.conf.get(key).toInt
+    spark.conf.set(key,
+      math.max(1L, math.min(sessionParts.toLong, nEdges / 65536 + 1)).toString)
+    try {
+      var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr_micro"))
+      for (_ <- 1 to iters) {
+        pr = graph.join(pr, graph("src") === pr("node"))
+          .select(col("dst"), expr("pr_micro DIV out_deg").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("pr_micro"))
+          .select(col("dst").as("node"), col("pr_micro"))
+      }
+      pr.join(deg, pr("node") === deg("src"))
+        .select(col("node"), col("pr_micro"), col("out_deg").cast("long").as("degree"))
+        .orderBy(col("node"))
+        .localCheckpoint()
+    } finally spark.conf.set(key, sessionParts.toString)
   }
 
   /** Corpus-wide exact SEGMENT dedup with document reconstruction — the
