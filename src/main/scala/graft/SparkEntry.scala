@@ -101,6 +101,7 @@ object SparkEntry {
     "text_vocab" -> ((s, d) => TextAnalysis.vocabReport(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    "text_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
     "sample_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
     "sample_uniform" -> ((s, d) => Sampling.uniformSample(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -1542,6 +1543,18 @@ object SparkEntry {
         |       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
         |       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Positional phrase search: per-term posting-list legs, anchor-aligned
+    // equi-join — replayed with the same shifted-position join.
+    "text_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, pos, ws[pos + 1] AS w
+        |      FROM (SELECT doc_id, unnest(range(len(ws))) AS pos, ws FROM d)),
+        |l0 AS (SELECT doc_id, pos AS p0 FROM t WHERE w = 'table'),
+        |l1 AS (SELECT doc_id, pos - 1 AS p0 FROM t WHERE w = 'value')
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |       CAST(min(p0) AS BIGINT) AS first_pos
+        |FROM l0 JOIN l1 USING (doc_id, p0)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Contingency audit: expected-under-independence in integer micro;
     // the n scalar folds into both engines' floor division identically.
     "stats_contingency" ->

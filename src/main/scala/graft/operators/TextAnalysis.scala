@@ -185,6 +185,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Positional-index phrase search — exact multi-word phrase matching the
+    * way an inverted index with positions does it (the retrieval-side
+    * complement of [[bm25]]'s bag-of-words scoring): one term-position
+    * posting list, one leg per phrase term selecting that term's postings
+    * with the position shifted back by its offset, then an equi-join on
+    * (doc_id, anchor): a row survives every join exactly where all terms
+    * align consecutively.
+    *
+    * Scale shape: each leg filters to ONE term before any join — the
+    * joined relations are term posting lists (corpus-frequency-sized, not
+    * corpus-sized) and the joins are equi on (doc_id, position), so the
+    * shuffle is bounded by the rarest term's postings after the first
+    * join. No regex scan of full documents, no cartesian.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   phrase: Seq[String] = Seq("table", "value")): DataFrame = {
+    require(phrase.nonEmpty)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(words(col("text"))))
+      .toDF("doc_id", "pos", "w")
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      toks.filter(col("w") === lit(t))
+        .select(col("doc_id"), (col("pos") - lit(i)).as("p0"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("p0")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end curation pipeline — the composite a training-data refresh
     * actually runs, as ONE declarative plan: quality gate (length +
     * stopword-ratio, the [[cleanCorpus]] rule) → exact dedup keep-first →

@@ -333,4 +333,21 @@ class OperatorSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(got == expected.map { case (k, v) => k -> v.map(_.asInstanceOf[Long]) })
   }
+
+  test("phrase search matches a per-doc sliding-window reference, any phrase length") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+    for (phrase <- Seq(Seq("table", "value"), Seq("the", "line", "sort"))) {
+      val expected = docs.flatMap { case (id, t) =>
+        val ws = t.split(" ")
+        val hits = ws.indices.filter(i => i + phrase.length <= ws.length &&
+          phrase.indices.forall(j => ws(i + j) == phrase(j)))
+        if (hits.isEmpty) None else Some((id, hits.length.toLong, hits.min.toLong))
+      }.sortBy(_._1).toSeq
+      val got = TextAnalysis.phraseSearch(spark, sfDir, phrase)
+        .select($"doc_id".as[Long], $"n_hits".as[Long], $"first_pos".as[Long])
+        .collect().toSeq
+      assert(got == expected, s"phrase $phrase: $got vs $expected")
+    }
+  }
 }
