@@ -154,6 +154,7 @@ object SparkEntry {
     "snapshot_diff" -> ((s, d) => Crud.snapshotDiff(s, d)),
     "agg_partial_merge" -> ((s, d) => Relational.partialMerge(s, d)),
     "stats_contingency" -> ((s, d) => Relational.contingency(s, d)),
+    "schema_drift_union" -> ((s, d) => Relational.schemaDriftUnion(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
     "set_intersect" -> ((s, d) => Relational.setIntersect(s, d)),
     "set_except" -> ((s, d) => Relational.setExcept(s, d)),
@@ -1542,6 +1543,13 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c,
         |       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
         |       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Schema-drift union: the old-schema half (even event_id) has its
+    // props null-filled by the name-aligned union.
+    "schema_drift_union" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN event_id % 2 = 0 OR props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_props,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Positional phrase search: per-term posting-list legs, anchor-aligned
     // equi-join — replayed with the same shifted-position join.

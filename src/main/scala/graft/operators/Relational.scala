@@ -522,6 +522,28 @@ object Relational {
       .orderBy(col("n").desc, col("event_type"))
       .limit(10)
 
+  /** Schema-drift reconciliation — merging snapshots written under
+    * different schema versions, the unavoidable lake situation after a
+    * column is added: the old half lacks `props`, the new half has it,
+    * and `unionByName(allowMissingColumns = true)` aligns by NAME (a
+    * positional union would silently misalign columns) null-filling the
+    * gap. The audit aggregate counts the null-filled rows per group so
+    * the drift is visible, not silent.
+    */
+  def schemaDriftUnion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val v1 = e.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val v2 = e.filter(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("props").isNull.cast("long")).as("n_missing_props"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+      .orderBy(col("event_type"))
+  }
+
   /** Contingency table with expected counts — the independence audit a
     * pipeline runs to detect source/language drift: observed cell counts
     * of lang × source against the expected count under independence
