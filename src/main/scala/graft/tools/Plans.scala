@@ -53,7 +53,13 @@ object Plans {
       "knn_hard_negatives" -> "hard-negative mining: broadcast anchor batch, label-mismatch filter below the rank window, WindowGroupLimit top-k",
       "events_funnel" -> "strict-sequence funnel: running window minima resolve stage ordering in ONE user_id exchange, final agg reuses the window partitioning",
       "events_retention" -> "cohort retention: (user, week) grid pre-distinct'd map-side before the cohort join",
-      "quality_audit" -> "expectations gate: conditional aggregates stacked per table — exactly one scan per audited table")
+      "quality_audit" -> "expectations gate: conditional aggregates stacked per table — exactly one scan per audited table",
+      "dedup_paragraph" -> "passage-exact dedup: map-side-combined min-struct keep-first (hot segments can't pin a window task), AQE-splittable equi-join, two full-bytes exchanges total",
+      "join_salted_skew" -> "explicit-salting skew join: salt in the SortMergeJoin keys, dim replicated S ways — the manual fallback where AQE skew-split can't apply",
+      "profile_columns" -> "one-pass ANALYZE: single scan, single scalar exchange, stack-unpivoted per-column report",
+      "pipeline_curate" -> "composite curation (quality gate → dedup keep-first → per-source cap → manifest) as ONE plan — column pruning crosses stage boundaries",
+      "text_phrase_search" -> "positional phrase search: per-term posting legs, anchor-aligned equi-joins — shuffles bounded by posting sizes",
+      "q8_market_share" -> "TPC-H Q8 shape: one big lineitem⋈orders shuffle, every dimension broadcast, conditional-aggregate market-share ratio")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
