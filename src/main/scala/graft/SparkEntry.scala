@@ -191,6 +191,7 @@ object SparkEntry {
     "stream_knn" -> ((s, d) => StreamOps.streamKnnSearch(s, d)),
     "stream_dedup" -> ((s, d) => StreamOps.streamDedupRun(s, d)),
     "stream_enrich" -> ((s, d) => StreamOps.streamEnrich(s, d)),
+    "stream_trending" -> ((s, d) => StreamOps.streamTrending(s, d)),
   )
 
   // ------------------------------------------------------------ oracles --
@@ -1390,6 +1391,20 @@ object SparkEntry {
       """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type,
         |       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch
         |FROM events ORDER BY 1, 2, 3""".stripMargin,
+    // Sliding-window trending: each event lands in two 2h/1h windows —
+    // replayed by unioning the two shifted hour-trunc window starts.
+    "stream_trending" ->
+      """WITH w AS (SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS s,
+        |                  event_type, value FROM events),
+        |x AS (SELECT s AS window_epoch, event_type, value FROM w
+        |      UNION ALL SELECT s - 3600, event_type, value FROM w),
+        |a AS (SELECT window_epoch, event_type, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |      FROM x GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY window_epoch
+        |                                   ORDER BY n DESC, event_type) AS rn FROM a)
+        |SELECT window_epoch, event_type, n, sum_value_c, CAST(rn AS BIGINT) AS rank
+        |FROM r WHERE rn <= 3 ORDER BY window_epoch, rank""".stripMargin,
     // Stream-static enrichment: the batch replay of the broadcast join the
     // stream runs per micro-batch (the result is batch≡stream by design).
     "stream_enrich" ->

@@ -130,6 +130,44 @@ object StreamOps {
     spark.table(name).orderBy(col("hour_epoch"), col("event_type"))
   }
 
+  /** Sliding-window trending top-k — the "what's hot in the last 2 hours,
+    * refreshed hourly" serving query: a watermarked SLIDING window
+    * aggregate (each event lands in two overlapping windows) runs in the
+    * stream; the per-window top-k rank is applied to the completed result
+    * table batch-side, because rank-over-aggregate is not incrementally
+    * maintainable under late data — the stream maintains the additive
+    * counts, the cheap rank runs on the (windows × types)-sized output.
+    * That split IS the scale design: state stays additive and bounded by
+    * the watermark, the non-additive step never touches corpus-sized
+    * data.
+    */
+  def streamTrending(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val name = s"stream_trending_${System.nanoTime()}"
+    withStreamPartitions(spark) {
+      val src = readEventsStream(spark, dir)
+      val q = src.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+        .select(unix_timestamp(col("w.start")).as("window_epoch"),
+          col("event_type"), col("n"), col("sum_value_c"))
+        .writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_epoch"))
+      .orderBy(col("n").desc, col("event_type"))
+    spark.table(name)
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("window_epoch"), col("event_type"), col("n"),
+        col("sum_value_c"), col("rank").cast("long").as("rank"))
+      .orderBy(col("window_epoch"), col("rank"))
+  }
+
   /** Stream-STATIC enrichment join: the serving-time pattern of joining a
     * fact stream against a slowly-changing dimension (fact events ⋈
     * customer on user key → per-segment/type aggregate). The static side

@@ -169,6 +169,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size < Tables.events(spark, sfDir).count())
   }
 
+  test("sliding-window trending: stream equals the batch two-window replay") {
+    val streamed = StreamOps.streamTrending(spark, sfDir)
+      .select($"window_epoch".as[Long], $"event_type".as[String],
+        $"n".as[Long], $"sum_value_c".as[Long], $"rank".as[Long]).collect().toSeq
+    val base = Tables.events(spark, sfDir)
+      .select(unix_timestamp(date_trunc("hour", $"ts")).as("s"), $"event_type", $"value")
+      .select(explode(array($"s", $"s" - 3600)).as("window_epoch"), $"event_type", $"value")
+      .groupBy($"window_epoch", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum($"value".cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window_epoch").orderBy($"n".desc, $"event_type")
+    val batch = base.withColumn("rank", row_number().over(rankW))
+      .filter($"rank" <= 3)
+      .orderBy($"window_epoch", $"rank")
+      .select($"window_epoch".as[Long], $"event_type".as[String],
+        $"n".as[Long], $"sum_value_c".as[Long], $"rank".as[Long]).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("stream-static enrichment join equals the batch broadcast join") {
     val streamed = StreamOps.streamEnrich(spark, sfDir)
       .select($"c_mktsegment".as[String], $"event_type".as[String],
