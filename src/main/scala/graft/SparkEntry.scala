@@ -47,6 +47,7 @@ object SparkEntry {
     "rag_fusion" -> ((s, d) => VectorSearch.ragFusion(s, d)),
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
+    "knn_tombstone" -> ((s, d) => graft.sources.IndexStore.searchTombstoned(s, d)),
     "knn_pq" -> ((s, d) => graft.sources.PqStore.searchQuery(s, d)),
     "knn_doc_join" -> ((s, d) => VectorSearch.knnDocJoin(s, d)),
     "vec_normalize" -> ((s, d) => VectorSearch.normalizeQuery(s, d)),
@@ -280,7 +281,7 @@ object SparkEntry {
     * streaming execution of the same search). A `def`: [[ivfStorePath]]
     * re-derives from the pinned oracle sf dir on each call.
     */
-  private def ivfProbedSearchSql: String =
+  private def ivfProbedSearchSql(extraRowPred: String = ""): String =
     s"""WITH cents AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
        |               FROM read_parquet('$ivfStorePath/centroids/*.parquet')),
        |r AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id, embedding
@@ -291,7 +292,7 @@ object SparkEntry {
        |pr AS (SELECT qid, qvec, cell_id, row_number() OVER (PARTITION BY qid ORDER BY d2, cell_id) AS cr FROM qc),
        |probed AS (SELECT qid, qvec, cell_id FROM pr WHERE cr <= 10),
        |s AS (SELECT p.qid, r.vec_id, ${dotSql("p.qvec", "r.embedding")} AS sim
-       |      FROM r JOIN probed p USING (cell_id) WHERE r.vec_id <> p.qid),
+       |      FROM r JOIN probed p USING (cell_id) WHERE r.vec_id <> p.qid$extraRowPred),
        |rk AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
        |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
        |       ${microSql("sim")} AS sim_micro
@@ -474,11 +475,14 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       ${microSql("sim")} AS sim_micro
          |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
-    "knn_ivf" -> ivfProbedSearchSql,
+    "knn_ivf" -> ivfProbedSearchSql(),
     // The streaming run searches the SAME persisted store with the same
     // k/nprobe/query set — one oracle serves both the batch and the
     // AvailableNow streaming execution.
-    "stream_knn" -> ivfProbedSearchSql,
+    "stream_knn" -> ivfProbedSearchSql(),
+    // Tombstone-aware search: same exported-store replay minus the
+    // tombstone set — the anti-join sits below the rank window.
+    "knn_tombstone" -> ivfProbedSearchSql(" AND r.vec_id % 17 <> 3"),
     // Radius search replayed over the same exported IVF artifacts: probe
     // the 10 nearest cells, then a micro-threshold cut instead of top-k.
     "knn_range_ivf" ->

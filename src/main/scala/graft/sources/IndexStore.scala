@@ -123,6 +123,32 @@ object IndexStore {
       .withColumn("sim", dot(col("qvec"), col("embedding")))
   }
 
+  /** Tombstone-aware probed search — DELETE without rebuild. FAISS
+    * `remove_ids` (`FAISS/PlainDemo/pipeline.py:110-112`) mutates its
+    * inverted lists eagerly; a lake store cannot, and doesn't need to:
+    * deletes accumulate in a (tiny) tombstone set that broadcast
+    * anti-joins the scored candidates at query time, UNDER the same
+    * static partition pruning — k then fills from live rows only (the
+    * anti-join sits below the rank window, never post-filtering a
+    * short top-k). Compaction/rebuild becomes an offline maintenance
+    * choice instead of a write-path blocker. Tombstones here are the
+    * deterministic set vec_id % 17 = 3.
+    */
+  def searchTombstoned(spark: SparkSession, dir: String,
+                       k: Int = 5, nprobe: Int = 10): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val tombstones = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 17 === 3).select(col("vec_id"))
+    val scored = scoreProbed(spark, path, VectorSearch.querySet(spark, dir, 5), nprobe)
+      .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** The V5 named query, build-once / search-many: ensure the persisted
     * index exists for `dir`, then run the partition-pruned probed search.
     * First execution pays the k-means build (`index.train+add`,

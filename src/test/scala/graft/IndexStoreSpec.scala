@@ -87,4 +87,19 @@ class IndexStoreSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("INSET"),
       "expected an INSET partition filter on cell_id\n" + plan.take(3000))
   }
+
+  test("tombstoned search: no deleted id surfaces, k fills from live rows, pruning kept") {
+    val out = IndexStore.searchTombstoned(spark, sfDir)
+    val rows = out.select($"qid".as[Long], $"vec_id".as[Long], $"rank".as[Long]).collect()
+    assert(rows.forall(_._2 % 17 != 3), "a tombstoned id surfaced in the top-k")
+    // dense 1..k ranks per query: the anti-join sits BELOW the rank
+    // window, so k fills from live rows instead of leaving gaps
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq, s"ranks not dense for qid=$q")
+      assert(rs.length == 5, s"qid=$q returned ${rs.length} < k hits")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("INSET"),
+      "tombstone filter must not defeat static cell pruning\n" + plan.take(3000))
+  }
 }
