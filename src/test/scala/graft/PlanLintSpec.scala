@@ -16,7 +16,8 @@ class PlanLintSpec extends SparkSpec {
     * their plan shapes are asserted in StreamingSpec — skip here.
     */
   private val streamingRuns =
-    Set("stream_hourly", "stream_interval_join", "stream_knn", "stream_dedup")
+    Set("stream_hourly", "stream_interval_join", "stream_knn", "stream_dedup",
+      "stream_enrich", "stream_trending")
 
   /** Queries whose ONE nested-loop join is a deliberate broadcast of a
     * provably bounded side (≤ query batch / model table / scalar totals /
@@ -27,6 +28,7 @@ class PlanLintSpec extends SparkSpec {
     "knn_range", "knn_hard_negatives",
     "knn_mmr",            // broadcast query/anchor batch × base scan
     "knn_ivf", "knn_ivfpq", "knn_pq", "knn_quantized",
+    "knn_tombstone",      // same bounded centroid cross as knn_ivf
     "knn_range_ivf",      // broadcast probe batch / ≤100 centroids / 8×256 LUT
     "rag_fusion",         // fuses two ≤k ranked lists
     "decontam_embedding", // broadcast eval holdout
