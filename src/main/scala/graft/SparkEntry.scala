@@ -156,6 +156,10 @@ object SparkEntry {
     "agg_partial_merge" -> ((s, d) => Relational.partialMerge(s, d)),
     "stats_contingency" -> ((s, d) => Relational.contingency(s, d)),
     "schema_drift_union" -> ((s, d) => Relational.schemaDriftUnion(s, d)),
+    // Misra-Gries sketch: approximate, partition-order dependent counts —
+    // deliberately no oracle (§2.12), guarantee-spec'd in HeavyHittersSpec;
+    // exact twins: text_vocab / agg_distinct.
+    "agg_heavy_hitters" -> ((s, d) => HeavyHitters.topTokens(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
     "set_intersect" -> ((s, d) => Relational.setIntersect(s, d)),
     "set_except" -> ((s, d) => Relational.setExcept(s, d)),
