@@ -595,11 +595,21 @@ object Dedup {
     * graph, one row per cluster (survivor = min doc_id = the cluster id,
     * matching [[exactDedup]]'s min-id survivor rule).
     */
+  /** Memoized connected-component labels of the n-gram Jaccard graph —
+    * the shared artifact behind [[nearDupClusters]], [[keepBestDedup]]
+    * (and any future cluster consumer): a production pipeline persists
+    * cluster labels once per corpus snapshot and every downstream action
+    * reads them, so the session memo mirrors the real lifecycle instead
+    * of re-running the O(log n) CC loop per query.
+    */
+  private def ccLabels(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    memoPersist(spark, s"ccLabels|$dir|${dirFingerprint(dir)}|$threshold")(
+      connectedComponents(
+        ngramJaccardPairs(spark, dir, threshold).select(col("id_a"), col("id_b"))))
+
   def nearDupClusters(spark: SparkSession, dir: String,
                       threshold: Double = 0.12): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir, threshold)
-      .select(col("id_a"), col("id_b"))
-    connectedComponents(pairs)
+    ccLabels(spark, dir, threshold)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"),
         min(col("node")).as("min_member"), max(col("node")).as("max_member"))
@@ -624,9 +634,7 @@ object Dedup {
     */
   def keepBestDedup(spark: SparkSession, dir: String,
                     threshold: Double = 0.12): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir, threshold)
-      .select(col("id_a"), col("id_b"))
-    val cc = connectedComponents(pairs)
+    val cc = ccLabels(spark, dir, threshold)
     val scored = TextAnalysis.qualityStats(spark, dir)
       .select(col("doc_id"), micro(col("score")).as("score_micro"))
     scored.join(cc, scored("doc_id") === cc("node"), "left")
