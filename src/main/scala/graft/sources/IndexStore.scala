@@ -149,6 +149,31 @@ object IndexStore {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Offline compaction/rebuild — the maintenance half of
+    * [[searchTombstoned]]: fold the tombstones in (drop dead rows),
+    * RETRAIN the coarse quantizer on the live set (cluster drift after
+    * heavy deletes is exactly why vector DBs rebuild rather than only
+    * filter), rewrite the clustered layout, and stamp a fresh `_build_id`
+    * so dependent artifacts (PqStore codes) detect the change. Runs
+    * against the persisted store only — the original corpus is not
+    * re-read; on a cluster this is the off-peak job that turns
+    * query-time tombstone filtering back into pure partition pruning.
+    */
+  def rebuild(spark: SparkSession, path: String, rebuiltPath: String,
+              tombstones: DataFrame): Unit = {
+    val (rows, _) = read(spark, path)
+    val live = rows.drop("cell_id")
+      .join(broadcast(tombstones.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+    val n = live.count()
+    val nlist = math.max(1, math.min(100, math.sqrt(n.toDouble).toInt))
+    val centroids = VectorSearch.kmeansFit(live, nlist).cache()
+    VectorSearch.assignCells(live, centroids).write.mode("overwrite")
+      .partitionBy("cell_id")
+      .parquet(s"$rebuiltPath/rows")
+    centroids.write.mode("overwrite").parquet(s"$rebuiltPath/centroids")
+    stampBuildId(rebuiltPath)
+  }
+
   /** The V5 named query, build-once / search-many: ensure the persisted
     * index exists for `dir`, then run the partition-pruned probed search.
     * First execution pays the k-means build (`index.train+add`,

@@ -102,4 +102,29 @@ class IndexStoreSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("INSET"),
       "tombstone filter must not defeat static cell pruning\n" + plan.take(3000))
   }
+
+  test("rebuild compacts tombstones: live rows only, retrained cells, fresh build id") {
+    val path = IndexStore.defaultPath(sfDir)
+    IndexStore.ensure(spark, sfDir, path)
+    val out = s"/tmp/graft_rebuild_${System.nanoTime()}"
+    try {
+      val tombs = Tables.embeddings(spark, sfDir)
+        .filter($"vec_id" % 17 === 3).select($"vec_id")
+      IndexStore.rebuild(spark, path, out, tombs)
+      val (rows, cents) = IndexStore.read(spark, out)
+      assert(rows.filter($"vec_id" % 17 === 3).count() == 0, "tombstoned rows survived compaction")
+      val expected = Tables.embeddings(spark, sfDir).count() - tombs.count()
+      assert(rows.count() == expected, "live rows lost or duplicated in the rebuild")
+      assert(IndexStore.buildId(out).nonEmpty && IndexStore.buildId(out) != IndexStore.buildId(path),
+        "rebuild must stamp a fresh build id")
+      // retrained store serves full top-k from live rows only
+      val hits = IndexStore.search(spark, out, graft.operators.VectorSearch.querySet(spark, sfDir, 5))
+        .select($"qid".as[Long], $"vec_id".as[Long], $"rank".as[Long]).collect()
+      assert(hits.forall(_._2 % 17 != 3))
+      hits.groupBy(_._1).foreach { case (q, rs) =>
+        assert(rs.length == 5 && rs.map(_._3).sorted.toSeq == (1L to 5L), s"qid=$q top-k malformed")
+      }
+      assert(cents.count() >= 1)
+    } finally graft.streaming.StreamOps.rmTree(new java.io.File(out))
+  }
 }
