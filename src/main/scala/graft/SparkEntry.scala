@@ -48,6 +48,7 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
     "knn_tombstone" -> ((s, d) => graft.sources.IndexStore.searchTombstoned(s, d)),
+    "knn_recall_report" -> ((s, d) => graft.sources.IndexStore.recallReport(s, d)),
     "knn_pq" -> ((s, d) => graft.sources.PqStore.searchQuery(s, d)),
     "knn_doc_join" -> ((s, d) => VectorSearch.knnDocJoin(s, d)),
     "vec_normalize" -> ((s, d) => VectorSearch.normalizeQuery(s, d)),
@@ -160,6 +161,7 @@ object SparkEntry {
     // deliberately no oracle (§2.12), guarantee-spec'd in HeavyHittersSpec;
     // exact twins: text_vocab / agg_distinct.
     "agg_heavy_hitters" -> ((s, d) => HeavyHitters.topTokens(s, d)),
+    "events_outliers" -> ((s, d) => Relational.outlierAudit(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
     "set_intersect" -> ((s, d) => Relational.setIntersect(s, d)),
     "set_except" -> ((s, d) => Relational.setExcept(s, d)),
@@ -487,6 +489,23 @@ object SparkEntry {
     // Tombstone-aware search: same exported-store replay minus the
     // tombstone set — the anti-join sits below the rank window.
     "knn_tombstone" -> ivfProbedSearchSql(" AND r.vec_id % 17 <> 3"),
+    // Recall report: both legs deterministic (exported-store replay vs
+    // brute force), so the nprobe recall dial gets an oracle-checked
+    // MEASUREMENT; integer floor-division micro.
+    "knn_recall_report" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |ex AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s),
+         |exact AS (SELECT qid, vec_id FROM ex WHERE rank <= 5),
+         |approx AS (SELECT qid, vec_id FROM (${ivfProbedSearchSql()}) t),
+         |f AS (SELECT e.qid, count(*) AS n_found
+         |      FROM exact e JOIN approx a ON e.qid = a.qid AND e.vec_id = a.vec_id GROUP BY 1),
+         |ne AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY 1)
+         |SELECT CAST(ne.qid AS BIGINT) AS qid, CAST(COALESCE(n_found, 0) AS BIGINT) AS n_found,
+         |       CAST(n_exact AS BIGINT) AS n_exact,
+         |       CAST(COALESCE(n_found, 0) * 1000000 // n_exact AS BIGINT) AS recall_micro
+         |FROM ne LEFT JOIN f ON ne.qid = f.qid ORDER BY qid""".stripMargin,
     // Radius search replayed over the same exported IVF artifacts: probe
     // the 10 nearest cells, then a micro-threshold cut instead of top-k.
     "knn_range_ivf" ->
@@ -1567,6 +1586,21 @@ object SparkEntry {
         |       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
         |       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // 3-sigma outlier audit cleared of denominators into pure integer
+    // arithmetic: Spark DECIMAL(38,0) == DuckDB HUGEINT, both exact.
+    "events_outliers" ->
+      """WITH e AS (SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc FROM events),
+        |st AS (SELECT event_type, count(*) AS n, sum(xc) AS s1,
+        |              sum(CAST(xc AS HUGEINT) * xc) AS s2 FROM e GROUP BY 1),
+        |f AS (SELECT e.event_type, xc,
+        |             CASE WHEN CAST(n * xc - s1 AS HUGEINT) * CAST(n * xc - s1 AS HUGEINT)
+        |                       > 9 * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+        |                  THEN 1 ELSE 0 END AS is_out
+        |      FROM e JOIN st USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(is_out) AS BIGINT) AS n_outliers,
+        |       CAST(min(CASE WHEN is_out = 1 THEN xc END) AS BIGINT) AS out_min_c,
+        |       CAST(max(CASE WHEN is_out = 1 THEN xc END) AS BIGINT) AS out_max_c
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // Schema-drift union: the old-schema half (even event_id) has its
     // props null-filled by the name-aligned union.
     "schema_drift_union" ->

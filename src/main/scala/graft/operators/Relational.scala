@@ -522,6 +522,33 @@ object Relational {
       .orderBy(col("n").desc, col("event_type"))
       .limit(10)
 
+  /** Variance-based outlier audit (3σ rule) with ZERO floating point: the
+    * test `(x − μ)² > 9σ²` is cleared of denominators into pure integer
+    * arithmetic — `(n·x − s1)² > 9·(n·s2 − s1²)` over exact cent sums —
+    * so no sqrt/libm appears and the oracle replays it bit-for-bit
+    * (Spark DECIMAL(38,0) ≙ DuckDB HUGEINT, both exact at these widths).
+    * Two scans, winsorized-aggregation shape: the tiny per-type moment
+    * table broadcasts back onto the fact scan; flagged counts partial-
+    * aggregate map-side.
+    */
+  def outlierAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), (dec2(col("value")) * 100).cast("long").as("xc"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("xc")).as("s1"),
+        sum(col("xc").cast("decimal(38,0)") * col("xc").cast("decimal(38,0)")).as("s2"))
+    val dev = (col("n") * col("xc") - col("s1")).cast("decimal(38,0)")
+    val rhs = (col("n").cast("decimal(38,0)") * col("s2")
+      - col("s1").cast("decimal(38,0)") * col("s1").cast("decimal(38,0)")) * lit(9)
+    e.join(broadcast(stats), "event_type")
+      .withColumn("is_out", (dev * dev > rhs).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("is_out")).as("n_outliers"),
+        min(when(col("is_out") === 1, col("xc"))).as("out_min_c"),
+        max(when(col("is_out") === 1, col("xc"))).as("out_max_c"))
+      .orderBy(col("event_type"))
+  }
+
   /** Schema-drift reconciliation — merging snapshots written under
     * different schema versions, the unavoidable lake situation after a
     * column is added: the old half lacks `props`, the new half has it,

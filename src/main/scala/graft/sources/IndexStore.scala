@@ -149,6 +149,32 @@ object IndexStore {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Self-evaluating recall report — the quality metric the reference's
+    * benchmark loop tracks for its ANN configurations: per-query
+    * recall@k of the probed store search against the exact brute-force
+    * top-k, computed IN the engine (a left-semi membership join of the
+    * two ≤ nq·k ranked lists, then one tiny aggregate). Both legs are
+    * deterministic, so the report is DuckDB-replayable end to end —
+    * the recall dial (nprobe) gets an oracle-checked measurement, not
+    * just a spec-side assertion.
+    */
+  def recallReport(spark: SparkSession, dir: String,
+                   k: Int = 5, nq: Int = 5, nprobe: Int = 10): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val approx = searchPruned(spark, path, VectorSearch.querySet(spark, dir, nq), k, nprobe)
+      .select(col("qid"), col("vec_id"))
+    val exact = VectorSearch.knnExact(spark, dir, k, nq)
+      .select(col("qid"), col("vec_id"))
+    val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_found"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_found"), lit(0L)).as("n_found"), col("n_exact"))
+      .withColumn("recall_micro", expr("(n_found * 1000000) DIV n_exact"))
+      .orderBy(col("qid"))
+  }
+
   /** Offline compaction/rebuild — the maintenance half of
     * [[searchTombstoned]]: fold the tombstones in (drop dead rows),
     * RETRAIN the coarse quantizer on the live set (cluster drift after
