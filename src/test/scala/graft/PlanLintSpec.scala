@@ -29,6 +29,7 @@ class PlanLintSpec extends SparkSpec {
     "knn_mmr",            // broadcast query/anchor batch × base scan
     "knn_ivf", "knn_ivfpq", "knn_pq", "knn_quantized",
     "knn_tombstone",      // same bounded centroid cross as knn_ivf
+    "knn_recall_report",  // exact leg: broadcast query batch; approx leg: centroid cross
     "knn_range_ivf",      // broadcast probe batch / ≤100 centroids / 8×256 LUT
     "rag_fusion",         // fuses two ≤k ranked lists
     "decontam_embedding", // broadcast eval holdout
