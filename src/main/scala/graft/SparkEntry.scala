@@ -162,6 +162,7 @@ object SparkEntry {
     // exact twins: text_vocab / agg_distinct.
     "agg_heavy_hitters" -> ((s, d) => HeavyHitters.topTokens(s, d)),
     "events_outliers" -> ((s, d) => Relational.outlierAudit(s, d)),
+    "events_gapfill" -> ((s, d) => Relational.gapFill(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
     "set_intersect" -> ((s, d) => Relational.setIntersect(s, d)),
     "set_except" -> ((s, d) => Relational.setExcept(s, d)),
@@ -1586,6 +1587,19 @@ object SparkEntry {
         |       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
         |       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Gap fill: full hourly grid from observed bounds x distinct types,
+    // left-joined counts — silent gaps become explicit zeros.
+    "events_gapfill" ->
+      """WITH b AS (SELECT CAST(floor(epoch(date_trunc('hour', min(ts)))) AS BIGINT) AS lo,
+        |                  CAST(floor(epoch(date_trunc('hour', max(ts)))) AS BIGINT) AS hi FROM events),
+        |h AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_epoch FROM b),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |g AS (SELECT hour_epoch, event_type FROM h CROSS JOIN t),
+        |a AS (SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+        |             event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT CAST(g.hour_epoch AS BIGINT) AS hour_epoch, g.event_type,
+        |       CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+        |FROM g LEFT JOIN a USING (hour_epoch, event_type) ORDER BY 1, 2""".stripMargin,
     // 3-sigma outlier audit cleared of denominators into pure integer
     // arithmetic: Spark DECIMAL(38,0) == DuckDB HUGEINT, both exact.
     "events_outliers" ->

@@ -522,6 +522,30 @@ object Relational {
       .orderBy(col("n").desc, col("event_type"))
       .limit(10)
 
+  /** Time-series gap fill — the densification step before any
+    * charting/forecasting consumer: generate the full hourly grid from
+    * the observed bounds (a 1-row aggregate exploded into the hour
+    * sequence — never a driver-side loop), cross it with the (tiny)
+    * distinct type set via an explicitly bounded broadcast, and
+    * left-join the hourly counts so silent gaps become explicit zeros.
+    * The only corpus-sized work is the hourly aggregate; the grid is
+    * hours × types, metadata-sized at any corpus scale.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+    val hourly = e.groupBy(col("event_type"), col("hour_epoch")).agg(count(lit(1)).as("n"))
+    val hours = e.agg(min(col("hour_epoch")).as("lo"), max(col("hour_epoch")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
+    val types = e.select(col("event_type")).distinct()
+    hours.crossJoin(broadcast(types))
+      .join(hourly, Seq("event_type", "hour_epoch"), "left")
+      .select(col("hour_epoch"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+  }
+
   /** Variance-based outlier audit (3σ rule) with ZERO floating point: the
     * test `(x − μ)² > 9σ²` is cleared of denominators into pure integer
     * arithmetic — `(n·x − s1)² > 9·(n·s2 − s1²)` over exact cent sums —
