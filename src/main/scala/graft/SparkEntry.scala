@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_paragraph" -> ((s, d) => Dedup.paragraphDedup(s, d)),
     "graph_pagerank" -> ((s, d) => Dedup.dupPagerank(s, d)),
+    "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestDedup(s, d)),
     // Library-default auto-bits (~64 vectors per sign-LSH bucket): the
@@ -727,6 +728,22 @@ object SparkEntry {
          |FROM bands q JOIN bands c ON q.band = c.band AND q.bk = c.bk
          |WHERE q.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
          |ORDER BY incoming_id, corpus_id""".stripMargin,
+    // Edit-distance near-dup: blocked candidates (>=2 common shingles),
+    // exact Levenshtein verify, normalized integer-micro cut.
+    "dedup_edit_distance" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+        |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |c AS (SELECT id_a, id_b FROM p WHERE common >= 2),
+        |l AS (SELECT id_a, id_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+        |             greatest(length(da.text), length(db.text)) AS mx
+        |      FROM c JOIN documents da ON da.doc_id = id_a JOIN documents db ON db.doc_id = id_b)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, lev,
+        |       CAST(lev * 1000000 // mx AS BIGINT) AS lev_micro
+        |FROM l WHERE lev * 1000000 // mx <= 300000 ORDER BY 1, 2""".stripMargin,
     // Integer fixed-point PageRank over the near-dup graph: 5 unrolled
     // power-iteration CTEs replaying the engine's exact micro/floor-div
     // recurrence (long addition is order-independent, so the sums agree).

@@ -728,6 +728,31 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** Edit-distance near-dup pairs — the character-level member of the
+    * dedup family, catching what set-of-shingles methods are blind to:
+    * two texts with many small IN-PLACE edits keep a low Jaccard yet a
+    * small Levenshtein, and vice versa for block reorders. Candidates
+    * come from the shared inverted index (≥ 2 common shingles — blocking,
+    * never all-pairs), then exact Levenshtein verifies each candidate
+    * and the cut is the length-normalized integer micro. Levenshtein is
+    * a uniquely-defined integer, so the oracle replays it exactly; the
+    * O(len²) DP runs only on blocked candidate pairs.
+    */
+  def editDistancePairs(spark: SparkSession, dir: String,
+                        maxNormMicro: Long = 300000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = shinglePairCommon(spark, dir, Long.MaxValue)
+      .filter(col("common") >= 2)
+      .select(col("id_a"), col("id_b"))
+    cand.join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+      .withColumn("lev", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .withColumn("lev_micro", expr("lev * 1000000 DIV greatest(length(t_a), length(t_b))"))
+      .filter(col("lev_micro") <= maxNormMicro)
+      .select(col("id_a"), col("id_b"), col("lev"), col("lev_micro"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** PageRank centrality over the near-dup similarity graph — "which
     * duplicated content is most central in the duplicate web". Fixed
     * power-iteration rounds (damping 0.85) over the symmetric
