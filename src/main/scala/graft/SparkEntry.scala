@@ -737,7 +737,7 @@ object SparkEntry {
         |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
         |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |c AS (SELECT id_a, id_b FROM p WHERE common >= 2),
+        |c AS (SELECT id_a, id_b FROM p WHERE common >= 3),
         |l AS (SELECT id_a, id_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
         |             greatest(length(da.text), length(db.text)) AS mx
         |      FROM c JOIN documents da ON da.doc_id = id_a JOIN documents db ON db.doc_id = id_b)

@@ -356,6 +356,35 @@ class CrudDedupSpec extends SparkSpec {
     }
   }
 
+  test("banded edit-distance pairs equal an unbanded per-pair replay") {
+    val got = Dedup.editDistancePairs(spark, sfDir)
+      .select($"id_a".as[Long], $"id_b".as[Long], $"lev".as[Long], $"lev_micro".as[Long])
+      .collect().toSeq
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id".as[Long], $"text".as[String]).collect().toMap
+    def fullLev(a: String, b: String): Long = {
+      val (n, m) = (a.length, b.length)
+      val d = Array.tabulate(n + 1)(i => i.toLong)
+      for (j <- 1 to m) {
+        var prev = d(0); d(0) = j.toLong
+        for (i <- 1 to n) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(n)
+    }
+    assert(got.nonEmpty, "edit-distance dedup must find pairs at test scale")
+    got.foreach { case (ia, ib, lev, levMicro) =>
+      val exact = fullLev(texts(ia), texts(ib))
+      assert(lev == exact, s"banded lev differs from full DP for ($ia,$ib)")
+      val mx = math.max(texts(ia).length, texts(ib).length)
+      assert(levMicro == lev * 1000000L / mx && levMicro <= 300000L)
+    }
+  }
+
   test("pagerank on the near-dup graph matches an in-Scala integer replay") {
     val got = Dedup.dupPagerank(spark, sfDir)
       .select($"node", $"pr_micro", $"degree").as[(Long, Long, Long)].collect().sortBy(_._1)
