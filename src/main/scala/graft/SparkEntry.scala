@@ -91,6 +91,7 @@ object SparkEntry {
     // LLM-pipeline — text analysis
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_bigram_top" -> ((s, d) => TextAnalysis.bigramTop(s, d)),
@@ -914,6 +915,28 @@ object SparkEntry {
         |            ELSE 'unk' END AS lang_pred,
         |       CAST(score_en AS BIGINT) AS score_en, CAST(score_es AS BIGINT) AS score_es
         |FROM g ORDER BY doc_id""".stripMargin,
+    // Confusion matrix: the same scoring CTE aggregated to (lang, pred)
+    // cells — off-diagonal mass localizes where the heuristic fails.
+    "text_lang_confusion" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |             len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS score_en,
+        |             len(list_filter(ws, w -> list_contains(['el','la','de','que'], w))) AS score_es,
+        |             len(list_filter(ws, w -> list_contains(['der','die','und','das'], w))) AS score_de,
+        |             len(list_filter(ws, w -> list_contains(['le','la','et','les'], w))) AS score_fr,
+        |             len(list_filter(ws, w -> list_contains(['的','了','是','在'], w))) AS score_zh
+        |      FROM d),
+        |g AS (SELECT *, greatest(score_en, score_es, score_de, score_fr, score_zh) AS mx FROM s),
+        |p AS (SELECT lang,
+        |       CASE WHEN score_en = mx AND mx > 0 THEN 'en'
+        |            WHEN score_es = mx AND mx > 0 THEN 'es'
+        |            WHEN score_de = mx AND mx > 0 THEN 'de'
+        |            WHEN score_fr = mx AND mx > 0 THEN 'fr'
+        |            WHEN score_zh = mx AND mx > 0 THEN 'zh'
+        |            ELSE 'unk' END AS lang_pred
+        |      FROM g)
+        |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_token_count" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

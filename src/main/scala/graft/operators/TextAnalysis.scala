@@ -109,6 +109,19 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion matrix — the eval every classifier in the
+    * curation stack owes its users: predicted vs labeled language cell
+    * counts, straight off [[langId]]'s per-doc output (one aggregation
+    * over the scored scan; the matrix is |langs|², metadata-sized at any
+    * corpus scale). Off-diagonal mass localizes WHERE the n-gram
+    * heuristic fails instead of hiding it in one accuracy number.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs / digit runs / single punctuation), the standard cheap
     * proxy for LLM token counts.
