@@ -107,24 +107,33 @@ object Crud {
     * append. `reassigned` marks the identity-losing rows so the oracle
     * checks the semantics, not just the union.
     *
-    * The global row_number runs over the sampled victims only (a small
-    * fraction of the store). At 100 TB an identity-losing re-add would
-    * block-allocate fresh id ranges per partition instead of a global
-    * ordering — positional identity is, by definition, not being preserved —
-    * but the total order here is what keeps the query oracle-exact.
+    * The fresh ordinals are assigned by the distributed two-pass
+    * block-allocation, not a single-partition window: range-partition the
+    * victims by old id, sort within partitions, and `zipWithIndex` (one
+    * extra counting job computes each partition's offset). The ordinal of
+    * a row is its rank in the global vec_id order REGARDLESS of where the
+    * sampled range bounds fall, so the result is deterministic and
+    * bit-identical to the old global-window form — but the widest thing
+    * any task holds is its own partition, at any corpus scale.
     */
   def updatePositional(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val mx = broadcast(e.agg(max(col("vec_id")).as("max_id")))
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0) // bounded scalar
     val untouched = e.filter(!(col("vec_id") % 7 === 3))
       .select(col("vec_id"), col("label").cast("long").as("label"), lit(0L).as("reassigned"))
-    val w = Window.orderBy(col("vec_id"))
-    val readded = e.filter(col("vec_id") % 7 === 3)
-      .select(col("vec_id"), col("label"))
-      .withColumn("rn", row_number().over(w))
-      .crossJoin(mx)
-      .select((col("max_id") + col("rn")).as("vec_id"),
-        (col("label") + 100).cast("long").as("label"), lit(1L).as("reassigned"))
+    val victims = e.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"), col("label").cast("long"))
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+    val spark2 = victims.sparkSession
+    val readded = spark2.createDataFrame(
+      victims.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(maxId + i + 1, r.getLong(1) + 100L, 1L)
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("reassigned", org.apache.spark.sql.types.LongType))))
     untouched.unionByName(readded).orderBy(col("vec_id"))
   }
 

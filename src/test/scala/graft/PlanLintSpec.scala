@@ -36,7 +36,6 @@ class PlanLintSpec extends SparkSpec {
     "metrics_combined",   // 7-row model table cross
     "text_lm_score", "text_commonness", "text_tfidf", // 1-row scalar totals cross
     "text_bm25", "text_vocab",         // 1-row avgdl / vocab-size scalar cross
-    "crud_update_positional",          // 1-row broadcast max-id aggregate
     "agg_winsorized",                  // 1-row broadcast percentile bounds
     "events_gapfill"                   // hour-grid × distinct-types bounded cross
   )
