@@ -113,6 +113,7 @@ object SparkEntry {
     "sample_mix" -> ((s, d) => Sampling.mixSample(s, d)),
     "sample_quality_tiers" -> ((s, d) => Sampling.qualityTierSample(s, d)),
     "corpus_pack" -> ((s, d) => Sampling.packSequences(s, d)),
+    "corpus_budget_plan" -> ((s, d) => Sampling.budgetPlan(s, d)),
     "knn_ivfpq" -> ((s, d) => graft.sources.PqStore.searchIvfPq(s, d)),
     "knn_refine" -> ((s, d) => graft.sources.PqStore.searchRefined(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
@@ -1627,6 +1628,17 @@ object SparkEntry {
         |       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
         |       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Hamilton apportionment: floor shares + largest-remainder top-up so
+    // integer allocations sum exactly to the budget; all-integer replay.
+    "corpus_budget_plan" ->
+      """WITH m AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass FROM documents GROUP BY 1),
+        |t AS (SELECT *, sum(mass) OVER () AS total FROM m),
+        |b AS (SELECT *, (1000000 * mass) // total AS base, (1000000 * mass) % total AS rem FROM t),
+        |l AS (SELECT *, 1000000 - sum(base) OVER () AS leftover,
+        |             row_number() OVER (ORDER BY rem DESC, lang) AS rr FROM b)
+        |SELECT lang, mass, CAST(base AS BIGINT) AS base,
+        |       CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM l ORDER BY lang""".stripMargin,
     // Gap fill: full hourly grid from observed bounds x distinct types,
     // left-joined counts — silent gaps become explicit zeros.
     "events_gapfill" ->

@@ -169,4 +169,30 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
       .orderBy(col("shard"), col("pack_id"))
   }
+
+  /** Token-budget apportionment — the data-MIXING planning step: split a
+    * fixed training-token budget across languages proportionally to their
+    * corpus mass, with largest-remainder (Hamilton) rounding so the
+    * allocations are integers that sum EXACTLY to the budget (floor
+    * division under-allocates; the leftover goes to the largest
+    * remainders, lang as the deterministic tiebreak). Everything is
+    * exact integer arithmetic over the per-language aggregate — the plan
+    * table is |langs| rows, so the partition-less windows here run over
+    * a handful of post-aggregate rows, never corpus data.
+    */
+  def budgetPlan(spark: SparkSession, dir: String, budget: Long = 1000000L): DataFrame = {
+    val one = Window.partitionBy(lit(1))
+    val mass = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(sum(col("n_chars")).as("mass"))
+    mass.withColumn("total", sum(col("mass")).over(one))
+      .withColumn("base", expr(s"($budget * mass) DIV total"))
+      .withColumn("rem", expr(s"($budget * mass) % total"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(one))
+      .withColumn("rr", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("lang"))))
+      .withColumn("alloc",
+        col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("lang"), col("mass"), col("base"), col("alloc"))
+      .orderBy(col("lang"))
+  }
 }

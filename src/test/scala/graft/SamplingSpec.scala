@@ -136,4 +136,21 @@ class SamplingSpec extends SparkSpec {
     assert(st.filter($"min_micro" < -1000000L || $"max_micro" > 1000000L).count() == 0)
     st.unpersist(blocking = false)
   }
+
+  test("budget apportionment: integer allocations conserve the budget exactly") {
+    val budget = 1000000L
+    val plan = graft.operators.Sampling.budgetPlan(spark, sfDir, budget)
+      .select($"lang".as[String], $"mass".as[Long], $"base".as[Long], $"alloc".as[Long])
+      .collect()
+    assert(plan.map(_._4).sum == budget, "largest-remainder must hand out the whole budget")
+    // each language gets its floor share or floor+1, never less or more
+    plan.foreach { case (l, _, base, alloc) =>
+      assert(alloc == base || alloc == base + 1, s"$l allocation outside [base, base+1]")
+    }
+    // proportionality: bigger mass never gets a smaller base share
+    plan.sortBy(_._2).map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _           =>
+    }
+  }
 }
