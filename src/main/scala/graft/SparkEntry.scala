@@ -47,6 +47,7 @@ object SparkEntry {
     "rag_fusion" -> ((s, d) => VectorSearch.ragFusion(s, d)),
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
+    "knn_rewrite" -> ((s, d) => graft.sources.IndexStore.rewriteSearchQuery(s, d)),
     "knn_tombstone" -> ((s, d) => graft.sources.IndexStore.searchTombstoned(s, d)),
     "knn_recall_report" -> ((s, d) => graft.sources.IndexStore.recallReport(s, d)),
     "knn_pq" -> ((s, d) => graft.sources.PqStore.searchQuery(s, d)),
@@ -486,6 +487,9 @@ object SparkEntry {
          |       ${microSql("sim")} AS sim_micro
          |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "knn_ivf" -> ivfProbedSearchSql(),
+    // The AnnProbeRewrite-rewritten naive flat query probes the same cells
+    // and scores identically — one oracle serves both plans.
+    "knn_rewrite" -> ivfProbedSearchSql(),
     // The streaming run searches the SAME persisted store with the same
     // k/nprobe/query set — one oracle serves both the batch and the
     // AvailableNow streaming execution.

@@ -90,6 +90,7 @@ object VectorKernelRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VectorKernelRewrite)
+    ext.injectOptimizerRule(_ => AnnProbeRewrite)
     ext.injectPlannerStrategy(_ => KnnJoinStrategy)
   }
 }

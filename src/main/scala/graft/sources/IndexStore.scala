@@ -212,6 +212,44 @@ object IndexStore {
     searchPruned(spark, path, VectorSearch.querySet(spark, dir, 5))
   }
 
+  /** The NAIVE flat nearest-neighbor query over the persisted clustered
+    * rows — "ORDER BY distance LIMIT k" with no knowledge of probing, the
+    * exact query a FAISS `IndexFlatL2` user writes
+    * (`FAISS/PlainDemo/pipeline.py:232`). [[graft.plans.AnnProbeRewrite]]
+    * recognizes this shape over the store layout and injects the static
+    * `cell_id IN (<nprobe nearest cells>)` filter at planning time, so
+    * this flat scan executes as the partition-pruned probed search —
+    * querying THROUGH the index opts into index (approximate) semantics,
+    * exactly as in FAISS/Milvus; exact search reads the base table.
+    */
+  def flatTopK(spark: SparkSession, path: String, qid: Long,
+               qvec: Array[Float], k: Int = 5): DataFrame = {
+    val (rows, _) = read(spark, path)
+    rows.filter(col("vec_id") =!= lit(qid))
+      .select(lit(qid).as("qid"), col("vec_id"),
+        dot(typedlit[Seq[Float]](qvec.toSeq), col("embedding")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The `knn_rewrite` named query: the naive [[flatTopK]] plan for each of
+    * the 5 standard query vectors, rewritten by AnnProbeRewrite into the
+    * probed form — row-identical to [[searchQuery]] (`knn_ivf`), and
+    * replayed by the SAME exported-store DuckDB oracle. The per-query
+    * plans union; the rank column is recomputed over the ≤ nq·k winners.
+    */
+  def rewriteSearchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val qs = VectorSearch.querySet(spark, dir, 5).orderBy(col("qid")).collect()
+    val per = qs.map(r => flatTopK(spark, path, r.getLong(0), r.getSeq[Float](1).toArray))
+    val all = per.reduce(_ unionAll _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    all.withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Radius (range) search over the persisted pruned index — the scale
     * path of [[graft.operators.VectorSearch.rangeSearch]]: probe the
     * nprobe nearest cells exactly as [[searchPruned]] does (static IN-list
