@@ -118,7 +118,10 @@ object Crud {
     */
   def updatePositional(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val maxId = e.agg(max(col("vec_id"))).head().getLong(0) // bounded scalar
+    // Bounded scalar; coalesced so an EMPTY embeddings table flows through
+    // (max = NULL would NPE) — victims is then empty and the result is the
+    // contract-schema empty frame, not a driver crash.
+    val maxId = e.agg(coalesce(max(col("vec_id")), lit(-1L))).head().getLong(0)
     val untouched = e.filter(!(col("vec_id") % 7 === 3))
       .select(col("vec_id"), col("label").cast("long").as("label"), lit(0L).as("reassigned"))
     val victims = e.filter(col("vec_id") % 7 === 3)

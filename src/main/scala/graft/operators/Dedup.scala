@@ -513,10 +513,13 @@ object Dedup {
     * fixed overhead dominates when each task carries a few hundred rows.
     * The initial distinct+checkpoint — the part that actually sees
     * corpus-sized input — still runs at full session parallelism; only
-    * the iterations over the checkpointed edge set are pinned. Like
-    * StreamOps.withStreamPartitions this mutates the session conf for the
-    * loop's duration and restores it after (Bench/Verify run serially; a
-    * concurrent caller would need its own session).
+    * the iterations over the checkpointed edge set are pinned. Unlike
+    * StreamOps.withStreamPartitions (which isolates its pin on a child
+    * `newSession()`), this loop operates on a caller-provided DataFrame
+    * already bound to its session, so it mutates that session's conf for
+    * the loop's duration and restores it after (Bench/Verify run
+    * serially; a concurrent caller would need to hand in a DataFrame
+    * built on its own private session).
     *
     * Returns (node, label) where label = min node id of the component.
     */
@@ -756,7 +759,9 @@ object Dedup {
     // above the band ⇒ above the cut; filtering lev ≥ 0 keeps semantics
     // EXACTLY equal to the unbanded form (spec-asserted). maxLen is one
     // bounded driver scalar, same contract as the IVF probe-cell collect.
-    val maxLen = docs.agg(max(length(col("text")))).head().getInt(0)
+    // Coalesced: an empty documents table (max = NULL) degrades to band 1
+    // over an empty candidate set instead of a driver NPE.
+    val maxLen = docs.agg(coalesce(max(length(col("text"))), lit(0))).head().getInt(0)
     val band = (((maxNormMicro + 1) * maxLen - 1) / 1000000L).toInt + 1
     cand.join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")

@@ -615,8 +615,13 @@ object Relational {
     val cells = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("observed"))
     val rowTot = cells.groupBy(col("lang")).agg(sum(col("observed")).as("r"))
     val colTot = cells.groupBy(col("source")).agg(sum(col("observed")).as("c"))
+    // r·c·10⁶ widened to DECIMAL(38,0): row/col totals are corpus-sized,
+    // so the 64-bit triple product wraps exactly where the Scaladoc
+    // claims exactness; the decimal product is exact and the quotient
+    // (≤ 10⁶ · max(r,c)) lands back in BIGINT range.
     cells.join(broadcast(rowTot), "lang").join(broadcast(colTot), "source")
-      .withColumn("expected_micro", expr(s"(r * c * 1000000) DIV $n"))
+      .withColumn("expected_micro",
+        expr(s"(CAST(r AS DECIMAL(38,0)) * c * 1000000) DIV $n").cast("long"))
       .withColumn("dev_micro",
         abs(col("observed") * lit(1000000L) - col("expected_micro")))
       .select(col("lang"), col("source"), col("observed"),

@@ -184,9 +184,16 @@ object Sampling {
     val one = Window.partitionBy(lit(1))
     val mass = Tables.documents(spark, dir)
       .groupBy(col("lang")).agg(sum(col("n_chars")).as("mass"))
+    // budget·mass widened to DECIMAL(38,0) before multiplying: at the
+    // corpus scale the Scaladoc claims exactness for (mass = Σ n_chars
+    // over 100 TB), the 64-bit product would silently wrap in non-ANSI
+    // Spark while DuckDB errors — the decimal product stays exact and
+    // DIV/% land back in BIGINT range (quotient ≤ budget, rem < total).
     mass.withColumn("total", sum(col("mass")).over(one))
-      .withColumn("base", expr(s"($budget * mass) DIV total"))
-      .withColumn("rem", expr(s"($budget * mass) % total"))
+      .withColumn("base",
+        expr(s"(CAST($budget AS DECIMAL(38,0)) * mass) DIV total").cast("long"))
+      .withColumn("rem",
+        expr(s"(CAST($budget AS DECIMAL(38,0)) * mass) % total").cast("long"))
       .withColumn("leftover", lit(budget) - sum(col("base")).over(one))
       .withColumn("rr", row_number().over(
         Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("lang"))))

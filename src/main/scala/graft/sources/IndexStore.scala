@@ -192,12 +192,17 @@ object IndexStore {
       .join(broadcast(tombstones.select(col("vec_id"))), Seq("vec_id"), "left_anti")
     val n = live.count()
     val nlist = math.max(1, math.min(100, math.sqrt(n.toDouble).toInt))
+    // Cached for the two consumers (assignment + write); unpersisted in a
+    // finally so a failed write can't leak the cached blocks into the
+    // session for the store's lifetime.
     val centroids = VectorSearch.kmeansFit(live, nlist).cache()
-    VectorSearch.assignCells(live, centroids).write.mode("overwrite")
-      .partitionBy("cell_id")
-      .parquet(s"$rebuiltPath/rows")
-    centroids.write.mode("overwrite").parquet(s"$rebuiltPath/centroids")
-    stampBuildId(rebuiltPath)
+    try {
+      VectorSearch.assignCells(live, centroids).write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(s"$rebuiltPath/rows")
+      centroids.write.mode("overwrite").parquet(s"$rebuiltPath/centroids")
+      stampBuildId(rebuiltPath)
+    } finally centroids.unpersist(blocking = false)
   }
 
   /** The V5 named query, build-once / search-many: ensure the persisted

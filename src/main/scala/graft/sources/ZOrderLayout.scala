@@ -73,9 +73,16 @@ object ZOrderLayout {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       val bounds = e.agg(min(col("user_id")), max(col("user_id")),
         min(col("value")), max(col("value"))).head()
+      // Empty-events guard: all four aggregates are NULL on an empty table
+      // (get* would NPE); degenerate [0,1] bounds keep the write + filter
+      // flowing to the correct empty result.
+      val (uLo, uHi, vLo, vHi) =
+        if (bounds.isNullAt(0)) (0.0, 1.0, 0.0, 1.0)
+        else (bounds.getLong(0).toDouble, bounds.getLong(1).toDouble,
+          bounds.getDouble(2), bounds.getDouble(3))
       write(e, s"$out/events_z",
-        coord16(col("user_id"), bounds.getLong(0).toDouble, bounds.getLong(1).toDouble),
-        coord16(col("value"), bounds.getDouble(2), bounds.getDouble(3)))
+        coord16(col("user_id"), uLo, uHi),
+        coord16(col("value"), vLo, vHi))
       spark.read.parquet(s"$out/events_z")
         .filter(col("user_id").between(4, 6) && col("value").between(10.0, 30.0))
         .groupBy(col("event_type"))

@@ -43,25 +43,26 @@ object StreamOps {
     }
   }
 
-  /** Run `f` with the session's shuffle partitions pinned to the streaming
-    * state parallelism, restoring the prior value afterwards. Streaming
-    * plans capture the setting at `start()`, so the override only needs to
-    * span query construction + execution.
+  /** Run `f` against a CHILD session (`spark.newSession()`: same
+    * SparkContext, shared state and cached blocks, but a SEPARATE SQLConf)
+    * whose shuffle partitions are pinned to the streaming state
+    * parallelism. Streaming plans capture the setting at `start()`; pinning
+    * a private session means the pin can never be observed by a
+    * concurrently planned query on the caller's session — fully
+    * re-entrant, no save/restore window. The child inherits builder-time
+    * confs (extensions, nanosAsLong, timezone) from the SparkContext conf;
+    * `f` must build its sources AND read its memory-sink result through
+    * the session it is handed.
     *
-    * Applied ONLY to state-HEAVY queries (the stream-stream interval join,
+    * Applied ONLY to pin-worthy queries (the stream-stream interval join,
     * whose state is 4 stores per side × partitions commits per micro-batch)
-    * — state-light streaming aggregates (stream_hourly: a few thousand
-    * hourly rows) and stateless foreachBatch wrappers keep the session's
-    * parallelism, because for them the pin only under-parallelizes the real
-    * batch work. NOT thread-safe: mutates the session-global conf for the
-    * duration of `f` (Bench/Verify run queries serially — a concurrent
-    * caller would need spark.newSession() with the pinned conf instead).
+    * — stateless foreachBatch wrappers keep the caller's parallelism,
+    * because for them the pin only under-parallelizes the real batch work.
     */
-  private[graft] def withStreamPartitions[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, streamStatePartitions.toString)
-    try f finally spark.conf.set(key, old)
+  private[graft] def withStreamPartitions[T](spark: SparkSession)(f: SparkSession => T): T = {
+    val pinned = spark.newSession()
+    pinned.conf.set("spark.sql.shuffle.partitions", streamStatePartitions.toString)
+    f(pinned)
   }
 
   /** Recursive scratch-dir delete (local-FS dev/test paths only — production
@@ -88,8 +89,10 @@ object StreamOps {
     * The testdata table is a single file, so basePath must be pinned to its
     * parent directory (the streaming source otherwise requires a directory).
     */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+  def readEventsStream(spark: SparkSession, dir: String,
+                       options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.schema(eventsSchema)
+      .options(options)
       .option("basePath", dir)
       .parquet(s"$dir/events.parquet*") // trailing * makes it a glob — the
       // file-stream source accepts globs but not plain single-file paths
@@ -118,16 +121,16 @@ object StreamOps {
     // runs at the pinned width, so the pin costs nothing while cutting the
     // per-batch state commits (2 stores × partitions). Measured at sf0.1,
     // warm: ~3.1-3.4 s unpinned (32) vs ~1.9-2.1 s at 3.
-    withStreamPartitions(spark) {
-      val src = readEventsStream(spark, dir)
+    withStreamPartitions(spark) { s =>
+      val src = readEventsStream(s, dir)
       val q = hourlyAgg(src.withWatermark("ts", "2 hours"))
         .writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      s.table(name).orderBy(col("hour_epoch"), col("event_type"))
     }
-    spark.table(name).orderBy(col("hour_epoch"), col("event_type"))
   }
 
   /** Sliding-window trending top-k — the "what's hot in the last 2 hours,
@@ -143,8 +146,8 @@ object StreamOps {
     */
   def streamTrending(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val name = s"stream_trending_${System.nanoTime()}"
-    withStreamPartitions(spark) {
-      val src = readEventsStream(spark, dir)
+    withStreamPartitions(spark) { s =>
+      val src = readEventsStream(s, dir)
       val q = src.withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -156,16 +159,16 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_epoch"))
+        .orderBy(col("n").desc, col("event_type"))
+      s.table(name)
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= k)
+        .select(col("window_epoch"), col("event_type"), col("n"),
+          col("sum_value_c"), col("rank").cast("long").as("rank"))
+        .orderBy(col("window_epoch"), col("rank"))
     }
-    val rankW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("window_epoch"))
-      .orderBy(col("n").desc, col("event_type"))
-    spark.table(name)
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select(col("window_epoch"), col("event_type"), col("n"),
-        col("sum_value_c"), col("rank").cast("long").as("rank"))
-      .orderBy(col("window_epoch"), col("rank"))
   }
 
   /** Stream-STATIC enrichment join: the serving-time pattern of joining a
@@ -183,10 +186,10 @@ object StreamOps {
     */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_enrich_${System.nanoTime()}"
-    withStreamPartitions(spark) {
-      val dim = broadcast(graft.Tables.customer(spark, dir)
+    withStreamPartitions(spark) { s =>
+      val dim = broadcast(graft.Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_mktsegment")))
-      val src = readEventsStream(spark, dir)
+      val src = readEventsStream(s, dir)
       val q = src.join(dim, src("user_id") === dim("c_custkey"))
         .groupBy(col("c_mktsegment"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -196,8 +199,8 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      s.table(name).orderBy(col("c_mktsegment"), col("event_type"))
     }
-    spark.table(name).orderBy(col("c_mktsegment"), col("event_type"))
   }
 
   /** T1/T4: micro-batch ingest with foreachBatch keep-latest upsert into an
@@ -330,16 +333,16 @@ object StreamOps {
     */
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_cv_${System.nanoTime()}"
-    withStreamPartitions(spark) {
-      val (clicks, views) = clickViewStreams(spark, dir)
+    withStreamPartitions(spark) { s =>
+      val (clicks, views) = clickViewStreams(s, dir)
       val q = clickViewIntervalJoin(clicks, views)
         .writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      s.table(name).orderBy(col("click_id"), col("view_id"))
     }
-    spark.table(name).orderBy(col("click_id"), col("view_id"))
   }
 
   /** T3: streaming dedup with watermark (exactly-once-ish ingest dedup,
@@ -361,11 +364,21 @@ object StreamOps {
     * dedup key, so the watermark evicts state — steady-state store size is
     * active-keys-per-watermark-window, not corpus cardinality. State-heavy
     * (one store × partitions commits per batch) → partition pin applies.
+    *
+    * ORACLE CONTRACT: `SELECT DISTINCT` equivalence requires the whole
+    * replay to land in ONE micro-batch — under a multi-batch split, keys
+    * arriving later than the advancing watermark would be (correctly, for
+    * a live stream) dropped, and the hash would diverge. The contract is
+    * pinned explicitly: maxFilesPerTrigger is set far above any testdata
+    * file count, so the single-batch replay survives the input table ever
+    * becoming multi-file. A LIVE deployment of this query accepts
+    * watermark-late drops by design; only the replay-vs-DISTINCT check
+    * needs the pin.
     */
   def streamDedupRun(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_dedup_${System.nanoTime()}"
-    withStreamPartitions(spark) {
-      val src = readEventsStream(spark, dir)
+    withStreamPartitions(spark) { s =>
+      val src = readEventsStream(s, dir, Map("maxFilesPerTrigger" -> "1000000"))
       val keyed = src
         .select(col("user_id"), col("event_type"),
           date_trunc("hour", col("ts")).as("ts_hour"))
@@ -378,8 +391,8 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      s.table(name).orderBy(col("user_id"), col("event_type"), col("hour_epoch"))
     }
-    spark.table(name).orderBy(col("user_id"), col("event_type"), col("hour_epoch"))
   }
 
   /** Session state for stateful sessionization. */
@@ -490,8 +503,8 @@ object StreamOps {
     // fewer shuffle partitions means fewer near-empty tasks per batch —
     // a bench-scale consistency pin, not a state-commit one.
     val result =
-      try withStreamPartitions(spark) {
-        val src = spark.readStream.schema(schema)
+      try withStreamPartitions(spark) { s =>
+        val src = s.readStream.schema(schema)
           .option("basePath", dir)
           .parquet(s"$dir/embeddings.parquet*")
           .filter(col("vec_id") < nq)
@@ -515,7 +528,7 @@ object StreamOps {
         q.awaitTermination()
         // Materialize the (nq·k)-row result off the temp files (eager local
         // checkpoint) so the scratch dir can be deleted before returning.
-        spark.read.parquet(hitsDir)
+        s.read.parquet(hitsDir)
           .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
             col("sim_micro"))
           .localCheckpoint(true)

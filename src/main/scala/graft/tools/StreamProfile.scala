@@ -30,8 +30,8 @@ object StreamProfile {
     for (round <- 1 to 3) {
       val name = s"prof_cv_$round"
       val t0 = System.nanoTime()
-      val q = graft.streaming.StreamOps.withStreamPartitions(spark) {
-        val (clicks, views) = graft.streaming.StreamOps.clickViewStreams(spark, sfDir)
+      val q = graft.streaming.StreamOps.withStreamPartitions(spark) { s =>
+        val (clicks, views) = graft.streaming.StreamOps.clickViewStreams(s, sfDir)
         val started = graft.streaming.StreamOps.clickViewIntervalJoin(clicks, views)
           .writeStream.outputMode(OutputMode.Append())
           .format("memory").queryName(name)
