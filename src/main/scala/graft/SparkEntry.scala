@@ -50,6 +50,7 @@ object SparkEntry {
     "knn_rewrite" -> ((s, d) => graft.sources.IndexStore.rewriteSearchQuery(s, d)),
     "knn_tombstone" -> ((s, d) => graft.sources.IndexStore.searchTombstoned(s, d)),
     "knn_recall_report" -> ((s, d) => graft.sources.IndexStore.recallReport(s, d)),
+    "knn_recall_curve" -> ((s, d) => graft.sources.IndexStore.recallSweep(s, d)),
     "knn_pq" -> ((s, d) => graft.sources.PqStore.searchQuery(s, d)),
     "knn_doc_join" -> ((s, d) => VectorSearch.knnDocJoin(s, d)),
     "vec_normalize" -> ((s, d) => VectorSearch.normalizeQuery(s, d)),
@@ -514,6 +515,33 @@ object SparkEntry {
          |       CAST(n_exact AS BIGINT) AS n_exact,
          |       CAST(COALESCE(n_found, 0) * 1000000 // n_exact AS BIGINT) AS recall_micro
          |FROM ne LEFT JOIN f ON ne.qid = f.qid ORDER BY qid""".stripMargin,
+    // nprobe→recall curve: recall@k at level L = |exact ∩ cells(rank≤L)|,
+    // so the sweep is one conditional aggregation over each exact hit's
+    // cell rank — replayed over the exported store artifacts.
+    "knn_recall_curve" ->
+      s"""WITH cents AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |               FROM read_parquet('$ivfStorePath/centroids/*.parquet')),
+         |r AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id
+         |      FROM read_parquet('$ivfStorePath/rows/*/*.parquet', hive_partitioning=1)),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |qc AS (SELECT q.qid, c.cell_id, ${sqDistCentroidSql("q.qvec", "c.centroid")} AS d2
+         |       FROM q CROSS JOIN cents c),
+         |pr AS (SELECT qid, cell_id, row_number() OVER (PARTITION BY qid ORDER BY d2, cell_id) AS cr FROM qc),
+         |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |ex AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s),
+         |exact AS (SELECT qid, vec_id FROM ex WHERE rank <= 5),
+         |hit AS (SELECT e.qid, p.cr FROM exact e
+         |        JOIN r ON r.vec_id = e.vec_id
+         |        JOIN pr p ON p.qid = e.qid AND p.cell_id = r.cell_id),
+         |lv AS (SELECT DISTINCT nprobe FROM
+         |       (SELECT unnest([1, 2, 5, 10, (SELECT count(*) FROM cents)]) AS nprobe))
+         |SELECT CAST(l.nprobe AS BIGINT) AS nprobe,
+         |       CAST(sum(CASE WHEN h.cr <= l.nprobe THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(sum(CASE WHEN h.cr <= l.nprobe THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_micro
+         |FROM lv l CROSS JOIN hit h
+         |GROUP BY l.nprobe ORDER BY nprobe""".stripMargin,
     // Radius search replayed over the same exported IVF artifacts: probe
     // the 10 nearest cells, then a micro-threshold cut instead of top-k.
     "knn_range_ivf" ->

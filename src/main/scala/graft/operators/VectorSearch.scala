@@ -335,18 +335,36 @@ object VectorSearch {
     * map-side argmin-assign (broadcast centroids) → partial-aggregated
     * vector means → collect ≤ nlist rows to the driver. Empty cells keep
     * their previous centroid. Returns (cell_id INT, centroid ARRAY<DOUBLE>).
+    *
+    * The train set is BOUNDED: above `maxTrainRows` input rows, training
+    * runs on a deterministic keyed sample (keep iff
+    * xxhash64(vec_id) ≡ 0 mod ceil(n/maxTrainRows) — reproducible across
+    * runs and engines, no RNG state), which is how FAISS itself trains
+    * coarse quantizers on big collections (sampled train, full add). Only
+    * [[assignCells]] ever touches the full table. The default bound
+    * (200k) sits above every driver test scale, so sf results are
+    * bit-identical to unsampled training; `knownCount` lets callers that
+    * already counted (ivfBuild, rebuild) skip the extra count job.
     */
-  def kmeansFit(vectors: DataFrame, nlist: Int, iters: Int = 3): DataFrame = {
+  def kmeansFit(vectors: DataFrame, nlist: Int, iters: Int = 3,
+                maxTrainRows: Long = 200000L,
+                knownCount: Option[Long] = None): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val projected = vectors.select(col("vec_id"), col("embedding"))
+    val total = knownCount.getOrElse(projected.count())
+    val sampled =
+      if (total <= maxTrainRows) projected
+      else {
+        val denom = (total + maxTrainRows - 1) / maxTrainRows
+        projected.filter(pmod(xxhash64(col("vec_id")), lit(denom)) === 0)
+      }
     // The training set is scanned once per iteration — cache the projected
     // column so iterations hit memory, not the parquet scan, and coalesce:
-    // k-means train input is a sample small enough to collect centroids
-    // from, so few fat partitions beat many empty ones (5 iterations ×
-    // 2 stages of per-task overhead otherwise dominate). At 100 TB the
-    // train set is a sample; only assignCells touches the full table.
-    val train = vectors.select(col("vec_id"), col("embedding"))
-      .coalesce(8).cache()
+    // k-means train input is bounded at maxTrainRows, so few fat
+    // partitions beat many empty ones (iterations × 2 stages of per-task
+    // overhead otherwise dominate).
+    val train = sampled.coalesce(8).cache()
     val init = train.orderBy(col("vec_id")).limit(nlist)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -399,7 +417,7 @@ object VectorSearch {
     val e = Tables.embeddings(spark, dir)
     val n = e.count()
     val nlist = math.max(1, math.min(100, math.sqrt(n.toDouble).toInt)) // pipeline.py:317
-    val centroids = kmeansFit(e, nlist).cache()
+    val centroids = kmeansFit(e, nlist, knownCount = Some(n)).cache()
     (assignCells(e, centroids), centroids)
   }
 

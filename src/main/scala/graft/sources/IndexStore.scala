@@ -175,6 +175,50 @@ object IndexStore {
       .orderBy(col("qid"))
   }
 
+  /** nprobe → recall CURVE in one query — the recall dial as a table,
+    * matching the reference's index-quality intent (Milvus ef=128 search
+    * knob, `Milvus/stream1.py:161-162`; FAISS nprobe sweeps). Uses the
+    * identity |topk_probed(L) ∩ exact| = |exact ∩ cells(rank ≤ L)|: an
+    * exact-top-k member beaten by < k rows globally is beaten by < k rows
+    * in any candidate subset containing it, so it always survives the
+    * probed top-k — recall@k at level L needs only each exact hit's CELL
+    * RANK for its query, not a re-run of the search per level. One
+    * conditional aggregation over the (nq·k)-row exact-hit table does the
+    * whole sweep: the corpus-scale work is the exact leg (inherent to
+    * measuring recall) plus one broadcast lookup of the hits' cell
+    * assignments; levels (default 1,2,5,10,nlist) explode only the tiny
+    * hit table. Monotone in nprobe by the same identity (spec-asserted).
+    */
+  def recallSweep(spark: SparkSession, dir: String,
+                  k: Int = 5, nq: Int = 5,
+                  baseLevels: Seq[Int] = Seq(1, 2, 5, 10)): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val (rows, centroids) = read(spark, path)
+    val nlist = centroids.count().toInt // bounded: ≤ 100 centroid rows
+    val levels = (baseLevels :+ nlist).distinct.sorted
+    val q = VectorSearch.querySet(spark, dir, nq)
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", l2DistanceSq(col("qvec"), col("centroid").cast("array<float>")))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell_id"))
+    val cellRank = qCells.withColumn("cr", row_number().over(wc))
+      .select(col("qid"), col("cell_id"), col("cr"))
+    val exact = VectorSearch.knnExact(spark, dir, k, nq).select(col("qid"), col("vec_id"))
+    // hits' cell assignments: broadcast the nq·k exact hits against the
+    // store rows — a lookup join, never a corpus shuffle
+    val withCell = rows.select(col("vec_id"), col("cell_id"))
+      .join(broadcast(exact), "vec_id")
+      .join(broadcast(cellRank), Seq("qid", "cell_id"))
+    withCell
+      .select(col("cr"), explode(lit(levels.toArray)).as("nprobe"))
+      .groupBy(col("nprobe").cast("long").as("nprobe"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("cr") <= col("nprobe"), 1L).otherwise(0L)).as("n_found"))
+      .withColumn("recall_micro", expr("n_found * 1000000 DIV n_exact"))
+      .select(col("nprobe"), col("n_found"), col("n_exact"), col("recall_micro"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Offline compaction/rebuild — the maintenance half of
     * [[searchTombstoned]]: fold the tombstones in (drop dead rows),
     * RETRAIN the coarse quantizer on the live set (cluster drift after
@@ -195,7 +239,7 @@ object IndexStore {
     // Cached for the two consumers (assignment + write); unpersisted in a
     // finally so a failed write can't leak the cached blocks into the
     // session for the store's lifetime.
-    val centroids = VectorSearch.kmeansFit(live, nlist).cache()
+    val centroids = VectorSearch.kmeansFit(live, nlist, knownCount = Some(n)).cache()
     try {
       VectorSearch.assignCells(live, centroids).write.mode("overwrite")
         .partitionBy("cell_id")

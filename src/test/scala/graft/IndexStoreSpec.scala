@@ -103,6 +103,24 @@ class IndexStoreSpec extends SparkSpec {
       "tombstone filter must not defeat static cell pruning\n" + plan.take(3000))
   }
 
+  test("recall sweep: monotone in nprobe, exact at nprobe=nlist, agrees with the per-query report") {
+    val rows = IndexStore.recallSweep(spark, sfDir)
+      .select($"nprobe".as[Long], $"n_found".as[Long], $"n_exact".as[Long],
+        $"recall_micro".as[Long]).collect().toSeq
+    assert(rows.nonEmpty && rows.map(_._1) == rows.map(_._1).sorted, "levels ascend")
+    // recall@k is monotone in the probe level: candidates(L1) ⊆ candidates(L2)
+    assert(rows.map(_._4).sliding(2).forall(s => s.length < 2 || s(0) <= s(1)),
+      s"recall not monotone: $rows")
+    assert(rows.last._4 == 1000000L, "probing every cell must recover exact top-k")
+    assert(rows.map(_._3).distinct.size == 1, "n_exact constant across levels")
+    // cross-check vs the per-query report at the shared nprobe=10 level
+    val reportFound = IndexStore.recallReport(spark, sfDir)
+      .select($"n_found".as[Long]).collect().sum
+    val sweepAt10 = rows.find(_._1 == 10L).map(_._2)
+    assert(sweepAt10.contains(reportFound),
+      s"sweep n_found at nprobe=10 ($sweepAt10) != report total ($reportFound)")
+  }
+
   test("rebuild compacts tombstones: live rows only, retrained cells, fresh build id") {
     val path = IndexStore.defaultPath(sfDir)
     IndexStore.ensure(spark, sfDir, path)

@@ -36,6 +36,26 @@ class VectorSearchSpec extends SparkSpec {
     assert(hits(overProbe) == hits(allProbe), "nprobe > nlist clamps to probing every cell")
   }
 
+  test("kmeansFit bounds its train set: keyed sample is deterministic and centroids stay valid") {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    // force sampling: bound below the table size
+    val a = VectorSearch.kmeansFit(e, 4, iters = 2, maxTrainRows = n / 3)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val b = VectorSearch.kmeansFit(e, 4, iters = 2, maxTrainRows = n / 3)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    assert(a == b, "sampled training must be deterministic across runs")
+    assert(a.map(_._1) == Seq(0, 1, 2, 3), "one centroid per cell")
+    // sampled centroids still index the FULL table: assignment total,
+    // nprobe=nlist recall still exact
+    val centroids = VectorSearch.kmeansFit(e, 4, iters = 2, maxTrainRows = n / 3).cache()
+    val assigned = VectorSearch.assignCells(e, centroids).cache()
+    assert(assigned.count() == n, "assignment covers every row")
+    val q = VectorSearch.querySet(spark, sfDir, 3)
+    val all = VectorSearch.ivfSearch(assigned, centroids, q, k = 5, nprobe = 4)
+    assert(hits(all) == hits(VectorSearch.knnExact(spark, sfDir, k = 5, nq = 3)))
+  }
+
   test("knnExact ranks are contiguous and sims non-increasing per query") {
     val res = VectorSearch.knnExact(spark, sfDir, k = 5, nq = 5)
       .select($"qid", $"rank", $"sim_micro").as[(Long, Long, Long)]
