@@ -348,7 +348,7 @@ object Dedup {
     * dedup of a new crawl batch is then an equi-join against it, never a
     * recompute over the corpus.
     */
-  private def md5BandFrame(docs: DataFrame, numPerms: Int, bands: Int): DataFrame = {
+  private[graft] def md5BandFrame(docs: DataFrame, numPerms: Int, bands: Int): DataFrame = {
     val r = numPerms / bands
     val hw = shingles(docs)
       .select(col("doc_id"), explode(col("sh")).as("s"))
@@ -368,21 +368,44 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
   }
 
+  /** The PERSISTED corpus band index for `dir`: [[md5BandFrame]] over the
+    * existing corpus (doc_id % 10 != 0 — everything but today's batch),
+    * written ONCE per (dir, params) as a catalog table bucketed AND
+    * sorted by the (band, bk) probe key via
+    * [[graft.sources.BucketedStore]]. The build pays the banding shuffle
+    * a single time; every subsequent probe equi-joins the table with NO
+    * Exchange on the corpus side (the scan's hash partitioning already
+    * agrees with the join key — spec-asserted in CrudDedupSpec). This is
+    * the artifact the Scaladoc always promised: at 100 TB the index is a
+    * table, not a per-query recompute.
+    */
+  private[graft] def ensureBandIndex(spark: SparkSession, dir: String,
+                                     numPerms: Int, bands: Int): String = {
+    val table = "graft_band_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${numPerms}_$bands"
+    if (!spark.catalog.tableExists(table)) {
+      val corpus = Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 0)
+      graft.sources.BucketedStore.writeKeys(
+        md5BandFrame(corpus, numPerms, bands), table, Seq("band", "bk"))
+    }
+    table
+  }
+
   /** Incremental near-dup — the dedup shape a GROWING corpus actually runs:
     * an incoming batch (here doc_id % 10 == 0, standing in for today's
-    * crawl) is probed against the band index of the existing corpus (the
-    * other 90%), and only (incoming, corpus) band collisions surface. The
-    * corpus side is touched once to build its index (persisted in
-    * production; bucketed by band key so the probe is a co-located join) —
-    * cost per batch is O(|batch| + collisions), independent of corpus
-    * size, which is the entire reason LSH banding exists at 100 TB.
+    * crawl) is probed against the PERSISTED band index of the existing
+    * corpus ([[ensureBandIndex]] — built once, bucketed by (band, bk) so
+    * the probe join shuffles only the batch side), and only
+    * (incoming, corpus) band collisions surface. Cost per batch is
+    * O(|batch| + collisions), independent of corpus size, which is the
+    * entire reason LSH banding exists at 100 TB.
     * Same md5/Kirsch–Mitzenmacher construction as [[minhashMd5Pairs]], so
     * the DuckDB oracle replays it integer for integer.
     */
   def incrementalNearDup(spark: SparkSession, dir: String,
                          numPerms: Int = 12, bands: Int = 4): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val corpusIndex = md5BandFrame(docs.filter(col("doc_id") % 10 =!= 0), numPerms, bands)
+    val corpusIndex = spark.table(ensureBandIndex(spark, dir, numPerms, bands))
     val probes = md5BandFrame(docs.filter(col("doc_id") % 10 === 0), numPerms, bands)
     probes.as("q").join(corpusIndex.as("c"),
         col("q.band") === col("c.band") && col("q.bk") === col("c.bk"))

@@ -21,8 +21,16 @@ object BucketedStore {
 
   /** Persist `df` bucketed (and sorted) by `key` as a catalog table. */
   def write(df: DataFrame, table: String, key: String, buckets: Int = 8): Unit =
+    writeKeys(df, table, Seq(key), buckets)
+
+  /** Multi-column bucket key: the co-located-join contract requires the
+    * join keys to cover the FULL bucket spec, so composite join keys
+    * (e.g. the (band, bk) LSH probe key) bucket on all columns together.
+    */
+  def writeKeys(df: DataFrame, table: String, keys: Seq[String], buckets: Int = 8): Unit =
     df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)

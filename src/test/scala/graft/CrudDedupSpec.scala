@@ -121,6 +121,37 @@ class CrudDedupSpec extends SparkSpec {
     assert(inc.forall { case (q, c) => q % 10 == 0 && c % 10 != 0 })
   }
 
+  test("incremental probe reads the persisted band index with no corpus-side shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val table = Dedup.ensureBandIndex(spark, sfDir, 12, 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path so the assertion is about bucketing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probes = Dedup.md5BandFrame(
+        Tables.documents(spark, sfDir).filter($"doc_id" % 10 === 0), 12, 4)
+      val joined = probes.as("q").join(spark.table(table).as("c"),
+        $"q.band" === $"c.band" && $"q.bk" === $"c.bk")
+      joined.count() // finalize the adaptive plan
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val smj = finalPlan.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, "probe must plan as a sort-merge join\n" + finalPlan)
+      def hasBucketedScan(p: SparkPlan): Boolean =
+        p.toString.contains("Bucketed: true")
+      val corpusSide = Seq(smj.get.left, smj.get.right).find(hasBucketedScan)
+      assert(corpusSide.nonEmpty, "one join side must be the bucketed index scan\n" + finalPlan)
+      val shuffles = corpusSide.get.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        "corpus index side must be co-located (no Exchange)\n" + corpusSide.get)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("md5 simhash pairs: hamming bound respected and hamming<=3 pairs are complete") {
     val sigs = Dedup.simhashMd5(Tables.documents(spark, sfDir))
       .as[(Long, Long)].collect()
