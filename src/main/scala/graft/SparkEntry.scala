@@ -255,6 +255,13 @@ object SparkEntry {
     */
   private def pqStorePath = graft.sources.PqStore.defaultPath(oracleSfDir)
 
+  /** Where graft.operators.Dedup exports the xxhash64 sketch frames — the
+    * oracle replays the banding / Hamming joins over the exports (the
+    * sketch construction itself is engine-specific; its correctness is
+    * pinned by the md5 twins + specs).
+    */
+  private def sketchStorePath = graft.operators.Dedup.sketchStorePath(oracleSfDir)
+
   /** dot where the right side is a stored ARRAY<DOUBLE> centroid the Spark
     * plan narrows to float first — mirror the double→float→double round-trip.
     */
@@ -409,7 +416,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops
-    * (dedup_minhash_lsh, dedup_simhash, embed_docs, media_decode,
+    * (embed_docs, media_decode,
     * agg_approx_distinct, knn_batch — its 5000-query batch is synthesized
     * by the Featurizer, which SQL can't replay; KnnJoinSpec asserts the
     * heap path equals the declarative form row-for-row at that nq, and
@@ -417,7 +424,9 @@ object SparkEntry {
     * → driver records a rows-only check; those are
     * covered by ScalaTest property specs instead. knn_ivf IS oracle-checked:
     * k-means itself isn't SQL, but the probed search over the EXPORTED
-    * centroid/assignment artifacts is (see ivfStorePath).
+    * centroid/assignment artifacts is (see ivfStorePath) — and likewise
+    * dedup_minhash_lsh / dedup_simhash replay their banding / Hamming
+    * joins over the exported xxhash64 sketch frames (see sketchStorePath).
     */
   def oracleSql: Map[String, String] = Map(
     "knn_exact" ->
@@ -745,6 +754,29 @@ object SparkEntry {
         |                 ELSE least(id_a, id_b) END AS BIGINT) AS contained_id
         |FROM c WHERE containment_micro >= 500000 ORDER BY id_a, id_b""".stripMargin,
     // Engine-portable MinHash: one md5 per shingle, Kirsch–Mitzenmacher
+    // xxhash64 MinHash banding: the signatures are engine-specific, so the
+    // oracle replays the BANDING JOIN over the exported band frame (the
+    // knn_ivf exported-artifact pattern; sketch half covered by the md5
+    // twin + SketchExpressions specs).
+    "dedup_minhash_lsh" ->
+      s"""WITH b AS (SELECT doc_id, band, bh
+         |           FROM read_parquet('$sketchStorePath/minhash_bands/*.parquet'))
+         |SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(c.doc_id AS BIGINT) AS id_b
+         |FROM b a JOIN b c ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    // xxhash64 SimHash: chunk-block + bit_count(xor) Hamming verify over
+    // the exported signatures — integer SQL end to end.
+    "dedup_simhash" ->
+      s"""WITH s AS (SELECT doc_id, simhash
+         |           FROM read_parquet('$sketchStorePath/simhash_sigs/*.parquet')),
+         |ch AS (SELECT doc_id, simhash, c.chunk, (simhash >> (c.chunk * 8)) & 255 AS cv
+         |       FROM s, (SELECT unnest([0, 1, 2, 3]) AS chunk) c),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |      FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         |       CAST(hamming AS BIGINT) AS hamming
+         |FROM p WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
     // double-hashed permutations over two nibble-arithmetic 32-bit words,
     // 4 bands × 3 — the exact integer replay of Dedup.minhashMd5Pairs.
     "dedup_minhash_md5" ->

@@ -140,6 +140,30 @@ object Dedup {
     df
   }
 
+  /** Canonical on-disk export of the xxhash64 sketch artifacts for `dir` —
+    * the same exported-artifact oracle pattern as `IndexStore.defaultPath`:
+    * the signatures themselves are engine-specific (xxhash64 + codegen
+    * kernels), but the BANDING / Hamming-verify joins over them are pure
+    * SQL, so exporting the sketch frame lets DuckDB replay the join half
+    * of the query row for row.
+    */
+  private[graft] def sketchStorePath(dir: String): String =
+    "/root/repo/data/sketch_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Write `build` to `path` once per data-dir CONTENT: a `_fp_<hash>`
+    * marker (underscore-prefixed — invisible to Spark and to the oracle's
+    * `*.parquet` glob) records the dir fingerprint the export was built
+    * from, so regenerated testdata re-exports instead of serving stale
+    * sketches, while repeated queries in steady state skip the write.
+    */
+  private def ensureExport(path: String, fp: Long)(build: => DataFrame): Unit = {
+    val marker = new java.io.File(path, s"_fp_$fp")
+    if (!marker.exists()) {
+      build.write.mode("overwrite").parquet(path)
+      marker.createNewFile()
+    }
+  }
+
   /** Shared candidate-pair front half of the shingle-overlap family
     * ([[ngramJaccardPairs]], [[containmentPairs]]): memoized shingle table
     * → inverted index on the shingle's 64-bit hash → df-pruned self-join →
@@ -263,13 +287,22 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, dir: String,
                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(Tables.documents(spark, dir), numHashes)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(j => element_at(col("sig"), j + 1)): _*).as("bh"))
+    // The banded signature frame is EXPORTED once per corpus content and
+    // the pair join reads it back — the xxhash64 signatures aren't SQL,
+    // but the banding join over the exported frame is, so the DuckDB
+    // oracle replays the join half of this query exactly (the sketch
+    // half stays covered by the md5 twin + specs).
+    val path = s"${sketchStorePath(dir)}/minhash_bands"
+    ensureExport(path, dirFingerprint(dir)) {
+      val sigs = minhashSignatures(Tables.documents(spark, dir), numHashes)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(j => element_at(col("sig"), j + 1)): _*).as("bh"))
+      }
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     }
-    val exploded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val exploded = spark.read.parquet(path)
     exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -295,10 +328,13 @@ object Dedup {
     * of 4 chunks — pigeonhole), verify hamming via bit_count(xor).
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    // Memoized session-lifetime cache (both self-join sides read it).
-    val sig = memoPersist(spark, s"simhash|$dir|${dirFingerprint(dir)}")(
-      simhash(Tables.documents(spark, dir)))
-    simhashBlockJoin(sig, maxHamming)
+    // Signatures exported once per corpus content; both self-join sides
+    // read the parquet back (replacing the old session memo — the export
+    // IS the cache), and the DuckDB oracle replays the chunk-block +
+    // bit_count(xor) Hamming verify over the same files.
+    val path = s"${sketchStorePath(dir)}/simhash_sigs"
+    ensureExport(path, dirFingerprint(dir))(simhash(Tables.documents(spark, dir)))
+    simhashBlockJoin(spark.read.parquet(path), maxHamming)
   }
 
   // -------------------------------------------- Oracle-exact (md5) sketches --
@@ -384,6 +420,18 @@ object Dedup {
     val table = "graft_band_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
       s"_${numPerms}_$bands"
     if (!spark.catalog.tableExists(table)) {
+      // The default in-memory catalog forgets tables across JVMs while the
+      // warehouse DIRECTORY persists, and CTAS refuses a pre-existing
+      // location — drop the stale dir first (a deployment with a real
+      // metastore never hits this: tableExists is durable there).
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val uri = java.net.URI.create(wh.replace(" ", "%20"))
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        val base = if (uri.getScheme == null) new java.io.File(wh)
+        else new java.io.File(uri.getPath)
+        val stale = new java.io.File(base, table.toLowerCase)
+        if (stale.exists()) graft.streaming.StreamOps.rmTree(stale)
+      }
       val corpus = Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 0)
       graft.sources.BucketedStore.writeKeys(
         md5BandFrame(corpus, numPerms, bands), table, Seq("band", "bk"))

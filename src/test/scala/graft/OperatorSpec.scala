@@ -43,8 +43,11 @@ class OperatorSpec extends SparkSpec {
     // (not SQL-expressible) — VectorSearchSpec pins determinism/first-pick/
     // containment/diversity; agg_heavy_hitters is a Misra-Gries sketch
     // whose counts are partition-order dependent — HeavyHittersSpec pins
-    // the classical guarantees against exact counts instead
-    val exempt = Set("dedup_minhash_lsh", "dedup_simhash",
+    // the classical guarantees against exact counts instead.
+    // dedup_minhash_lsh / dedup_simhash graduated to oracle-checked in
+    // round 9 (banding/Hamming joins replayed over the exported xxhash64
+    // sketch frames, the knn_ivf exported-artifact pattern)
+    val exempt = Set(
       "embed_docs", "media_decode", "agg_approx_distinct", "agg_approx_percentile",
       "metrics_ops", "knn_batch", "knn_mmr", "agg_heavy_hitters")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
