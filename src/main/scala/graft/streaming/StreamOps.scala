@@ -536,6 +536,59 @@ object StreamOps {
     result.orderBy(col("qid"), col("rank"))
   }
 
+  /** CONTINUOUS-trigger streaming kNN — the genuinely unbounded serving
+    * loop (every other streaming query here replays with AvailableNow;
+    * this one runs `Trigger.ProcessingTime` against the rate source until
+    * stopped, the reference's always-on search benchmark,
+    * `Milvus/stream1.py:155-170`). Each micro-batch maps its rate values
+    * onto the query pool (value mod poolSize), joins their vectors from
+    * the embeddings table batch-side, and runs the partition-pruned
+    * probed search against the PERSISTED store — identical per-batch
+    * query shape to [[streamKnnSearch]]. Hits (tiny: ≤ poolSize·k rows
+    * per batch) accumulate driver-side for the caller to assert on;
+    * returns (batch_id, qid, vec_id, rank, sim_micro) tuples after
+    * `minBatches` non-empty batches (or timeout) and a clean stop().
+    * Spec-only surface — the AvailableNow twin stays the bench/oracle
+    * query (a wall-clock-driven run can't be hash-compared).
+    */
+  def streamKnnRate(spark: SparkSession, dir: String, k: Int = 5,
+                    poolSize: Int = 5, minBatches: Int = 3,
+                    timeoutMs: Long = 90000): Seq[(Long, Long, Long, Long, Long)] = {
+    val path = graft.sources.IndexStore.defaultPath(dir)
+    graft.sources.IndexStore.ensure(spark, dir, path)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long, Long)]()
+    val done = new java.util.concurrent.atomic.AtomicLong(0)
+    val pool = graft.operators.VectorSearch.querySet(spark, dir, poolSize)
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "100").load()
+      .select((col("value") % poolSize).as("qid"))
+      .writeStream
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val ids = batch.toDF().distinct()
+        val queries = ids.join(broadcast(pool), "qid")
+        if (!queries.isEmpty) {
+          graft.sources.IndexStore.searchPruned(batch.sparkSession, path, queries, k)
+            .collect()
+            .foreach(r => results.add(
+              (batchId, r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3))))
+          done.incrementAndGet()
+        }
+        ()
+      }
+      .start()
+    try {
+      val t0 = System.nanoTime()
+      while (done.get() < minBatches && (System.nanoTime() - t0) / 1000000 < timeoutMs)
+        Thread.sleep(100)
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
+    import scala.jdk.CollectionConverters._
+    results.iterator().asScala.toSeq
+  }
+
   /** S9/T2: synthetic continuous packet source — rate source + generated
     * columns, the Spark twin of the 32-replica simulator emitting one op
     * every 8–12 s (`network_simulator.py:178-192`, compose `replicas: 32`).

@@ -129,6 +129,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "AvailableNow streaming execution must equal the batch search")
   }
 
+  test("continuous-trigger kNN: every ProcessingTime batch serves the exact probed top-k") {
+    import graft.sources.IndexStore
+    import graft.operators.VectorSearch
+    val got = StreamOps.streamKnnRate(spark, sfDir, minBatches = 3)
+    val batches = got.map(_._1).distinct
+    assert(batches.size >= 3, s"wanted >=3 non-empty ProcessingTime batches, got $batches")
+    // expected: the batch-side probed search over the same pool — per-batch
+    // results must match it for every qid the batch contained
+    val path = IndexStore.defaultPath(sfDir)
+    val expected = IndexStore
+      .searchPruned(spark, path, VectorSearch.querySet(spark, sfDir, 5))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2).toLong, r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._2).toSeq).toMap
+    got.groupBy(t => (t._1, t._2)).foreach { case ((b, qid), rows) =>
+      val gotRanks = rows.map(t => (t._3, t._4, t._5)).sortBy(_._2)
+      assert(gotRanks == expected(qid), s"batch $b qid $qid diverged: $gotRanks")
+    }
+  }
+
   test("streaming vector ingest fills the clustered store end-to-end") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val centroids = graft.operators.VectorSearch.kmeansFit(
