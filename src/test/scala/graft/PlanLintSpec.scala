@@ -30,6 +30,7 @@ class PlanLintSpec extends SparkSpec {
     "knn_ivf", "knn_ivfpq", "knn_pq", "knn_quantized",
     "knn_tombstone",      // same bounded centroid cross as knn_ivf
     "knn_recall_report",  // exact leg: broadcast query batch; approx leg: centroid cross
+    "knn_recall_curve",   // same two bounded crosses, one conditional agg
     "knn_range_ivf",      // broadcast probe batch / ≤100 centroids / 8×256 LUT
     "rag_fusion",         // fuses two ≤k ranked lists
     "decontam_embedding", // broadcast eval holdout
