@@ -47,6 +47,8 @@ object SparkEntry {
     "rag_fusion" -> ((s, d) => VectorSearch.ragFusion(s, d)),
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
+    "knn_graph" -> ((s, d) => graft.sources.GraphIndex.searchQuery(s, d)),
+    "graph_degree_stats" -> ((s, d) => graft.sources.GraphIndex.degreeStats(s, d)),
     "knn_rewrite" -> ((s, d) => graft.sources.IndexStore.rewriteSearchQuery(s, d)),
     "knn_tombstone" -> ((s, d) => graft.sources.IndexStore.searchTombstoned(s, d)),
     "knn_recall_report" -> ((s, d) => graft.sources.IndexStore.recallReport(s, d)),
@@ -254,6 +256,49 @@ object SparkEntry {
     * Verify run builds — the oracle replays the ADC search over them.
     */
   private def pqStorePath = graft.sources.PqStore.defaultPath(oracleSfDir)
+
+  /** Where graft.sources.GraphIndex persists the NN-Descent kNN graph the
+    * Verify run builds — the oracle replays the unrolled beam walk over the
+    * exported edge list in pure SQL.
+    */
+  private def graphStorePath = graft.sources.GraphIndex.defaultPath(oracleSfDir)
+
+  /** Fixed-hop beam search replayed in SQL over the exported kNN-graph
+    * edges — the HNSW-twin `knn_graph` query. Hop h: take the beam best
+    * visited per query (window rank over v(h-1)), expand their out-edges,
+    * score the destinations (same left-fold dot, same float payloads —
+    * the edge list stores the unchanged embedding values), and fold into
+    * the visited set with the (qid, vec_id) max-sim dedupe. Entry set,
+    * beam, hop count, self-exclusion and tie-breaks mirror
+    * GraphIndex.search exactly.
+    */
+  private def graphBeamSearchSql(beam: Int = 32, hops: Int = 4, k: Int = 5): String = {
+    val stride = graft.sources.GraphIndex.entryStride
+    val hopCtes = (1 to hops).map { h =>
+      s"""f$h AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS fr FROM v${h - 1})
+         |  WHERE fr <= $beam),
+         |n$h AS (SELECT f$h.qid, e.dst AS vec_id, ${dotSql("q.qvec", "b.embedding")} AS sim
+         |        FROM f$h JOIN e ON e.src = f$h.vec_id
+         |        JOIN embeddings b ON b.vec_id = e.dst
+         |        JOIN q ON q.qid = f$h.qid),
+         |v$h AS (SELECT qid, vec_id, max(sim) AS sim
+         |        FROM (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM n$h) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       |           FROM read_parquet('$graphStorePath/edges/*.parquet')),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |ent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $stride = 0),
+       |v0 AS (SELECT q.qid, ent.vec_id, ${dotSql("q.qvec", "ent.embedding")} AS sim
+       |       FROM q CROSS JOIN ent),
+       |$hopCtes
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       |       CAST(rank AS BIGINT) AS rank, ${microSql("sim")} AS sim_micro
+       |FROM (SELECT qid, vec_id, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+       |      FROM v$hops WHERE vec_id <> qid)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
 
   /** Where graft.operators.Dedup exports the xxhash64 sketch frames — the
     * oracle replays the banding / Hamming joins over the exports (the
@@ -497,6 +542,17 @@ object SparkEntry {
          |       ${microSql("sim")} AS sim_micro
          |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "knn_ivf" -> ivfProbedSearchSql(),
+    // HNSW-twin graph search: the unrolled beam walk replayed in SQL over
+    // the exported NN-Descent edge list (graph construction is
+    // engine-specific; its invariants — degree bound, determinism, recall —
+    // are pinned by GraphIndexSpec, and the walk itself is re-derived here).
+    "knn_graph" -> graphBeamSearchSql(),
+    // Out-degree histogram over the same exported edges.
+    "graph_degree_stats" ->
+      s"""SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM (SELECT src, count(*) AS degree
+         |      FROM read_parquet('$graphStorePath/edges/*.parquet') GROUP BY src)
+         |GROUP BY degree ORDER BY degree""".stripMargin,
     // The AnnProbeRewrite-rewritten naive flat query probes the same cells
     // and scores identically — one oracle serves both plans.
     "knn_rewrite" -> ivfProbedSearchSql(),

