@@ -20,17 +20,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** The events parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it
-    * arrives as a LongType of epoch-nanos. Convert via integer division
-    * (`DIV`, not `/` — double division could round across a µs boundary) to
-    * epoch-micros, matching DuckDB's ns→µs truncation exactly.
+  /** The driver regenerates the testdata between rounds and the `ts`
+    * physical type has varied across generations, so the reader normalizes
+    * every flavor to a session-tz TIMESTAMP (every graft session pins UTC,
+    * and DuckDB treats the naive values as UTC — same epoch either way):
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a
+    *    LongType of epoch-nanos, converted via integer division (`DIV`,
+    *    not `/` — double division could round across a µs boundary) to
+    *    epoch-micros, matching DuckDB's ns→µs truncation exactly;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ, which downstream epoch casts reject — cast to
+    *    TIMESTAMP (UTC session tz ⇒ identical instant);
+    *  - TIMESTAMP(MICROS, adjusted): already the target type.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
+
+  /** Flavor-adaptive `ts` normalization shared by the batch reader and the
+    * streaming events source (StreamOps.readEventsStream).
+    */
+  def normalizeTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -74,29 +74,27 @@ object StreamOps {
     f.delete()
   }
 
-  /** events schema for the streaming file source (explicit StructType —
-    * streaming sources cannot infer). ts arrives as epoch-nanos LongType
-    * (the parquet is TIMESTAMP(NANOS); read under
-    * `spark.sql.legacy.parquet.nanosAsLong=true`) and is converted with
-    * integer division in [[readEventsStream]].
-    */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming read of the events parquet with ts converted ns→µs.
-    * The testdata table is a single file, so basePath must be pinned to its
-    * parent directory (the streaming source otherwise requires a directory).
+  /** Streaming read of the events parquet with ts normalized to a
+    * session-tz TIMESTAMP. Streaming sources cannot infer a schema, and the
+    * driver's testdata generations have varied the `ts` physical type
+    * (nanos-as-long vs µs TIMESTAMP_NTZ), so the stream schema tracks a
+    * one-off batch read of the same file and the normalization is the
+    * SAME code path as the batch reader (Tables.normalizeTs) — the
+    * batch≡stream equivalence specs then compare like for like by
+    * construction. The testdata table is a single file, so basePath must
+    * be pinned to its parent directory (the streaming source otherwise
+    * requires a directory).
     */
   def readEventsStream(spark: SparkSession, dir: String,
-                       options: Map[String, String] = Map.empty): DataFrame =
-    spark.readStream.schema(eventsSchema)
-      .options(options)
-      .option("basePath", dir)
-      .parquet(s"$dir/events.parquet*") // trailing * makes it a glob — the
-      // file-stream source accepts globs but not plain single-file paths
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+                       options: Map[String, String] = Map.empty): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet*").schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(raw)
+        .options(options)
+        .option("basePath", dir)
+        .parquet(s"$dir/events.parquet*")) // trailing * makes it a glob — the
+        // file-stream source accepts globs but not plain single-file paths
+  }
 
   /** Shared transformation: tumbling 1-hour counts+sums per event type.
     * Works on a batch OR streaming DataFrame (same Catalyst plan).

@@ -73,9 +73,10 @@ class StreamingSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val src = s"$tmp/src"; new java.io.File(src).mkdirs()
     val store = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
-    // Raw read keeps ts as plain LONG nanos, so the re-written halves match
-    // the streaming source schema exactly (no TIMESTAMP annotation).
-    val raw = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sfDir/events.parquet")
+    // Raw read keeps ts in the file's native physical type, so the
+    // re-written halves carry the same flavor the adaptive stream schema
+    // probe (readEventsStream) will see.
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
     writeOne(raw.filter($"event_id" % 2 === 0), s"$src/events.parquet.a")
     StreamOps.foreachBatchUpsert(spark, src, store, ckpt)
     assert(spark.read.parquet(store).count() == raw.filter($"event_id" % 2 === 0).count())
