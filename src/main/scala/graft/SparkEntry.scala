@@ -46,6 +46,7 @@ object SparkEntry {
     "knn_filtered" -> ((s, d) => VectorSearch.knnFiltered(s, d)),
     "rag_fusion" -> ((s, d) => VectorSearch.ragFusion(s, d)),
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
+    "knn_binary" -> ((s, d) => VectorSearch.knnBinary(s, d)),
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
     "knn_graph" -> ((s, d) => graft.sources.GraphIndex.searchQuery(s, d)),
     "graph_degree_stats" -> ((s, d) => graft.sources.GraphIndex.degreeStats(s, d)),
@@ -92,6 +93,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_banded" -> ((s, d) => Dedup.embeddingNearDupBanded(s, d)),
     "decontam_embedding" -> ((s, d) => Dedup.embeddingDecontam(s, d)),
+    "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     // LLM-pipeline — text analysis
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -118,6 +120,7 @@ object SparkEntry {
     "sample_quality_tiers" -> ((s, d) => Sampling.qualityTierSample(s, d)),
     "corpus_pack" -> ((s, d) => Sampling.packSequences(s, d)),
     "corpus_budget_plan" -> ((s, d) => Sampling.budgetPlan(s, d)),
+    "sample_dsir" -> ((s, d) => Sampling.dsirSelect(s, d)),
     "knn_ivfpq" -> ((s, d) => graft.sources.PqStore.searchIvfPq(s, d)),
     "knn_refine" -> ((s, d) => graft.sources.PqStore.searchRefined(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
@@ -541,6 +544,30 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       ${microSql("sim")} AS sim_micro
          |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // Binary-quantization search: sign codes (two 32-bit words), Hamming
+    // candidate scan, exact-dot rerank of the top 50 — every stage is
+    // engine-portable integer/float SQL, so the full two-stage pipeline
+    // replays without any exported artifact.
+    "knn_binary" ->
+      s"""WITH c AS (SELECT vec_id, embedding, ${bucketSqlAt("embedding", 0, 32)} AS code_lo,
+         |             ${bucketSqlAt("embedding", 32, 32)} AS code_hi FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec, code_lo AS q_lo, code_hi AS q_hi
+         |      FROM c WHERE vec_id < 5),
+         |h AS (SELECT q.qid, c.vec_id,
+         |        bit_count(xor(c.code_lo, q.q_lo)) + bit_count(xor(c.code_hi, q.q_hi)) AS hamming
+         |      FROM c CROSS JOIN q WHERE c.vec_id <> q.qid),
+         |cand AS (SELECT qid, vec_id, hamming FROM (
+         |  SELECT qid, vec_id, hamming,
+         |         row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS cr FROM h)
+         |  WHERE cr <= 50),
+         |s AS (SELECT cand.qid, cand.vec_id, cand.hamming, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id JOIN q ON q.qid = cand.qid),
+         |r AS (SELECT qid, vec_id, hamming, sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+         |       CAST(rank AS BIGINT) AS rank, CAST(hamming AS BIGINT) AS hamming,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "knn_ivf" -> ivfProbedSearchSql(),
     // HNSW-twin graph search: the unrolled beam walk replayed in SQL over
     // the exported NN-Descent edge list (graph construction is
@@ -1006,6 +1033,19 @@ object SparkEntry {
          |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
          |       ${microSql("max(sim)")} AS max_sim_micro, CAST(min(eval_id) AS BIGINT) AS first_eval_id
          |FROM p WHERE sim >= 0.30 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SemDeDup over the persisted IVF clustering: within-cell self-join on
+    // the exported store rows (the cluster IS the index's coarse quantizer),
+    // keep-the-earliest eviction — replayed over the same artifacts the
+    // knn_ivf oracle reads.
+    "dedup_semantic" ->
+      s"""WITH r AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id, embedding
+         |           FROM read_parquet('$ivfStorePath/rows/*/*.parquet', hive_partitioning=1)),
+         |p AS (SELECT a.vec_id AS aid, b.vec_id AS vec_id, b.cell_id AS cell_id,
+         |        ${dotSql("a.embedding", "b.embedding")} AS cos
+         |      FROM r a JOIN r b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(min(aid) AS BIGINT) AS dup_of,
+         |       CAST(cell_id AS BIGINT) AS cell_id, ${microSql("max(cos)")} AS cos_micro
+         |FROM p WHERE cos >= 0.30 GROUP BY vec_id, cell_id ORDER BY vec_id""".stripMargin,
     "text_stats" ->
       """WITH d AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS ws FROM documents),
         |t AS (SELECT doc_id, length(text) AS n_chars_calc, n_chars, len(ws) AS n_words,
@@ -1759,6 +1799,26 @@ object SparkEntry {
         |SELECT lang, mass, CAST(base AS BIGINT) AS base,
         |       CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM l ORDER BY lang""".stripMargin,
+    // DSIR importance selection: identical hashed-unigram bucket (md5 hex
+    // prefix mod 1024), identical Laplace-smoothed log-ratio model, top-100
+    // by weight — the float weight stays internal to the ORDER BY; only
+    // integer columns are emitted (see Sampling.dsirSelect's contract).
+    "sample_dsir" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tk AS (SELECT doc_id, lang, CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 1024 AS b
+        |       FROM t WHERE length(w) > 0),
+        |rawc AS (SELECT b, count(*) AS cr FROM tk GROUP BY b),
+        |tgtc AS (SELECT b, count(*) AS ct FROM tk WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT sum(cr) FROM rawc) AS nr, (SELECT sum(ct) FROM tgtc) AS nt),
+        |llr AS (SELECT coalesce(rawc.b, tgtc.b) AS b,
+        |          ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE)) -
+        |          ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)) AS llr
+        |        FROM rawc FULL OUTER JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN tot),
+        |sc AS (SELECT tk.doc_id, tk.lang, count(*) AS n_tokens, sum(llr.llr) AS weight
+        |       FROM tk JOIN llr USING (b) GROUP BY tk.doc_id, tk.lang),
+        |sel AS (SELECT doc_id, lang, n_tokens FROM sc ORDER BY weight DESC, doc_id LIMIT 100)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM sel ORDER BY doc_id""".stripMargin,
     // Gap fill: full hourly grid from observed bounds x distinct types,
     // left-joined counts — silent gaps become explicit zeros.
     "events_gapfill" ->

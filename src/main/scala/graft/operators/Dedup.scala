@@ -765,6 +765,49 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540) — the
+    * cluster-then-dedup curation pass production LLM pipelines run between
+    * exact/MinHash dedup and training: k-means the embedding space, then
+    * within each cluster drop every item whose cosine to a LOWER-id cluster
+    * member reaches τ (keep-the-earliest, the paper's "keep one point per
+    * semantic duplicate group" with the id as the arbitrary tie-break).
+    *
+    * The cluster structure is not rebuilt here — it IS the persisted IVF
+    * store ([[graft.sources.IndexStore]]): SemDeDup's k-means partition and
+    * the ANN index's coarse quantizer are the same object, so the dedup
+    * pass reads the already-clustered parquet layout (`rows/cell_id=*`) and
+    * its within-cluster self-join is an equi-join on the STORAGE partition
+    * key — each task scans one cluster's files, no corpus-wide shuffle,
+    * never all-pairs (pair count is Σ|cell|², bounded by the k-means
+    * balance the store build already guarantees). At 100 TB this is the
+    * published algorithm's exact shape: the paper clusters precisely so
+    * that the quadratic step stays inside clusters.
+    *
+    * Returns one row per REMOVED item: its id, the lowest-id cluster
+    * member that evicts it (`dup_of`), the evicting similarity (max over
+    * qualifying lower-id members, floor-micro'd AFTER the max), and its
+    * cluster. Oracle-checked end-to-end by replaying the same self-join
+    * over the exported store artifacts in DuckDB (the knn_ivf pattern);
+    * embeddings are L2-normalized so dot == cosine throughout.
+    */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    tau: Double = 0.30): DataFrame = {
+    val path = graft.sources.IndexStore.defaultPath(dir)
+    graft.sources.IndexStore.ensure(spark, dir, path)
+    val (rows, _) = graft.sources.IndexStore.read(spark, path)
+    val n = rows.select(col("cell_id"), col("vec_id"), col("embedding"))
+    n.as("a").join(n.as("b"),
+        col("a.cell_id") === col("b.cell_id") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dot(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b.vec_id").as("vec_id"), col("b.cell_id").as("cell_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"), micro(max(col("cos"))).as("cos_micro"))
+      .select(col("vec_id"), col("dup_of"), col("cell_id").cast("long").as("cell_id"),
+        col("cos_micro"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-level decontamination — the semantic twin of
     * TextAnalysis.decontaminate (n-gram overlap can't see paraphrased eval
     * leakage; cosine similarity can). Flags every train vector whose

@@ -122,6 +122,63 @@ object VectorSearch {
     rankTopK(hits, k)
   }
 
+  /** Binary-quantization kNN: 1 bit per dimension (the sign), so the whole
+    * 64-dim float vector compresses 32× into two 32-bit words, and the
+    * candidate scan reads 8 bytes per row instead of 256. Candidates are
+    * ranked by Hamming distance between codes (`bit_count(xor)` — one
+    * POPCNT per word inside whole-stage codegen), the top `rerank` per
+    * query are then re-scored with the exact float dot. This is the
+    * asymmetric two-stage search every modern binary/1-bit quantization
+    * scheme runs (sign codes are the classic Charikar hyperplane sketch;
+    * the reference exposes the same compress-then-refine trade through its
+    * FAISS index factories).
+    *
+    * Scale shape: the Hamming scan is a broadcast of nq tiny codes against
+    * a map-side projection of the base — no shuffle carries embeddings,
+    * and the rank-limit window plans as WindowGroupLimit so each partition
+    * forwards only its local top-`rerank`. The float rerank touches
+    * nq·rerank rows (an equi-join on vec_id back to the base), bounded
+    * regardless of corpus size. Fully SQL-expressible (the code is the
+    * [[graft.functions.VectorFunctions.signLshBucketAt]] sum both engines
+    * compute identically), so the whole two-stage pipeline is
+    * DuckDB-oracle-checked — unlike PQ, no codebook export is needed.
+    *
+    * Two 32-bit words rather than one 64-bit: bit 63 would need `1L << 63`,
+    * which is the sign bit — negative in both engines' BIGINT but an
+    * overflow trap in DuckDB's strict arithmetic; two half-width codes keep
+    * every intermediate positive and add one extra POPCNT.
+    */
+  def knnBinary(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5,
+                rerank: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val coded = emb.select(col("vec_id"),
+      signLshBucketAt(col("embedding"), 0, 32).as("code_lo"),
+      signLshBucketAt(col("embedding"), 32, 32).as("code_hi"))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        signLshBucketAt(col("embedding"), 0, 32).as("q_lo"),
+        signLshBucketAt(col("embedding"), 32, 32).as("q_hi"))
+    val ham = coded.crossJoin(broadcast(q.select(col("qid"), col("q_lo"), col("q_hi"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("hamming",
+        bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("code_hi").bitwiseXOR(col("q_hi"))))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("vec_id"))
+    val cands = ham.withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= rerank)
+      .select(col("qid"), col("vec_id"), col("hamming"))
+    val rescored = cands
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
+      .withColumn("sim", dot(col("qvec"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), col("hamming"),
+        micro(col("sim")).as("sim_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** One MMR pick: qid, chosen vec_id, selection rank, MMR score micros. */
   case class MmrPick(qid: Long, vec_id: Long, rank: Int, mmr_micro: Long)
 

@@ -306,6 +306,35 @@ class CrudDedupSpec extends SparkSpec {
     assert(clusters.forall(r => r.getLong(0) == r.getLong(2)), "cluster_id == min member")
   }
 
+  test("semantic dedup: sound (pairs really clear tau), complete within cells, keep-earliest, monotone in tau") {
+    val tau = 0.30
+    val removed = Dedup.semanticDedup(spark, sfDir, tau).cache()
+    // keep-earliest: every eviction points at a strictly lower id
+    assert(removed.filter($"dup_of" >= $"vec_id").count() == 0)
+    // one verdict per removed id
+    assert(removed.groupBy($"vec_id").count().filter($"count" > 1).count() == 0)
+    // soundness + completeness against an independent within-cell replay
+    // over the SAME persisted clustering the operator reads
+    val path = graft.sources.IndexStore.defaultPath(sfDir)
+    val (rows, _) = graft.sources.IndexStore.read(spark, path)
+    val n = rows.select($"cell_id", $"vec_id", $"embedding")
+    val expect = n.as("a").join(n.as("b"),
+        $"a.cell_id" === $"b.cell_id" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", graft.functions.VectorFunctions.dot($"a.embedding", $"b.embedding"))
+      .filter($"cos" >= tau)
+      .groupBy($"b.vec_id".as("vec_id"))
+      .agg(min($"a.vec_id").as("dup_of"))
+    val got = removed.select($"vec_id", $"dup_of")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "removed set must be exactly the higher-id halves of qualifying within-cell pairs")
+    // raising tau can only shrink the removed set
+    val strict = Dedup.semanticDedup(spark, sfDir, tau = 0.60)
+      .select($"vec_id").as[Long].collect().toSet
+    val loose = removed.select($"vec_id").as[Long].collect().toSet
+    assert(strict.subsetOf(loose), "tau=0.60 removals must be a subset of tau=0.30's")
+    removed.unpersist(blocking = false)
+  }
+
   test("containment dominates jaccard pairwise and names the smaller doc as contained") {
     val cont = Dedup.containmentPairs(spark, sfDir, thresholdMicro = 0L).cache()
     // c/min(|A|,|B|) ≥ c/(|A|+|B|−c) for every pair — containment can only

@@ -55,6 +55,28 @@ class SamplingSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("DSIR selection: deterministic, nested across budgets, and enriched toward the target domain") {
+    val n = 20
+    val sel = Sampling.dsirSelect(spark, sfDir, n = n).cache()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(sel.count() == math.min(n.toLong, total), "exactly the budgeted count")
+    val again = Sampling.dsirSelect(spark, sfDir, n = n)
+    assert(sel.exceptAll(again).isEmpty && again.exceptAll(sel).isEmpty, "pure function of the corpus")
+    // a larger budget extends the selection without revoking earlier picks
+    // (top-n by a fixed total order is prefix-nested)
+    val wider = Sampling.dsirSelect(spark, sfDir, n = 2 * n)
+      .select($"doc_id").as[Long].collect().toSet
+    val tight = sel.select($"doc_id").as[Long].collect().toSet
+    assert(tight.subsetOf(wider), "top-20 must be a prefix of top-40")
+    // the whole point: importance resampling overweights target-like docs —
+    // the English fraction among selected beats the corpus base rate
+    val selEn = sel.filter($"lang" === "en").count().toDouble / sel.count()
+    val baseEn = Tables.documents(spark, sfDir).filter($"lang" === "en").count().toDouble / total
+    assert(selEn > baseEn,
+      s"selected en-fraction $selEn should exceed the corpus base rate $baseEn")
+    sel.unpersist(blocking = false)
+  }
+
   test("quality-tier sample: bounded per tier, tiers in range, deterministic") {
     val s = Sampling.qualityTierSample(spark, sfDir, cap = 10).cache()
     val perTier = s.groupBy($"tier").count().as[(Long, Long)].collect().toMap
