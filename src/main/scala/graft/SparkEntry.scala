@@ -1807,15 +1807,17 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
         |tk AS (SELECT doc_id, lang, CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 1024 AS b
         |       FROM t WHERE length(w) > 0),
-        |rawc AS (SELECT b, count(*) AS cr FROM tk GROUP BY b),
-        |tgtc AS (SELECT b, count(*) AS ct FROM tk WHERE lang = 'en' GROUP BY b),
+        |dc AS (SELECT doc_id, lang, b, count(*) AS c FROM tk GROUP BY 1, 2, 3),
+        |rawc AS (SELECT b, sum(c) AS cr FROM dc GROUP BY b),
+        |tgtc AS (SELECT b, sum(c) AS ct FROM dc WHERE lang = 'en' GROUP BY b),
         |tot AS (SELECT (SELECT sum(cr) FROM rawc) AS nr, (SELECT sum(ct) FROM tgtc) AS nt),
         |llr AS (SELECT coalesce(rawc.b, tgtc.b) AS b,
         |          ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE)) -
         |          ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)) AS llr
         |        FROM rawc FULL OUTER JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN tot),
-        |sc AS (SELECT tk.doc_id, tk.lang, count(*) AS n_tokens, sum(llr.llr) AS weight
-        |       FROM tk JOIN llr USING (b) GROUP BY tk.doc_id, tk.lang),
+        |sc AS (SELECT dc.doc_id, dc.lang, sum(dc.c) AS n_tokens,
+        |         sum(CAST(dc.c AS DOUBLE) * llr.llr) AS weight
+        |       FROM dc JOIN llr USING (b) GROUP BY dc.doc_id, dc.lang),
         |sel AS (SELECT doc_id, lang, n_tokens FROM sc ORDER BY weight DESC, doc_id LIMIT 100)
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM sel ORDER BY doc_id""".stripMargin,

@@ -215,14 +215,17 @@ object Sampling {
     * target domain is the English slice (the labeled stand-in for "looks
     * like Wikipedia" — any target predicate slots in).
     *
-    * Scale shape — three corpus-linear passes, no quadratic step anywhere:
-    * (1) token→bucket projection (pure map, the md5 is the only per-token
-    * work); (2) two map-combined per-bucket count aggregations (≤ `buckets`
-    * rows each — the "model" is a 1024-row table); (3) per-document weight
-    * = broadcast-join tokens to the tiny log-ratio table + one map-combined
-    * per-doc sum. Selection is a rank-limit top-n (TakeOrderedAndProject).
-    * At 100 TB the model tables still fit in one broadcast block; nothing
-    * about the plan changes.
+    * Scale shape — ONE corpus-linear tokenize pass, no quadratic step
+    * anywhere: the token→bucket projection (the md5 is the only per-token
+    * work) immediately collapses to per-(doc, bucket) counts in a
+    * map-combined agg, and everything downstream derives from that compact
+    * frame: the two per-bucket model tables are re-aggregations of it
+    * (≤ `buckets` rows each — the "model" is a 1024-row table), and the
+    * per-document weight is Σ_b c·llr(b) — a broadcast-join of the count
+    * frame to the tiny log-ratio table + one map-combined per-doc sum.
+    * Selection is a rank-limit top-n (TakeOrderedAndProject). At 100 TB
+    * the model tables still fit in one broadcast block, and the corpus is
+    * tokenized exactly once instead of once per model table.
     *
     * Output is the SELECTED SET (doc_id, lang, n_tokens sorted by doc_id),
     * deliberately not the float weights: the log-sum is reproducible across
@@ -233,14 +236,18 @@ object Sampling {
   def dsirSelect(spark: SparkSession, dir: String, buckets: Int = 1024,
                  n: Int = 100): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = docs
+    // The one corpus pass: tokenize, bucket, collapse to (doc, bucket)
+    // counts. Everything else re-aggregates this compact frame.
+    val dc = docs
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("b",
         conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % buckets)
-    val rawCnt = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgtCnt = toks.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val rawCnt = dc.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val tgtCnt = dc.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(sum(col("c")).as("ct"))
     // Bucket model: FULL outer join of the two count tables (a bucket can
     // be target-only in principle; raw covers target here but the join is
     // written for the general predicate), Laplace +1 smoothing, totals via
@@ -254,9 +261,12 @@ object Sampling {
         (log((col("ct") + 1).cast("double") / (col("nt") + buckets).cast("double")) -
           log((col("cr") + 1).cast("double") / (col("nr") + buckets).cast("double")))
           .as("llr"))
-    val scored = toks.join(broadcast(llr), "b")
+    // Per-doc weight as Σ_b c·llr(b) over the count frame (the oracle
+    // computes the identical grouped product-sum, keeping the float
+    // arithmetic shape the same on both engines).
+    val scored = dc.join(broadcast(llr), "b")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("llr")).as("weight"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("c").cast("double") * col("llr")).as("weight"))
     scored.orderBy(col("weight").desc, col("doc_id")).limit(n)
       .select(col("doc_id"), col("lang"), col("n_tokens"))
       .orderBy(col("doc_id"))
