@@ -51,4 +51,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Cheap content fingerprint of a data dir: a fold over every file's
+    * path, length, and mtime (recursive — the table dirs are shallow and
+    * contain a handful of parquet part-files, so this is a metadata-only
+    * driver-side walk). Shared by every persisted derived artifact
+    * (sketch exports, IVF/PQ/graph index stores) so that regenerated
+    * source data invalidates the artifact instead of serving stale
+    * derivations — the driver rebuilds the testdata between rounds, and
+    * an existence-only `ensure` would keep probing an index built from a
+    * corpus that no longer exists.
+    */
+  private[graft] def dirFingerprint(dir: String): Long = {
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
+      else Iterator.single(f)
+    walk(new java.io.File(dir)).foldLeft(17L) { (acc, f) =>
+      ((acc * 31 + f.getPath.hashCode) * 31 + f.length()) * 31 + f.lastModified()
+    }
+  }
 }

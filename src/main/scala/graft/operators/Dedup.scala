@@ -102,19 +102,10 @@ object Dedup {
   /** Embeddings row count per (data dir, content fingerprint). */
   private val dirCount = scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
 
-  /** Cheap content fingerprint of a data dir: a fold over every file's
-    * path, length, and mtime (recursive — the table dirs are shallow and
-    * contain a handful of parquet part-files, so this is a metadata-only
-    * driver-side walk).
+  /** Content fingerprint of a data dir — the shared implementation lives
+    * in [[graft.Tables.dirFingerprint]] (the index stores use it too).
     */
-  private def dirFingerprint(dir: String): Long = {
-    def walk(f: java.io.File): Iterator[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
-      else Iterator.single(f)
-    walk(new java.io.File(dir)).foldLeft(17L) { (acc, f) =>
-      ((acc * 31 + f.getPath.hashCode) * 31 + f.length()) * 31 + f.lastModified()
-    }
-  }
+  private def dirFingerprint(dir: String): Long = Tables.dirFingerprint(dir)
 
   private def memoPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     sketchMemo.filterInPlace { case (_, (sref, dref)) =>

@@ -158,13 +158,20 @@ object GraphIndex {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$path/_build_id"),
       java.util.UUID.randomUUID().toString)
+    val d = new java.io.File(path)
+    Option(d.listFiles()).foreach(_.filter(_.getName.startsWith("_src_fp_")).foreach(_.delete()))
+    new java.io.File(d, s"_src_fp_${graft.Tables.dirFingerprint(dir)}").createNewFile()
   }
 
-  /** Build only if the artifacts don't exist yet (build-once / search-many,
-    * the IndexStore.ensure contract).
+  /** Build only if the artifacts don't exist yet or were built from
+    * different source content (`_src_fp_*` mismatch — same staleness
+    * contract as IndexStore.ensure: regenerated testdata must invalidate
+    * the persisted graph, not be beam-searched through it).
     */
   def ensure(spark: SparkSession, dir: String, path: String): Unit =
-    if (!new java.io.File(s"$path/edges").exists()) write(spark, dir, path)
+    if (!new java.io.File(s"$path/edges").exists() ||
+        !new java.io.File(path, s"_src_fp_${graft.Tables.dirFingerprint(dir)}").exists())
+      write(spark, dir, path)
 
   /** Fixed-hop beam search over the persisted graph — the deterministic
     * batch unrolling of HNSW's ef-bounded walk (`stream1.py:161-162`,

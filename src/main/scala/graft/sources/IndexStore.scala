@@ -33,7 +33,22 @@ object IndexStore {
       .parquet(s"$path/rows")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     stampBuildId(path)
+    stampSourceFp(path, dir)
   }
+
+  /** Record the CONTENT fingerprint of the data dir this build read
+    * (Tables.dirFingerprint), replacing any previous stamp — ensure()
+    * compares it so a regenerated corpus triggers a rebuild instead of
+    * being probed through an index built from data that no longer exists.
+    */
+  private def stampSourceFp(path: String, dir: String): Unit = {
+    val d = new java.io.File(path)
+    Option(d.listFiles()).foreach(_.filter(_.getName.startsWith("_src_fp_")).foreach(_.delete()))
+    new java.io.File(d, s"_src_fp_${graft.Tables.dirFingerprint(dir)}").createNewFile()
+  }
+
+  private def sourceFpCurrent(path: String, dir: String): Boolean =
+    new java.io.File(path, s"_src_fp_${graft.Tables.dirFingerprint(dir)}").exists()
 
   private def stampBuildId(path: String): Unit =
     java.nio.file.Files.writeString(
@@ -72,12 +87,17 @@ object IndexStore {
   def defaultPath(dir: String): String =
     "/root/repo/data/ivf_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Build the index only if its artifacts don't exist yet. A pre-marker
-    * store (artifacts present, `_build_id` missing) is stamped in place so
+  /** Build the index only if its artifacts don't exist yet OR were built
+    * from different source content (`_src_fp_*` mismatch — the driver
+    * regenerates the testdata between rounds, and an existence-only check
+    * would keep serving an index of the previous corpus). A pre-fingerprint
+    * store (artifacts present, markers missing) rebuilds once and records
+    * both markers; a store missing only `_build_id` is stamped in place so
     * downstream marker comparisons work without a rebuild.
     */
   def ensure(spark: SparkSession, dir: String, path: String): Unit =
-    if (!new java.io.File(s"$path/centroids").exists()) write(spark, dir, path)
+    if (!new java.io.File(s"$path/centroids").exists() || !sourceFpCurrent(path, dir))
+      write(spark, dir, path)
     else if (buildId(path).isEmpty) stampBuildId(path)
 
   /** Probed search with STATIC partition pruning: the probed cell set is

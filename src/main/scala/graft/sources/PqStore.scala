@@ -143,6 +143,13 @@ object PqStore {
     val clustered = Option(new java.io.File(s"$path/codes").listFiles())
       .exists(_.exists(_.getName.startsWith("cell_id=")))
     val ivfPath = IndexStore.defaultPath(dir)
+    // Refresh the coarse quantizer first: IndexStore.ensure rebuilds it
+    // (with a fresh `_build_id`) when the SOURCE DATA changed, and the
+    // marker comparison below then invalidates these codes too — without
+    // this call a stale-but-present IVF store would match the recorded
+    // marker and the ADC scan would serve codebooks trained on a corpus
+    // that no longer exists.
+    IndexStore.ensure(spark, dir, ivfPath)
     val recorded = {
       val p = java.nio.file.Paths.get(s"$path/_ivf_build_id")
       if (java.nio.file.Files.exists(p))

@@ -145,4 +145,40 @@ class IndexStoreSpec extends SparkSpec {
       assert(cents.count() >= 1)
     } finally graft.streaming.StreamOps.rmTree(new java.io.File(out))
   }
+
+  test("ensure rebuilds when the source data is regenerated, and only then") {
+    // The driver rewrites the testdata between rounds; a store keyed only
+    // on artifact EXISTENCE would keep serving the previous corpus's
+    // clustering. The `_src_fp_*` content marker must trigger exactly one
+    // rebuild per source generation.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fp").toString
+    val srcDir = s"$tmp/data"; new java.io.File(srcDir).mkdirs()
+    def writeEmbeddings(df: org.apache.spark.sql.DataFrame): Unit = {
+      val staging = s"$tmp/stage"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/embeddings.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.streaming.StreamOps.rmTree(new java.io.File(staging))
+    }
+    val store = s"$tmp/store"
+    try {
+      val full = Tables.embeddings(spark, sfDir)
+      writeEmbeddings(full)
+      IndexStore.ensure(spark, srcDir, store)
+      val id1 = IndexStore.buildId(store)
+      assert(id1.nonEmpty, "first ensure builds and stamps")
+      IndexStore.ensure(spark, srcDir, store)
+      assert(IndexStore.buildId(store) == id1, "unchanged source: ensure must be a no-op")
+      // "regenerate" the corpus: same table, half the rows
+      writeEmbeddings(full.filter($"vec_id" % 2 === 0))
+      IndexStore.ensure(spark, srcDir, store)
+      assert(IndexStore.buildId(store) != id1, "regenerated source must force a rebuild")
+      val (rows, _) = IndexStore.read(spark, store)
+      assert(rows.count() == full.filter($"vec_id" % 2 === 0).count(),
+        "rebuilt store must index the NEW corpus")
+    } finally graft.streaming.StreamOps.rmTree(new java.io.File(tmp))
+  }
 }
