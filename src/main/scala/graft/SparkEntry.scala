@@ -1808,13 +1808,13 @@ object SparkEntry {
         |tk AS (SELECT doc_id, lang, CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 1024 AS b
         |       FROM t WHERE length(w) > 0),
         |dc AS (SELECT doc_id, lang, b, count(*) AS c FROM tk GROUP BY 1, 2, 3),
-        |rawc AS (SELECT b, sum(c) AS cr FROM dc GROUP BY b),
-        |tgtc AS (SELECT b, sum(c) AS ct FROM dc WHERE lang = 'en' GROUP BY b),
-        |tot AS (SELECT (SELECT sum(cr) FROM rawc) AS nr, (SELECT sum(ct) FROM tgtc) AS nt),
-        |llr AS (SELECT coalesce(rawc.b, tgtc.b) AS b,
-        |          ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE)) -
-        |          ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)) AS llr
-        |        FROM rawc FULL OUTER JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN tot),
+        |cnt AS (SELECT b, sum(c) AS cr,
+        |          sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct
+        |        FROM dc GROUP BY b),
+        |llr AS (SELECT b,
+        |          ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE)) -
+        |          ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)) AS llr
+        |        FROM (SELECT *, sum(cr) OVER () AS nr, sum(ct) OVER () AS nt FROM cnt)),
         |sc AS (SELECT dc.doc_id, dc.lang, sum(dc.c) AS n_tokens,
         |         sum(CAST(dc.c AS DOUBLE) * llr.llr) AS weight
         |       FROM dc JOIN llr USING (b) GROUP BY dc.doc_id, dc.lang),

@@ -237,7 +237,12 @@ object Sampling {
                  n: Int = 100): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // The one corpus pass: tokenize, bucket, collapse to (doc, bucket)
-    // counts. Everything else re-aggregates this compact frame.
+    // counts — then CHECKPOINT the compact frame. Catalyst does not share
+    // logical subtrees, so without the checkpoint every downstream
+    // reference (model counts + per-doc scoring) would re-tokenize the
+    // corpus from the scan; localCheckpoint materializes the counts once
+    // (on a real cluster, `checkpoint` to reliable storage — same pattern
+    // as the pagerank edge list).
     val dc = docs
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -245,18 +250,18 @@ object Sampling {
         conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % buckets)
       .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("c"))
-    val rawCnt = dc.groupBy(col("b")).agg(sum(col("c")).as("cr"))
-    val tgtCnt = dc.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(sum(col("c")).as("ct"))
-    // Bucket model: FULL outer join of the two count tables (a bucket can
-    // be target-only in principle; raw covers target here but the join is
-    // written for the general predicate), Laplace +1 smoothing, totals via
-    // a single-row cross (both tables are ≤ `buckets` rows — driver-free).
-    val totals = rawCnt.agg(sum(col("cr")).as("nr")).crossJoin(
-      tgtCnt.agg(sum(col("ct")).as("nt")))
-    val llr = rawCnt.join(tgtCnt, Seq("b"), "full_outer")
-      .na.fill(0L, Seq("cr", "ct"))
-      .crossJoin(broadcast(totals))
+      .localCheckpoint()
+    // Both multinomials in ONE aggregation over the count frame (target is
+    // a predicate over the same rows, so a conditional sum replaces the
+    // separate target count + full-outer merge — every raw bucket is
+    // present, target-absent buckets get ct = 0); totals via a window over
+    // the ≤ `buckets`-row model table, Laplace +1 smoothing.
+    val one = Window.partitionBy(lit(1))
+    val llr = dc.groupBy(col("b"))
+      .agg(sum(col("c")).as("cr"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
+      .withColumn("nr", sum(col("cr")).over(one))
+      .withColumn("nt", sum(col("ct")).over(one))
       .select(col("b"),
         (log((col("ct") + 1).cast("double") / (col("nt") + buckets).cast("double")) -
           log((col("cr") + 1).cast("double") / (col("nr") + buckets).cast("double")))

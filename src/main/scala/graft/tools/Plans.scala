@@ -59,7 +59,10 @@ object Plans {
       "profile_columns" -> "one-pass ANALYZE: single scan, single scalar exchange, stack-unpivoted per-column report",
       "pipeline_curate" -> "composite curation (quality gate → dedup keep-first → per-source cap → manifest) as ONE plan — column pruning crosses stage boundaries",
       "text_phrase_search" -> "positional phrase search: per-term posting legs, anchor-aligned equi-joins — shuffles bounded by posting sizes",
-      "q8_market_share" -> "TPC-H Q8 shape: one big lineitem⋈orders shuffle, every dimension broadcast, conditional-aggregate market-share ratio")
+      "q8_market_share" -> "TPC-H Q8 shape: one big lineitem⋈orders shuffle, every dimension broadcast, conditional-aggregate market-share ratio",
+      "knn_binary" -> "binary-quantization kNN: 8-byte sign-code scan (bit_count(xor) POPCNT in codegen), WindowGroupLimit Hamming pool cut, exact-dot rerank joins back only nq·rerank rows",
+      "dedup_semantic" -> "SemDeDup over the persisted IVF clustering: within-cell self-join equi-joins on the STORAGE partition key — the quadratic step bounded inside clusters, no corpus-wide shuffle",
+      "sample_dsir" -> "DSIR selection: one tokenize pass collapsed to (doc,bucket) counts, 1024-row log-ratio model broadcast back, TakeOrderedAndProject top-n")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

@@ -33,7 +33,6 @@ class PlanLintSpec extends SparkSpec {
     "knn_recall_curve",   // same two bounded crosses, one conditional agg
     "knn_range_ivf",      // broadcast probe batch / ≤100 centroids / 8×256 LUT
     "knn_binary",         // broadcast nq 8-byte query codes × base code scan
-    "sample_dsir",        // 1-row corpus-totals cross into the ≤1024-row model
     "rag_fusion",         // fuses two ≤k ranked lists
     "decontam_embedding", // broadcast eval holdout
     "metrics_combined",   // 7-row model table cross
