@@ -121,6 +121,8 @@ object SparkEntry {
     "corpus_pack" -> ((s, d) => Sampling.packSequences(s, d)),
     "corpus_budget_plan" -> ((s, d) => Sampling.budgetPlan(s, d)),
     "sample_dsir" -> ((s, d) => Sampling.dsirSelect(s, d)),
+    "sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d)),
+    "corpus_budget_temperature" -> ((s, d) => Sampling.temperaturePlan(s, d)),
     "knn_ivfpq" -> ((s, d) => graft.sources.PqStore.searchIvfPq(s, d)),
     "knn_refine" -> ((s, d) => graft.sources.PqStore.searchRefined(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
@@ -1821,6 +1823,29 @@ object SparkEntry {
         |sel AS (SELECT doc_id, lang, n_tokens FROM sc ORDER BY weight DESC, doc_id LIMIT 100)
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM sel ORDER BY doc_id""".stripMargin,
+    // Efraimidis-Spirakis weighted sample: identical hash-uniform draw and
+    // ln(u)/w priority key; only the selected integer id set is emitted.
+    "sample_weighted" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |             ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) + 1.0)
+        |                / 16777216.0) / CAST(n_chars AS DOUBLE) AS k
+        |           FROM documents),
+        |sel AS (SELECT doc_id, lang, n_chars FROM d ORDER BY k DESC, doc_id LIMIT 100)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM sel ORDER BY doc_id""".stripMargin,
+    // Temperature mixing plan (alpha = 1/2): integer shares floor(1e6*sqrt(mass))
+    // -- sqrt is correctly rounded per IEEE 754, so both engines agree exactly;
+    // Hamilton tail identical to corpus_budget_plan.
+    "corpus_budget_temperature" ->
+      """WITH m AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass FROM documents GROUP BY 1),
+        |s AS (SELECT lang, mass, CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000000.0) AS BIGINT) AS share FROM m),
+        |t AS (SELECT *, sum(share) OVER () AS total FROM s),
+        |b AS (SELECT *, (1000000 * share) // total AS base, (1000000 * share) % total AS rem FROM t),
+        |l AS (SELECT *, 1000000 - sum(base) OVER () AS leftover,
+        |             row_number() OVER (ORDER BY rem DESC, lang) AS rr FROM b)
+        |SELECT lang, mass, CAST(share AS BIGINT) AS share, CAST(base AS BIGINT) AS base,
+        |       CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM l ORDER BY lang""".stripMargin,
     // Gap fill: full hourly grid from observed bounds x distinct types,
     // left-joined counts — silent gaps become explicit zeros.
     "events_gapfill" ->

@@ -170,6 +170,32 @@ object Sampling {
       .orderBy(col("shard"), col("pack_id"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006): each row
+    * draws a deterministic hash-uniform u ∈ (0, 1] and takes priority key
+    * u^(1/w) — the top-n keys ARE an exact weighted sample without
+    * replacement. Used with w = n_chars, this is "sample documents
+    * proportional to token mass", the selection rule a training mix uses
+    * so that long documents aren't under-represented per byte.
+    *
+    * Computed as ln(u)/w (same argmax, no pow): u comes from the md5
+    * 24-bit prefix shifted to (0,1] so it can never be 0. The ranking key
+    * is a double but the OUTPUT is the selected id set only (integer
+    * columns, doc_id order), keeping engine libm differences away from
+    * the hash compare — the [[dsirSelect]] contract. A pure map-side
+    * projection + TakeOrderedAndProject: no shuffle at any corpus size.
+    */
+  def weightedSample(spark: SparkSession, dir: String, n: Int = 100): DataFrame = {
+    val u = (conv(substring(keyHash(col("doc_id")), 1, 6), 16, 10).cast("double") + 1.0) /
+      lit((1 << 24).toDouble)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (log(u) / col("n_chars").cast("double")).as("k"))
+      .orderBy(col("k").desc, col("doc_id")).limit(n)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget apportionment — the data-MIXING planning step: split a
     * fixed training-token budget across languages proportionally to their
     * corpus mass, with largest-remainder (Hamilton) rounding so the
@@ -181,25 +207,55 @@ object Sampling {
     * a handful of post-aggregate rows, never corpus data.
     */
   def budgetPlan(spark: SparkSession, dir: String, budget: Long = 1000000L): DataFrame = {
-    val one = Window.partitionBy(lit(1))
     val mass = Tables.documents(spark, dir)
       .groupBy(col("lang")).agg(sum(col("n_chars")).as("mass"))
-    // budget·mass widened to DECIMAL(38,0) before multiplying: at the
-    // corpus scale the Scaladoc claims exactness for (mass = Σ n_chars
-    // over 100 TB), the 64-bit product would silently wrap in non-ANSI
-    // Spark while DuckDB errors — the decimal product stays exact and
-    // DIV/% land back in BIGINT range (quotient ≤ budget, rem < total).
-    mass.withColumn("total", sum(col("mass")).over(one))
+    hamilton(mass.withColumn("share", col("mass")), budget)
+      .select(col("lang"), col("mass"), col("base"), col("alloc"))
+      .orderBy(col("lang"))
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of `budget` over the
+    * per-language integer `share` column: base = floor shares, leftover
+    * goes to the largest remainders (lang as deterministic tiebreak), so
+    * allocations are integers summing EXACTLY to the budget.
+    *
+    * budget·share widened to DECIMAL(38,0) before multiplying: at the
+    * corpus scale the Scaladoc claims exactness for (share = Σ n_chars
+    * over 100 TB), the 64-bit product would silently wrap in non-ANSI
+    * Spark while DuckDB errors — the decimal product stays exact and
+    * DIV/% land back in BIGINT range (quotient ≤ budget, rem < total).
+    */
+  private def hamilton(shares: DataFrame, budget: Long): DataFrame = {
+    val one = Window.partitionBy(lit(1))
+    shares.withColumn("total", sum(col("share")).over(one))
       .withColumn("base",
-        expr(s"(CAST($budget AS DECIMAL(38,0)) * mass) DIV total").cast("long"))
+        expr(s"(CAST($budget AS DECIMAL(38,0)) * share) DIV total").cast("long"))
       .withColumn("rem",
-        expr(s"(CAST($budget AS DECIMAL(38,0)) * mass) % total").cast("long"))
+        expr(s"(CAST($budget AS DECIMAL(38,0)) * share) % total").cast("long"))
       .withColumn("leftover", lit(budget) - sum(col("base")).over(one))
       .withColumn("rr", row_number().over(
         Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("lang"))))
       .withColumn("alloc",
         col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
-      .select(col("lang"), col("mass"), col("base"), col("alloc"))
+  }
+
+  /** Temperature-scaled mixing plan — the multilingual-LLM sampling rule
+    * p_l ∝ mass_l^α with α = 1/2 (α < 1 upweights low-resource languages;
+    * α = 1 is [[budgetPlan]]'s proportional split, α = 0 uniform). The
+    * fractional power is the ONLY non-integer step, and it is made
+    * engine-exact by integerizing immediately: share_l = ⌊10⁶·√mass_l⌋ —
+    * IEEE 754 requires sqrt to be correctly rounded (unlike ln/pow, which
+    * is why α is the square root here and not a free parameter), so both
+    * engines compute the identical share and the Hamilton tail stays all-
+    * integer. Same |langs|-row plan shape as [[budgetPlan]].
+    */
+  def temperaturePlan(spark: SparkSession, dir: String, budget: Long = 1000000L): DataFrame = {
+    val mass = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(sum(col("n_chars")).as("mass"))
+    val shares = mass.withColumn("share",
+      floor(sqrt(col("mass").cast("double")) * lit(1000000.0)).cast("long"))
+    hamilton(shares, budget)
+      .select(col("lang"), col("mass"), col("share"), col("base"), col("alloc"))
       .orderBy(col("lang"))
   }
 

@@ -77,6 +77,41 @@ class SamplingSpec extends SparkSpec {
     sel.unpersist(blocking = false)
   }
 
+  test("weighted sample: deterministic, prefix-nested, and mass-biased toward long documents") {
+    val sel = Sampling.weightedSample(spark, sfDir, n = 100).cache()
+    assert(sel.count() == math.min(100L, Tables.documents(spark, sfDir).count()))
+    val again = Sampling.weightedSample(spark, sfDir, n = 100)
+    assert(sel.exceptAll(again).isEmpty && again.exceptAll(sel).isEmpty)
+    val tight = Sampling.weightedSample(spark, sfDir, n = 50)
+      .select($"doc_id").as[Long].collect().toSet
+    val wide = sel.select($"doc_id").as[Long].collect().toSet
+    assert(tight.subsetOf(wide), "top-50 must be a prefix of top-100")
+    // w = n_chars ⇒ selection probability rises with length: the sample's
+    // mean length must beat the corpus mean
+    val selMean = sel.agg(avg($"n_chars")).head.getDouble(0)
+    val corpusMean = Tables.documents(spark, sfDir).agg(avg($"n_chars")).head.getDouble(0)
+    assert(selMean > corpusMean,
+      s"weighted sample mean length $selMean should exceed corpus mean $corpusMean")
+    sel.unpersist(blocking = false)
+  }
+
+  test("temperature plan: exact budget conservation, and alpha=1/2 flattens the mix vs proportional") {
+    val t = Sampling.temperaturePlan(spark, sfDir).cache()
+    val p = Sampling.budgetPlan(spark, sfDir).cache()
+    assert(t.agg(sum($"alloc")).head.getLong(0) == 1000000L, "allocations must sum exactly to the budget")
+    val tm = t.select($"lang", $"alloc", $"mass").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pm = p.select($"lang", $"alloc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = tm.minBy(_._2._2)._1
+    val maxLang = tm.maxBy(_._2._2)._1
+    assert(tm(minLang)._1 > pm(minLang),
+      s"temperature must upweight the smallest language ($minLang)")
+    assert(tm(maxLang)._1 < pm(maxLang),
+      s"temperature must downweight the largest language ($maxLang)")
+    t.unpersist(blocking = false); p.unpersist(blocking = false)
+  }
+
   test("quality-tier sample: bounded per tier, tiers in range, deterministic") {
     val s = Sampling.qualityTierSample(spark, sfDir, cap = 10).cache()
     val perTier = s.groupBy($"tier").count().as[(Long, Long)].collect().toMap
