@@ -770,10 +770,15 @@ object Dedup {
     * pass reads the already-clustered parquet layout (`rows/cell_id=*`) and
     * its within-cluster self-join is an equi-join on the STORAGE partition
     * key — each task scans one cluster's files, no corpus-wide shuffle,
-    * never all-pairs (pair count is Σ|cell|², bounded by the k-means
-    * balance the store build already guarantees). At 100 TB this is the
-    * published algorithm's exact shape: the paper clusters precisely so
-    * that the quadratic step stays inside clusters.
+    * never all-pairs (pair count is Σ|cell|²). The quadratic term's BOUND
+    * is the cluster count: SemDeDup at production scale runs k ≈ 10⁵
+    * clusters precisely so |cell| stays fixed as the corpus grows, and
+    * that is the knob here too — ivfBuild's nlist = min(100, √n) cap is a
+    * test-scale artifact; at 100 TB the store is built with nlist ∝
+    * n/targetCellSize and this operator's plan shape is unchanged (the
+    * equi-join key count grows, each task's work does not). If rebuilding
+    * the store with more cells is not an option, the LSH-banded
+    * [[embeddingNearDupBanded]] is the sub-cluster refinement path.
     *
     * Returns one row per REMOVED item: its id, the lowest-id cluster
     * member that evicts it (`dup_of`), the evicting similarity (max over
