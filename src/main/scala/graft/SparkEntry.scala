@@ -209,6 +209,7 @@ object SparkEntry {
     "stream_hourly" -> ((s, d) => StreamOps.streamHourly(s, d)),
     "stream_interval_join" -> ((s, d) => StreamOps.streamIntervalJoin(s, d)),
     "stream_knn" -> ((s, d) => StreamOps.streamKnnSearch(s, d)),
+    "stream_dedup_ingest" -> ((s, d) => StreamOps.streamDedupIngest(s, d)),
     "stream_dedup" -> ((s, d) => StreamOps.streamDedupRun(s, d)),
     "stream_enrich" -> ((s, d) => StreamOps.streamEnrich(s, d)),
     "stream_trending" -> ((s, d) => StreamOps.streamTrending(s, d)),
@@ -589,6 +590,32 @@ object SparkEntry {
     // k/nprobe/query set — one oracle serves both the batch and the
     // AvailableNow streaming execution.
     "stream_knn" -> ivfProbedSearchSql(),
+    // Dedup-on-ingest: the odd-half "crawl" kept-set recomputed over the
+    // exported even-half corpus store. Valid against the REAL streaming
+    // run because the dedup reference is static — the keep set is
+    // batch-split-independent (spec-asserted with maxFilesPerTrigger=1).
+    "stream_dedup_ingest" -> {
+      val half = s"${ivfStorePath}_half"
+      s"""WITH cents AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |               FROM read_parquet('$half/centroids/*.parquet')),
+         |r AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id, embedding
+         |      FROM read_parquet('$half/rows/*/*.parquet', hive_partitioning=1)),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 2 = 1),
+         |qc AS (SELECT q.qid, q.qvec, c.cell_id, ${sqDistCentroidSql("q.qvec", "c.centroid")} AS d2
+         |       FROM q CROSS JOIN cents c),
+         |pr AS (SELECT qid, qvec, cell_id, row_number() OVER (PARTITION BY qid ORDER BY d2, cell_id) AS cr FROM qc),
+         |probed AS (SELECT qid, qvec, cell_id FROM pr WHERE cr <= 10),
+         |s AS (SELECT p.qid, r.vec_id, ${dotSql("p.qvec", "r.embedding")} AS sim
+         |      FROM r JOIN probed p USING (cell_id) WHERE r.vec_id <> p.qid),
+         |rk AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s),
+         |n1 AS (SELECT qid, vec_id AS nearest_id, ${microSql("sim")} AS nearest_micro FROM rk WHERE rank = 1)
+         |SELECT CAST(q.qid AS BIGINT) AS vec_id,
+         |       CAST(coalesce(n1.nearest_id, -1) AS BIGINT) AS nearest_id,
+         |       CAST(coalesce(n1.nearest_micro, -1) AS BIGINT) AS nearest_micro
+         |FROM q LEFT JOIN n1 ON n1.qid = q.qid
+         |WHERE n1.nearest_micro IS NULL OR n1.nearest_micro < 300000
+         |ORDER BY vec_id""".stripMargin
+    },
     // Tombstone-aware search: same exported-store replay minus the
     // tombstone set — the anti-join sits below the rank window.
     "knn_tombstone" -> ivfProbedSearchSql(" AND r.vec_id % 17 <> 3"),

@@ -470,8 +470,14 @@ object VectorSearch {
     * centroid table. At scale this is written `partitionBy(cell_id)` so
     * probing prunes files; here we return the assignment for verification.
     */
-  def ivfBuild(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(spark, dir)
+  def ivfBuild(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfBuildFrom(Tables.embeddings(spark, dir))
+
+  /** [[ivfBuild]] over an explicit vector frame — subset/ingest stores
+    * (e.g. the corpus-half store the streaming dedup-ingest probes) build
+    * from a filtered frame with the same nlist rule and assignment path.
+    */
+  def ivfBuildFrom(e: DataFrame): (DataFrame, DataFrame) = {
     val n = e.count()
     val nlist = math.max(1, math.min(100, math.sqrt(n.toDouble).toInt)) // pipeline.py:317
     val centroids = kmeansFit(e, nlist, knownCount = Some(n)).cache()

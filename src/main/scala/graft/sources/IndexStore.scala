@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Tables
 import graft.operators.VectorSearch
 import graft.functions.VectorFunctions._
 
@@ -27,13 +28,39 @@ object IndexStore {
     * copy/restore and only change on direct-child writes).
     */
   def write(spark: SparkSession, dir: String, path: String): Unit = {
-    val (assigned, centroids) = VectorSearch.ivfBuild(spark, dir)
+    writeFrom(Tables.embeddings(spark, dir), path)
+    stampSourceFp(path, dir)
+  }
+
+  /** Build and persist a store from an explicit vector frame (subset /
+    * ingest-side stores). Stamps `_build_id` only — callers that derive
+    * the frame from a data dir add their own `_src_fp` staleness marker
+    * ([[write]], [[ensureSubset]]).
+    */
+  def writeFrom(vectors: DataFrame, path: String): Unit = {
+    val (assigned, centroids) = VectorSearch.ivfBuildFrom(vectors)
     assigned.write.mode("overwrite")
       .partitionBy("cell_id")
       .parquet(s"$path/rows")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     stampBuildId(path)
-    stampSourceFp(path, dir)
+  }
+
+  /** The even-vec_id half of a dir's embeddings as its own persisted
+    * store — the "existing corpus" the streaming dedup-ingest probes
+    * (the odd half plays the incoming crawl). Same canonical-path and
+    * content-fingerprint contract as the full store.
+    */
+  def corpusHalfPath(dir: String): String = defaultPath(dir) + "_half"
+
+  /** Build the even-half store once per source-content generation. */
+  def ensureCorpusHalf(spark: SparkSession, dir: String): String = {
+    val path = corpusHalfPath(dir)
+    if (!new java.io.File(s"$path/centroids").exists() || !sourceFpCurrent(path, dir)) {
+      writeFrom(Tables.embeddings(spark, dir).filter(col("vec_id") % 2 === 0), path)
+      stampSourceFp(path, dir)
+    }
+    path
   }
 
   /** Record the CONTENT fingerprint of the data dir this build read

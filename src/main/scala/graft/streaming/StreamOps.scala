@@ -534,6 +534,70 @@ object StreamOps {
     result.orderBy(col("qid"), col("rank"))
   }
 
+  /** Streaming dedup-on-ingest — the "dedup the incoming crawl against the
+    * training corpus before appending" production pass, as a REAL streaming
+    * execution: the odd-vec_id half of the embeddings table streams in as
+    * the new crawl, each micro-batch probes the PERSISTED even-half corpus
+    * store (same partition-pruned search as [[streamKnnSearch]], k = 1),
+    * and rows whose nearest stored neighbor clears `tauMicro` are dropped —
+    * only novel vectors survive to the ingest sink. The dedup reference is
+    * the STATIC store (decontamination semantics, not batch-to-batch
+    * accumulation), so the surviving set is independent of how the source
+    * splits into micro-batches — the property that makes a wall-clock
+    * streaming run DuckDB-replayable: the oracle recomputes the keep set
+    * over the exported half-store artifacts in pure SQL, and the
+    * multi-batch equivalence is spec-asserted with maxFilesPerTrigger=1.
+    *
+    * The integer `tauMicro` threshold compares the same floor-micro'd
+    * similarity both engines compute — the raw double never crosses an
+    * engine boundary. Kept rows report their nearest corpus neighbor
+    * (or -1 when no probed cell held any candidate — those rows are
+    * trivially novel and MUST be kept, hence the left join, not an inner).
+    */
+  def streamDedupIngest(spark: SparkSession, dir: String,
+                        tauMicro: Long = 300000L,
+                        options: Map[String, String] = Map.empty): DataFrame = {
+    val half = graft.sources.IndexStore.ensureCorpusHalf(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-dedupingest").toString
+    val keptDir = s"$out/kept"
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val result =
+      try withStreamPartitions(spark) { s =>
+        val src = s.readStream.schema(schema)
+          .options(options)
+          .option("basePath", dir)
+          .parquet(s"$dir/embeddings.parquet*")
+          .filter(col("vec_id") % 2 === 1)
+        val q = src.writeStream
+          .option("checkpointLocation", s"$out/chk")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            val queries = batch.toDF()
+              .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+            val nearest = graft.sources.IndexStore
+              .searchPruned(batch.sparkSession, half, queries, k = 1)
+              .select(col("qid"), col("vec_id").as("nearest_id"),
+                col("sim_micro").as("nearest_micro"))
+            queries.select(col("qid"))
+              .join(nearest, Seq("qid"), "left")
+              .filter(col("nearest_micro").isNull || col("nearest_micro") < tauMicro)
+              .select(col("qid").as("vec_id"),
+                coalesce(col("nearest_id"), lit(-1L)).as("nearest_id"),
+                coalesce(col("nearest_micro"), lit(-1L)).as("nearest_micro"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(keptDir)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(keptDir)
+          .select(col("vec_id"), col("nearest_id"), col("nearest_micro"))
+          .localCheckpoint(true)
+      } finally rmTree(new java.io.File(out))
+    result.orderBy(col("vec_id"))
+  }
+
   /** CONTINUOUS-trigger streaming kNN — the genuinely unbounded serving
     * loop (every other streaming query here replays with AvailableNow;
     * this one runs `Trigger.ProcessingTime` against the rate source until

@@ -17,7 +17,7 @@ class PlanLintSpec extends SparkSpec {
     */
   private val streamingRuns =
     Set("stream_hourly", "stream_interval_join", "stream_knn", "stream_dedup",
-      "stream_enrich", "stream_trending")
+      "stream_enrich", "stream_trending", "stream_dedup_ingest")
 
   /** Queries whose ONE nested-loop join is a deliberate broadcast of a
     * provably bounded side (≤ query batch / model table / scalar totals /

@@ -116,6 +116,52 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(stateful).count() == 0)
   }
 
+  test("dedup-on-ingest: stream equals the batch keep-set, and drops really clear tau") {
+    import graft.sources.IndexStore
+    val kept = StreamOps.streamDedupIngest(spark, sfDir).cache()
+    // batch twin over the same persisted half store (ensured by the stream call)
+    val half = IndexStore.corpusHalfPath(sfDir)
+    val queries = Tables.embeddings(spark, sfDir).filter($"vec_id" % 2 === 1)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val n1 = IndexStore.searchPruned(spark, half, queries, k = 1)
+      .select($"qid", $"vec_id".as("nid"), $"sim_micro".as("nm"))
+    val expect = queries.select($"qid").join(n1, Seq("qid"), "left")
+      .filter($"nm".isNull || $"nm" < 300000L)
+      .select($"qid".as("vec_id"),
+        coalesce($"nid", lit(-1L)).as("nearest_id"),
+        coalesce($"nm", lit(-1L)).as("nearest_micro"))
+    assert(kept.exceptAll(expect).isEmpty && expect.exceptAll(kept).isEmpty,
+      "streaming keep-set must equal the batch replay")
+    // every survivor is genuinely below tau; the filter did real work
+    assert(kept.filter($"nearest_micro" >= 300000L).count() == 0)
+    assert(kept.count() < queries.count(), "some near-duplicates must be dropped at tau=0.30")
+    kept.unpersist(blocking = false)
+  }
+
+  test("dedup-on-ingest keep-set is independent of the micro-batch split") {
+    // Re-house the embeddings table as a DIRECTORY of two part files so
+    // maxFilesPerTrigger=1 forces at least two micro-batches, then compare
+    // against the single-batch run over the same source: the dedup
+    // reference is the static corpus-half store, so the keep set must not
+    // depend on how the crawl arrives.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingestsplit").toString
+    try {
+      val e = Tables.embeddings(spark, sfDir)
+      e.filter($"vec_id" < 250).coalesce(1).write.parquet(s"$tmp/embeddings.parquet")
+      e.filter($"vec_id" >= 250).coalesce(1).write
+        .mode("append").parquet(s"$tmp/embeddings.parquet")
+      val single = StreamOps.streamDedupIngest(spark, tmp)
+      val multi = StreamOps.streamDedupIngest(spark, tmp,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      assert(single.exceptAll(multi).isEmpty && multi.exceptAll(single).isEmpty,
+        "keep-set must be identical under any batch split")
+    } finally {
+      StreamOps.rmTree(new java.io.File(tmp))
+      StreamOps.rmTree(new java.io.File(
+        graft.sources.IndexStore.corpusHalfPath(tmp))) // per-run store, don't accumulate
+    }
+  }
+
   test("streaming kNN search equals the batch probed search over the same store") {
     import graft.sources.IndexStore
     import graft.operators.VectorSearch
