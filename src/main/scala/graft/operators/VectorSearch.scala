@@ -136,9 +136,12 @@ object VectorSearch {
     * Scale shape: the Hamming scan is a broadcast of nq tiny codes against
     * a map-side projection of the base — no shuffle carries embeddings,
     * and the rank-limit window plans as WindowGroupLimit so each partition
-    * forwards only its local top-`rerank`. The float rerank touches
-    * nq·rerank rows (an equi-join on vec_id back to the base), bounded
-    * regardless of corpus size. Fully SQL-expressible (the code is the
+    * forwards only its local top-`rerank`. The candidate pool (≤ nq·rerank
+    * rows) is then checkpointed and its id list — bounded driver-side
+    * metadata, same contract as IndexStore's probed cells — is inlined as
+    * a static IN filter on the rerank fetch, so the second pass over the
+    * base is a PushedFilters point-fetch (row-group skipping at the scan),
+    * not a full re-scan; the Hamming scan itself runs exactly once. Fully SQL-expressible (the code is the
     * [[graft.functions.VectorFunctions.signLshBucketAt]] sum both engines
     * compute identically), so the whole two-stage pipeline is
     * DuckDB-oracle-checked — unlike PQ, no codebook export is needed.
@@ -167,8 +170,12 @@ object VectorSearch {
     val cands = ham.withColumn("cr", row_number().over(wc))
       .filter(col("cr") <= rerank)
       .select(col("qid"), col("vec_id"), col("hamming"))
+      .localCheckpoint(true)
+    val candIds = cands.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
     val rescored = cands
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(emb.filter(col("vec_id").isInCollection(candIds))
+        .select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
       .withColumn("sim", dot(col("qvec"), col("embedding")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))

@@ -32,7 +32,9 @@ class PlanLintSpec extends SparkSpec {
     "knn_recall_report",  // exact leg: broadcast query batch; approx leg: centroid cross
     "knn_recall_curve",   // same two bounded crosses, one conditional agg
     "knn_range_ivf",      // broadcast probe batch / ≤100 centroids / 8×256 LUT
-    "knn_binary",         // broadcast nq 8-byte query codes × base code scan
+    // (knn_binary's bounded query-code cross runs inside its eager
+    // candidate checkpoint, so it no longer appears in the lazy plan
+    // this lint walks — its shape is pinned by PlanSpec instead)
     "rag_fusion",         // fuses two ≤k ranked lists
     "decontam_embedding", // broadcast eval holdout
     "metrics_combined",   // 7-row model table cross

@@ -28,6 +28,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("EqualTo(vec_id,42)"), p)
   }
 
+  test("binary kNN rerank fetch is a pushed IN point-fetch, not a second full scan") {
+    val p = plan(graft.operators.VectorSearch.knnBinary(spark, sfDir))
+    // the candidate id list reaches the rerank-side parquet scan as a
+    // pushed In filter (row-group skipping); the Hamming pass itself is
+    // served from the checkpointed pool, so no third scan appears either
+    assert(p.contains("PushedFilters") && p.contains("In(vec_id"), p.take(3000))
+  }
+
   test("column pruning reaches the scan: value_counts reads only event_type") {
     val p = plan(Relational.valueCountsTop(spark, sfDir))
     assert(p.contains("ReadSchema: struct<event_type:string>"), p)
