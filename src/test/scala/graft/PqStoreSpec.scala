@@ -129,4 +129,47 @@ class PqStoreSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
     scores.foreach { case (key, v) => assert(full(key) == v, s"ADC drift at $key") }
   }
+
+  test("a regenerated source cascades through the IVF marker into a PQ rebuild") {
+    import graft.sources.IndexStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqfp").toString
+    val srcDir = s"$tmp/data"; new java.io.File(srcDir).mkdirs()
+    def writeEmbeddings(df: org.apache.spark.sql.DataFrame): Unit = {
+      val staging = s"$tmp/stage"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/embeddings.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.streaming.StreamOps.rmTree(new java.io.File(staging))
+    }
+    val ivfPath = IndexStore.defaultPath(srcDir)
+    val pqPath = PqStore.defaultPath(srcDir)
+    try {
+      val full = Tables.embeddings(spark, sfDir)
+      writeEmbeddings(full)
+      PqStore.ensure(spark, srcDir, pqPath)
+      val ivf1 = IndexStore.buildId(ivfPath)
+      assert(ivf1.nonEmpty, "PQ ensure must have built the coarse quantizer")
+      val n1 = spark.read.parquet(s"$pqPath/codes").count()
+      assert(n1 == full.count() * PqStore.M)
+      // regenerate the corpus: the PQ codes bake in the OLD cell assignment
+      // and OLD codebooks — both must rebuild via the marker chain
+      writeEmbeddings(full.filter($"vec_id" % 2 === 0))
+      PqStore.ensure(spark, srcDir, pqPath)
+      val ivf2 = IndexStore.buildId(ivfPath)
+      assert(ivf2 != ivf1, "source change must rebuild the IVF store first")
+      val recorded = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(s"$pqPath/_ivf_build_id")).trim
+      assert(Some(recorded) == ivf2, "PQ store must record the NEW IVF build")
+      assert(spark.read.parquet(s"$pqPath/codes").count() ==
+        full.filter($"vec_id" % 2 === 0).count() * PqStore.M,
+        "codes must cover exactly the regenerated corpus")
+    } finally {
+      graft.streaming.StreamOps.rmTree(new java.io.File(tmp))
+      graft.streaming.StreamOps.rmTree(new java.io.File(ivfPath))
+      graft.streaming.StreamOps.rmTree(new java.io.File(pqPath))
+    }
+  }
 }
