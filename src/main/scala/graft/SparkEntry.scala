@@ -1819,10 +1819,12 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Hamilton apportionment: floor shares + largest-remainder top-up so
     // integer allocations sum exactly to the budget; all-integer replay.
+    // budget*mass widened to HUGEINT (128-bit, = the Scala DECIMAL(38,0)
+    // path) so the product can't overflow BIGINT at 100 TB-scale masses.
     "corpus_budget_plan" ->
       """WITH m AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass FROM documents GROUP BY 1),
         |t AS (SELECT *, sum(mass) OVER () AS total FROM m),
-        |b AS (SELECT *, (1000000 * mass) // total AS base, (1000000 * mass) % total AS rem FROM t),
+        |b AS (SELECT *, (CAST(1000000 AS HUGEINT) * mass) // total AS base, (CAST(1000000 AS HUGEINT) * mass) % total AS rem FROM t),
         |l AS (SELECT *, 1000000 - sum(base) OVER () AS leftover,
         |             row_number() OVER (ORDER BY rem DESC, lang) AS rr FROM b)
         |SELECT lang, mass, CAST(base AS BIGINT) AS base,
@@ -1862,12 +1864,13 @@ object SparkEntry {
         |FROM sel ORDER BY doc_id""".stripMargin,
     // Temperature mixing plan (alpha = 1/2): integer shares floor(1e6*sqrt(mass))
     // -- sqrt is correctly rounded per IEEE 754, so both engines agree exactly;
-    // Hamilton tail identical to corpus_budget_plan.
+    // Hamilton tail identical to corpus_budget_plan (same HUGEINT widening:
+    // share ~ 1e6*sqrt(mass) makes the BIGINT product overflow even sooner).
     "corpus_budget_temperature" ->
       """WITH m AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass FROM documents GROUP BY 1),
         |s AS (SELECT lang, mass, CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000000.0) AS BIGINT) AS share FROM m),
         |t AS (SELECT *, sum(share) OVER () AS total FROM s),
-        |b AS (SELECT *, (1000000 * share) // total AS base, (1000000 * share) % total AS rem FROM t),
+        |b AS (SELECT *, (CAST(1000000 AS HUGEINT) * share) // total AS base, (CAST(1000000 AS HUGEINT) * share) % total AS rem FROM t),
         |l AS (SELECT *, 1000000 - sum(base) OVER () AS leftover,
         |             row_number() OVER (ORDER BY rem DESC, lang) AS rr FROM b)
         |SELECT lang, mass, CAST(share AS BIGINT) AS share, CAST(base AS BIGINT) AS base,

@@ -66,8 +66,26 @@ object Tables {
     def walk(f: java.io.File): Iterator[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
       else Iterator.single(f)
-    walk(new java.io.File(dir)).foldLeft(17L) { (acc, f) =>
-      ((acc * 31 + f.getPath.hashCode) * 31 + f.length()) * 31 + f.lastModified()
+    // Sorted so the fold is independent of listFiles() enumeration order
+    // (unspecified per the JDK), and folded with a tail-bytes content token
+    // so a regeneration that preserves every file's size within the
+    // filesystem's mtime granularity still flips the fingerprint.
+    walk(new java.io.File(dir)).toArray.sortBy(_.getPath).foldLeft(17L) { (acc, f) =>
+      (((acc * 31 + f.getPath.hashCode) * 31 + f.length()) * 31 + f.lastModified()) * 31 + tailToken(f)
+    }
+  }
+
+  /** Last 8 bytes of the file as one long — for parquet that is the 4-byte
+    * footer length plus the "PAR1" magic, and the footer length moves with
+    * any row-group/statistics change, making this a content token at the
+    * cost of a single seek+read per file.
+    */
+  private def tailToken(f: java.io.File): Long = {
+    val len = f.length()
+    if (len < 8) len
+    else {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try { raf.seek(len - 8); raf.readLong() } finally raf.close()
     }
   }
 }

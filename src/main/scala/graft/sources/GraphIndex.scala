@@ -158,9 +158,9 @@ object GraphIndex {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$path/_build_id"),
       java.util.UUID.randomUUID().toString)
-    val d = new java.io.File(path)
-    Option(d.listFiles()).foreach(_.filter(_.getName.startsWith("_src_fp_")).foreach(_.delete()))
-    new java.io.File(d, s"_src_fp_${graft.Tables.dirFingerprint(dir)}").createNewFile()
+    // Same `_src_fp_*` marker scheme as every other persisted store —
+    // delegated so the scheme lives in exactly one place (IndexStore).
+    IndexStore.stampSourceFp(path, dir)
   }
 
   /** Build only if the artifacts don't exist yet or were built from
@@ -170,7 +170,7 @@ object GraphIndex {
     */
   def ensure(spark: SparkSession, dir: String, path: String): Unit =
     if (!new java.io.File(s"$path/edges").exists() ||
-        !new java.io.File(path, s"_src_fp_${graft.Tables.dirFingerprint(dir)}").exists())
+        !IndexStore.sourceFpCurrent(path, dir))
       write(spark, dir, path)
 
   /** Fixed-hop beam search over the persisted graph — the deterministic

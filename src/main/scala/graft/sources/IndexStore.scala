@@ -68,13 +68,13 @@ object IndexStore {
     * compares it so a regenerated corpus triggers a rebuild instead of
     * being probed through an index built from data that no longer exists.
     */
-  private def stampSourceFp(path: String, dir: String): Unit = {
+  private[sources] def stampSourceFp(path: String, dir: String): Unit = {
     val d = new java.io.File(path)
     Option(d.listFiles()).foreach(_.filter(_.getName.startsWith("_src_fp_")).foreach(_.delete()))
     new java.io.File(d, s"_src_fp_${graft.Tables.dirFingerprint(dir)}").createNewFile()
   }
 
-  private def sourceFpCurrent(path: String, dir: String): Boolean =
+  private[sources] def sourceFpCurrent(path: String, dir: String): Boolean =
     new java.io.File(path, s"_src_fp_${graft.Tables.dirFingerprint(dir)}").exists()
 
   private def stampBuildId(path: String): Unit =

@@ -591,8 +591,18 @@ object StreamOps {
           }
           .start()
         q.awaitTermination()
-        s.read.parquet(keptDir)
-          .select(col("vec_id"), col("nearest_id"), col("nearest_micro"))
+        // Read back with an EXPLICIT schema: if every micro-batch dropped all
+        // rows (everything cleared tau) no data file exists under keptDir and
+        // schema inference would fail — the correct result is an empty frame,
+        // not an error. batch_id is the partition column of the sink layout.
+        val keptSchema = new StructType()
+          .add("vec_id", LongType).add("nearest_id", LongType)
+          .add("nearest_micro", LongType).add("batch_id", LongType)
+        val kept =
+          if (new java.io.File(keptDir).exists())
+            s.read.schema(keptSchema).parquet(keptDir)
+          else s.createDataFrame(s.sparkContext.emptyRDD[Row], keptSchema)
+        kept.select(col("vec_id"), col("nearest_id"), col("nearest_micro"))
           .localCheckpoint(true)
       } finally rmTree(new java.io.File(out))
     result.orderBy(col("vec_id"))
