@@ -75,6 +75,17 @@ object Tables {
     }
   }
 
+  /** Ceiling on ids a search path may collect to the driver and inline as
+    * a literal IN filter. Below it, inlining wins: the id list pushes into
+    * the parquet scan (`PushedFilters: [In(...)]`) and prunes row groups.
+    * Above it — the reference batches up to 30k queries, and nq·beam or
+    * nq·rerank literal lists become ~10⁶-term plans — the same candidate
+    * set must stay distributed and join (broadcast semi-join on ids)
+    * instead. Every collect-and-inline site checks this bound rather than
+    * relying on small-nq convention.
+    */
+  private[graft] val MaxInlineIds: Int = 10000
+
   /** Last 8 bytes of the file as one long — for parquet that is the 4-byte
     * footer length plus the "PAR1" magic, and the footer length moves with
     * any row-group/statistics change, making this a content token at the

@@ -137,11 +137,13 @@ object VectorSearch {
     * a map-side projection of the base — no shuffle carries embeddings,
     * and the rank-limit window plans as WindowGroupLimit so each partition
     * forwards only its local top-`rerank`. The candidate pool (≤ nq·rerank
-    * rows) is then checkpointed and its id list — bounded driver-side
-    * metadata, same contract as IndexStore's probed cells — is inlined as
-    * a static IN filter on the rerank fetch, so the second pass over the
-    * base is a PushedFilters point-fetch (row-group skipping at the scan),
-    * not a full re-scan; the Hamming scan itself runs exactly once. Fully SQL-expressible (the code is the
+    * rows) is then checkpointed; while nq·rerank fits Tables.MaxInlineIds
+    * its id list — bounded driver-side metadata, same contract as
+    * IndexStore's probed cells — is inlined as a static IN filter on the
+    * rerank fetch, so the second pass over the base is a PushedFilters
+    * point-fetch (row-group skipping at the scan), not a full re-scan;
+    * past the bound the pool stays distributed and the fetch becomes a
+    * broadcast semi-join on ids. The Hamming scan itself runs exactly once. Fully SQL-expressible (the code is the
     * [[graft.functions.VectorFunctions.signLshBucketAt]] sum both engines
     * compute identically), so the whole two-stage pipeline is
     * DuckDB-oracle-checked — unlike PQ, no codebook export is needed.
@@ -152,7 +154,8 @@ object VectorSearch {
     * every intermediate positive and add one extra POPCNT.
     */
   def knnBinary(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5,
-                rerank: Int = 50): DataFrame = {
+                rerank: Int = 50,
+                maxInlineIds: Int = Tables.MaxInlineIds): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val coded = emb.select(col("vec_id"),
       signLshBucketAt(col("embedding"), 0, 32).as("code_lo"),
@@ -171,11 +174,21 @@ object VectorSearch {
       .filter(col("cr") <= rerank)
       .select(col("qid"), col("vec_id"), col("hamming"))
       .localCheckpoint(true)
-    val candIds = cands.select(col("vec_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // Bounded-inline-id contract (Tables.MaxInlineIds): the candidate pool
+    // is ≤ nq·rerank ids — when that static bound fits, collect and inline
+    // so the rerank fetch is a PushedFilters point-fetch; past it (30k-query
+    // reference batches) the pool stays distributed and the fetch is a
+    // broadcast semi-join on ids — no ~10⁶-literal plan ever exists.
+    val fetch =
+      if (nq.toLong * rerank <= maxInlineIds) {
+        val candIds = cands.select(col("vec_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        emb.filter(col("vec_id").isInCollection(candIds))
+      } else
+        emb.join(broadcast(cands.select(col("vec_id")).distinct()),
+          Seq("vec_id"), "left_semi")
     val rescored = cands
-      .join(emb.filter(col("vec_id").isInCollection(candIds))
-        .select(col("vec_id"), col("embedding")), "vec_id")
+      .join(fetch.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
       .withColumn("sim", dot(col("qvec"), col("embedding")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))

@@ -53,6 +53,36 @@ object AnnProbeRewrite extends Rule[LogicalPlan] {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Float])]]()
 
+  /** Store detection memoized per rows-root path — value is the (parent,
+    * _build_id) pair, or None for a non-store layout. After the first
+    * matching plan over a given path, planning does ZERO filesystem calls:
+    * no exists() probes, no marker read (the per-plan NameNode round-trips
+    * would dominate a high-QPS serving session). In-session rebuilds stay
+    * correct because IndexStore.stampBuildId calls [[invalidate]]; a store
+    * refreshed by an EXTERNAL writer behind a running session needs
+    * [[invalidateAll]] — the same contract as Spark's own file-listing
+    * caches (REFRESH TABLE).
+    */
+  private val detectCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(String, String)]]()
+
+  /** Count of filesystem detection passes (cache misses) — lets the spec
+    * assert the second plan over a store does no IO.
+    */
+  private[graft] val fsDetectCalls = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Drop the memoized detection for `storePath` (the store root, i.e. the
+    * parent of `rows`) so the next plan re-reads its markers.
+    */
+  private[graft] def invalidate(storePath: String): Unit = {
+    val target = new Path(new Path(storePath), "rows").toUri.getPath
+    val it = detectCache.keySet.iterator
+    while (it.hasNext)
+      if (new Path(it.next()).toUri.getPath == target) it.remove()
+  }
+
+  private[graft] def invalidateAll(): Unit = detectCache.clear()
+
   private def enabled: Boolean =
     conf.getConfString("spark.graft.ann.rewrite.enabled", "true").toBoolean
 
@@ -104,32 +134,33 @@ object AnnProbeRewrite extends Rule[LogicalPlan] {
     * `_build_id` artifacts. Scheme-agnostic (hadoop FileSystem), so the
     * same detection works on a lake path.
     */
-  private def storeParent(rel: LogicalRelation): Option[Path] = rel.relation match {
+  private def storeParent(rel: LogicalRelation): Option[(Path, String)] = rel.relation match {
     case fs: HadoopFsRelation if fs.partitionSchema.fieldNames.contains("cell_id") =>
       fs.location.rootPaths.toSeq match {
         case Seq(p) if p.getName == "rows" && p.getParent != null =>
-          val parent = p.getParent
-          val hfs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
-          if (hfs.exists(new Path(parent, "centroids")) &&
-              hfs.exists(new Path(parent, "_build_id"))) Some(parent)
-          else None
+          detectCache.computeIfAbsent(p.toString, _ => {
+            fsDetectCalls.incrementAndGet()
+            val parent = p.getParent
+            val hfs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+            if (hfs.exists(new Path(parent, "centroids")) &&
+                hfs.exists(new Path(parent, "_build_id"))) {
+              val in = hfs.open(new Path(parent, "_build_id"))
+              val buildId =
+                try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+                finally in.close()
+              Some((parent.toString, buildId))
+            } else None
+          }).map { case (parent, buildId) => (new Path(parent), buildId) }
         case _ => None
       }
     case _ => None
   }
 
-  private def loadCentroids(parent: Path): Array[(Int, Array[Float])] = {
-    val spark = SparkSession.active
-    val hfs = parent.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = hfs.open(new Path(parent, "_build_id"))
-    val buildId =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
+  private def loadCentroids(parent: Path, buildId: String): Array[(Int, Array[Float])] =
     centroidCache.computeIfAbsent(s"$parent@$buildId", _ =>
-      spark.read.parquet(new Path(parent, "centroids").toString)
+      SparkSession.active.read.parquet(new Path(parent, "centroids").toString)
         .select("cell_id", "centroid").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).map(_.toFloat).toArray)))
-  }
 
   /** Nearest-first cell ranking, identical to `IndexStore.scoreProbed`:
     * squared L2 against the float-narrowed centroid, left-to-right double
@@ -160,9 +191,9 @@ object AnnProbeRewrite extends Rule[LogicalPlan] {
               if rel.output.exists(_.exprId == embAttr.exprId) &&
                 rel.output.exists(_.name == "cell_id") =>
             storeParent(rel) match {
-              case Some(parent) =>
+              case Some((parent, buildId)) =>
                 val cellAttr = rel.output.find(_.name == "cell_id").get
-                val cents = loadCentroids(parent)
+                val cents = loadCentroids(parent, buildId)
                 val cells = probedCells(qvec, cents, math.min(nprobe, cents.length))
                 val lits: Seq[Literal] = cellAttr.dataType match {
                   case IntegerType => cells.map(c => Literal(c))

@@ -179,11 +179,13 @@ object GraphIndex {
     *
     *  1. hop 0 scores the bounded entry sample against each query
     *     (broadcast cross of ≤ N/stride rows — the "upper layer" descent);
-    *  2. each hop takes the beam best visited per query (window rank),
-    *     collects their node ids (≤ nq·beam driver ints — the same bounded
-    *     metadata as IndexStore's probed cell ids), inlines them as an
-    *     IN-list so the sorted edge scan prunes row groups, equi-joins the
-    *     broadcast frontier, and scores the ≤ nq·beam·M new candidates;
+    *  2. each hop takes the beam best visited per query (window rank);
+    *     when nq·beam fits Tables.MaxInlineIds it collects the node ids
+    *     (bounded driver metadata — same contract as IndexStore's probed
+    *     cell ids) and inlines them as an IN-list so the sorted edge scan
+    *     prunes row groups, otherwise the frontier stays distributed and
+    *     broadcast-joins the edges; either way it scores the ≤ nq·beam·M
+    *     new candidates;
     *  3. visited accumulates with a (qid, vec_id) max-sim dedupe and is
     *     localCheckpointed per hop, so hop h never re-runs hops 0..h-1.
     *
@@ -192,7 +194,8 @@ object GraphIndex {
     * mirroring knnExact's self-exclusion.
     */
   def search(spark: SparkSession, dir: String, path: String, queries: DataFrame,
-             k: Int = 5, beam: Int = 32, hops: Int = 4): DataFrame = {
+             k: Int = 5, beam: Int = 32, hops: Int = 4,
+             maxInlineIds: Int = Tables.MaxInlineIds): DataFrame = {
     import spark.implicits._
     val edges = spark.read.parquet(s"$path/edges")
     val entries = Tables.embeddings(spark, dir)
@@ -203,6 +206,13 @@ object GraphIndex {
     val qLocal = queries.select(col("qid"), col("qvec"))
       .as[(Long, Array[Float])].collect().toSeq
     val qDF = spark.createDataset(qLocal).toDF("qid", "qvec")
+    // Bounded-inline-id contract (Tables.MaxInlineIds): the frontier is
+    // ≤ nq·beam (qid, src) pairs per hop. When that fits the bound it is
+    // collected and inlined so the sorted edge scan prunes row groups via
+    // the IN-list; past it (reference batches 30k queries ⇒ ~10⁶ ids) the
+    // frontier stays distributed and the hop is a broadcast equi-join on
+    // src — same rows, no literal explosion in the plan.
+    val inlineFrontier = qLocal.size.toLong * beam <= maxInlineIds
 
     var visited = qDF.crossJoin(broadcast(entries))
       .withColumn("sim", dot(col("qvec"), col("embedding")))
@@ -210,13 +220,18 @@ object GraphIndex {
       .localCheckpoint()
     val wf = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     for (_ <- 1 to hops) {
-      val frontier = visited.withColumn("fr", row_number().over(wf))
+      val frontierDF = visited.withColumn("fr", row_number().over(wf))
         .filter(col("fr") <= beam).select(col("qid"), col("vec_id"))
-        .as[(Long, Long)].collect().toSeq
-      val fIds = frontier.map(_._2).distinct.sorted
-      val fDF = spark.createDataset(frontier).toDF("qid", "src")
-      val scored = edges.filter(col("src").isin(fIds: _*))
-        .join(broadcast(fDF), "src")
+      val joined =
+        if (inlineFrontier) {
+          val frontier = frontierDF.as[(Long, Long)].collect().toSeq
+          val fIds = frontier.map(_._2).distinct.sorted
+          val fDF = spark.createDataset(frontier).toDF("qid", "src")
+          edges.filter(col("src").isin(fIds: _*)).join(broadcast(fDF), "src")
+        } else
+          edges.join(broadcast(
+            frontierDF.withColumnRenamed("vec_id", "src").localCheckpoint(true)), "src")
+      val scored = joined
         .join(broadcast(qDF), "qid")
         .withColumn("sim", dot(col("qvec"), col("dst_emb")))
         .select(col("qid"), col("dst").as("vec_id"), col("sim"))

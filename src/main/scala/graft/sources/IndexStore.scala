@@ -77,10 +77,15 @@ object IndexStore {
   private[sources] def sourceFpCurrent(path: String, dir: String): Boolean =
     new java.io.File(path, s"_src_fp_${graft.Tables.dirFingerprint(dir)}").exists()
 
-  private def stampBuildId(path: String): Unit =
+  private def stampBuildId(path: String): Unit = {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$path/_build_id"),
       java.util.UUID.randomUUID().toString)
+    // A fresh build id invalidates the planner's memoized store detection
+    // so the very next plan re-reads the marker (and so can never probe
+    // the re-clustered layout through stale centroids).
+    graft.plans.AnnProbeRewrite.invalidate(path)
+  }
 
   /** The build marker of the store at `path`, if present. */
   def buildId(path: String): Option[String] = {

@@ -50,6 +50,31 @@ class AnnRewriteSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.ann.rewrite.enabled", "true")
   }
 
+  test("repeated planning over the same store does zero filesystem detection") {
+    val q = firstQuery
+    def planOnce(): Unit = {
+      val df = IndexStore.flatTopK(spark, path, q.getLong(0), q.getSeq[Float](1).toArray)
+      df.queryExecution.optimizedPlan // force the optimizer pass
+    }
+    planOnce() // warm: may pay the one-time detection (exists + marker read)
+    val before = graft.plans.AnnProbeRewrite.fsDetectCalls.get()
+    planOnce(); planOnce()
+    assert(graft.plans.AnnProbeRewrite.fsDetectCalls.get() == before,
+      "store detection must be memoized — no per-plan filesystem calls")
+  }
+
+  test("a rebuild's fresh _build_id invalidates the memoized detection") {
+    val q = firstQuery
+    IndexStore.flatTopK(spark, path, q.getLong(0), q.getSeq[Float](1).toArray)
+      .queryExecution.optimizedPlan // populate the detection cache
+    val before = graft.plans.AnnProbeRewrite.fsDetectCalls.get()
+    graft.plans.AnnProbeRewrite.invalidate(path) // what stampBuildId does
+    IndexStore.flatTopK(spark, path, q.getLong(0), q.getSeq[Float](1).toArray)
+      .queryExecution.optimizedPlan
+    assert(graft.plans.AnnProbeRewrite.fsDetectCalls.get() == before + 1,
+      "invalidation must force exactly one re-detection on the next plan")
+  }
+
   test("the nprobe conf is the recall dial: nprobe = nlist makes the flat query exact") {
     spark.conf.set("spark.graft.ann.rewrite.nprobe", "1000000")
     try {

@@ -71,6 +71,16 @@ class GraphIndexSpec extends SparkSpec {
     assert(recallAt(32) >= recallAt(4))
   }
 
+  test("past the inline-id bound the frontier broadcast-joins — rows identical") {
+    // maxInlineIds = 0 forces the large-nq path on every hop: the frontier
+    // never collects to the driver and the hop joins the edges instead of
+    // inlining an IN-list. Results must be row-for-row the inline path's.
+    val q = VectorSearch.querySet(spark, sfDir, 5)
+    val inline = GraphIndex.search(spark, sfDir, path, q).collect()
+    val joined = GraphIndex.search(spark, sfDir, path, q, maxInlineIds = 0).collect()
+    assert(inline.toSeq == joined.toSeq)
+  }
+
   test("hop probes prune the sorted edge scan via a pushed IN-filter") {
     val probe = edges.filter($"src".isin(0L, 97L, 194L))
     val scan = probe.queryExecution.executedPlan.toString

@@ -36,6 +36,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("In(vec_id"), p.take(3000))
   }
 
+  test("binary kNN past the inline-id bound plans a semi-join, never a literal id list") {
+    // Forcing the bound to 0 simulates a 30k-query batch: the candidate
+    // pool must stay distributed (broadcast left-semi on ids) and no
+    // driver-collected IN literal may appear anywhere in the plan.
+    val p = plan(graft.operators.VectorSearch.knnBinary(spark, sfDir, maxInlineIds = 0))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("In(vec_id"), "no literal id IN-list above the bound:\n" + p.take(3000))
+  }
+
   test("column pruning reaches the scan: value_counts reads only event_type") {
     val p = plan(Relational.valueCountsTop(spark, sfDir))
     assert(p.contains("ReadSchema: struct<event_type:string>"), p)

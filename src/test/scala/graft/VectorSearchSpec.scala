@@ -191,6 +191,15 @@ class VectorSearchSpec extends SparkSpec {
     bin.unpersist(blocking = false)
   }
 
+  test("binary kNN semi-join fallback (above the inline-id bound) is row-identical") {
+    // maxInlineIds = 0 forces the large-nq fetch path: candidate ids never
+    // collect to the driver and the rerank fetch is a broadcast semi-join.
+    // Same rows, same order, as the inline point-fetch path.
+    val a = VectorSearch.knnBinary(spark, sfDir).collect()
+    val b = VectorSearch.knnBinary(spark, sfDir, maxInlineIds = 0).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("LSH candidates are a subset of exact top-k ordering semantics") {
     // every LSH hit must carry the same sim as exact scoring gives that pair
     val lsh = VectorSearch.knnLsh(spark, sfDir, k = 3, nq = 5, bits = 4)
