@@ -35,8 +35,9 @@ object SparkEntry {
     "knn_batch" -> ((s, d) => VectorSearch.knnBatch(s, d)),
     "knn_batch_oracle" -> ((s, d) => VectorSearch.knnBatchOracle(s, d)),
     "knn_hard_negatives" -> ((s, d) => VectorSearch.hardNegatives(s, d)),
-    // Greedy MMR is not SQL-expressible (each pick conditions the next) —
-    // rows-only here; determinism/containment/diversity pinned in specs.
+    // Greedy MMR: each pick conditions the next, but k = 5 is a FIXED pick
+    // count — the greedy recursion unrolls into 5 CTE argmax steps over the
+    // deterministic candidate pool, so it IS oracle-replayable (mmrSql).
     "knn_mmr" -> ((s, d) => VectorSearch.mmrRerank(s, d).toDF()
       .orderBy(org.apache.spark.sql.functions.col("qid"),
         org.apache.spark.sql.functions.col("rank"))),
@@ -153,10 +154,14 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
     "agg_distinct" -> ((s, d) => Relational.aggDistinct(s, d)),
-    "agg_approx_distinct" -> ((s, d) => Relational.aggApproxDistinct(s, d)),
+    // HLL++ values aren't SQL-recomputable, but the error-bound VERDICT
+    // over the exported estimates is — exact side recomputed by both
+    // engines (export-replay; see Relational.aggApproxDistinctAudit).
+    "agg_approx_distinct" -> ((s, d) => Relational.aggApproxDistinctAudit(s, d)),
     "agg_salted" -> ((s, d) => Relational.aggSalted(s, d)),
     "agg_percentiles" -> ((s, d) => Relational.aggPercentiles(s, d)),
-    "agg_approx_percentile" -> ((s, d) => Relational.aggApproxPercentile(s, d)),
+    // GK rank-error verdict over the exported sketch values (export-replay).
+    "agg_approx_percentile" -> ((s, d) => Relational.aggApproxPercentileAudit(s, d)),
     "agg_winsorized" -> ((s, d) => Relational.aggWinsorized(s, d)),
     "sql_grouping_sets" -> ((s, d) => Relational.sqlGroupingSets(s, d)),
     "agg_moments" -> ((s, d) => Relational.aggMoments(s, d)),
@@ -169,10 +174,11 @@ object SparkEntry {
     "agg_partial_merge" -> ((s, d) => Relational.partialMerge(s, d)),
     "stats_contingency" -> ((s, d) => Relational.contingency(s, d)),
     "schema_drift_union" -> ((s, d) => Relational.schemaDriftUnion(s, d)),
-    // Misra-Gries sketch: approximate, partition-order dependent counts —
-    // deliberately no oracle (§2.12), guarantee-spec'd in HeavyHittersSpec;
-    // exact twins: text_vocab / agg_distinct.
-    "agg_heavy_hitters" -> ((s, d) => HeavyHitters.topTokens(s, d)),
+    // Misra-Gries counts are partition-order dependent, but the classical
+    // undercount guarantee over the exported summary is engine-checkable:
+    // both engines recount the exported tokens exactly and hash-compare
+    // the bound verdict (export-replay; see HeavyHitters.topTokensAudit).
+    "agg_heavy_hitters" -> ((s, d) => HeavyHitters.topTokensAudit(s, d)),
     "events_outliers" -> ((s, d) => Relational.outlierAudit(s, d)),
     "events_gapfill" -> ((s, d) => Relational.gapFill(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
@@ -322,6 +328,55 @@ object SparkEntry {
 
   private def microSql(x: String): String =
     s"CAST(floor(($x)*1000000.0) AS BIGINT)"
+
+  /** Greedy MMR (λ = 0.7, k = 5, pool 30) unrolled into 5 CTE argmax steps
+    * — the same replay trick that oracle'd the graph beam walk: the pick
+    * count is fixed, so "each pick conditions the next" unrolls into a
+    * static chain. Step i scores every unpicked pool row as
+    * 0.7·rel − (1−0.7)·max(pairwise sim vs picks so far) and takes the
+    * argmax (ties → lower vec_id), exactly the mapGroups loop in
+    * [[graft.operators.VectorSearch.mmrRerank]]; rel and the pairwise sims
+    * are the identical left-fold doubles both engines compute bit-for-bit,
+    * and 0.7/(1.0-0.7) parse to the same IEEE doubles in both engines, so
+    * every comparison and the floored micro output agree exactly.
+    */
+  private def mmrSql: String = {
+    val score = "0.7*rel - (1.0-0.7)*red"
+    val steps = (2 to 5).map { i =>
+      s"""r$i AS (SELECT c.qid, c.vec_id, c.rel, max(pr.psim) AS red
+         |      FROM pool c JOIN pairs pr ON pr.qid = c.qid AND pr.v1 = c.vec_id
+         |      JOIN k${i - 1} kk ON kk.qid = pr.qid AND kk.vec_id = pr.v2
+         |      WHERE NOT EXISTS (SELECT 1 FROM k${i - 1} x WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+         |      GROUP BY 1, 2, 3),
+         |p$i AS (SELECT qid, vec_id, score FROM (
+         |      SELECT qid, vec_id, $score AS score,
+         |             row_number() OVER (PARTITION BY qid ORDER BY $score DESC, vec_id) AS rn FROM r$i)
+         |      WHERE rn = 1),
+         |k$i AS (SELECT * FROM k${i - 1} UNION ALL SELECT qid, vec_id FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |s AS (SELECT q.qid, e.vec_id, e.embedding, ${dotSql("q.qvec", "e.embedding")} AS rel
+       |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |pool AS (SELECT qid, vec_id, embedding, rel FROM (
+       |      SELECT qid, vec_id, embedding, rel,
+       |             row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS pr FROM s)
+       |      WHERE pr <= 30),
+       |pairs AS (SELECT a.qid, a.vec_id AS v1, b.vec_id AS v2, ${dotSql("a.embedding", "b.embedding")} AS psim
+       |      FROM pool a JOIN pool b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+       |p1 AS (SELECT qid, vec_id, 0.7*rel AS score FROM (
+       |      SELECT qid, vec_id, rel, row_number() OVER (PARTITION BY qid ORDER BY 0.7*rel DESC, vec_id) AS rn FROM pool)
+       |      WHERE rn = 1),
+       |k1 AS (SELECT qid, vec_id FROM p1),
+       |$steps,
+       |allp AS (SELECT qid, vec_id, 1 AS rank, score FROM p1
+       |  UNION ALL SELECT qid, vec_id, 2, score FROM p2
+       |  UNION ALL SELECT qid, vec_id, 3, score FROM p3
+       |  UNION ALL SELECT qid, vec_id, 4, score FROM p4
+       |  UNION ALL SELECT qid, vec_id, 5, score FROM p5)
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       |       CAST(rank AS BIGINT) AS rank, ${microSql("score")} AS mmr_micro
+       |FROM allp ORDER BY qid, rank""".stripMargin
+  }
 
   /** Sign-LSH bucket over coordinates [offset, offset+bits), mirroring
     * `VectorFunctions.signLshBucketAt`.
@@ -500,6 +555,8 @@ object SparkEntry {
          |       CAST(label AS BIGINT) AS neg_label, CAST(rank AS BIGINT) AS rank,
          |       ${microSql("sim")} AS sim_micro
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Unrolled greedy MMR replay (see mmrSql).
+    "knn_mmr" -> mmrSql,
     // The custom KnnJoinExec path at batch size nq=200 with REAL embedding
     // rows as queries — the SQL replay of the heap+merge physical operator
     // (knn_batch's synthetic 5000-query batch is Featurizer-made and not
@@ -1687,6 +1744,55 @@ object SparkEntry {
         |       CAST(round(quantile_cont(l_quantity, 0.95)*1000000.0) AS BIGINT) AS qty_p95_micro,
         |       CAST(round(quantile_cont(l_extendedprice, 0.5)*1000000.0) AS BIGINT) AS price_p50_micro
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // HLL++ error-bound verdict over the exported estimates: DuckDB
+    // recomputes the EXACT distinct side independently; the verdict allows
+    // 3x the default 5% rsd (err*20 <= exact*3) in pure integers.
+    "agg_approx_distinct" ->
+      s"""WITH a AS (SELECT l_returnflag, approx_orders
+         |           FROM read_parquet('$sketchStorePath/hll_distinct/*.parquet')),
+         |e AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders FROM lineitem GROUP BY 1)
+         |SELECT a.l_returnflag, CAST(a.approx_orders AS BIGINT) AS approx_orders,
+         |       CAST(e.exact_orders AS BIGINT) AS exact_orders,
+         |       CAST(CASE WHEN abs(a.approx_orders - e.exact_orders) * 20 <= e.exact_orders * 3
+         |            THEN 1 ELSE 0 END AS BIGINT) AS within_3sigma
+         |FROM a JOIN e USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+    // GK rank-error verdict: the exported sketch value's exact rank
+    // interval must intersect [t-s, t+s], t = n*q (integer), s = n//1000+1.
+    "agg_approx_percentile" ->
+      s"""WITH a AS (SELECT l_returnflag, p50, p95
+         |           FROM read_parquet('$sketchStorePath/gk_percentile/*.parquet')),
+         |r AS (SELECT a.l_returnflag, a.p50, a.p95, count(*) AS n,
+         |             sum(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) <  a.p50 THEN 1 ELSE 0 END) AS lt50,
+         |             sum(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) <= a.p50 THEN 1 ELSE 0 END) AS le50,
+         |             sum(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) <  a.p95 THEN 1 ELSE 0 END) AS lt95,
+         |             sum(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) <= a.p95 THEN 1 ELSE 0 END) AS le95
+         |      FROM lineitem l JOIN a ON l.l_returnflag = a.l_returnflag
+         |      GROUP BY 1, 2, 3)
+         |SELECT l_returnflag,
+         |       CAST(floor(p50*1000000.0) AS BIGINT) AS p50_micro,
+         |       CAST(floor(p95*1000000.0) AS BIGINT) AS p95_micro,
+         |       CAST(n AS BIGINT) AS n,
+         |       CAST(CASE WHEN le50 >= (n*5 // 10) - (n // 1000 + 1)
+         |                  AND lt50 <= (n*5 // 10) + (n // 1000 + 1) THEN 1 ELSE 0 END AS BIGINT) AS ok_p50,
+         |       CAST(CASE WHEN le95 >= (n*95 // 100) - (n // 1000 + 1)
+         |                  AND lt95 <= (n*95 // 100) + (n // 1000 + 1) THEN 1 ELSE 0 END AS BIGINT) AS ok_p95
+         |FROM r ORDER BY l_returnflag""".stripMargin,
+    // Misra-Gries undercount-guarantee verdict over the exported summary:
+    // count_lb <= exact <= count_lb + n//capacity, exact recounted by both
+    // engines from the corpus.
+    "agg_heavy_hitters" ->
+      s"""WITH ex AS (SELECT token, count_lb FROM read_parquet('$sketchStorePath/mg_top/*.parquet')),
+         |w AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |tot AS (SELECT count(*) AS n FROM w),
+         |cnt AS (SELECT token, count(*) AS exact_n FROM w
+         |        WHERE token IN (SELECT token FROM ex) GROUP BY 1)
+         |SELECT ex.token, CAST(ex.count_lb AS BIGINT) AS count_lb,
+         |       CAST(cnt.exact_n AS BIGINT) AS exact_n,
+         |       CAST(CASE WHEN ex.count_lb <= cnt.exact_n
+         |                  AND cnt.exact_n <= ex.count_lb + (tot.n // 20)
+         |            THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+         |FROM ex JOIN cnt USING (token) CROSS JOIN tot
+         |ORDER BY count_lb DESC, token""".stripMargin,
     // Winsorized stats: clamp at exact [p05, p95], same quantile_cont
     // interpolation; avg over clamped doubles is order-independent enough
     // only because both engines sum the same clamped set — mean surfaces

@@ -147,7 +147,7 @@ object Dedup {
     * from, so regenerated testdata re-exports instead of serving stale
     * sketches, while repeated queries in steady state skip the write.
     */
-  private def ensureExport(path: String, fp: Long)(build: => DataFrame): Unit = {
+  private[graft] def ensureExport(path: String, fp: Long)(build: => DataFrame): Unit = {
     val marker = new java.io.File(path, s"_fp_$fp")
     if (!marker.exists()) {
       build.write.mode("overwrite").parquet(path)

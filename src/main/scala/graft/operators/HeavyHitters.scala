@@ -85,4 +85,35 @@ object HeavyHitters {
     summary.flatMap(identity).toDF("token", "count_lb")
       .orderBy(col("count_lb").desc, col("token"))
   }
+
+  /** Guarantee audit of [[topTokens]] (export-replay oracle): MG counts are
+    * partition-order dependent, so the summary itself can't be SQL-hashed —
+    * but the CLASSICAL GUARANTEE can: every reported count is a lower bound
+    * undercounting by at most n/capacity. The summary is exported once per
+    * corpus content; both engines then recount each exported token EXACTLY
+    * over their own scan of `documents` (plus the total token count n) and
+    * emit the integer verdict count_lb ≤ exact ≤ count_lb + n DIV capacity.
+    * The hash compare checks Spark's exact recount equals DuckDB's and that
+    * both reach the same verdict on the same exported sketch. Audit-twin
+    * pattern of `knn_recall_report`; the production operator stays
+    * [[topTokens]] (exact twins: `text_vocab`, `value_counts_top`).
+    */
+  def topTokensAudit(spark: SparkSession, dir: String, capacity: Int = 20): DataFrame = {
+    val path = s"${graft.operators.Dedup.sketchStorePath(dir)}/mg_top"
+    graft.operators.Dedup.ensureExport(path, Tables.dirFingerprint(dir)) {
+      topTokens(spark, dir, capacity)
+    }
+    val exported = spark.read.parquet(path)
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val total = words.agg(count(lit(1)).as("n"))
+    val exact = words.join(broadcast(exported.select(col("token"))), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+    exported.join(exact, "token")
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("count_lb"), col("exact_n"),
+        expr(s"CAST(count_lb <= exact_n AND exact_n <= count_lb + (n DIV $capacity) AS LONG)")
+          .as("within_bound"))
+      .orderBy(col("count_lb").desc, col("token"))
+  }
 }

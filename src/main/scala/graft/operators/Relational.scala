@@ -309,6 +309,39 @@ object Relational {
       .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Error-bound audit of [[aggApproxDistinct]] — the export-replay oracle
+    * for a sketch whose values SQL can't recompute: the HLL++ estimates
+    * are exported once per corpus content, then BOTH engines join the
+    * export against their own independently computed EXACT distinct counts
+    * and emit bound-verdict rows. The hash compare therefore checks (a)
+    * Spark's exact distinct equals DuckDB's, and (b) the same integer
+    * verdict |approx − exact|·20 ≤ exact·3, i.e. within 15% = 3× the
+    * default 5% rsd (1σ); ApproxSketchSpec pins the measured error far
+    * tighter. Same audit-twin pattern as `knn_recall_report`: the
+    * PRODUCTION operator is the sketch alone ([[aggApproxDistinct]]) —
+    * the exact side here is the verification harness, priced like any
+    * distinct-agg at test SF.
+    */
+  def aggApproxDistinctAudit(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${Dedup.sketchStorePath(dir)}/hll_distinct"
+    Dedup.ensureExport(path, Tables.dirFingerprint(dir)) {
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }
+    val approx = spark.read.parquet(path)
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    approx.join(exact, "l_returnflag")
+      .select(col("l_returnflag"),
+        col("approx_orders").cast("long").as("approx_orders"),
+        col("exact_orders").cast("long").as("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) * lit(20L) <=
+          col("exact_orders") * lit(3L)).cast("long").as("within_3sigma"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Exact interpolated percentiles per group (A-family breadth). Both
     * engines use the same (n−1)·q linear interpolation; outputs are
     * round(1e6·x) — round, not floor: interpolated midpoints land exactly
@@ -413,6 +446,49 @@ object Relational {
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("price_p50_approx"),
         expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("price_p95_approx"))
       .orderBy(col("l_returnflag"))
+
+  /** Rank-error audit of [[aggApproxPercentile]] (export-replay oracle):
+    * the Greenwald–Khanna guarantee is about RANK, not value — the
+    * returned element's rank must lie within ε·n of the target rank q·n,
+    * ε = 1/accuracy = 1/1000. The sketch values (actual data elements,
+    * exported as DOUBLE so the comparisons below are bit-exact in both
+    * engines) are exported once per corpus content; both engines then
+    * count rows strictly-below / at-or-below each exported value in their
+    * own scan of lineitem and emit the integer verdict: the value's rank
+    * interval [cnt_lt+1, cnt_le] must intersect [t−s, t+s] with target
+    * t = n·q (integer DIV) and slack s = n DIV 1000 + 1 (+1 absorbs the
+    * target's own rounding). Audit-twin pattern of `knn_recall_report`;
+    * the production operator stays [[aggApproxPercentile]].
+    */
+  def aggApproxPercentileAudit(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${Dedup.sketchStorePath(dir)}/gk_percentile"
+    Dedup.ensureExport(path, Tables.dirFingerprint(dir)) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(p, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(p, 0.95, 1000)").as("p95"))
+    }
+    val approx = spark.read.parquet(path)
+    val ranks = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
+      .join(broadcast(approx), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("p50"), col("p95"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("p") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("p") < col("p95"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("p") <= col("p95"), 1L).otherwise(0L)).as("le95"))
+    ranks.select(col("l_returnflag"),
+        floor(col("p50") * 1000000.0).cast("long").as("p50_micro"),
+        floor(col("p95") * 1000000.0).cast("long").as("p95_micro"),
+        col("n"),
+        expr("""CAST(le50 >= (n*5 DIV 10) - (n DIV 1000 + 1)
+                 AND lt50 <= (n*5 DIV 10) + (n DIV 1000 + 1) AS LONG)""").as("ok_p50"),
+        expr("""CAST(le95 >= (n*95 DIV 100) - (n DIV 1000 + 1)
+                 AND lt95 <= (n*95 DIV 100) + (n DIV 1000 + 1) AS LONG)""").as("ok_p95"))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** Date-part extraction + calendar grouping (temporal breadth). */
   def timeExtract(spark: SparkSession, dir: String): DataFrame =

@@ -38,18 +38,15 @@ class OperatorSpec extends SparkSpec {
     // exported index); metrics_ops emits wall-clock measurements (rows-only
     // by nature, deterministic columns spec-checked in SweepCatalogSpec);
     // knn_batch's 5000-query batch is Featurizer-synthesized (not SQL-
-    // replayable) — KnnJoinSpec asserts heap ≡ declarative at that nq;
-    // knn_mmr's greedy selection conditions each pick on the previous ones
-    // (not SQL-expressible) — VectorSearchSpec pins determinism/first-pick/
-    // containment/diversity; agg_heavy_hitters is a Misra-Gries sketch
-    // whose counts are partition-order dependent — HeavyHittersSpec pins
-    // the classical guarantees against exact counts instead.
+    // replayable) — KnnJoinSpec asserts heap ≡ declarative at that nq.
     // dedup_minhash_lsh / dedup_simhash graduated to oracle-checked in
     // round 9 (banding/Hamming joins replayed over the exported xxhash64
-    // sketch frames, the knn_ivf exported-artifact pattern)
-    val exempt = Set(
-      "embed_docs", "media_decode", "agg_approx_distinct", "agg_approx_percentile",
-      "metrics_ops", "knn_batch", "knn_mmr", "agg_heavy_hitters")
+    // sketch frames, the knn_ivf exported-artifact pattern);
+    // knn_mmr graduated in round 10 (fixed k=5 unrolls the greedy into
+    // 5 CTE argmax steps — SparkEntry.mmrSql), as did the three approx
+    // sketches (error-bound verdict rows over exported sketch outputs,
+    // exact side recomputed independently by both engines).
+    val exempt = Set("embed_docs", "media_decode", "metrics_ops", "knn_batch")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

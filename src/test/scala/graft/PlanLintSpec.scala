@@ -41,6 +41,7 @@ class PlanLintSpec extends SparkSpec {
     "text_lm_score", "text_commonness", "text_tfidf", // 1-row scalar totals cross
     "text_bm25", "text_vocab",         // 1-row avgdl / vocab-size scalar cross
     "agg_winsorized",                  // 1-row broadcast percentile bounds
+    "agg_heavy_hitters",               // 1-row broadcast total-tokens scalar cross
     "events_gapfill"                   // hour-grid × distinct-types bounded cross
   )
 
