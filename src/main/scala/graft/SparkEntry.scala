@@ -110,6 +110,7 @@ object SparkEntry {
     "text_redact" -> ((s, d) => TextAnalysis.redactQuery(s)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabReport(s, d)),
+    "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
@@ -376,6 +377,52 @@ object SparkEntry {
        |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
        |       CAST(rank AS BIGINT) AS rank, ${microSql("score")} AS mmr_micro
        |FROM allp ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Unrolled BPE merge-round replay (TextAnalysis.bpeMerges): each round
+    * is a CTE block — pair count over the current segmentation, 1-row
+    * lexicographic argmax, gaps-and-islands parity selection (greedy
+    * non-overlapping left-to-right merge), re-segment + renumber. All
+    * integer arithmetic and string equality, so the hash is exact.
+    */
+  private def bpeSql(rounds: Int = 4, topWords: Int = 300): String = {
+    val blocks = (1 to rounds).map { r =>
+      s"""nx$r AS (SELECT word, n, pos, sym,
+         |        lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |      FROM seg${r - 1}),
+         |best$r AS (SELECT sym AS left_sym, nxt AS right_sym,
+         |        CAST(sum(n) AS BIGINT) AS pair_count
+         |      FROM nx$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |      ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+         |sel$r AS (SELECT *, is_cand AND
+         |        (row_number() OVER (PARTITION BY word, is_cand, grp ORDER BY pos) - 1) % 2 = 0 AS selected
+         |      FROM (SELECT *, pos - row_number() OVER (PARTITION BY word, is_cand ORDER BY pos) AS grp
+         |            FROM (SELECT x.*, b.left_sym, b.right_sym, b.pair_count,
+         |                         (nxt IS NOT NULL AND sym = b.left_sym AND nxt = b.right_sym) AS is_cand
+         |                  FROM nx$r x CROSS JOIN best$r b))),
+         |seg$r AS (SELECT word, n,
+         |        CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS BIGINT) AS pos,
+         |        CASE WHEN selected THEN left_sym || right_sym ELSE sym END AS sym
+         |      FROM (SELECT *, COALESCE(lag(selected) OVER (PARTITION BY word ORDER BY pos), false) AS consumed
+         |            FROM sel$r)
+         |      WHERE NOT consumed),
+         |sum$r AS (SELECT CAST($r AS BIGINT) AS merge_round, b.left_sym, b.right_sym, b.pair_count,
+         |        (SELECT CAST(count(*) AS BIGINT) FROM sel$r WHERE selected) AS merge_sites,
+         |        (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM sel$r WHERE selected) AS merged_mass,
+         |        (SELECT CAST(count(DISTINCT sym) AS BIGINT) FROM seg$r) AS vocab_size,
+         |        (SELECT CAST(count(*) AS BIGINT) FROM seg$r) AS n_positions,
+         |        (SELECT CAST(sum(n * length(sym)) AS BIGINT) FROM seg$r) AS char_mass
+         |      FROM best$r b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(r => s"SELECT * FROM sum$r").mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w0
+       |      WHERE length(word) >= 2 GROUP BY 1
+       |      ORDER BY n DESC, word LIMIT $topWords),
+       |seg0 AS (SELECT word, n, CAST(pos AS BIGINT) AS pos, substr(word, pos + 1, 1) AS sym
+       |      FROM (SELECT word, n, unnest(range(length(word))) AS pos FROM wc)),
+       |$blocks
+       |SELECT * FROM ($union) ORDER BY merge_round""".stripMargin
   }
 
   /** Sign-LSH bucket over coordinates [offset, offset+bits), mirroring
@@ -1284,6 +1331,9 @@ object SparkEntry {
         |SELECT rank, word, n, CAST(share_micro AS BIGINT) AS share_micro,
         |       CAST(sum(share_micro) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_share_micro
         |FROM r ORDER BY rank""".stripMargin,
+    // BPE trainer replay: unrolled merge rounds over the bounded word-type
+    // table; greedy non-overlap via the gaps-and-islands parity rule.
+    "text_bpe_merges" -> bpeSql(),
     // Gopher repetition signals: dup-word fraction + top-bigram fraction as
     // integer micros. The oracle computes the bigram mode the relational way
     // (unnest + group + max) — same value as the Spark side's sorted-run fold.

@@ -560,6 +560,93 @@ object TextAnalysis {
         graft.functions.VectorFunctions.micro(col("score")).as("score_micro"))
       .orderBy(col("doc_id"))
 
+  /** BPE pair-merge rounds — the tokenizer-training step after
+    * [[vocabReport]] (Sennrich et al. 2016): start from the word-frequency
+    * table segmented into characters, then repeatedly (1) count adjacent
+    * symbol pairs weighted by word frequency, (2) pick the most frequent
+    * pair (ties broken lexicographically), (3) merge every non-overlapping
+    * occurrence greedily left-to-right. Returns one audit row per round:
+    * the chosen pair, its count, how many sites merged (unweighted and
+    * frequency-weighted), and the post-merge census (distinct symbols,
+    * total positions, weighted character mass — the mass is invariant
+    * across rounds, the conservation law the spec pins).
+    *
+    * Scale shape: the corpus-sized work is ONE map-combined word count;
+    * every merge round then operates on the bounded type table (topWords
+    * word types ≈ a few thousand (word,pos) rows regardless of corpus
+    * size — the classic BPE-trainer trick of training on types × counts,
+    * not tokens). Each round is two small windows over that bounded table
+    * plus a 1-row broadcast argmax; rounds are unrolled lazily into one
+    * DAG, so N rounds = one job.
+    *
+    * Everything is integer arithmetic and string equality, so the DuckDB
+    * oracle replays the unrolled rounds as CTEs bit-identically. Greedy
+    * left-to-right non-overlap is implemented relationally: candidate
+    * sites (sym=left ∧ next=right) form runs only when left=right, and
+    * within a run of consecutive candidates exactly the even offsets merge
+    * — the gaps-and-islands parity rule, identical in both engines.
+    * Segmentation uses substring (code-point based in both Spark's
+    * UTF8String and DuckDB), never an empty-regex split (UTF-16 code-unit
+    * based in Java — astral chars would desynchronize the engines).
+    */
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 4,
+                topWords: Int = 300): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .where(length(col("word")) >= 2) // 1-char types carry no pairs
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(topWords)
+    val seg0 = wc
+      .select(col("word"), col("n"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
+      .select(col("word"), col("n"), col("pos").cast("long").as("pos"),
+        expr("substring(word, pos + 1, 1)").as("sym"))
+
+    val wOrd = Window.partitionBy("word").orderBy("pos")
+    var seg = seg0
+    val summaries = (1 to rounds).map { r =>
+      val nx = seg.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      val best = nx.where(col("nxt").isNotNull)
+        .groupBy(col("sym").as("left_sym"), col("nxt").as("right_sym"))
+        .agg(sum(col("n")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(1)
+      val cand = nx.crossJoin(broadcast(best))
+        .withColumn("is_cand", col("nxt").isNotNull &&
+          col("sym") === col("left_sym") && col("nxt") === col("right_sym"))
+      // Runs of consecutive candidate sites (possible only when
+      // left=right): grp is constant per run; merge the even offsets.
+      val sel = cand
+        .withColumn("grp", col("pos") - row_number().over(
+          Window.partitionBy(col("word"), col("is_cand")).orderBy(col("pos"))))
+        .withColumn("selected", col("is_cand") &&
+          (row_number().over(Window.partitionBy(col("word"), col("is_cand"),
+            col("grp")).orderBy(col("pos"))) - 1) % 2 === 0)
+      val next = sel
+        .withColumn("consumed",
+          coalesce(lag(col("selected"), 1).over(wOrd), lit(false)))
+        .where(!col("consumed"))
+        .select(col("word"), col("n"),
+          (row_number().over(wOrd) - 1).cast("long").as("pos"),
+          when(col("selected"), concat(col("left_sym"), col("right_sym")))
+            .otherwise(col("sym")).as("sym"))
+      val mergeStats = sel.where(col("selected"))
+        .agg(count(lit(1)).as("merge_sites"),
+          coalesce(sum(col("n")), lit(0L)).as("merged_mass"))
+      val census = next.agg(
+        countDistinct(col("sym")).as("vocab_size"),
+        count(lit(1)).as("n_positions"),
+        sum(col("n") * length(col("sym")).cast("long")).as("char_mass"))
+      seg = next
+      best.crossJoin(mergeStats).crossJoin(census)
+        .select(lit(r.toLong).as("merge_round"), col("left_sym"),
+          col("right_sym"), col("pair_count"), col("merge_sites"),
+          col("merged_mass"), col("vocab_size"), col("n_positions"),
+          col("char_mass"))
+    }
+    summaries.reduce(_.unionByName(_)).orderBy(col("merge_round"))
+  }
+
   /** Per-doc quality stats + score (doc_id, nw, nd, mf, score) — the shared
     * front half of [[qualityGate]] and Sampling.qualityTierSample.
     */
