@@ -111,6 +111,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabReport(s, d)),
     "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    "text_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
@@ -385,28 +386,50 @@ object SparkEntry {
     * non-overlapping left-to-right merge), re-segment + renumber. All
     * integer arithmetic and string equality, so the hash is exact.
     */
-  private def bpeSql(rounds: Int = 4, topWords: Int = 300): String = {
+  private def bpeSelResegSql(prevSeg: String, best: String, sel: String,
+                             seg: String): String =
+    s"""$sel AS (SELECT *, is_cand AND
+       |        (row_number() OVER (PARTITION BY word, is_cand, grp ORDER BY pos) - 1) % 2 = 0 AS selected
+       |      FROM (SELECT *, pos - row_number() OVER (PARTITION BY word, is_cand ORDER BY pos) AS grp
+       |            FROM (SELECT x.*, b.left_sym, b.right_sym,
+       |                         (nxt IS NOT NULL AND sym = b.left_sym AND nxt = b.right_sym) AS is_cand
+       |                  FROM (SELECT word, n, pos, sym,
+       |                               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |                        FROM $prevSeg) x CROSS JOIN $best b))),
+       |$seg AS (SELECT word, n,
+       |        CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS BIGINT) AS pos,
+       |        CASE WHEN selected THEN left_sym || right_sym ELSE sym END AS sym
+       |      FROM (SELECT *, COALESCE(lag(selected) OVER (PARTITION BY word ORDER BY pos), false) AS consumed
+       |            FROM $sel)
+       |      WHERE NOT consumed)""".stripMargin
+
+  /** Shared train-side CTEs: corpus word count, bounded type table,
+    * char segmentation, and per-round (best, sel, seg) chain.
+    */
+  private def bpeTrainCtes(rounds: Int, topWords: Int): String = {
     val blocks = (1 to rounds).map { r =>
-      s"""nx$r AS (SELECT word, n, pos, sym,
-         |        lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-         |      FROM seg${r - 1}),
-         |best$r AS (SELECT sym AS left_sym, nxt AS right_sym,
+      s"""best$r AS (SELECT sym AS left_sym, nxt AS right_sym,
          |        CAST(sum(n) AS BIGINT) AS pair_count
-         |      FROM nx$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |      FROM (SELECT word, n, pos, sym,
+         |                   lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |            FROM seg${r - 1})
+         |      WHERE nxt IS NOT NULL GROUP BY 1, 2
          |      ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
-         |sel$r AS (SELECT *, is_cand AND
-         |        (row_number() OVER (PARTITION BY word, is_cand, grp ORDER BY pos) - 1) % 2 = 0 AS selected
-         |      FROM (SELECT *, pos - row_number() OVER (PARTITION BY word, is_cand ORDER BY pos) AS grp
-         |            FROM (SELECT x.*, b.left_sym, b.right_sym, b.pair_count,
-         |                         (nxt IS NOT NULL AND sym = b.left_sym AND nxt = b.right_sym) AS is_cand
-         |                  FROM nx$r x CROSS JOIN best$r b))),
-         |seg$r AS (SELECT word, n,
-         |        CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS BIGINT) AS pos,
-         |        CASE WHEN selected THEN left_sym || right_sym ELSE sym END AS sym
-         |      FROM (SELECT *, COALESCE(lag(selected) OVER (PARTITION BY word ORDER BY pos), false) AS consumed
-         |            FROM sel$r)
-         |      WHERE NOT consumed),
-         |sum$r AS (SELECT CAST($r AS BIGINT) AS merge_round, b.left_sym, b.right_sym, b.pair_count,
+         |""".stripMargin +
+        bpeSelResegSql(s"seg${r - 1}", s"best$r", s"sel$r", s"seg$r")
+    }.mkString(",\n")
+    s"""w0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w0
+       |      WHERE length(word) >= 2 GROUP BY 1
+       |      ORDER BY n DESC, word LIMIT $topWords),
+       |seg0 AS (SELECT word, n, CAST(pos AS BIGINT) AS pos, substr(word, pos + 1, 1) AS sym
+       |      FROM (SELECT word, n, unnest(range(length(word))) AS pos FROM wc)),
+       |$blocks""".stripMargin
+  }
+
+  private def bpeSql(rounds: Int = 4, topWords: Int = 300): String = {
+    val sums = (1 to rounds).map { r =>
+      s"""sum$r AS (SELECT CAST($r AS BIGINT) AS merge_round, b.left_sym, b.right_sym, b.pair_count,
          |        (SELECT CAST(count(*) AS BIGINT) FROM sel$r WHERE selected) AS merge_sites,
          |        (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM sel$r WHERE selected) AS merged_mass,
          |        (SELECT CAST(count(DISTINCT sym) AS BIGINT) FROM seg$r) AS vocab_size,
@@ -415,14 +438,34 @@ object SparkEntry {
          |      FROM best$r b)""".stripMargin
     }.mkString(",\n")
     val union = (1 to rounds).map(r => s"SELECT * FROM sum$r").mkString("\n  UNION ALL ")
-    s"""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w0
-       |      WHERE length(word) >= 2 GROUP BY 1
-       |      ORDER BY n DESC, word LIMIT $topWords),
-       |seg0 AS (SELECT word, n, CAST(pos AS BIGINT) AS pos, substr(word, pos + 1, 1) AS sym
-       |      FROM (SELECT word, n, unnest(range(length(word))) AS pos FROM wc)),
-       |$blocks
+    s"""WITH ${bpeTrainCtes(rounds, topWords)},
+       |$sums
        |SELECT * FROM ($union) ORDER BY merge_round""".stripMargin
+  }
+
+  /** BPE apply-side replay: the train chain re-derives each round's merge
+    * pair, then the same sel/re-segment blocks run over the FULL word-type
+    * table; per-doc counts come from the token-per-type join.
+    */
+  private def bpeEncodeSql(rounds: Int = 4, topWords: Int = 300): String = {
+    val blocks = (1 to rounds).map { r =>
+      bpeSelResegSql(s"eseg${r - 1}", s"best$r", s"esel$r", s"eseg$r")
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(rounds, topWords)},
+       |ew AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w0
+       |      WHERE length(word) >= 1 GROUP BY 1),
+       |eseg0 AS (SELECT word, n, CAST(pos AS BIGINT) AS pos, substr(word, pos + 1, 1) AS sym
+       |      FROM (SELECT word, n, unnest(range(length(word))) AS pos FROM ew)),
+       |$blocks,
+       |tok AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tokens FROM eseg$rounds GROUP BY 1)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+       |       CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST((sum(length(d.word)) - sum(t.n_tokens)) * 1000000 // sum(length(d.word)) AS BIGINT) AS saved_micro
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+       |JOIN tok t ON d.word = t.word
+       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Sign-LSH bucket over coordinates [offset, offset+bits), mirroring
@@ -1334,6 +1377,9 @@ object SparkEntry {
     // BPE trainer replay: unrolled merge rounds over the bounded word-type
     // table; greedy non-overlap via the gaps-and-islands parity rule.
     "text_bpe_merges" -> bpeSql(),
+    // BPE apply replay: the learned pair sequence re-applied to the full
+    // type table, token counts joined back per doc.
+    "text_bpe_encode" -> bpeEncodeSql(),
     // Gopher repetition signals: dup-word fraction + top-bigram fraction as
     // integer micros. The oracle computes the bigram mode the relational way
     // (unnest + group + max) — same value as the Spark side's sorted-run fold.

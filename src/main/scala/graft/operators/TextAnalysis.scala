@@ -591,45 +591,11 @@ object TextAnalysis {
     */
   def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 4,
                 topWords: Int = 300): DataFrame = {
-    val wc = Tables.documents(spark, dir)
-      .select(explode(words(col("text"))).as("word"))
-      .where(length(col("word")) >= 2) // 1-char types carry no pairs
-      .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("word")).limit(topWords)
-    val seg0 = wc
-      .select(col("word"), col("n"),
-        explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
-      .select(col("word"), col("n"), col("pos").cast("long").as("pos"),
-        expr("substring(word, pos + 1, 1)").as("sym"))
-
-    val wOrd = Window.partitionBy("word").orderBy("pos")
-    var seg = seg0
+    var seg = bpeSegment(bpeTrainTypes(spark, dir, topWords))
     val summaries = (1 to rounds).map { r =>
-      val nx = seg.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-      val best = nx.where(col("nxt").isNotNull)
-        .groupBy(col("sym").as("left_sym"), col("nxt").as("right_sym"))
-        .agg(sum(col("n")).as("pair_count"))
-        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
-        .limit(1)
-      val cand = nx.crossJoin(broadcast(best))
-        .withColumn("is_cand", col("nxt").isNotNull &&
-          col("sym") === col("left_sym") && col("nxt") === col("right_sym"))
-      // Runs of consecutive candidate sites (possible only when
-      // left=right): grp is constant per run; merge the even offsets.
-      val sel = cand
-        .withColumn("grp", col("pos") - row_number().over(
-          Window.partitionBy(col("word"), col("is_cand")).orderBy(col("pos"))))
-        .withColumn("selected", col("is_cand") &&
-          (row_number().over(Window.partitionBy(col("word"), col("is_cand"),
-            col("grp")).orderBy(col("pos"))) - 1) % 2 === 0)
-      val next = sel
-        .withColumn("consumed",
-          coalesce(lag(col("selected"), 1).over(wOrd), lit(false)))
-        .where(!col("consumed"))
-        .select(col("word"), col("n"),
-          (row_number().over(wOrd) - 1).cast("long").as("pos"),
-          when(col("selected"), concat(col("left_sym"), col("right_sym")))
-            .otherwise(col("sym")).as("sym"))
+      val best = bpeBestPair(seg)
+      val sel = bpeSelect(seg, best)
+      val next = bpeReSegment(sel)
       val mergeStats = sel.where(col("selected"))
         .agg(count(lit(1)).as("merge_sites"),
           coalesce(sum(col("n")), lit(0L)).as("merged_mass"))
@@ -645,6 +611,114 @@ object TextAnalysis {
           col("char_mass"))
     }
     summaries.reduce(_.unionByName(_)).orderBy(col("merge_round"))
+  }
+
+  /** Tokenize the corpus with the merges [[bpeMerges]] learns — the apply
+    * half of the BPE story (train on types, encode everything). The merge
+    * sequence is re-derived lazily from the train table (each round's
+    * 1-row argmax broadcasts), then applied round-by-round to the FULL
+    * distinct word-type table — merges fire wherever the learned pair
+    * occurs, including in words the bounded train set never saw. Per-doc
+    * token counts come from joining the per-type token count back to the
+    * corpus on the word key (shuffle sized to the vocabulary, never to
+    * positions × corpus). Output per doc: words, chars, BPE tokens, and
+    * the saved-position fraction in integer micros (how much of the
+    * char-level sequence length the learned vocab recovers — the
+    * token-budget planner's input).
+    */
+  def bpeEncode(spark: SparkSession, dir: String, rounds: Int = 4,
+                topWords: Int = 300): DataFrame = {
+    var train = bpeSegment(bpeTrainTypes(spark, dir, topWords))
+    val allTypes = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    var enc = bpeSegment(allTypes)
+    (1 to rounds).foreach { _ =>
+      val best = bpeBestPair(train)
+      train = bpeReSegment(bpeSelect(train, best))
+      enc = bpeReSegment(bpeSelect(enc, best))
+    }
+    val tok = enc.groupBy(col("word")).agg(count(lit(1)).as("n_tokens"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(tok, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("saved_micro",
+        expr("(n_chars - n_tokens) * 1000000 DIV n_chars"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_words"),
+        col("n_chars"), col("n_tokens"), col("saved_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bounded BPE train set: top word types by corpus frequency (1-char
+    * types carry no pairs and are excluded).
+    */
+  private def bpeTrainTypes(spark: SparkSession, dir: String,
+                            topWords: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(topWords)
+
+  /** Character segmentation of a (word, n) type table → (word, n, pos,
+    * sym). substring is code-point based in both Spark and DuckDB.
+    */
+  private def bpeSegment(types: DataFrame): DataFrame =
+    types
+      .select(col("word"), col("n"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
+      .select(col("word"), col("n"), col("pos").cast("long").as("pos"),
+        expr("substring(word, pos + 1, 1)").as("sym"))
+
+  /** Most frequent adjacent pair, weighted by type frequency; 1 row,
+    * lexicographic tie-break.
+    */
+  private def bpeBestPair(seg: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("word").orderBy("pos")
+    seg.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("sym").as("left_sym"), col("nxt").as("right_sym"))
+      .agg(sum(col("n")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(1)
+  }
+
+  /** Mark which candidate sites merge this round. Runs of consecutive
+    * candidate sites are possible only when left=right; grp is constant
+    * per run and the even offsets merge — the gaps-and-islands parity
+    * encoding of greedy left-to-right non-overlap.
+    */
+  private def bpeSelect(seg: DataFrame, best: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("word").orderBy("pos")
+    seg.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      .crossJoin(broadcast(best))
+      .withColumn("is_cand", col("nxt").isNotNull &&
+        col("sym") === col("left_sym") && col("nxt") === col("right_sym"))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("word"), col("is_cand")).orderBy(col("pos"))))
+      .withColumn("selected", col("is_cand") &&
+        (row_number().over(Window.partitionBy(col("word"), col("is_cand"),
+          col("grp")).orderBy(col("pos"))) - 1) % 2 === 0)
+  }
+
+  /** Apply the selected merges: drop consumed positions, concatenate the
+    * pair at selected sites, renumber.
+    */
+  private def bpeReSegment(sel: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("word").orderBy("pos")
+    sel
+      .withColumn("consumed",
+        coalesce(lag(col("selected"), 1).over(wOrd), lit(false)))
+      .where(!col("consumed"))
+      .select(col("word"), col("n"),
+        (row_number().over(wOrd) - 1).cast("long").as("pos"),
+        when(col("selected"), concat(col("left_sym"), col("right_sym")))
+          .otherwise(col("sym")).as("sym"))
   }
 
   /** Per-doc quality stats + score (doc_id, nw, nd, mf, score) — the shared

@@ -82,6 +82,35 @@ class BpeSpec extends SparkSpec {
     assert(vocab == 3L)      // {'aa','a','b'}
   }
 
+  test("bpe encode: tokens bounded by words and chars, saved_micro is the floor-div fraction") {
+    val enc = TextAnalysis.bpeEncode(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(enc.length > 100)
+    enc.foreach { case (_, nWords, nChars, nTokens, saved) =>
+      assert(nWords >= 1L && nTokens >= nWords) // every word is >= 1 token
+      assert(nTokens <= nChars)                 // merging can only shrink
+      assert(saved == (nChars - nTokens) * 1000000L / nChars)
+    }
+    // 4 merge rounds on real text must actually compress something.
+    assert(enc.exists { case (_, _, nChars, nTokens, _) => nTokens < nChars })
+  }
+
+  test("bpe encode matches hand counts on the run corpus (merges apply outside the train set)") {
+    val docs = Seq.fill(9)("aaaa") ++ Seq("ab")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe-enc-spec").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val enc = TextAnalysis.bpeEncode(spark, dir, rounds = 1, topWords = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // round 1 learns (a,a): 'aaaa' -> ['aa','aa'], 'ab' stays 2 chars
+    val aaaa = enc.filter(_._1 < 9)
+    assert(aaaa.size == 9)
+    aaaa.foreach { case (_, w, c, t, s) =>
+      assert(w == 1L && c == 4L && t == 2L && s == 500000L)
+    }
+    assert(enc.find(_._1 == 9L).get == ((9L, 1L, 2L, 2L, 0L)))
+  }
+
   test("bpe merges are deterministic across runs") {
     val again = TextAnalysis.bpeMerges(spark, sfDir)
       .orderBy($"merge_round")
