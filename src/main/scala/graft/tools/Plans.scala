@@ -62,7 +62,9 @@ object Plans {
       "q8_market_share" -> "TPC-H Q8 shape: one big lineitem⋈orders shuffle, every dimension broadcast, conditional-aggregate market-share ratio",
       "knn_binary" -> "binary-quantization kNN: 8-byte sign-code scan (bit_count(xor) POPCNT in codegen), WindowGroupLimit Hamming pool cut, exact-dot rerank joins back only nq·rerank rows",
       "dedup_semantic" -> "SemDeDup over the persisted IVF clustering: within-cell self-join equi-joins on the STORAGE partition key — the quadratic step bounded inside clusters, no corpus-wide shuffle",
-      "sample_dsir" -> "DSIR selection: one tokenize pass collapsed to (doc,bucket) counts, 1024-row log-ratio model broadcast back, TakeOrderedAndProject top-n")
+      "sample_dsir" -> "DSIR selection: one tokenize pass collapsed to (doc,bucket) counts, 1024-row log-ratio model broadcast back, TakeOrderedAndProject top-n",
+      "text_bpe_merges" -> "BPE trainer rounds: corpus work is ONE map-combined word count; each merge round is two windows over the bounded type table + a 1-row broadcast argmax, all rounds one lazy DAG",
+      "text_bpe_encode" -> "BPE apply: learned pair sequence over the FULL word-type table, per-type token counts join back on the word key — shuffle sized to the vocabulary, never positions × corpus")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
