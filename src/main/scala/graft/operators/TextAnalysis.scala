@@ -576,8 +576,13 @@ object TextAnalysis {
     * word types ≈ a few thousand (word,pos) rows regardless of corpus
     * size — the classic BPE-trainer trick of training on types × counts,
     * not tokens). Each round is two small windows over that bounded table
-    * plus a 1-row broadcast argmax; rounds are unrolled lazily into one
-    * DAG, so N rounds = one job.
+    * plus a 1-row broadcast argmax. Like every iterative algorithm on
+    * Spark (cf. graphPagerank's edge checkpoint), each round's
+    * segmentation is localCheckpoint'ed: round r's plan references round
+    * r−1 from BOTH the argmax and the re-segment branch, so an unbroken
+    * lineage doubles per round (2ᴺ plan nodes, minutes of planning/codegen
+    * for bounded-kilobyte data); breaking it keeps every round's plan
+    * shallow and the whole train O(N) tiny jobs.
     *
     * Everything is integer arithmetic and string equality, so the DuckDB
     * oracle replays the unrolled rounds as CTEs bit-identically. Greedy
@@ -591,11 +596,16 @@ object TextAnalysis {
     */
   def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 4,
                 topWords: Int = 300): DataFrame = {
+    // The train table is bounded (topWords types) at ANY corpus scale, so
+    // a few fixed partitions — not the session's shuffle width — is the
+    // right layout: the per-round windows re-use the (word) partitioning
+    // and every round is a handful of tasks instead of 32 near-empty ones.
     var seg = bpeSegment(bpeTrainTypes(spark, dir, topWords))
+      .repartition(4, col("word")).localCheckpoint(false)
     val summaries = (1 to rounds).map { r =>
       val best = bpeBestPair(seg)
       val sel = bpeSelect(seg, best)
-      val next = bpeReSegment(sel)
+      val next = bpeReSegment(sel).repartition(4, col("word")).localCheckpoint(false)
       val mergeStats = sel.where(col("selected"))
         .agg(count(lit(1)).as("merge_sites"),
           coalesce(sum(col("n")), lit(0L)).as("merged_mass"))
@@ -629,15 +639,20 @@ object TextAnalysis {
   def bpeEncode(spark: SparkSession, dir: String, rounds: Int = 4,
                 topWords: Int = 300): DataFrame = {
     var train = bpeSegment(bpeTrainTypes(spark, dir, topWords))
+      .repartition(4, col("word")).localCheckpoint(false)
     val allTypes = Tables.documents(spark, dir)
       .select(explode(words(col("text"))).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    var enc = bpeSegment(allTypes)
+    var enc = bpeSegment(allTypes).localCheckpoint(false)
     (1 to rounds).foreach { _ =>
-      val best = bpeBestPair(train)
+      // One checkpointed argmax row per round: `best` is referenced by
+      // both apply branches AND would otherwise chain each round's plan
+      // into the next (same 2^N lineage blowup as the train loop).
+      val best = bpeBestPair(train).localCheckpoint(false)
       train = bpeReSegment(bpeSelect(train, best))
-      enc = bpeReSegment(bpeSelect(enc, best))
+        .repartition(4, col("word")).localCheckpoint(false)
+      enc = bpeReSegment(bpeSelect(enc, best)).localCheckpoint(false)
     }
     val tok = enc.groupBy(col("word")).agg(count(lit(1)).as("n_tokens"))
     Tables.documents(spark, dir)

@@ -77,8 +77,17 @@ object Plans {
     picks.foreach { case (name, note) =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name\n\n$note\n\n```\n")
-      sb.append(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      val full = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // The operator-tree header shows the plan SHAPE; per-node detail
+      // blocks repeat it. Deeply unrolled plans (the 4-round BPE chain)
+      // produce 10k+ detail lines — cap each dump so the artifact stays
+      // reviewable; the header is never truncated.
+      val lines = full.linesIterator.toSeq
+      val cap = 400
+      if (lines.size <= cap) sb.append(full)
+      else sb.append(lines.take(cap).mkString("\n"))
+        .append(s"\n… truncated (${lines.size} lines total; header above shows the full operator tree)\n")
       sb.append("```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
