@@ -82,6 +82,10 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_paragraph" -> ((s, d) => Dedup.paragraphDedup(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.substringRuns(s, d)),
+    "dedup_substring_stats" -> ((s, d) => Dedup.substringStats(s, d)),
+    "dedup_substring_prune" -> ((s, d) => Dedup.substringPrune(s, d)),
+    "dedup_source_matrix" -> ((s, d) => Dedup.substringSourceMatrix(s, d)),
     "graph_pagerank" -> ((s, d) => Dedup.dupPagerank(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
@@ -579,6 +583,29 @@ object SparkEntry {
       |       CAST(floor(jaccard*1000000.0) AS BIGINT) AS jaccard_micro
       |FROM j WHERE jaccard >= 0.12 ORDER BY id_a, id_b""".stripMargin
 
+  /** Shared CTE block of the suffix-array-style span-dedup pair: positional
+    * word 5-grams (1-based pos, every occurrence kept), count ≥ 2 prune,
+    * cross-doc self-join on the gram, and maximal diagonal runs via
+    * gaps-and-islands — the SQL replay of `Dedup.substringRuns`. Ends with
+    * a `runs(id_a, id_b, pos_a, pos_b, span_words)` CTE.
+    */
+  private val substringRunsCteSql =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g0 AS (SELECT doc_id, unnest(range(1, greatest(len(ws) - 3, 1))) AS pos, ws FROM w),
+      |g AS (SELECT doc_id, pos,
+      |             ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] || ' ' || ws[pos+3] || ' ' || ws[pos+4] AS gram
+      |      FROM g0),
+      |keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+      |      FROM (SELECT g.* FROM g JOIN keep USING (gram)) a
+      |      JOIN (SELECT g.* FROM g JOIN keep USING (gram)) b
+      |        ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |isl AS (SELECT *, pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS i
+      |        FROM m),
+      |runs AS (SELECT id_a, id_b, min(pa) AS pos_a, min(pb) AS pos_b,
+      |                max(pa) - min(pa) + 5 AS span_words
+      |         FROM isl GROUP BY id_a, id_b, pa - pb, i)""".stripMargin
+
   /** The composite corpus-clean pipeline, shared by its two oracle
     * entries: quality gate → keep-first exact dedup → lang-consistency
     * filter.
@@ -1012,6 +1039,71 @@ object SparkEntry {
         |       CAST(CASE WHEN n_a < n_b THEN id_a WHEN n_b < n_a THEN id_b
         |                 ELSE least(id_a, id_b) END AS BIGINT) AS contained_id
         |FROM c WHERE containment_micro >= 500000 ORDER BY id_a, id_b""".stripMargin,
+    // Suffix-array-style span dedup (Lee et al. 2021): positional 5-gram
+    // anchors, diagonal gaps-and-islands, maximal shared runs >= 8 words.
+    // The oracle joins on the gram STRING where the engine joins on its
+    // xxhash64 — same no-collision contract as the shingle family.
+    "dedup_substring" ->
+      s"""WITH $substringRunsCteSql
+         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         |       CAST(pos_a AS BIGINT) AS pos_a, CAST(pos_b AS BIGINT) AS pos_b,
+         |       CAST(span_words AS BIGINT) AS span_words
+         |FROM runs WHERE span_words >= 8 ORDER BY id_a, id_b, pos_a, pos_b""".stripMargin,
+    // Per-doc coverage of duplicated spans: both endpoints contribute an
+    // interval, running-max island merge unions overlaps, frac in micro.
+    "dedup_substring_stats" ->
+      s"""WITH $substringRunsCteSql,
+         |fr AS (SELECT * FROM runs WHERE span_words >= 8),
+         |iv AS (SELECT id_a AS doc_id, pos_a AS s, pos_a + span_words - 1 AS e FROM fr
+         |       UNION ALL
+         |       SELECT id_b, pos_b, pos_b + span_words - 1 FROM fr),
+         |o AS (SELECT doc_id, s, e,
+         |             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      FROM iv),
+         |grp AS (SELECT doc_id, s, e,
+         |               sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+         |                 OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+         |        FROM o),
+         |mrg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, g),
+         |agg AS (SELECT doc_id, count(*) AS dup_spans, sum(e - s + 1) AS dup_words
+         |        FROM mrg GROUP BY doc_id),
+         |nw AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents)
+         |SELECT CAST(agg.doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |       CAST(dup_spans AS BIGINT) AS dup_spans, CAST(dup_words AS BIGINT) AS dup_words,
+         |       CAST(floor(CAST(dup_words AS DOUBLE) / CAST(n_words AS DOUBLE) * 1000000.0) AS BIGINT) AS dup_frac_micro
+         |FROM agg JOIN nw ON nw.doc_id = agg.doc_id ORDER BY doc_id""".stripMargin,
+    // Span-removal action (keep-first by doc_id: every run survives only
+    // in its lowest-id doc). The oracle cuts covered positions with a
+    // correlated NOT EXISTS and rebuilds text with an ordered string_agg.
+    "dedup_substring_prune" ->
+      s"""WITH $substringRunsCteSql,
+         |fr AS (SELECT * FROM runs WHERE span_words >= 8),
+         |iv AS (SELECT id_b AS doc_id, pos_b AS s, pos_b + span_words - 1 AS e FROM fr),
+         |p AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM w),
+         |kp AS (SELECT p.doc_id, pos, ws[pos] AS word FROM p
+         |       WHERE NOT EXISTS (SELECT 1 FROM iv
+         |                         WHERE iv.doc_id = p.doc_id AND pos BETWEEN iv.s AND iv.e)),
+         |ag AS (SELECT doc_id, count(*) AS n_kept,
+         |              string_agg(word, ' ' ORDER BY pos) AS text_kept
+         |       FROM kp GROUP BY doc_id)
+         |SELECT CAST(w.doc_id AS BIGINT) AS doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         |       coalesce(text_kept, '') AS text_kept
+         |FROM w LEFT JOIN ag ON ag.doc_id = w.doc_id ORDER BY doc_id""".stripMargin,
+    // Cross-source contamination matrix over the same runs (unordered
+    // source pair, canonicalized source_a <= source_b).
+    "dedup_source_matrix" ->
+      s"""WITH $substringRunsCteSql,
+         |fr AS (SELECT * FROM runs WHERE span_words >= 8),
+         |src AS (SELECT doc_id, source FROM documents),
+         |e AS (SELECT least(sa.source, sb.source) AS source_a,
+         |             greatest(sa.source, sb.source) AS source_b, span_words
+         |      FROM fr JOIN src sa ON sa.doc_id = fr.id_a
+         |              JOIN src sb ON sb.doc_id = fr.id_b)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_runs,
+         |       CAST(sum(span_words) AS BIGINT) AS dup_words
+         |FROM e GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     // Engine-portable MinHash: one md5 per shingle, Kirsch–Mitzenmacher
     // xxhash64 MinHash banding: the signatures are engine-specific, so the
     // oracle replays the BANDING JOIN over the exported band frame (the

@@ -993,4 +993,162 @@ object Dedup {
           s => s.getField("seg")), " ").as("text_kept"))
       .orderBy(col("doc_id"))
   }
+
+  // --------------------------------------------------- Substring runs --
+
+  /** Positional word k-grams: (doc_id, pos, gram-hash) with 1-based pos.
+    * Unlike [[shingles]] this keeps EVERY occurrence and its position —
+    * the anchor table for span-level (suffix-array-style) dedup.
+    */
+  private def posGrams(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // guard BEFORE sequence(): Spark's sequence(1, 0) descends instead of
+      // being empty, which would mint short phantom grams for < k-word docs
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("ws")) - (k - 1)),
+        i => concat_ws(" ", slice(col("ws"), i, lit(k))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), xxhash64(col("col")).as("gh"))
+
+  /** Span-level exact-duplicate detection, the suffix-array dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better") re-expressed as joins: find every maximal word run of
+    * length ≥ `minSpan` shared verbatim between two distinct documents.
+    *
+    * Anchor-and-extend as pure relational algebra:
+    *  1. positional k-gram inverted index (linear in corpus tokens);
+    *  2. occurrence-count prune (count ≥ 2 cannot drop a cross-doc match;
+    *     `dfCap` is the same recall/cost skew dial as the Jaccard family —
+    *     capping can only shrink or split runs, never invent one);
+    *  3. self-equi-join on the 8-byte gram hash → match points
+    *     (id_a, id_b, pa, pb) with id_a < id_b;
+    *  4. every k-gram inside a shared span matches at consecutive pa on
+    *     one diagonal d = pa − pb, so maximal runs are gaps-and-islands:
+    *     island = pa − row_number() within (pair, diagonal), run length
+    *     = max(pa) − min(pa) + k words.
+    *
+    * Scale shape: no O(n²) anywhere — the join fans out only where grams
+    * collide, the window partitions by (pair, diagonal) whose groups are
+    * span lengths (bounded by document length), and at 100 TB `dfCap`
+    * bounds the hot-gram worst case exactly as in [[ngramJaccardPairs]].
+    *
+    * Returns (id_a, id_b, pos_a, pos_b, span_words), span_words ≥ minSpan.
+    */
+  def substringRuns(spark: SparkSession, dir: String, k: Int = 5, minSpan: Int = 8,
+                    dfCap: Long = Long.MaxValue): DataFrame = {
+    val inv = memoPersist(spark, s"posgrams|$k|$dir|${dirFingerprint(dir)}")(
+      posGrams(spark, dir, k))
+    val keep = inv.groupBy(col("gh")).count()
+      .filter(col("count") >= 2 && col("count") <= dfCap)
+      .select(col("gh"))
+    val inv2 = inv.join(keep, "gh")
+    val m = inv2.as("a").join(inv2.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag")).orderBy(col("pa"))
+    m.withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
+      .agg(min(col("pa")).as("pos_a"), min(col("pb")).as("pos_b"),
+        (max(col("pa")) - min(col("pa")) + k).as("span_words"))
+      .filter(col("span_words") >= minSpan)
+      .select(col("id_a"), col("id_b"), col("pos_a").cast("long").as("pos_a"),
+        col("pos_b").cast("long").as("pos_b"),
+        col("span_words").cast("long").as("span_words"))
+      .orderBy(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"))
+  }
+
+  /** Per-document duplication report over [[substringRuns]]: how much of
+    * each affected document is covered by cross-document duplicated spans
+    * — the number the span-removal pass of a suffix-array pipeline acts
+    * on. Both endpoints of every run contribute an interval; overlapping
+    * intervals are merged (classic running-max island merge) so a word
+    * inside three spans counts once.
+    *
+    * Returns (doc_id, n_words, dup_spans, dup_words, dup_frac_micro) for
+    * documents with ≥ 1 duplicated span.
+    */
+  def substringStats(spark: SparkSession, dir: String, k: Int = 5, minSpan: Int = 8,
+                     dfCap: Long = Long.MaxValue): DataFrame = {
+    val runs = substringRuns(spark, dir, k, minSpan, dfCap)
+    val iv = runs.select(col("id_a").as("doc_id"), col("pos_a").as("s"),
+        (col("pos_a") + col("span_words") - 1).as("e"))
+      .unionAll(runs.select(col("id_b").as("doc_id"), col("pos_b").as("s"),
+        (col("pos_b") + col("span_words") - 1).as("e")))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val merged = iv
+      .withColumn("prev_max", max(col("e")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1).otherwise(0)).over(wOrd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_spans"), sum(col("e") - col("s") + 1).as("dup_words"))
+    val nw = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+    merged.join(nw, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("dup_spans"), col("dup_words"),
+        micro(col("dup_words").cast("double") / col("n_words").cast("double")).as("dup_frac_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The span-REMOVAL action of suffix-array dedup (the transformation
+    * Lee et al. actually apply): every duplicated run survives in exactly
+    * its lowest-id document; the higher-id side's interval is cut. Keep-
+    * first by doc_id makes the survivor deterministic, the same contract
+    * as [[exactDedup]]'s min(doc_id).
+    *
+    * Scale shape: the corpus text NEVER shuffles — the per-doc interval
+    * lists (bounded: a handful of runs per affected doc) aggregate on the
+    * tiny runs frame and join back to the scan, and the cut itself is one
+    * scan-bound `filter(ws, (w, i) -> …)` higher-order function over word
+    * positions. Overlapping intervals need no pre-merge: coverage is an
+    * EXISTS test.
+    *
+    * Returns (doc_id, n_words, n_kept, text_kept) for every document.
+    */
+  def substringPrune(spark: SparkSession, dir: String, k: Int = 5, minSpan: Int = 8,
+                     dfCap: Long = Long.MaxValue): DataFrame = {
+    val runs = substringRuns(spark, dir, k, minSpan, dfCap)
+    val ivs = runs.select(col("id_b").as("doc_id"), col("pos_b").as("s"),
+        (col("pos_b") + col("span_words") - 1).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .join(broadcast(ivs), Seq("doc_id"), "left")
+      // exists() over an unmatched (null) interval list is null → not covered
+      .withColumn("kept", filter(col("ws"), (w, i) =>
+        not(coalesce(exists(col("ivs"), iv =>
+          (i + 1) >= iv.getField("s") && (i + 1) <= iv.getField("e")), lit(false)))))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("text_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-source contamination matrix: which corpus sources share
+    * verbatim spans, and how much — the train/eval-leakage report a
+    * multi-source pipeline runs before mixing. One tiny agg over
+    * [[substringRuns]] joined to the doc→source map (broadcastable at any
+    * corpus scale: sources are few even when docs are billions).
+    *
+    * Returns (source_a, source_b, n_runs, dup_words) with source_a ≤
+    * source_b (unordered pair, canonicalized).
+    */
+  def substringSourceMatrix(spark: SparkSession, dir: String, k: Int = 5, minSpan: Int = 8,
+                            dfCap: Long = Long.MaxValue): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    substringRuns(spark, dir, k, minSpan, dfCap)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("span_words"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_runs"), sum(col("span_words")).as("dup_words"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -40,6 +40,10 @@ class PlanLintSpec extends SparkSpec {
     "metrics_combined",   // 7-row model table cross
     "text_lm_score", "text_commonness", "text_tfidf", // 1-row scalar totals cross
     "text_bm25", "text_vocab",         // 1-row avgdl / vocab-size scalar cross
+    "text_bpe_merges",    // per-round 1-row argmax × 1-row stats × 1-row census
+                          // audit crosses over the bounded type table
+                          // (text_bpe_encode's twins sit behind localCheckpoint
+                          // LogicalRDD barriers, so they don't appear lazily)
     "agg_winsorized",                  // 1-row broadcast percentile bounds
     "agg_heavy_hitters",               // 1-row broadcast total-tokens scalar cross
     "events_gapfill"                   // hour-grid × distinct-types bounded cross
