@@ -126,6 +126,7 @@ object SparkEntry {
     "sample_mix" -> ((s, d) => Sampling.mixSample(s, d)),
     "sample_quality_tiers" -> ((s, d) => Sampling.qualityTierSample(s, d)),
     "corpus_pack" -> ((s, d) => Sampling.packSequences(s, d)),
+    "corpus_shuffle" -> ((s, d) => Sampling.epochShuffle(s, d)),
     "corpus_budget_plan" -> ((s, d) => Sampling.budgetPlan(s, d)),
     "sample_dsir" -> ((s, d) => Sampling.dsirSelect(s, d)),
     "sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d)),
@@ -1583,6 +1584,17 @@ object SparkEntry {
         |SELECT CAST(tier AS BIGINT) AS tier, CAST(doc_id AS BIGINT) AS doc_id,
         |       score_micro, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 50 ORDER BY tier, rn""".stripMargin,
+    // Seeded epoch shuffle: md5(doc_id || ':ep1') order, first-byte shard,
+    // dense within-shard positions — replayed verbatim.
+    "corpus_shuffle" ->
+      """WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':ep1') AS ord FROM documents),
+        |s AS (SELECT doc_id, ord,
+        |         CAST(((strpos('0123456789abcdef', substr(ord, 1, 1)) - 1) * 16 +
+        |               strpos('0123456789abcdef', substr(ord, 2, 1)) - 1) % 8 AS BIGINT) AS shard
+        |      FROM d)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "corpus_pack" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |             md5(CAST(doc_id AS VARCHAR) || ':pack') AS ord

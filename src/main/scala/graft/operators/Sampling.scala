@@ -143,6 +143,31 @@ object Sampling {
       .orderBy(col("tier"), col("rn"))
   }
 
+  /** Seeded epoch shuffle: the deterministic global permutation + shard
+    * layout a training run reads each epoch. Order is md5(`doc_id:ep<e>`)
+    * — a different permutation per epoch, the same permutation on every
+    * re-run (restart-safe data order, unlike `ORDER BY random()`).
+    *
+    * Scale shape: NO global sort — the shard key is the hash's first
+    * byte mod `shards`, each shard orders independently under one window
+    * (widen `shards` ≫ executor count at 100 TB; shards are the output
+    * files a sequential reader consumes). Position is dense 0..n−1 within
+    * the shard.
+    */
+  def epochShuffle(spark: SparkSession, dir: String, epoch: Int = 1,
+                   shards: Int = 8): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(s":ep$epoch"))).as("ord"))
+      .withColumn("shard",
+        ((expr("instr('0123456789abcdef', substring(ord, 1, 1))") - 1) * 16 +
+          expr("instr('0123456789abcdef', substring(ord, 2, 1))") - 1).cast("long") % shards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+    d.withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** Token-budget sequence packing: shuffle documents into a deterministic
     * hash order, then cut the stream into contiguous ~`budget`-token packs —
     * the concat-and-chunk step that turns a cleaned corpus into fixed-length

@@ -163,6 +163,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("epoch shuffle is a deterministic permutation with dense per-shard positions") {
+    val s1 = Sampling.epochShuffle(spark, sfDir).cache()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(s1.count() == nDocs)
+    assert(s1.select("doc_id").distinct().count() == nDocs, "a permutation hits every doc once")
+    val byShard = s1.select($"shard", $"pos").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted.toSeq }
+    byShard.foreach { case (s, ps) =>
+      assert(ps == (0L until ps.length), s"shard $s positions not dense: ${ps.take(5)}")
+    }
+    assert(s1.collect().toSeq == Sampling.epochShuffle(spark, sfDir).collect().toSeq,
+      "same epoch twice = identical order")
+    // different epochs permute differently (first few rows suffice)
+    val e2 = Sampling.epochShuffle(spark, sfDir, epoch = 2)
+    assert(s1.limit(10).collect().toSeq != e2.limit(10).collect().toSeq)
+  }
+
   test("tf-idf ranks a document's rare term above its common term") {
     val r = TextAnalysis.tfIdf(spark, sfDir).cache()
     // within a doc, rank order == score order (desc)
