@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5Pairs(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
+    "dedup_bloom" -> ((s, d) => Dedup.bloomIncrementalDedup(s, d)),
     "dedup_paragraph" -> ((s, d) => Dedup.paragraphDedup(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringRuns(s, d)),
     "dedup_substring_stats" -> ((s, d) => Dedup.substringStats(s, d)),
@@ -120,6 +121,8 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
     "sample_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
+    "sample_split_grouped" -> ((s, d) => Sampling.groupedSplit(s, d)),
+    "corpus_offsets" -> ((s, d) => Sampling.globalOffsets(s, d)),
     "sample_uniform" -> ((s, d) => Sampling.uniformSample(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "sample_domain_cap" -> ((s, d) => Sampling.domainCap(s, d)),
@@ -1146,6 +1149,17 @@ object SparkEntry {
          |FROM bands q JOIN bands c ON q.band = c.band AND q.bk = c.bk
          |WHERE q.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
          |ORDER BY incoming_id, corpus_id""".stripMargin,
+    // Bloom-pruned incremental EXACT dedup: the Bloom filter is a pure
+    // pruning hint (no false negatives; false positives die in the exact
+    // confirm join), so the oracle is the plain md5-content left join the
+    // query is provably equivalent to.
+    "dedup_bloom" ->
+      """WITH ck AS (SELECT md5(text) AS w, min(doc_id) AS dup_of, count(*) AS n_copies
+        |            FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |b AS (SELECT doc_id, md5(text) AS w FROM documents WHERE doc_id % 10 = 0)
+        |SELECT CAST(b.doc_id AS BIGINT) AS doc_id, CAST(ck.dup_of AS BIGINT) AS dup_of,
+        |       CAST(coalesce(ck.n_copies, 0) AS BIGINT) AS n_copies
+        |FROM b LEFT JOIN ck USING (w) ORDER BY doc_id""".stripMargin,
     // Edit-distance near-dup: blocked candidates (>=2 common shingles),
     // exact Levenshtein verify, normalized integer-micro cut.
     "dedup_edit_distance" ->
@@ -1541,6 +1555,30 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(bucket AS BIGINT) AS bucket,
         |       CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+    // Contamination-safe split: the bucket hash runs over the CONTENT key
+    // (md5 of text), so verbatim copies always land in one split.
+    "sample_split_grouped" ->
+      """WITH h AS (SELECT doc_id,
+        |             CAST('0x' || substr(md5(md5(text) || ':gsplit'), 1, 6) AS BIGINT) % 100 AS bucket
+        |           FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // Global token offsets: the oracle runs the NAIVE single-window global
+    // prefix sum; Spark computes the same numbers as a two-phase per-shard
+    // prefix sum (no global sort) — the hash equality is the proof.
+    "corpus_offsets" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |             md5(CAST(doc_id AS VARCHAR) || ':ep1') AS ord
+        |           FROM documents),
+        |s AS (SELECT *, CAST(((strpos('0123456789abcdef', substr(ord, 1, 1)) - 1) * 16 +
+        |                      strpos('0123456789abcdef', substr(ord, 2, 1)) - 1) % 8 AS BIGINT) AS shard
+        |      FROM d)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, shard, n_tokens,
+        |       CAST(sum(n_tokens) OVER (ORDER BY shard, ord, doc_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            - n_tokens AS BIGINT) AS start_offset
+        |FROM s ORDER BY start_offset""".stripMargin,
     "sample_uniform" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
         |FROM documents ORDER BY h8, doc_id LIMIT 50""".stripMargin,

@@ -1151,4 +1151,71 @@ object Dedup {
       .agg(count(lit(1)).as("n_runs"), sum(col("span_words")).as("dup_words"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** Bloom-pruned incremental EXACT dedup — the cheap front gate before
+    * [[incrementalNearDup]]'s LSH probe: is today's batch row verbatim
+    * already in the corpus?
+    *
+    * A plain hash anti-join answers that, but it shuffles the ENTIRE batch
+    * every day even though almost all crawl rows are novel. Instead the
+    * corpus's content-hash set is summarized once into a Bloom filter
+    * (Spark's own `BloomFilterAggregate` — the sketch Catalyst injects for
+    * runtime join pruning, here used deliberately): `might_contain = false`
+    * rows are PROVABLY novel (Bloom filters have no false negatives) and
+    * short-circuit past the join as a pure map-side filter; only the
+    * `maybe` sliver — true duplicates plus ~fpp·|batch| false positives —
+    * pays the exact confirm join, so the result is byte-identical to the
+    * plain join at a fraction of its shuffle. With `numBits` = 8 M over the
+    * corpus hashes the filter is a 1 MiB broadcast literal (the same
+    * bounded-metadata contract as IndexStore's centroids — size is a knob,
+    * never a function of batch size). At 100 TB the filter is a persisted
+    * sidecar updated with each ingest (like [[ensureBandIndex]]'s band
+    * table); here it is rebuilt per call, one map-combined pass over the
+    * corpus hashes.
+    *
+    * The Bloom key is `xxhash64(text)` (fast, long-typed — what the
+    * aggregate requires); the confirm join key is the independent
+    * `md5(text)` witness, so the oracle (which has no xxhash64) replays the
+    * md5 join verbatim and the Bloom stays what it is: a pruning hint with
+    * zero effect on the answer. CrudDedupSpec additionally pins the
+    * bloom≡plain-join equivalence and that definite-novel rows really do
+    * bypass the join.
+    *
+    * Returns (doc_id, dup_of, n_copies): `dup_of` = smallest corpus doc_id
+    * with identical text (null ⇒ novel), `n_copies` = corpus copies found.
+    */
+  def bloomIncrementalDedup(spark: SparkSession, dir: String,
+                            numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), xxhash64(col("text")).as("bh"), md5(col("text")).as("w"))
+
+    // One map-combined pass over the corpus: per-partition filters OR-merge
+    // into a single serialized sketch on the driver (bounded by numBits).
+    val bloomAgg = new BloomFilterAggregate(
+      expression(xxhash64(col("text"))),
+      Literal(1000000L), Literal(numBits)).toAggregateExpression()
+    val bits = corpus.select(column(bloomAgg).as("bf")).head.getAs[Array[Byte]](0)
+    val mightContain = column(BloomFilterMightContain(
+      Literal(bits, BinaryType), expression(col("bh"))))
+
+    val maybe = batch.filter(mightContain)
+    val definiteNovel = batch.filter(!mightContain)
+    val corpusKeys = corpus
+      .select(md5(col("text")).as("w"), col("doc_id").as("cid"))
+      .groupBy(col("w"))
+      .agg(min(col("cid")).as("dup_of"), count(lit(1)).as("n_copies"))
+    val confirmed = maybe.join(corpusKeys, Seq("w"), "left")
+      .select(col("doc_id"), col("dup_of"), coalesce(col("n_copies"), lit(0L)).as("n_copies"))
+    definiteNovel
+      .select(col("doc_id"), lit(null).cast("long").as("dup_of"), lit(0L).as("n_copies"))
+      .unionByName(confirmed)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -357,4 +357,68 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** Contamination-safe train/valid/test split: the split hash is taken
+    * over the CONTENT key (md5 of the text), not the row id, so verbatim
+    * copies of a document can never straddle splits — the leakage mode a
+    * doc_id-hashed split ([[trainTestSplit]]) is blind to when the corpus
+    * still contains duplicates (eval rows that also sit in train score as
+    * memorized). Group-aware splitting is the standard fix; the exact-text
+    * group is the SQL-expressible tier of it (near-dup-cluster splitting
+    * composes this with [[Dedup.dedupClusters]]' representative as the key).
+    *
+    * Still a pure map-side projection — no shuffle, no group materialization:
+    * hashing the content IS the group agreement. Buckets 0..99: < trainPct
+    * train, < trainPct+validPct valid, else test.
+    */
+  def groupedSplit(spark: SparkSession, dir: String,
+                   trainPct: Int = 80, validPct: Int = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(md5(col("text")), lit(":gsplit"))), 1, 6), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + validPct, lit("valid"))
+          .otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+
+  /** Global token offsets over the epoch-shuffled stream: every document's
+    * absolute start position in the concatenated token stream a trainer
+    * reads — the index that lets a checkpoint say "resume at token
+    * 1.7 × 10¹²" and seek straight to the right document.
+    *
+    * A global running sum is trivially `SUM() OVER (ORDER BY ...)` — and
+    * that window is a single-partition global sort, the one shape that
+    * cannot scale. This computes the identical numbers as a TWO-PHASE
+    * prefix sum: (1) within-shard running sums under the per-shard window
+    * ([[epochShuffle]]'s order, shards are independent); (2) per-shard
+    * totals — `shards` rows — cumulated into shard base offsets and
+    * broadcast-joined back. Phase 2's window runs over ≤ `shards` rows
+    * regardless of corpus size, so the global order costs one tiny
+    * driver-size aggregate instead of a corpus-wide sort. The oracle runs
+    * the naive global window and the hashes must agree — that equality IS
+    * the two-phase correctness proof, re-checked at every scale factor.
+    */
+  def globalOffsets(spark: SparkSession, dir: String, epoch: Int = 1,
+                    shards: Int = 8): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit(s":ep$epoch"))).as("ord"))
+      .withColumn("shard",
+        ((expr("instr('0123456789abcdef', substring(ord, 1, 1))") - 1) * 16 +
+          expr("instr('0123456789abcdef', substring(ord, 2, 1))") - 1).cast("long") % shards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = d.withColumn("cum", sum(col("n_tokens")).over(w))
+    val shardW = Window.partitionBy(lit(1)).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val bases = within.groupBy(col("shard")).agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("base", coalesce(sum(col("tot")).over(shardW), lit(0L)))
+      .select(col("shard"), col("base"))
+    within.join(broadcast(bases), "shard")
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("base") + col("cum") - col("n_tokens")).as("start_offset"))
+      .orderBy(col("start_offset"))
+  }
 }

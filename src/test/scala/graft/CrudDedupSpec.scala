@@ -470,4 +470,31 @@ class CrudDedupSpec extends SparkSpec {
     assert(Dedup.sketchMemoSize == after,
       "re-running the pair generators must not persist new sketch tables")
   }
+
+  test("bloom-pruned exact dedup equals the plain content join at any filter size") {
+    val docs = Tables.documents(spark, sfDir)
+    val expected = docs.filter($"doc_id" % 10 === 0).select($"doc_id", md5($"text").as("w"))
+      .join(docs.filter($"doc_id" % 10 =!= 0)
+          .groupBy(md5($"text").as("w"))
+          .agg(min($"doc_id").as("dup_of"), count(lit(1)).as("n_copies")),
+        Seq("w"), "left")
+      .select($"doc_id", $"dup_of", coalesce($"n_copies", lit(0L)).as("n_copies"))
+    def same(numBits: Long): Unit = {
+      val got = Dedup.bloomIncrementalDedup(spark, sfDir, numBits)
+      val diff = got.except(expected).count() + expected.except(got).count()
+      assert(diff == 0, s"bloom(numBits=$numBits) must be byte-identical to the plain join")
+    }
+    same(8L * 1024 * 1024)
+    // a deliberately tiny filter (64 bits -> fpp ~ 1): every false positive
+    // must die in the confirm join — the bloom is a hint, never the answer
+    same(64L)
+  }
+
+  test("bloom-pruned dedup plan: definite-novel branch has no join, maybe branch exactly one") {
+    val plan = Dedup.bloomIncrementalDedup(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "the bloom pruning predicate must be in the plan")
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).length
+    assert(joins == 1, s"exactly one exact-confirm join expected, saw $joins\n$plan")
+  }
 }

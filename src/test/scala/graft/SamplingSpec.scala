@@ -227,4 +227,49 @@ class SamplingSpec extends SparkSpec {
       case _           =>
     }
   }
+
+  test("grouped split: identical texts never straddle splits; partition of the corpus") {
+    val s = Sampling.groupedSplit(spark, sfDir).cache()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(s.count() == total, "every row assigned exactly once")
+    assert(s.select($"doc_id").distinct().count() == total)
+    // contamination safety: every exact-content group lives in ONE split
+    val straddlers = Tables.documents(spark, sfDir).select($"doc_id", md5($"text").as("gk"))
+      .join(s, "doc_id")
+      .groupBy($"gk").agg(countDistinct($"split").as("nsplits"))
+      .filter($"nsplits" > 1).count()
+    assert(straddlers == 0, "a content group must never straddle splits")
+    // rough 80/10/10 shape (group-level hashing, so tolerances are loose)
+    val frac = s.filter($"split" === "train").count().toDouble / total
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac should be near 0.8")
+    s.unpersist(blocking = false)
+  }
+
+  test("global offsets: dense, gapless, and equal to the naive global running sum") {
+    val o = Sampling.globalOffsets(spark, sfDir).cache()
+    import org.apache.spark.sql.expressions.Window
+    // dense: sorting globally by start_offset, each document begins exactly
+    // where the previous one ended
+    val gaps = o.withColumn("nxt",
+        lead($"start_offset", 1).over(Window.partitionBy(lit(1)).orderBy($"start_offset")))
+      .filter($"nxt".isNotNull && $"nxt" =!= $"start_offset" + $"n_tokens")
+      .count()
+    assert(gaps == 0, "offsets must tile the token stream with no gap or overlap")
+    assert(o.agg(min($"start_offset")).as[Long].head() == 0L, "stream starts at token 0")
+    // two-phase result == the naive single-window global prefix sum
+    val naiveW = Window.partitionBy(lit(1)).orderBy($"shard", $"ord", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"),
+        md5(concat($"doc_id".cast("string"), lit(":ep1"))).as("ord"))
+      .withColumn("shard",
+        ((expr("instr('0123456789abcdef', substring(ord, 1, 1))") - 1) * 16 +
+          expr("instr('0123456789abcdef', substring(ord, 2, 1))") - 1).cast("long") % 8)
+      .withColumn("start_offset", sum($"n_tokens").over(naiveW) - $"n_tokens")
+      .select($"doc_id", $"start_offset")
+    val diff = o.select($"doc_id", $"start_offset").except(naive).count() +
+      naive.except(o.select($"doc_id", $"start_offset")).count()
+    assert(diff == 0, "two-phase prefix sum must equal the naive global window")
+    o.unpersist(blocking = false)
+  }
 }
