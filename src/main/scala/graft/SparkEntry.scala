@@ -122,6 +122,7 @@ object SparkEntry {
     "text_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
     "sample_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
     "sample_split_grouped" -> ((s, d) => Sampling.groupedSplit(s, d)),
+    "sample_split_cluster" -> ((s, d) => Sampling.clusterSplit(s, d)),
     "corpus_offsets" -> ((s, d) => Sampling.globalOffsets(s, d)),
     "sample_uniform" -> ((s, d) => Sampling.uniformSample(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -1564,6 +1565,26 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(bucket AS BIGINT) AS bucket,
         |       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+    // Cluster-aware split: same recursive-CTE components as dedup_clusters,
+    // split hash over the component representative (singletons = self).
+    "sample_split_cluster" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($ngramJaccardSql)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+         |cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+         |lab AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+         |h AS (SELECT doc_id, cluster_id,
+         |        CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':csplit'), 1, 6) AS BIGINT) % 100 AS bucket
+         |      FROM lab)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+         |       CAST(bucket AS BIGINT) AS bucket,
+         |       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
     // Global token offsets: the oracle runs the NAIVE single-window global
     // prefix sum; Spark computes the same numbers as a two-phase per-shard
     // prefix sum (no global sort) — the hash equality is the proof.

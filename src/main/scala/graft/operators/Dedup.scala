@@ -667,7 +667,7 @@ object Dedup {
     * reads them, so the session memo mirrors the real lifecycle instead
     * of re-running the O(log n) CC loop per query.
     */
-  private def ccLabels(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+  private[graft] def ccLabels(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     memoPersist(spark, s"ccLabels|$dir|${dirFingerprint(dir)}|$threshold")(
       connectedComponents(
         ngramJaccardPairs(spark, dir, threshold).select(col("id_a"), col("id_b"))))

@@ -383,6 +383,34 @@ object Sampling {
           .otherwise(lit("test")))
       .orderBy(col("doc_id"))
 
+  /** NEAR-DUP-cluster-aware split — the strongest tier of contamination
+    * safety: the split hash runs over the document's near-dup CLUSTER
+    * representative ([[Dedup.ccLabels]]' connected-component min-id over
+    * the n-gram Jaccard graph; singletons represent themselves), so not
+    * just verbatim copies ([[groupedSplit]]) but paraphrased/partially-
+    * edited twins land in one split — the leakage mode that actually
+    * inflates eval scores. The cluster labels are the SAME persisted
+    * artifact `dedup_clusters`/`dedup_keep_best` consume (memoized per
+    * corpus snapshot; a production pipeline materializes them once), so
+    * the split adds one broadcast-size hash projection on top.
+    */
+  def clusterSplit(spark: SparkSession, dir: String,
+                   trainPct: Int = 80, validPct: Int = 10,
+                   threshold: Double = 0.12): DataFrame = {
+    val cc = Dedup.ccLabels(spark, dir, threshold)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(cc, col("doc_id") === cc("node"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("cluster_id").cast("string"), lit(":csplit"))), 1, 6),
+          16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + validPct, lit("valid"))
+          .otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Global token offsets over the epoch-shuffled stream: every document's
     * absolute start position in the concatenated token stream a trainer
     * reads — the index that lets a checkpoint say "resume at token

@@ -245,6 +245,23 @@ class SamplingSpec extends SparkSpec {
     s.unpersist(blocking = false)
   }
 
+  test("cluster split: near-dup PAIRS never straddle splits; partition of the corpus") {
+    val s = Sampling.clusterSplit(spark, sfDir).cache()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(s.count() == total, "every row assigned exactly once")
+    assert(s.select($"doc_id").distinct().count() == total)
+    // the property groupedSplit can't give: even non-verbatim near-dups
+    // (any pair the Jaccard graph connects) share a split
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(spark, sfDir, 0.12)
+      .select($"id_a", $"id_b")
+    val straddlers = pairs
+      .join(s.select($"doc_id".as("id_a"), $"split".as("sa")), "id_a")
+      .join(s.select($"doc_id".as("id_b"), $"split".as("sb")), "id_b")
+      .filter($"sa" =!= $"sb").count()
+    assert(straddlers == 0, "a near-dup pair must never straddle splits")
+    s.unpersist(blocking = false)
+  }
+
   test("global offsets: dense, gapless, and equal to the naive global running sum") {
     val o = Sampling.globalOffsets(spark, sfDir).cache()
     import org.apache.spark.sql.expressions.Window
