@@ -1197,11 +1197,16 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("text")).as("bh"), md5(col("text")).as("w"))
 
     // One map-combined pass over the corpus: per-partition filters OR-merge
-    // into a single serialized sketch on the driver (bounded by numBits).
-    val bloomAgg = new BloomFilterAggregate(
-      expression(xxhash64(col("text"))),
-      Literal(1000000L), Literal(numBits)).toAggregateExpression()
-    val bits = corpus.select(column(bloomAgg).as("bf")).head.getAs[Array[Byte]](0)
+    // into a single serialized sketch on the driver (bounded by numBits) —
+    // then PERSISTED as the corpus's bloom sidecar (BloomSidecar: same
+    // _src_fp staleness cascade as the band index / IVF stores), so every
+    // later batch probe reuses the artifact instead of rescanning.
+    val bits = graft.sources.BloomSidecar.ensure(dir, "content_xxh64", numBits) {
+      val bloomAgg = new BloomFilterAggregate(
+        expression(xxhash64(col("text"))),
+        Literal(1000000L), Literal(numBits)).toAggregateExpression()
+      corpus.select(column(bloomAgg).as("bf")).head.getAs[Array[Byte]](0)
+    }
     val mightContain = column(BloomFilterMightContain(
       Literal(bits, BinaryType), expression(col("bh"))))
 

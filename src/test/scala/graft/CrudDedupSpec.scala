@@ -490,6 +490,38 @@ class CrudDedupSpec extends SparkSpec {
     same(64L)
   }
 
+  test("bloom sidecar: built once per source generation, rebuilt only on regeneration") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val srcDir = s"$tmp/data"; new java.io.File(srcDir).mkdirs()
+    val sidecarRoot = "/root/repo/data/bloom_store/" + srcDir.replaceAll("[^A-Za-z0-9.]", "_")
+    def writeDocs(df: org.apache.spark.sql.DataFrame): Unit = {
+      val staging = s"$tmp/stage"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/documents.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.streaming.StreamOps.rmTree(new java.io.File(staging))
+    }
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      writeDocs(docs)
+      var builds = 0
+      def fetch(): Array[Byte] =
+        graft.sources.BloomSidecar.ensure(srcDir, "spec", 1024) {
+          builds += 1; Array[Byte](1, 2, 3)
+        }
+      assert(fetch().toSeq == Seq[Byte](1, 2, 3)); assert(builds == 1)
+      fetch(); assert(builds == 1, "unchanged source: ensure must serve the persisted sidecar")
+      writeDocs(docs.filter($"doc_id" % 2 === 0))
+      fetch(); assert(builds == 2, "regenerated source must force a sidecar rebuild")
+    } finally {
+      graft.streaming.StreamOps.rmTree(new java.io.File(tmp))
+      graft.streaming.StreamOps.rmTree(new java.io.File(sidecarRoot))
+    }
+  }
+
   test("bloom-pruned dedup plan: definite-novel branch has no join, maybe branch exactly one") {
     val plan = Dedup.bloomIncrementalDedup(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), "the bloom pruning predicate must be in the plan")
