@@ -490,6 +490,31 @@ class CrudDedupSpec extends SparkSpec {
     same(64L)
   }
 
+  test("bloom gate prunes: at the default size the maybe-set collapses to the true dups") {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val bytes = graft.sources.BloomSidecar.ensure(sfDir, "content_xxh64", 8L * 1024 * 1024) {
+      corpus.select(column(new BloomFilterAggregate(expression(xxhash64($"text")),
+        Literal(1000000L), Literal(8L * 1024 * 1024)).toAggregateExpression()).as("bf"))
+        .head.getAs[Array[Byte]](0)
+    }
+    val mc = column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), expression(xxhash64($"text"))))
+    val total = batch.count()
+    val maybe = batch.filter(mc).count()
+    val trueDups = batch.select(md5($"text").as("w"))
+      .join(corpus.select(md5($"text").as("w")).distinct(), "w", "left_semi").count()
+    assert(maybe >= trueDups, "no false negatives, ever")
+    assert(maybe <= trueDups + math.max(1L, total / 100),
+      s"fpp must be ~0 at 1 MiB over this corpus: maybe=$maybe trueDups=$trueDups")
+    assert(maybe < total, "the gate must prune at least some novel rows map-side")
+  }
+
   test("bloom sidecar: built once per source generation, rebuilt only on regeneration") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
     val srcDir = s"$tmp/data"; new java.io.File(srcDir).mkdirs()
