@@ -227,6 +227,7 @@ object SparkEntry {
     "stream_interval_join" -> ((s, d) => StreamOps.streamIntervalJoin(s, d)),
     "stream_knn" -> ((s, d) => StreamOps.streamKnnSearch(s, d)),
     "stream_dedup_ingest" -> ((s, d) => StreamOps.streamDedupIngest(s, d)),
+    "stream_bloom_ingest" -> ((s, d) => StreamOps.streamBloomIngest(s, d)),
     "stream_dedup" -> ((s, d) => StreamOps.streamDedupRun(s, d)),
     "stream_enrich" -> ((s, d) => StreamOps.streamEnrich(s, d)),
     "stream_trending" -> ((s, d) => StreamOps.streamTrending(s, d)),
@@ -773,6 +774,16 @@ object SparkEntry {
     // exported even-half corpus store. Valid against the REAL streaming
     // run because the dedup reference is static — the keep set is
     // batch-split-independent (spec-asserted with maxFilesPerTrigger=1).
+    // Streaming exact dedup gate: the Bloom sketch is a pruning hint with
+    // zero effect on the answer, so the oracle is the plain content
+    // anti-join over the batch side — same replay as dedup_bloom's novels.
+    "stream_bloom_ingest" ->
+      """SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+        |FROM documents d
+        |WHERE d.doc_id % 10 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 10 <> 0 AND md5(c.text) = md5(d.text))
+        |ORDER BY doc_id""".stripMargin,
     "stream_dedup_ingest" -> {
       val half = s"${ivfStorePath}_half"
       s"""WITH cents AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid

@@ -1184,31 +1184,45 @@ object Dedup {
     * Returns (doc_id, dup_of, n_copies): `dup_of` = smallest corpus doc_id
     * with identical text (null ⇒ novel), `n_copies` = corpus copies found.
     */
-  def bloomIncrementalDedup(spark: SparkSession, dir: String,
-                            numBits: Long = 8L * 1024 * 1024): DataFrame = {
+  /** The corpus content-hash Bloom sidecar for `dir` — one map-combined
+    * pass over the corpus side (doc_id % 10 != 0): per-partition filters
+    * OR-merge into a single serialized sketch on the driver (bounded by
+    * numBits), PERSISTED via [[graft.sources.BloomSidecar]] (same _src_fp
+    * staleness cascade as the band index / IVF stores) so every later
+    * batch or micro-batch probe reuses the artifact instead of rescanning.
+    * Shared by [[bloomIncrementalDedup]] and the streaming ingest gate
+    * ([[graft.streaming.StreamOps.streamBloomIngest]]).
+    */
+  private[graft] def ensureContentBloom(spark: SparkSession, dir: String,
+                                        numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    graft.sources.BloomSidecar.ensure(dir, "content_xxh64", numBits) {
+      val bloomAgg = new BloomFilterAggregate(
+        expression(xxhash64(col("text"))),
+        Literal(1000000L), Literal(numBits)).toAggregateExpression()
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 0)
+        .select(column(bloomAgg).as("bf")).head.getAs[Array[Byte]](0)
+    }
+  }
+
+  /** `might_contain(bits, e)` as a Column — the map-side Bloom gate. */
+  private[graft] def mightContainCol(bits: Array[Byte],
+                                     e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
+    column(BloomFilterMightContain(Literal(bits, BinaryType), expression(e)))
+  }
 
+  def bloomIncrementalDedup(spark: SparkSession, dir: String,
+                            numBits: Long = 8L * 1024 * 1024): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), xxhash64(col("text")).as("bh"), md5(col("text")).as("w"))
-
-    // One map-combined pass over the corpus: per-partition filters OR-merge
-    // into a single serialized sketch on the driver (bounded by numBits) —
-    // then PERSISTED as the corpus's bloom sidecar (BloomSidecar: same
-    // _src_fp staleness cascade as the band index / IVF stores), so every
-    // later batch probe reuses the artifact instead of rescanning.
-    val bits = graft.sources.BloomSidecar.ensure(dir, "content_xxh64", numBits) {
-      val bloomAgg = new BloomFilterAggregate(
-        expression(xxhash64(col("text"))),
-        Literal(1000000L), Literal(numBits)).toAggregateExpression()
-      corpus.select(column(bloomAgg).as("bf")).head.getAs[Array[Byte]](0)
-    }
-    val mightContain = column(BloomFilterMightContain(
-      Literal(bits, BinaryType), expression(col("bh"))))
+    val mightContain = mightContainCol(ensureContentBloom(spark, dir, numBits), col("bh"))
 
     val maybe = batch.filter(mightContain)
     val definiteNovel = batch.filter(!mightContain)

@@ -24,7 +24,7 @@ object BloomSidecar {
 
   private val memo = TrieMap.empty[String, Array[Byte]]
 
-  private def root(dir: String): String =
+  private[graft] def root(dir: String): String =
     "/root/repo/data/bloom_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** The sidecar bytes for (dir, name, numBits), building via `build` only

@@ -608,6 +608,69 @@ object StreamOps {
     result.orderBy(col("vec_id"))
   }
 
+  /** Streaming EXACT dedup-on-ingest through the persisted Bloom sidecar —
+    * the near-dup ingest gate's ([[streamDedupIngest]]) exact-content twin,
+    * and the production shape for "have we crawled this page verbatim
+    * before?": every micro-batch applies the corpus's `might_contain`
+    * sketch MAP-SIDE (no join, no shuffle for provably-novel rows — the
+    * overwhelming majority of a crawl) and only the maybe sliver pays the
+    * exact md5 confirm anti-join against the static corpus key frame.
+    * The sidecar is the SAME persisted artifact the batch query
+    * ([[graft.operators.Dedup.bloomIncrementalDedup]]) builds — built once
+    * per source generation, shared across batch and streaming consumers,
+    * invalidated by the `_src_fp` cascade. Kept output = novel doc_ids;
+    * byte-identical to the batch anti-join (the oracle) because Bloom
+    * false positives die in the confirm join and false negatives are
+    * impossible.
+    */
+  def streamBloomIngest(spark: SparkSession, dir: String,
+                        numBits: Long = 8L * 1024 * 1024,
+                        options: Map[String, String] = Map.empty): DataFrame = {
+    val bits = graft.operators.Dedup.ensureContentBloom(spark, dir, numBits)
+    val out = java.nio.file.Files.createTempDirectory("graft-bloomingest").toString
+    val keptDir = s"$out/kept"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val result =
+      try withStreamPartitions(spark) { s =>
+        val corpusKeys = graft.Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 =!= 0)
+          .select(md5(col("text")).as("w")).distinct()
+        val src = s.readStream.schema(schema)
+          .options(options)
+          .option("basePath", dir)
+          .parquet(s"$dir/documents.parquet*")
+          .filter(col("doc_id") % 10 === 0)
+        val q = src.writeStream
+          .option("checkpointLocation", s"$out/chk")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            val b = batch.toDF()
+              .select(col("doc_id"), xxhash64(col("text")).as("bh"),
+                md5(col("text")).as("w"))
+            val gate = graft.operators.Dedup.mightContainCol(bits, col("bh"))
+            val novel = b.filter(!gate).select(col("doc_id"))
+              .unionByName(b.filter(gate)
+                .join(corpusKeys, Seq("w"), "left_anti")
+                .select(col("doc_id")))
+            novel.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(keptDir)
+          }
+          .start()
+        q.awaitTermination()
+        // Explicit read-back schema: all-dup batches leave no data files.
+        val keptSchema = new StructType()
+          .add("doc_id", LongType).add("batch_id", LongType)
+        val kept =
+          if (new java.io.File(keptDir).exists())
+            s.read.schema(keptSchema).parquet(keptDir)
+          else s.createDataFrame(s.sparkContext.emptyRDD[Row], keptSchema)
+        kept.select(col("doc_id")).localCheckpoint(true)
+      } finally rmTree(new java.io.File(out))
+    result.orderBy(col("doc_id"))
+  }
+
   /** CONTINUOUS-trigger streaming kNN — the genuinely unbounded serving
     * loop (every other streaming query here replays with AvailableNow;
     * this one runs `Trigger.ProcessingTime` against the rate source until

@@ -64,7 +64,9 @@ object Plans {
       "dedup_semantic" -> "SemDeDup over the persisted IVF clustering: within-cell self-join equi-joins on the STORAGE partition key — the quadratic step bounded inside clusters, no corpus-wide shuffle",
       "sample_dsir" -> "DSIR selection: one tokenize pass collapsed to (doc,bucket) counts, 1024-row log-ratio model broadcast back, TakeOrderedAndProject top-n",
       "text_bpe_merges" -> "BPE trainer rounds: corpus work is ONE map-combined word count; each merge round is two windows over the bounded type table + a 1-row broadcast argmax, all rounds one lazy DAG",
-      "text_bpe_encode" -> "BPE apply: learned pair sequence over the FULL word-type table, per-type token counts join back on the word key — shuffle sized to the vocabulary, never positions × corpus")
+      "text_bpe_encode" -> "BPE apply: learned pair sequence over the FULL word-type table, per-type token counts join back on the word key — shuffle sized to the vocabulary, never positions × corpus",
+      "dedup_bloom" -> "bloom-pruned incremental exact dedup: might_contain literal gate splits the batch map-side — the definite-novel branch union-bypasses the single md5 confirm join",
+      "corpus_offsets" -> "global token offsets: per-shard window prefix sums + 8-row shard-base cumsum broadcast back — the naive global-ORDER-BY window is never planned")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

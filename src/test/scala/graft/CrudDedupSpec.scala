@@ -518,7 +518,7 @@ class CrudDedupSpec extends SparkSpec {
   test("bloom sidecar: built once per source generation, rebuilt only on regeneration") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
     val srcDir = s"$tmp/data"; new java.io.File(srcDir).mkdirs()
-    val sidecarRoot = "/root/repo/data/bloom_store/" + srcDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val sidecarRoot = graft.sources.BloomSidecar.root(srcDir)
     def writeDocs(df: org.apache.spark.sql.DataFrame): Unit = {
       val staging = s"$tmp/stage"
       df.coalesce(1).write.mode("overwrite").parquet(staging)

@@ -162,6 +162,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bloom ingest gate: streaming keep-set equals the batch novel set, under any split") {
+    val kept = StreamOps.streamBloomIngest(spark, sfDir)
+    val novel = graft.operators.Dedup.bloomIncrementalDedup(spark, sfDir)
+      .filter($"dup_of".isNull).select($"doc_id")
+    assert(kept.exceptAll(novel).isEmpty && novel.exceptAll(kept).isEmpty,
+      "streaming keep-set must equal the batch bloom dedup's novel set")
+    // micro-batch split invariance: two part files + maxFilesPerTrigger=1
+    // forces >=2 batches; the gate probes a static sidecar + key frame, so
+    // the keep set must not depend on how the crawl arrives
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloomsplit").toString
+    try {
+      val d = Tables.documents(spark, sfDir)
+      d.filter($"doc_id" < 250).coalesce(1).write.parquet(s"$tmp/documents.parquet")
+      d.filter($"doc_id" >= 250).coalesce(1).write
+        .mode("append").parquet(s"$tmp/documents.parquet")
+      val single = StreamOps.streamBloomIngest(spark, tmp)
+      val multi = StreamOps.streamBloomIngest(spark, tmp,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      assert(single.exceptAll(multi).isEmpty && multi.exceptAll(single).isEmpty,
+        "keep-set must be identical under any batch split")
+    } finally {
+      StreamOps.rmTree(new java.io.File(tmp))
+      StreamOps.rmTree(new java.io.File(graft.sources.BloomSidecar.root(tmp)))
+    }
+  }
+
   test("streaming kNN search equals the batch probed search over the same store") {
     import graft.sources.IndexStore
     import graft.operators.VectorSearch
