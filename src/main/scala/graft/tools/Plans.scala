@@ -85,9 +85,12 @@ object Plans {
       // blocks repeat it. Deeply unrolled plans (the 4-round BPE chain)
       // produce 10k+ detail lines — cap each dump so the artifact stays
       // reviewable; the header is never truncated.
-      val lines = full.linesIterator.toSeq
+      // Cap line LENGTH too: a literal-bearing expression (dedup_bloom's
+      // 1 MiB serialized sketch) renders as one multi-megabyte hex line.
+      val lines = full.linesIterator.toSeq.map(l =>
+        if (l.length <= 500) l else l.take(500) + s" … [line truncated, ${l.length} chars]")
       val cap = 400
-      if (lines.size <= cap) sb.append(full)
+      if (lines.size <= cap) sb.append(lines.mkString("\n"))
       else sb.append(lines.take(cap).mkString("\n"))
         .append(s"\n… truncated (${lines.size} lines total; header above shows the full operator tree)\n")
       sb.append("```\n")
