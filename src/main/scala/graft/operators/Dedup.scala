@@ -1195,16 +1195,41 @@ object Dedup {
     */
   private[graft] def ensureContentBloom(spark: SparkSession, dir: String,
                                         numBits: Long): Array[Byte] = {
+    graft.sources.BloomSidecar.ensure(dir, "content_xxh64", numBits)(
+      contentBloomOf(Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 0), numBits))
+  }
+
+  /** Bloom filter bytes over xxhash64(text) of an arbitrary document frame
+    * — the per-batch DELTA a day-2 ingest ORs into the persisted sidecar
+    * ([[graft.sources.BloomSidecar.absorb]]). Same aggregate parameters as
+    * [[ensureContentBloom]], so the sketches are merge-compatible. An empty
+    * frame yields an empty (all-zero) filter of the same shape.
+    */
+  private[graft] def contentBloomOf(docs: DataFrame, numBits: Long): Array[Byte] = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    graft.sources.BloomSidecar.ensure(dir, "content_xxh64", numBits) {
-      val bloomAgg = new BloomFilterAggregate(
-        expression(xxhash64(col("text"))),
-        Literal(1000000L), Literal(numBits)).toAggregateExpression()
-      Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 0)
-        .select(column(bloomAgg).as("bf")).head.getAs[Array[Byte]](0)
-    }
+    val agg = new BloomFilterAggregate(
+      expression(xxhash64(col("text"))),
+      Literal(1000000L), Literal(numBits)).toAggregateExpression()
+    Option(docs.select(column(agg).as("bf")).head.getAs[Array[Byte]](0))
+      .getOrElse {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter.create(1000000L, numBits).writeTo(bos)
+        bos.toByteArray
+      }
+  }
+
+  /** Day-2 lifecycle: absorb an ingested batch into the corpus's Bloom
+    * sidecar — one pass over the BATCH only, then a driver-side bit-OR.
+    * After this, [[bloomIncrementalDedup]]/the streaming gate treat the
+    * batch's contents as corpus members without any corpus rescan.
+    */
+  def bloomAbsorbBatch(spark: SparkSession, dir: String, batch: DataFrame,
+                       numBits: Long = 8L * 1024 * 1024): Array[Byte] = {
+    ensureContentBloom(spark, dir, numBits) // no-op when current
+    graft.sources.BloomSidecar.absorb(dir, "content_xxh64", numBits,
+      contentBloomOf(batch, numBits))
   }
 
   /** `might_contain(bits, e)` as a Column — the map-side Bloom gate. */
@@ -1214,6 +1239,20 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
     column(BloomFilterMightContain(Literal(bits, BinaryType), expression(e)))
+  }
+
+  /** Day-2 lifecycle for the persisted band index ([[ensureBandIndex]]):
+    * APPEND an ingested batch's band rows into the bucketed (band, bk)
+    * table — each append lands its rows in their hash buckets under the
+    * same spec, so probes keep the zero-corpus-Exchange property and
+    * tomorrow's batch collides with today's without any index rebuild.
+    */
+  def bandIndexAbsorb(spark: SparkSession, dir: String, batch: DataFrame,
+                      numPerms: Int = 12, bands: Int = 4): String = {
+    val table = ensureBandIndex(spark, dir, numPerms, bands)
+    graft.sources.BucketedStore.appendKeys(
+      md5BandFrame(batch, numPerms, bands), table, Seq("band", "bk"))
+    table
   }
 
   def bloomIncrementalDedup(spark: SparkSession, dir: String,

@@ -47,6 +47,32 @@ object BloomSidecar {
     })
   }
 
+  /** Day-2 maintenance: absorb an ingest delta WITHOUT a corpus rescan.
+    * Bloom union is exact — OR-ing the delta's bits into the sidecar gives
+    * the same filter as rebuilding over corpus ∪ delta — so the merged
+    * sidecar is re-stamped to the source's CURRENT generation. The contract
+    * is the production incremental one: the caller guarantees `delta`
+    * summarizes exactly what was added since the sidecar's generation.
+    * Both filters must share (numBits, numHashFunctions) — i.e. be built
+    * with the same aggregate parameters — or the sketch library refuses
+    * the merge (IncompatibleMergeException, surfaced loudly).
+    */
+  def absorb(dir: String, name: String, numBits: Long, delta: Array[Byte]): Array[Byte] = {
+    val path = s"${root(dir)}/${name}_$numBits"
+    val bin = new java.io.File(path, "bloom.bin")
+    require(bin.exists(), s"no sidecar to absorb into at $path — ensure() first")
+    val merged = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(java.nio.file.Files.readAllBytes(bin.toPath))
+      .mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(delta))
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    val bytes = bos.toByteArray
+    java.nio.file.Files.write(bin.toPath, bytes)
+    IndexStore.stampSourceFp(path, dir)
+    memo.put(s"$path|${graft.Tables.dirFingerprint(dir)}", bytes)
+    bytes
+  }
+
   /** In-process memo size — spec hook (mirrors Dedup.sketchMemoSize). */
   private[graft] def memoSize: Int = memo.size
 }

@@ -33,6 +33,17 @@ object BucketedStore {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
 
+  /** Append to an existing bucketed table with the SAME bucket spec — the
+    * day-2 ingest path: new rows land in their hash buckets (each append
+    * writes its own bucket files; readers union them per bucket), so the
+    * zero-Exchange co-located-join property survives the append.
+    */
+  def appendKeys(df: DataFrame, table: String, keys: Seq[String], buckets: Int = 8): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(table)
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   def drop(spark: SparkSession, table: String): Unit =

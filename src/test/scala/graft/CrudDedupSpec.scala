@@ -547,6 +547,50 @@ class CrudDedupSpec extends SparkSpec {
     }
   }
 
+  test("bloom absorb: a batch delta ORs in with no corpus rescan; band append self-collides") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-absorb").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val bits = 8L * 1024 * 1024
+    var rebuilds = 0
+    try {
+      // --- bloom sidecar lifecycle ---
+      graft.operators.Dedup.ensureContentBloom(spark, tmp, bits)
+      val batch = Tables.documents(spark, tmp).filter($"doc_id" % 10 === 0)
+      val batchHashes = batch.select(xxhash64($"text")).as[Long].collect()
+      val corpusTexts = Tables.documents(spark, tmp).filter($"doc_id" % 10 =!= 0)
+        .select(md5($"text")).as[String].collect().toSet
+      val novelHashes = batch.filter(!md5($"text").isInCollection(corpusTexts))
+        .select(xxhash64($"text")).as[Long].collect()
+      assert(novelHashes.nonEmpty, "testdata sanity: the batch has novel content")
+      val before = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        graft.sources.BloomSidecar.ensure(tmp, "content_xxh64", bits) { rebuilds += 1; fail("must hit memo") })
+      assert(novelHashes.exists(h => !before.mightContainLong(h)),
+        "pre-absorb: some novel batch content must gate as definitely-absent")
+      val after = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        graft.operators.Dedup.bloomAbsorbBatch(spark, tmp, batch, bits))
+      assert(batchHashes.forall(after.mightContainLong),
+        "post-absorb: every batch hash must gate as present (no false negatives)")
+      assert(rebuilds == 0, "absorb must never trigger a corpus rescan")
+      // --- band index lifecycle ---
+      val table = graft.operators.Dedup.bandIndexAbsorb(spark, tmp, batch)
+      val probes = graft.operators.Dedup.md5BandFrame(batch, 12, 4)
+      val selfHits = probes.as("q")
+        .join(spark.table(table).as("c"),
+          $"q.band" === $"c.band" && $"q.bk" === $"c.bk" && $"q.doc_id" === $"c.doc_id",
+          "left_semi")
+        .select($"doc_id").distinct().count()
+      val probed = probes.select($"doc_id").distinct().count()
+      assert(selfHits == probed,
+        "post-append: every batch doc with a band signature must collide with itself")
+    } finally {
+      graft.streaming.StreamOps.rmTree(new java.io.File(tmp))
+      graft.streaming.StreamOps.rmTree(new java.io.File(graft.sources.BloomSidecar.root(tmp)))
+      graft.sources.BucketedStore.drop(spark,
+        "graft_band_index_" + tmp.replaceAll("[^A-Za-z0-9]", "_") + "_12_4")
+    }
+  }
+
   test("bloom-pruned dedup plan: definite-novel branch has no join, maybe branch exactly one") {
     val plan = Dedup.bloomIncrementalDedup(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), "the bloom pruning predicate must be in the plan")
