@@ -183,6 +183,7 @@ object SparkEntry {
     "zorder_box" -> ((s, d) => graft.sources.ZOrderLayout.boxQuery(s, d)),
     "snapshot_diff" -> ((s, d) => Crud.snapshotDiff(s, d)),
     "agg_partial_merge" -> ((s, d) => Relational.partialMerge(s, d)),
+    "agg_incremental_refresh" -> ((s, d) => Relational.incrementalRefresh(s, d)),
     "stats_contingency" -> ((s, d) => Relational.contingency(s, d)),
     "schema_drift_union" -> ((s, d) => Relational.schemaDriftUnion(s, d)),
     // Misra-Gries counts are partition-order dependent, but the classical
@@ -2188,6 +2189,15 @@ object SparkEntry {
     // Partial-aggregate merge: the oracle is the FULL single-pass
     // recompute — the gate itself proves merge == recompute.
     "agg_partial_merge" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
+        |       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Incremental view refresh: persisted-base merge must equal the full
+    // single-pass recompute — the same gate partialMerge passes, but the
+    // engine side never rescans the historical slice (spec-asserted).
+    "agg_incremental_refresh" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c,
         |       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,

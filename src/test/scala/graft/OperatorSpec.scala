@@ -352,4 +352,18 @@ class OperatorSpec extends SparkSpec {
       assert(got == expected, s"phrase $phrase: $got vs $expected")
     }
   }
+
+  test("incremental refresh equals the full merge and never rescans the history") {
+    val got = Relational.incrementalRefresh(spark, sfDir)
+    val full = Relational.partialMerge(spark, sfDir) // == full recompute (its oracle)
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
+      "persisted-base merge must be byte-identical to the full recompute")
+    // the scale property: the refresh plan reads the raw events ONCE (the
+    // delta side); the history arrives via the persisted |keys|-row base
+    val plan = Relational.incrementalRefresh(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val rawScans = "events\\.parquet".r.findAllIn(plan).length
+    assert(rawScans == 1, s"expected exactly one raw events scan, saw $rawScans")
+    assert(plan.contains("graft_agg_base_"), "the base must come from the persisted table")
+  }
 }
