@@ -46,6 +46,25 @@ object IndexStore {
     stampBuildId(path)
   }
 
+  /** Day-2 maintenance: absorb new vectors into an EXISTING store without
+    * re-clustering — assign each to its nearest current centroid (the same
+    * assignment rule queries probe by) and append into the matching
+    * `rows/cell_id=*` partitions. This is what FAISS `index.add` does
+    * post-train (`pipeline.py:321-323` adds to a trained index): centroids
+    * stay fixed, so probed search finds the new rows with zero rebuild;
+    * the documented drift contract is that cells slowly unbalance as data
+    * drifts and a periodic [[rebuild]] (or compaction) re-trains. A fresh
+    * `_build_id` is stamped so dependent artifacts (PqStore codes, the
+    * planner's memoized store detection) see the content change and
+    * re-derive instead of serving a row set they never encoded.
+    */
+  def absorb(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    VectorSearch.assignCells(vectors, centroids)
+      .write.mode("append").partitionBy("cell_id").parquet(s"$path/rows")
+    stampBuildId(path)
+  }
+
   /** The even-vec_id half of a dir's embeddings as its own persisted
     * store — the "existing corpus" the streaming dedup-ingest probes
     * (the odd half plays the incoming crawl). Same canonical-path and

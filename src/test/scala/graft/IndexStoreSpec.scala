@@ -146,6 +146,42 @@ class IndexStoreSpec extends SparkSpec {
     } finally graft.streaming.StreamOps.rmTree(new java.io.File(out))
   }
 
+  test("absorb: new vectors land in their centroid cells, searchable with no rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-absorbstore").toString
+    val store = s"$tmp/store"
+    try {
+      val e = Tables.embeddings(spark, sfDir)
+      val base = e.filter($"vec_id" % 2 === 0)
+      val extra = e.filter($"vec_id" % 2 === 1 && $"vec_id" < 100)
+      IndexStore.writeFrom(base, store)
+      val id1 = IndexStore.buildId(store)
+      IndexStore.absorb(spark, store, extra)
+      assert(IndexStore.buildId(store) != id1,
+        "absorb must stamp a fresh build id (PQ/planner cascade)")
+      val (rows, centroids) = IndexStore.read(spark, store)
+      assert(rows.count() == base.count() + extra.count(), "append, not overwrite")
+      // absorbed rows sit in the cell the CURRENT centroids assign — the
+      // invariant that makes probed search find them without re-clustering
+      val stored = rows.join(extra.select($"vec_id"), "vec_id")
+        .select($"vec_id", $"cell_id".cast("long").as("got_cell"))
+      val expected = graft.operators.VectorSearch.assignCells(extra, centroids)
+        .select($"vec_id", $"cell_id".cast("long").as("want_cell"))
+      assert(stored.join(expected, "vec_id")
+        .filter($"got_cell" =!= $"want_cell").count() == 0)
+      // a probed query AT an absorbed vector must score top-1 at exactly
+      // the vector's self-similarity (itself, or an exact twin)
+      import graft.functions.VectorFunctions
+      val queries = extra.select((-$"vec_id").as("qid"), $"embedding".as("qvec"))
+      val selfSim = extra.select((-$"vec_id").as("qid"),
+        VectorFunctions.micro(VectorFunctions.dot($"embedding", $"embedding")).as("want_micro"))
+      val bad = IndexStore.searchPruned(spark, store, queries, k = 1)
+        .filter($"rank" === 1)
+        .join(selfSim, "qid")
+        .filter($"sim_micro" =!= $"want_micro").count()
+      assert(bad == 0, "every absorbed vector must be found at its self-similarity")
+    } finally graft.streaming.StreamOps.rmTree(new java.io.File(tmp))
+  }
+
   test("ensure rebuilds when the source data is regenerated, and only then") {
     // The driver rewrites the testdata between rounds; a store keyed only
     // on artifact EXISTENCE would keep serving the previous corpus's
