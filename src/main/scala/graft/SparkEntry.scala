@@ -153,6 +153,8 @@ object SparkEntry {
     "q3_shipping" -> ((s, d) => Relational.q3Shipping(s, d)),
     "q5_local_supplier" -> ((s, d) => Relational.q5LocalSupplier(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
+    "q18_big_customers" -> ((s, d) => Relational.q18BigCustomers(s, d)),
+    "q14_promo_share" -> ((s, d) => Relational.q14PromoShare(s, d)),
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     "join_salted_skew" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
     "join_semi" -> ((s, d) => Relational.semiJoin(s, d)),
@@ -1751,6 +1753,28 @@ object SparkEntry {
          |     JOIN nation ON c_nationkey = n_nationkey
          |WHERE l_returnflag = 'R'
          |GROUP BY 1, 2, 3 ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin,
+    // Q18-shaped big customers: the HAVING aggregate prunes before joins.
+    "q18_big_customers" ->
+      """WITH big AS (SELECT l_orderkey,
+        |               CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))*100 AS BIGINT) AS sum_qty_c
+        |             FROM lineitem GROUP BY 1
+        |             HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))*100 AS BIGINT) > 25000)
+        |SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+        |       CAST(b.l_orderkey AS BIGINT) AS o_orderkey,
+        |       CAST(CAST(o.o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS o_totalprice_c,
+        |       b.sum_qty_c
+        |FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |     JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY sum_qty_c DESC, o_orderkey""".stripMargin,
+    // Q14-shaped promo share: conditional sums + BIGINT floor division.
+    "q14_promo_share" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         |       CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPrice ELSE 0 END)*10000 AS BIGINT) AS promo_c,
+         |       CAST(sum($discPrice)*10000 AS BIGINT) AS total_c,
+         |       (CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPrice ELSE 0 END)*10000 AS BIGINT) * 1000000)
+         |         // CAST(sum($discPrice)*10000 AS BIGINT) AS promo_share_micro
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Q8-shaped market-share: same 8-table join; the share is replayed with
     // the exact BIGINT floor division the engine uses (// in DuckDB ≡ DIV).
     "q8_market_share" ->

@@ -142,6 +142,48 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  /** TPC-H Q18-shaped large-volume customers: orders whose total quantity
+    * clears a threshold, enriched with customer attribution. The HAVING
+    * side is a lineitem-only map-combined hash aggregate whose filter
+    * kills ~99% of groups BEFORE any join — only surviving orderkeys
+    * (a sliver at any scale) reach orders ⋈ broadcast customer, the
+    * aggregate-then-semi-enrich shape that keeps the join input tiny.
+    */
+  def q18BigCustomers(spark: SparkSession, dir: String, minQty: Int = 250): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg((sum(dec2(col("l_quantity"))) * 100).cast("long").as("sum_qty_c"))
+      .filter(col("sum_qty_c") > minQty * 100L)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    big.join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("l_orderkey").cast("long").as("o_orderkey"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("o_totalprice_c"),
+        col("sum_qty_c"))
+      .orderBy(col("sum_qty_c").desc, col("o_orderkey"))
+  }
+
+  /** TPC-H Q14-shaped promo revenue share by ship month: lineitem ⋈
+    * broadcast part, promo/total as TWO conditional sums in ONE aggregate
+    * (never a second pass), share as integer micro via BIGINT floor
+    * division — the [[q8MarketShare]] fixed-point idiom, oracle-exact.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .withColumn("rev_c", ((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("decimal(18,4)") * 10000).cast("long"))
+      .groupBy(col("month"))
+      .agg(sum(when(col("p_type") === lit("PROMO"), col("rev_c")).otherwise(lit(0L))).as("promo_c"),
+        sum(col("rev_c")).as("total_c"))
+      .withColumn("promo_share_micro", expr("(promo_c * 1000000) DIV total_c"))
+      .orderBy(col("month"))
+  }
+
   /** Skew-mitigated equi-join by explicit key salting — the join-side
     * complement of [[aggSalted]]. The fact side tags each row with
     * `salt = pmod(xxhash64(event_id), S)`; the dimension side is
