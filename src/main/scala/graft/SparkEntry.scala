@@ -55,6 +55,7 @@ object SparkEntry {
     "knn_tombstone" -> ((s, d) => graft.sources.IndexStore.searchTombstoned(s, d)),
     "knn_recall_report" -> ((s, d) => graft.sources.IndexStore.recallReport(s, d)),
     "knn_recall_curve" -> ((s, d) => graft.sources.IndexStore.recallSweep(s, d)),
+    "knn_autotune" -> ((s, d) => graft.sources.IndexStore.autoTuneSearch(s, d)),
     "knn_pq" -> ((s, d) => graft.sources.PqStore.searchQuery(s, d)),
     "knn_doc_join" -> ((s, d) => VectorSearch.knnDocJoin(s, d)),
     "vec_normalize" -> ((s, d) => VectorSearch.normalizeQuery(s, d)),
@@ -856,6 +857,39 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN h.cr <= l.nprobe THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_micro
          |FROM lv l CROSS JOIN hit h
          |GROUP BY l.nprobe ORDER BY nprobe""".stripMargin,
+    // Auto-tuned probed search: the recall curve picks the smallest
+    // measured nprobe clearing the target, then the probed search runs at
+    // that knob — the whole decision replayed in one statement.
+    "knn_autotune" ->
+      s"""WITH cents AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |               FROM read_parquet('$ivfStorePath/centroids/*.parquet')),
+         |r AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id, embedding
+         |      FROM read_parquet('$ivfStorePath/rows/*/*.parquet', hive_partitioning=1)),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |qc AS (SELECT q.qid, q.qvec, c.cell_id, ${sqDistCentroidSql("q.qvec", "c.centroid")} AS d2
+         |       FROM q CROSS JOIN cents c),
+         |pr AS (SELECT qid, qvec, cell_id, row_number() OVER (PARTITION BY qid ORDER BY d2, cell_id) AS cr FROM qc),
+         |s0 AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |ex AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s0),
+         |exact AS (SELECT qid, vec_id FROM ex WHERE rank <= 5),
+         |hit AS (SELECT e.qid, p.cr FROM exact e
+         |        JOIN r ON r.vec_id = e.vec_id
+         |        JOIN pr p ON p.qid = e.qid AND p.cell_id = r.cell_id),
+         |lv AS (SELECT DISTINCT nprobe FROM
+         |       (SELECT unnest([1, 2, 5, 10, (SELECT count(*) FROM cents)]) AS nprobe)),
+         |curve AS (SELECT l.nprobe,
+         |            sum(CASE WHEN h.cr <= l.nprobe THEN 1 ELSE 0 END) * 1000000 // count(*) AS recall_micro
+         |          FROM lv l CROSS JOIN hit h GROUP BY 1),
+         |tuned AS (SELECT min(nprobe) AS np FROM curve WHERE recall_micro >= 900000),
+         |probed AS (SELECT qid, qvec, cell_id FROM pr WHERE cr <= (SELECT np FROM tuned)),
+         |sc AS (SELECT p.qid, rr.vec_id, ${dotSql("p.qvec", "rr.embedding")} AS sim
+         |       FROM r rr JOIN probed p USING (cell_id) WHERE rr.vec_id <> p.qid),
+         |rk AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+         |       CAST(rank AS BIGINT) AS rank, ${microSql("sim")} AS sim_micro,
+         |       (SELECT CAST(np AS BIGINT) FROM tuned) AS nprobe
+         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // Radius search replayed over the same exported IVF artifacts: probe
     // the 10 nearest cells, then a micro-threshold cut instead of top-k.
     "knn_range_ivf" ->

@@ -290,6 +290,29 @@ object IndexStore {
       .orderBy(col("nprobe"))
   }
 
+  /** Self-tuning probed search: pick the SMALLEST measured nprobe whose
+    * recall@k clears the target ([[recallSweep]]'s curve — recall at
+    * nprobe = nlist is 1.0 by construction, so a feasible level always
+    * exists for target ≤ 1.0), then run the partition-pruned search with
+    * that knob. This is the auto-tune loop every vector DB wraps around
+    * its ef/nprobe dial (Milvus ef, FAISS nprobe), done the database way:
+    * derive the knob from MEASURED statistics on the persisted artifact,
+    * not from a hand-tuned constant. The curve costs one bounded sweep
+    * (nq·k hit rows), the decision is a driver-side min over ≤ |levels|
+    * rows, and the search itself stays the static-INSET pruned scan.
+    * The chosen knob is surfaced as a column so callers (and the oracle)
+    * can audit the decision.
+    */
+  def autoTuneSearch(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5,
+                     targetRecallMicro: Long = 900000L): DataFrame = {
+    val np = recallSweep(spark, dir, k, nq) // ensures the store
+      .filter(col("recall_micro") >= targetRecallMicro)
+      .agg(min(col("nprobe"))).head.getLong(0)
+    searchPruned(spark, defaultPath(dir),
+      VectorSearch.querySet(spark, dir, nq), k, nprobe = np.toInt)
+      .withColumn("nprobe", lit(np))
+  }
+
   /** Offline compaction/rebuild — the maintenance half of
     * [[searchTombstoned]]: fold the tombstones in (drop dead rows),
     * RETRAIN the coarse quantizer on the live set (cluster drift after

@@ -146,6 +146,27 @@ class IndexStoreSpec extends SparkSpec {
     } finally graft.streaming.StreamOps.rmTree(new java.io.File(out))
   }
 
+  test("auto-tune picks the smallest measured nprobe meeting the recall target") {
+    val target = 900000L
+    val curve = IndexStore.recallSweep(spark, sfDir)
+      .select($"nprobe".as[Long], $"recall_micro".as[Long]).collect().toSeq
+    val feasible = curve.filter(_._2 >= target).map(_._1)
+    assert(feasible.nonEmpty, "nprobe = nlist has recall 1.0 by construction")
+    val tuned = IndexStore.autoTuneSearch(spark, sfDir).cache()
+    val np = tuned.select($"nprobe").distinct().as[Long].collect()
+    assert(np.toSeq == Seq(feasible.min), s"chose ${np.toSeq}, measured curve $curve")
+    // the tuned result IS the pruned search at the chosen knob
+    val direct = IndexStore.searchPruned(spark, IndexStore.defaultPath(sfDir),
+      graft.operators.VectorSearch.querySet(spark, sfDir, 5), 5, feasible.min.toInt)
+    val got = tuned.drop("nprobe")
+    assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty)
+    // no cheaper measured level would have met the target
+    curve.filter(_._1 < feasible.min).foreach { case (l, rec) =>
+      assert(rec < target, s"level $l already met the target; min was not minimal")
+    }
+    tuned.unpersist(blocking = false)
+  }
+
   test("absorb: new vectors land in their centroid cells, searchable with no rebuild") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-absorbstore").toString
     val store = s"$tmp/store"
