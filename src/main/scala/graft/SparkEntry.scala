@@ -188,6 +188,8 @@ object SparkEntry {
     "agg_partial_merge" -> ((s, d) => Relational.partialMerge(s, d)),
     "agg_incremental_refresh" -> ((s, d) => Relational.incrementalRefresh(s, d)),
     "stats_contingency" -> ((s, d) => Relational.contingency(s, d)),
+    "stats_skew_report" -> ((s, d) => Relational.skewReport(s, d)),
+    "text_heaps_curve" -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
     "schema_drift_union" -> ((s, d) => Relational.schemaDriftUnion(s, d)),
     // Misra-Gries counts are partition-order dependent, but the classical
     // undercount guarantee over the exported summary is engine-checkable:
@@ -2369,6 +2371,30 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Contingency audit: expected-under-independence in integer micro;
     // the n scalar folds into both engines' floor division identically.
+    // Join-key skew preflight: top-N hot keys + max/mean skew ratio, all
+    // integer-micro BIGINT floor divisions.
+    "stats_skew_report" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys,
+        |             CAST(max(cnt) AS BIGINT) AS max_cnt FROM c)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, cnt,
+        |       CAST(cnt * 1000000 // total AS BIGINT) AS share_micro, n_keys,
+        |       CAST(max_cnt * n_keys * 1000000 // total AS BIGINT) AS skew_ratio_micro
+        |FROM c CROSS JOIN t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+    // Heaps'-law curve: cumulative vocabulary vs token mass at nested
+    // hash-bucket fractions; a word counts at its min (first) bucket.
+    "text_heaps_curve" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |bkt AS (SELECT word,
+        |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':heaps'), 1, 6) AS BIGINT) % 4 AS b
+        |        FROM t),
+        |fs AS (SELECT minb AS b, CAST(count(*) AS BIGINT) AS new_words
+        |       FROM (SELECT word, min(b) AS minb FROM bkt GROUP BY 1) GROUP BY 1),
+        |tk AS (SELECT b, CAST(count(*) AS BIGINT) AS n_tokens FROM bkt GROUP BY 1)
+        |SELECT CAST(tk.b AS BIGINT) AS fraction_bucket,
+        |       CAST(sum(tk.n_tokens) OVER (ORDER BY tk.b) AS BIGINT) AS cum_tokens,
+        |       CAST(sum(coalesce(fs.new_words, 0)) OVER (ORDER BY tk.b) AS BIGINT) AS cum_vocab
+        |FROM tk LEFT JOIN fs USING (b) ORDER BY 1""".stripMargin,
     "stats_contingency" ->
       """WITH cells AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
         |r AS (SELECT lang, sum(o) AS r FROM cells GROUP BY 1),

@@ -184,6 +184,28 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** Join-key skew PREFLIGHT — the report a pipeline runs before pointing
+    * a big equi-join at a key: top-N hot keys with their share of the
+    * table, plus the max/mean skew ratio that decides whether to salt
+    * ([[saltedSkewJoin]]) or trust AQE's skew split. Shapes for scale:
+    * the per-key counts are ONE map-combined aggregate, the totals are a
+    * 1-row aggregate broadcast back (the winsorized-clamp idiom), and the
+    * top-N is TakeOrderedAndProject — nothing materializes the full key
+    * distribution anywhere.
+    */
+  def skewReport(spark: SparkSession, dir: String, topN: Int = 10): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_micro", expr("cnt * 1000000 DIV total"))
+      .withColumn("skew_ratio_micro", expr("max_cnt * n_keys * 1000000 DIV total"))
+      .orderBy(col("cnt").desc, col("user_id")).limit(topN)
+      .select(col("user_id").cast("long").as("user_id"), col("cnt"),
+        col("share_micro"), col("n_keys"), col("skew_ratio_micro"))
+  }
+
   /** Skew-mitigated equi-join by explicit key salting — the join-side
     * complement of [[aggSalted]]. The fact side tags each row with
     * `salt = pmod(xxhash64(event_id), S)`; the dimension side is

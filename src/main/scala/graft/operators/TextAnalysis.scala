@@ -494,6 +494,38 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Heaps'-law vocabulary-growth curve: token mass and cumulative
+    * vocabulary at nested corpus fractions (deterministic hash-bucket
+    * quarters) — the measurement behind every "does this text-keyed
+    * shuffle stay sub-linear?" judgement (SHUFFLE.md's flag attribution
+    * rests on exactly this curve: the synthetic corpus's bounded
+    * vocabulary is what makes per-shingle density grow, where a Heaps
+    * corpus grows vocabulary and keeps per-key density bounded).
+    *
+    * One explode pass; a word contributes to the q-th point iff its MIN
+    * bucket ≤ q (first-appearance semantics), so the whole curve is two
+    * map-combined aggregates — (word → min bucket) and (bucket → token
+    * count) — cumulated over `buckets` rows. Never a per-fraction rescan.
+    */
+  def heapsCurve(spark: SparkSession, dir: String, buckets: Int = 4): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .withColumn("b",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":heaps"))), 1, 6),
+          16, 10).cast("long") % buckets)
+    val firstSeen = toks.groupBy(col("word")).agg(min(col("b")).as("minb"))
+      .groupBy(col("minb").as("b")).agg(count(lit(1)).as("new_words"))
+    val tokensPerB = toks.groupBy(col("b")).agg(count(lit(1)).as("n_tokens"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokensPerB.join(firstSeen, Seq("b"), "left")
+      .withColumn("nw", coalesce(col("new_words"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("nw")).over(w))
+      .select(col("b").as("fraction_bucket"), col("cum_tokens"), col("cum_vocab"))
+      .orderBy(col("fraction_bucket"))
+  }
+
   /** Corpus-level word-bigram frequency, top-20: the explode → count →
     * top-N shape (the heavy-shuffle text aggregation; partial aggregation
     * makes it map-combined at scale).

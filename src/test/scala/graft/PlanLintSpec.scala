@@ -31,6 +31,7 @@ class PlanLintSpec extends SparkSpec {
     "knn_tombstone",      // same bounded centroid cross as knn_ivf
     "knn_recall_report",  // exact leg: broadcast query batch; approx leg: centroid cross
     "knn_recall_curve",   // same two bounded crosses, one conditional agg
+    "knn_autotune",       // curve's bounded crosses + the tuned probe's centroid cross
     "knn_range_ivf",      // broadcast probe batch / ≤100 centroids / 8×256 LUT
     // (knn_binary's bounded query-code cross runs inside its eager
     // candidate checkpoint, so it no longer appears in the lazy plan
@@ -45,6 +46,7 @@ class PlanLintSpec extends SparkSpec {
                           // (text_bpe_encode's twins sit behind localCheckpoint
                           // LogicalRDD barriers, so they don't appear lazily)
     "agg_winsorized",                  // 1-row broadcast percentile bounds
+    "stats_skew_report",               // 1-row broadcast totals cross (winsorized idiom)
     "agg_heavy_hitters",               // 1-row broadcast total-tokens scalar cross
     "events_gapfill"                   // hour-grid × distinct-types bounded cross
   )
