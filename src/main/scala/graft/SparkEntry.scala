@@ -157,6 +157,12 @@ object SparkEntry {
     "q18_big_customers" -> ((s, d) => Relational.q18BigCustomers(s, d)),
     "q14_promo_share" -> ((s, d) => Relational.q14PromoShare(s, d)),
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "q4_order_priority" -> ((s, d) => Relational.q4OrderPriority(s, d)),
+    "q7_volume_shipping" -> ((s, d) => Relational.q7VolumeShipping(s, d)),
+    "q12_priority_class" -> ((s, d) => Relational.q12PriorityClass(s, d)),
+    "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(s, d)),
+    "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(s, d)),
+    "q22_idle_customers" -> ((s, d) => Relational.q22IdleCustomers(s, d)),
     "join_salted_skew" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
     "join_semi" -> ((s, d) => Relational.semiJoin(s, d)),
     "join_anti" -> ((s, d) => Relational.antiJoin(s, d)),
@@ -196,6 +202,10 @@ object SparkEntry {
     // both engines recount the exported tokens exactly and hash-compare
     // the bound verdict (export-replay; see HeavyHitters.topTokensAudit).
     "agg_heavy_hitters" -> ((s, d) => HeavyHitters.topTokensAudit(s, d)),
+    // Count-Min point-query sketch: estimates exported once per corpus
+    // content, both engines recompute the exact side + the 8n/width
+    // Markov bound verdict (export-replay; see HeavyHitters.countMinAudit).
+    "agg_countmin" -> ((s, d) => HeavyHitters.countMinAudit(s, d)),
     "events_outliers" -> ((s, d) => Relational.outlierAudit(s, d)),
     "events_gapfill" -> ((s, d) => Relational.gapFill(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
@@ -235,6 +245,9 @@ object SparkEntry {
     "stream_dedup_ingest" -> ((s, d) => StreamOps.streamDedupIngest(s, d)),
     "stream_bloom_ingest" -> ((s, d) => StreamOps.streamBloomIngest(s, d)),
     "stream_dedup" -> ((s, d) => StreamOps.streamDedupRun(s, d)),
+    // Real flatMapGroupsWithState execution, checked against the batch
+    // windowed-SQL sessionize oracle (identical gap rule).
+    "stream_sessionize" -> ((s, d) => StreamOps.streamSessionize(s, d)),
     "stream_enrich" -> ((s, d) => StreamOps.streamEnrich(s, d)),
     "stream_trending" -> ((s, d) => StreamOps.streamTrending(s, d)),
   )
@@ -500,6 +513,21 @@ object SparkEntry {
 
   private val discPrice =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+
+  /** Gap-rule sessionization as windowed SQL — shared by the batch query
+    * (`sessionize`) and its stateful streaming twin (`stream_sessionize`).
+    */
+  private val sessionizeSql =
+    """WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+      |l AS (SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep FROM e),
+      |f AS (SELECT *, CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800 THEN 1 ELSE 0 END AS ns FROM l),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f)
+      |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+      |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
+      |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   private val hourlySql =
     """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch, event_type,
@@ -1833,6 +1861,79 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END) * 1000000
          |            // sum(vol_c) AS BIGINT) AS mkt_share_micro
          |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Q4-shape: the correlated EXISTS (late lineitem) as DuckDB writes it;
+    // Spark plans the identical semantics as one non-equi left-semi join.
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q7-shape: directional region pairs, revenue by ship year.
+    "q7_volume_shipping" ->
+      s"""SELECT supp_region, cust_region, l_year,
+         |       CAST(sum(vol_c) AS BIGINT) AS revenue_c, CAST(count(*) AS BIGINT) AS n_items
+         |FROM (
+         |  SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+         |         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         |         CAST($discPrice*10000 AS BIGINT) AS vol_c
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |       JOIN supplier ON l_suppkey = s_suppkey
+         |       JOIN customer ON o_custkey = c_custkey
+         |       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |       JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+         |       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |    AND ((r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA')
+         |      OR (r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA')))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Q12-shape: conditional priority-class counts per return flag.
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q19-shape: the OR-of-ANDs disjunction evaluated post-join.
+    "q19_disjunctive" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(sum($discPrice)*10000 AS BIGINT) AS revenue_c
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
+    // Q21-shape: the doubly-correlated EXISTS/NOT-EXISTS replayed in its
+    // aggregate form — identical formulation to the Spark plan so the
+    // sole-late-supplier attribution is deterministic in both engines.
+    "q21_waiting_supplier" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |         count(DISTINCT l_suppkey) AS n_supp,
+        |         count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY THEN l_suppkey END) AS n_late,
+        |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY THEN l_suppkey END) AS late_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM per_order JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    // Q22-shape: scalar-subquery threshold in exact cross-multiplied
+    // integer form (bal_c*n > s ⇔ bal > s/n), NOT EXISTS over recent orders.
+    "q22_idle_customers" ->
+      """WITH st AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))*100) AS BIGINT) AS s,
+        |                   count(*) AS n
+        |            FROM customer WHERE c_acctbal > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS total_bal_c
+        |FROM customer, st
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Salted skew join: the oracle replays the PLAIN join — salting must
     // not change the result set, only the shuffle layout.
     "join_salted_skew" ->
@@ -2124,6 +2225,19 @@ object SparkEntry {
          |            THEN 1 ELSE 0 END AS BIGINT) AS within_bound
          |FROM ex JOIN cnt USING (token) CROSS JOIN tot
          |ORDER BY count_lb DESC, token""".stripMargin,
+    // Count-Min overcount-bound verdict over the exported estimates:
+    // est >= exact (structural) and (est-exact)*width <= 8*n, exact side
+    // and stream length recomputed by both engines.
+    "agg_countmin" ->
+      s"""WITH est AS (SELECT user_id, est_cnt FROM read_parquet('$sketchStorePath/cm_est/*.parquet')),
+         |e AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+         |n AS (SELECT count(*) AS n_total FROM events)
+         |SELECT CAST(est.user_id AS BIGINT) AS user_id, CAST(est.est_cnt AS BIGINT) AS est_cnt,
+         |       CAST(e.exact_cnt AS BIGINT) AS exact_cnt, CAST(n.n_total AS BIGINT) AS n_total,
+         |       CAST(CASE WHEN est.est_cnt >= e.exact_cnt
+         |                  AND (est.est_cnt - e.exact_cnt) * 4096 <= 8 * n.n_total
+         |            THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+         |FROM est JOIN e USING (user_id) CROSS JOIN n ORDER BY user_id""".stripMargin,
     // Winsorized stats: clamp at exact [p05, p95], same quantile_cont
     // interpolation; avg over clamped doubles is order-independent enough
     // only because both engines sum the same clamped set — mean surfaces
@@ -2423,17 +2537,10 @@ object SparkEntry {
         |x AS (SELECT event_type, unnest([h, h - INTERVAL 1 HOUR]) AS ws FROM e)
         |SELECT CAST(floor(epoch(ws)) AS BIGINT) AS win_epoch, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
-        |l AS (SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep FROM e),
-        |f AS (SELECT *, CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800 THEN 1 ELSE 0 END AS ns FROM l),
-        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f)
-        |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS BIGINT) AS session_id,
-        |       CAST(count(*) AS BIGINT) AS n_events,
-        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
-        |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
-        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "sessionize" -> sessionizeSql,
+    // The stateful streaming twin closes the SAME sessions the windowed
+    // batch SQL derives — one oracle text, two execution models.
+    "stream_sessionize" -> sessionizeSql,
     // Overlap semantics replayed as DuckDB's native inequality join — the
     // bucketing is a Spark-side execution strategy, invisible in the result.
     "range_join_bucketed" ->

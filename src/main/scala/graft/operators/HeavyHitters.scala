@@ -116,4 +116,67 @@ object HeavyHitters {
           .as("within_bound"))
       .orderBy(col("count_lb").desc, col("token"))
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) — the point-query
+    * companion to Misra–Gries: `depth` hash rows × `width` counters answer
+    * "how often did key k occur?" for ANY k after one pass, in
+    * depth×width bounded memory. Built declaratively: each event explodes
+    * into `depth` (row, bucket) cells — bucket = xxhash64(key, row) mod
+    * width, a different hash function per row by seeding with the row
+    * index — and ONE map-combined aggregate counts every cell. The
+    * estimate for a key is the MIN over its `depth` cells (each cell
+    * overcounts by colliding keys, never undercounts). At 100 TB the
+    * sketch is still depth×width rows — the shuffle carries ≤ that many
+    * partial counters per partition regardless of corpus size.
+    */
+  private[graft] def countMinSketch(events: DataFrame, key: org.apache.spark.sql.Column,
+                                        width: Int, depth: Int): DataFrame =
+    events.select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"), pmod(xxhash64(key, lit(d)), lit(width.toLong)).as("bucket"))): _*))
+        .as("cell"))
+      .groupBy(col("cell.d").as("d"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Error-bound audit of the Count-Min sketch (export-replay oracle).
+    * xxhash64 isn't replayable in the oracle engine, so the ESTIMATES for
+    * the deterministic probe set (top-`topK` exact keys) are exported once
+    * per corpus content; both engines then recompute the exact counts and
+    * the stream length n independently and hash-compare the integer
+    * verdict rows: est ≥ exact (CM never undercounts — structural) and
+    * (est − exact)·width ≤ 8·n (8× the expected n/width collision mass;
+    * Markov bounds a single row's excess above that at ≤ 1/8, the min
+    * over `depth` independent rows at ≤ 8⁻⁴ per key). Same audit-twin
+    * contract as [[topTokensAudit]] / `agg_approx_distinct`.
+    */
+  def countMinAudit(spark: SparkSession, dir: String, width: Int = 4096,
+                    depth: Int = 4, topK: Int = 20): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val estPath = s"${graft.operators.Dedup.sketchStorePath(dir)}/cm_est"
+    graft.operators.Dedup.ensureExport(estPath, Tables.dirFingerprint(dir)) {
+      val sketch = countMinSketch(ev, col("user_id"), width, depth)
+      val probes = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("user_id")).limit(topK)
+      val cells = probes.select(col("user_id"), explode(array((0 until depth).map(d =>
+          struct(lit(d).as("d"), pmod(xxhash64(col("user_id"), lit(d)), lit(width.toLong)).as("bucket"))): _*))
+          .as("cell"))
+        .select(col("user_id"), col("cell.d").as("d"), col("cell.bucket").as("bucket"))
+      // sketch is depth×width rows → broadcast side of the probe join
+      cells.join(broadcast(sketch), Seq("d", "bucket"))
+        .groupBy(col("user_id"))
+        .agg(min(col("cnt")).as("est_cnt"))
+    }
+    val est = spark.read.parquet(estPath)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    est.join(exact, "user_id")
+      .crossJoin(broadcast(total))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("est_cnt").cast("long").as("est_cnt"),
+        col("exact_cnt").cast("long").as("exact_cnt"),
+        col("n_total").cast("long").as("n_total"),
+        (col("est_cnt") >= col("exact_cnt") &&
+          (col("est_cnt") - col("exact_cnt")) * lit(width.toLong) <= lit(8L) * col("n_total"))
+          .cast("long").as("within_bound"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -951,4 +951,167 @@ object Relational {
         col("n_violations").cast("long"))
       .orderBy(col("tbl"), col("chk"))
   }
+
+  /** TPC-H Q4-shaped order-priority check: orders in one quarter with at
+    * least one LATE lineitem (shipped > 60 days after the order date),
+    * counted by priority. The correlated EXISTS decorrelates to ONE
+    * left-semi join with a non-equi residual (`l_shipdate > o_orderdate +
+    * 60d`): Catalyst keeps the equi-key (`orderkey`) as the shuffle key
+    * and evaluates the date residual post-match, so the plan is a plain
+    * hash semi-join — no per-order subquery re-execution, and the
+    * quarter filter prunes orders BEFORE the join. Semi-join output
+    * carries only the orders columns (lineitem never widens the row).
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q7-shaped volume shipping: revenue flowing between two regions
+    * in BOTH directions, by ship year. The directional pair predicate is a
+    * disjunction over the two small dims, so both nation→region lookups
+    * are pre-filtered to the two regions of interest and broadcast — the
+    * only shuffle is lineitem ⋈ orders on orderkey; everything downstream
+    * of it is broadcast hash joins plus a 4-group aggregate.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String,
+                       regionA: String = "AMERICA", regionB: String = "ASIA"): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val r = Tables.region(spark, dir).filter(col("r_name").isin(regionA, regionB))
+    val n = Tables.nation(spark, dir)
+    // nation ⋈ region collapses to a ≤|nations|-row broadcast dim per side
+    val nr1 = n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey").as("s_nkey"), col("r_name").as("supp_region"))
+    val nr2 = n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey").as("c_nkey"), col("r_name").as("cust_region"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(nr1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(nr2), col("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_region") === regionA && col("cust_region") === regionB) ||
+        (col("supp_region") === regionB && col("cust_region") === regionA))
+      .groupBy(col("supp_region"), col("cust_region"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg((sum((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_c"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
+  }
+
+  /** TPC-H Q12-shaped priority class counts: lineitems shipped in one year
+    * classified by return flag (the schema's stand-in for ship mode), with
+    * urgent/non-urgent order counts as TWO conditional sums in ONE
+    * aggregate — never a second join pass. The only wide join is
+    * lineitem ⋈ orders; the year filter prunes lineitem at the scan.
+    */
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q19-shaped disjunctive predicate join: revenue over an
+    * OR-of-ANDs across lineitem × part attributes. The interesting
+    * optimizer behavior: each disjunct mixes columns from BOTH sides, so
+    * nothing is pushable wholesale — but Catalyst extracts the common
+    * single-side envelopes (`p_size ≤ 30` ∨-wide, `l_quantity ≤ 35`) as
+    * scan filters, broadcasts the pruned part dim, and evaluates the full
+    * disjunction as a codegen'd residual on the join output.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val qty = col("l_quantity")
+    val hit =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) && qty.between(1, 15)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) && qty.between(10, 25)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) && qty.between(20, 35))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .filter(hit)
+      .agg(count(lit(1)).as("n_items"),
+        (sum((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_c"))
+  }
+
+  /** TPC-H Q21-shaped waiting suppliers: suppliers who were the SOLE late
+    * shipper (> 45 days after order date) on a finished multi-supplier
+    * order. The textbook form is a doubly-correlated EXISTS + NOT EXISTS;
+    * here it collapses into ONE per-order aggregate — distinct suppliers,
+    * distinct LATE suppliers, and the late supplier id as three
+    * conditional aggregates over the same lineitem ⋈ orders join — then a
+    * filter (`n_supp > 1 ∧ n_late = 1`) and a count per supplier.
+    * The distinct-supplier counts are computed as TWO stacked hash
+    * aggregates — per (order, supplier) first, then per order — NOT as
+    * `countDistinct` pairs: two distinct aggregates in one GroupBy plan an
+    * `Expand` that triples every lineitem row before the shuffle, 3× the
+    * exchange volume at 100 TB; the stacked form shuffles each row once
+    * per level and is map-combined at both. Then TakeOrderedAndProject for
+    * the top-10: the self-join-free plan that survives 100× scale where
+    * the nested-EXISTS form re-scans lineitem twice.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String, topN: Int = 10): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS")
+    val perSupp = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(late.cast("int")).as("any_late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("any_late")).as("n_late"),
+        max(when(col("any_late") === 1, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    perOrder.groupBy(col("late_supp")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(s), col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(topN)
+  }
+
+  /** TPC-H Q22-shaped idle rich customers: customers whose balance beats
+    * the positive-balance average but who placed no RECENT order, grouped
+    * by nation. Two classic decorrelations in one plan: the scalar AVG
+    * subquery becomes a 1-row broadcast compared in integer cross-multiplied
+    * form (`bal_c·n > s` ⇔ `bal > s/n`, exact — no division), and the NOT
+    * EXISTS becomes a left-anti join against the date-pruned orders side.
+    */
+  def q22IdleCustomers(spark: SparkSession, dir: String,
+                       recentCutoff: String = "2000-06-01"): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .withColumn("bal_c", (dec2(col("c_acctbal")) * 100).cast("long"))
+    val stats = c.filter(col("c_acctbal") > 0)
+      .agg(sum(col("bal_c")).as("s"), count(lit(1)).as("n"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit(recentCutoff)))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(stats))
+      .filter(col("bal_c") * col("n") > col("s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("total_bal_c"))
+      .orderBy(col("c_nationkey"))
+  }
 }

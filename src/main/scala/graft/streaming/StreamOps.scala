@@ -393,6 +393,34 @@ object StreamOps {
     }
   }
 
+  /** Registered-query run of [[sessionizeStateful]]: replay the events
+    * parquet through the stateful session operator (AvailableNow → memory
+    * sink) and emit the closed+trailing sessions in the batch
+    * [[graft.operators.Temporal.sessionize]] result schema — so the
+    * driver's DuckDB oracle checks an ACTUAL flatMapGroupsWithState
+    * execution against the windowed-SQL formulation of the same gap rule.
+    * maxFilesPerTrigger is pinned high for the same single-batch replay
+    * contract as [[streamDedupRun]]: a multi-batch replay would re-emit
+    * grown sessions into the append sink.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_sessionize_${System.nanoTime()}"
+    withStreamPartitions(spark) { s =>
+      val src = readEventsStream(s, dir, Map("maxFilesPerTrigger" -> "1000000"))
+      val q = sessionizeStateful(s, src).toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("userId").as("user_id"), col("sessionId").as("session_id"),
+          col("nEvents").as("n_events"), col("startEpoch").as("start_epoch"),
+          col("endEpoch").as("end_epoch"))
+        .orderBy(col("user_id"), col("session_id"))
+    }
+  }
+
   /** Session state for stateful sessionization. */
   case class SessionAcc(userId: Long, sessionId: Long, nEvents: Long,
                         startEpoch: Long, endEpoch: Long)

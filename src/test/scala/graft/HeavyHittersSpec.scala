@@ -40,4 +40,26 @@ class HeavyHittersSpec extends SparkSpec {
     val sketch = HeavyHitters.topTokens(spark, sfDir, 5)
     assert(sketch.count() <= 5)
   }
+
+  test("count-min: sketch is depth×width bounded, estimates never undercount, bound verdict all-green") {
+    import spark.implicits._
+    val width = 4096; val depth = 4
+    val ev = Tables.events(spark, sfDir).select(col("user_id"))
+    val sketch = HeavyHitters.countMinSketch(ev, col("user_id"), width, depth)
+    assert(sketch.count() <= depth.toLong * width, "sketch exceeds its counter budget")
+    // per depth row the counters partition the stream: Σ cnt = n exactly
+    val perRow = sketch.groupBy(col("d")).agg(sum(col("cnt")).as("s")).collect()
+    val n = ev.count()
+    perRow.foreach { r =>
+      assert(r.getAs[Long]("s") == n,
+        s"row ${r.get(0)} sums to ${r.getAs[Long]("s")}, stream length is $n") }
+    val audit = HeavyHitters.countMinAudit(spark, sfDir, width, depth).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"),
+        s"CM undercounted ${r.getAs[Long]("user_id")}")
+      assert(r.getAs[Long]("within_bound") == 1L,
+        s"user ${r.getAs[Long]("user_id")}: est ${r.getAs[Long]("est_cnt")} vs exact ${r.getAs[Long]("exact_cnt")} exceeds 8n/w")
+    }
+  }
 }

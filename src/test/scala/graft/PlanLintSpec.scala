@@ -48,6 +48,8 @@ class PlanLintSpec extends SparkSpec {
     "agg_winsorized",                  // 1-row broadcast percentile bounds
     "stats_skew_report",               // 1-row broadcast totals cross (winsorized idiom)
     "agg_heavy_hitters",               // 1-row broadcast total-tokens scalar cross
+    "agg_countmin",                    // 1-row broadcast stream-length scalar cross
+    "q22_idle_customers",              // 1-row broadcast balance-threshold cross
     "events_gapfill"                   // hour-grid × distinct-types bounded cross
   )
 

@@ -194,4 +194,35 @@ class PlanSpec extends SparkSpec {
       plain.orderBy(col("c_mktsegment"), col("event_type")).collect().toSeq,
       "salting must not change the join result")
   }
+
+  test("q4: the correlated EXISTS plans as one left-semi join, quarter filter pushed to the orders scan") {
+    val p = plan(Relational.q4OrderPriority(spark, sfDir))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"),
+      "quarter filter must reach the orders scan as a pushed filter: " + p.take(3000))
+  }
+
+  test("q19: per-side envelopes of the disjunction reach BOTH scans as pushed Or filters") {
+    val p = plan(Relational.q19Disjunctive(spark, sfDir))
+    // quantity OR-of-ranges on the lineitem scan, brand/size OR on the part scan
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      "quantity envelope not pushed: " + p.take(3500))
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      "brand/size envelope not pushed: " + p.take(3500))
+  }
+
+  test("q21: stacked aggregates — no Expand row-tripling — and top-10 as TakeOrderedAndProject") {
+    val p = plan(Relational.q21WaitingSupplier(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Expand"),
+      "the distinct counts must be stacked aggregates, not a countDistinct Expand: " + p.take(3000))
+  }
+
+  test("q22: scalar threshold is a 1-row broadcast cross; NOT EXISTS is a left-anti join") {
+    val p = plan(Relational.q22IdleCustomers(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,2000-06-01"),
+      "recent-order cutoff must prune the orders scan: " + p.take(3000))
+  }
 }
