@@ -163,6 +163,7 @@ object SparkEntry {
     "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(s, d)),
     "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(s, d)),
     "q22_idle_customers" -> ((s, d) => Relational.q22IdleCustomers(s, d)),
+    "graph_triangles" -> ((s, d) => Relational.graphTriangles(s, d)),
     "join_salted_skew" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
     "join_semi" -> ((s, d) => Relational.semiJoin(s, d)),
     "join_anti" -> ((s, d) => Relational.antiJoin(s, d)),
@@ -206,6 +207,10 @@ object SparkEntry {
     // content, both engines recompute the exact side + the 8n/width
     // Markov bound verdict (export-replay; see HeavyHitters.countMinAudit).
     "agg_countmin" -> ((s, d) => HeavyHitters.countMinAudit(s, d)),
+    // KMV/theta set-operation sketch: pairwise union/intersection distinct
+    // estimates combined from the k-row sketches alone, exported once,
+    // exact sides recomputed by both engines (export-replay).
+    "agg_kmv_setops" -> ((s, d) => HeavyHitters.kmvSetOpsAudit(s, d)),
     "events_outliers" -> ((s, d) => Relational.outlierAudit(s, d)),
     "events_gapfill" -> ((s, d) => Relational.gapFill(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
@@ -248,6 +253,9 @@ object SparkEntry {
     // Real flatMapGroupsWithState execution, checked against the batch
     // windowed-SQL sessionize oracle (identical gap rule).
     "stream_sessionize" -> ((s, d) => StreamOps.streamSessionize(s, d)),
+    // Real stateful funnel run, checked against the batch events_funnel
+    // oracle (same strict-sequence stage minima).
+    "stream_funnel" -> ((s, d) => StreamOps.streamFunnel(s, d)),
     "stream_enrich" -> ((s, d) => StreamOps.streamEnrich(s, d)),
     "stream_trending" -> ((s, d) => StreamOps.streamTrending(s, d)),
   )
@@ -528,6 +536,25 @@ object SparkEntry {
       |       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
       |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  /** Strict view→click→purchase funnel as correlated stage minima —
+    * shared by the batch query (`events_funnel`) and its stateful
+    * streaming twin (`stream_funnel`).
+    */
+  private val funnelSql =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+      |SELECT CAST(v.user_id AS BIGINT) AS user_id,
+      |       CAST(floor(epoch(v.t_view)) AS BIGINT) AS view_epoch,
+      |       CAST(floor(epoch(c.t_click)) AS BIGINT) AS click_epoch,
+      |       CAST(floor(epoch(p.t_purchase)) AS BIGINT) AS purchase_epoch,
+      |       CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT AS BIGINT) AS stages_reached
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY 1""".stripMargin
 
   private val hourlySql =
     """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch, event_type,
@@ -1934,6 +1961,23 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-06-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Triangle census over the co-order part graph: the degree-ordered
+    // orientation replayed with row-value tuple comparisons.
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_quantity >= 30),
+        |edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) GROUP BY 1),
+        |o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+        |             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+        |             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS td
+        |      FROM edges e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+        |w AS (SELECT o1.t AS x, o2.t AS y FROM o o1 JOIN o o2 ON o1.s = o2.s AND (o1.td, o1.t) < (o2.td, o2.t)),
+        |tri AS (SELECT count(*) AS n_tri FROM w JOIN o ON w.x = o.s AND w.y = o.t)
+        |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+        |       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+        |       CAST((SELECT n_tri FROM tri) AS BIGINT) AS n_triangles,
+        |       CAST((SELECT sum(d*(d-1)//2) FROM deg) AS BIGINT) AS n_wedges,
+        |       CAST((SELECT n_tri FROM tri)*3*1000000 // (SELECT sum(d*(d-1)//2) FROM deg) AS BIGINT) AS cc_micro""".stripMargin,
     // Salted skew join: the oracle replays the PLAIN join — salting must
     // not change the result set, only the shuffle layout.
     "join_salted_skew" ->
@@ -2118,20 +2162,10 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Strict-sequence funnel: each stage's min is conditioned on the prior
     // stage's timestamp, so a click before the first view never counts.
-    "events_funnel" ->
-      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
-        |           WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v USING (user_id)
-        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
-        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
-        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
-        |SELECT CAST(v.user_id AS BIGINT) AS user_id,
-        |       CAST(floor(epoch(v.t_view)) AS BIGINT) AS view_epoch,
-        |       CAST(floor(epoch(c.t_click)) AS BIGINT) AS click_epoch,
-        |       CAST(floor(epoch(p.t_purchase)) AS BIGINT) AS purchase_epoch,
-        |       CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT AS BIGINT) AS stages_reached
-        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-        |ORDER BY 1""".stripMargin,
+    "events_funnel" -> funnelSql,
+    // The stateful streaming funnel resolves the SAME strict sequence the
+    // batch SQL derives — one oracle text, two execution models.
+    "stream_funnel" -> funnelSql,
     // Keys-only projection makes the streaming dropDuplicates deterministic:
     // the surviving key set == SELECT DISTINCT regardless of arrival order.
     "stream_dedup" ->
@@ -2238,6 +2272,30 @@ object SparkEntry {
          |                  AND (est.est_cnt - e.exact_cnt) * 4096 <= 8 * n.n_total
          |            THEN 1 ELSE 0 END AS BIGINT) AS within_bound
          |FROM est JOIN e USING (user_id) CROSS JOIN n ORDER BY user_id""".stripMargin,
+    // KMV set-op verdicts over the exported estimates: exact per-pair
+    // union/intersection distinct counts recomputed from the base table,
+    // ±25% of exact-union bound (4x the k=256 KMV rsd).
+    "agg_kmv_setops" ->
+      s"""WITH est AS (SELECT * FROM read_parquet('$sketchStorePath/kmv_setops/*.parquet')),
+         |ev AS (SELECT DISTINCT event_type, user_id FROM events),
+         |sz AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
+         |ix AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS exact_inter
+         |       FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |       GROUP BY 1, 2)
+         |SELECT est.type_a, est.type_b,
+         |       CAST(est.est_union AS BIGINT) AS est_union,
+         |       CAST(sa.n + sb.n - ix.exact_inter AS BIGINT) AS exact_union,
+         |       CAST(est.est_inter AS BIGINT) AS est_inter,
+         |       CAST(ix.exact_inter AS BIGINT) AS exact_inter,
+         |       CAST(CASE WHEN abs(est.est_union - (sa.n + sb.n - ix.exact_inter)) * 100
+         |                      <= (sa.n + sb.n - ix.exact_inter) * 25
+         |                  AND abs(est.est_inter - ix.exact_inter) * 100
+         |                      <= (sa.n + sb.n - ix.exact_inter) * 25
+         |            THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+         |FROM est JOIN ix USING (type_a, type_b)
+         |     JOIN sz sa ON sa.event_type = est.type_a
+         |     JOIN sz sb ON sb.event_type = est.type_b
+         |ORDER BY type_a, type_b""".stripMargin,
     // Winsorized stats: clamp at exact [p05, p95], same quantile_cont
     // interpolation; avg over clamped doubles is order-independent enough
     // only because both engines sum the same clamped set — mean surfaces

@@ -179,4 +179,96 @@ object HeavyHitters {
           .cast("long").as("within_bound"))
       .orderBy(col("user_id"))
   }
+
+  /** KMV (k-minimum-values) distinct sketch per group — the theta-sketch
+    * mechanism (Beyer et al. 2007) behind Druid/Trino set-operation
+    * sketches, and the one capability the HLL/MG/GK/CM family here lacks:
+    * estimating the size of UNIONS and INTERSECTIONS of key sets without
+    * co-shuffling them. Per group keep the k smallest xxhash64 values
+    * (ONE rank window, map-side limited by WindowGroupLimit); the k-th
+    * smallest normalized hash r estimates the distinct count as
+    * (k−1)·2⁶⁴/r, and two groups' sketches combine WITHOUT their base
+    * rows: union = k smallest of the merged sketch, intersection via the
+    * Jaccard fraction of shared members among the union sketch's k
+    * (ρ·D̂∪). All arithmetic in DECIMAL(38,0) over zero-based unsigned
+    * hash magnitudes — no floating point, so the export replays exactly.
+    */
+  private[graft] def kmvSketches(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      // unsigned magnitude: shift signed xxhash64 up by 2^63 into [0, 2^64)
+      .withColumn("h", xxhash64(col("user_id")).cast("decimal(38,0)") +
+        lit(BigDecimal(2).pow(63).bigDecimal))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    ev.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("event_type"), col("rank").cast("long").as("rank"), col("h"))
+  }
+
+  /** Export-replay audit of the KMV set-operation estimates: for every
+    * event-type pair, the sketch-combined union and intersection
+    * estimates (computed from the two k-row sketches ALONE) are exported
+    * once per corpus content; both engines recompute the exact union /
+    * intersection distinct counts from the base table and hash-compare
+    * integer verdict rows. Bound: ±25% of the exact value — 4× the
+    * k = 256 KMV rsd of ~1/√(k−2) ≈ 6.3% — for the union and the
+    * (here near-total) intersections.
+    */
+  def kmvSetOpsAudit(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val path = s"${graft.operators.Dedup.sketchStorePath(dir)}/kmv_setops"
+    graft.operators.Dedup.ensureExport(path, Tables.dirFingerprint(dir)) {
+      val sk = kmvSketches(spark, dir, k)
+      val types = sk.select(col("event_type")).distinct()
+      val pairs = types.select(col("event_type").as("type_a"))
+        .join(types.select(col("event_type").as("type_b")), col("type_a") < col("type_b"))
+      // pair-combined member set: each pair sees both sketches' hashes;
+      // a hash present in both sides is a shared member (same key — the
+      // sketches hash the same key domain)
+      val memA = sk.select(col("event_type").as("type_a"), col("h"))
+      val memB = sk.select(col("event_type").as("type_b"), col("h"))
+      val united = pairs.join(memA, Seq("type_a")).withColumn("src", lit("a"))
+        .unionByName(pairs.join(memB, Seq("type_b")).withColumn("src", lit("b")))
+      val members = united.groupBy(col("type_a"), col("type_b"), col("h"))
+        .agg(countDistinct(col("src")).as("nsrc"))
+      import org.apache.spark.sql.expressions.Window
+      val byPair = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
+      val two64 = BigDecimal(2).pow(64).toDouble
+      // union sketch = k smallest of the combined members; if fewer than k
+      // the sketch holds the ENTIRE union and both estimates are exact
+      members.withColumn("urank", row_number().over(byPair)).filter(col("urank") <= k)
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("m"),
+          max(when(col("urank") === k, col("h"))).as("rk"),
+          sum(when(col("nsrc") === 2, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("est_union_d",
+          when(col("m") < k, col("m").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * two64 / col("rk").cast("double")))
+        .select(col("type_a"), col("type_b"),
+          floor(col("est_union_d")).cast("long").as("est_union"),
+          when(col("m") < k, col("n_shared"))
+            .otherwise(floor(col("est_union_d") * col("n_shared") / k).cast("long"))
+            .cast("long").as("est_inter"))
+    }
+    val est = spark.read.parquet(path)
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id")).distinct()
+    val ea = ev.select(col("event_type").as("type_a"), col("user_id"))
+    val eb = ev.select(col("event_type").as("type_b"), col("user_id"))
+    val exact = ea.join(eb, Seq("user_id")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(countDistinct(col("user_id")).as("exact_inter"))
+    val sizes = ev.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+    val sa = sizes.select(col("event_type").as("type_a"), col("n").as("na"))
+    val sb = sizes.select(col("event_type").as("type_b"), col("n").as("nb"))
+    est.join(exact, Seq("type_a", "type_b")).join(sa, "type_a").join(sb, "type_b")
+      .withColumn("exact_union", col("na") + col("nb") - col("exact_inter"))
+      .select(col("type_a"), col("type_b"),
+        col("est_union").cast("long").as("est_union"),
+        col("exact_union").cast("long").as("exact_union"),
+        col("est_inter").cast("long").as("est_inter"),
+        col("exact_inter").cast("long").as("exact_inter"),
+        (abs(col("est_union") - col("exact_union")) * 100 <= col("exact_union") * 25 &&
+          abs(col("est_inter") - col("exact_inter")) * 100 <= col("exact_union") * 25)
+          .cast("long").as("within_bound"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

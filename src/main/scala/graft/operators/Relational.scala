@@ -952,6 +952,50 @@ object Relational {
       .orderBy(col("tbl"), col("chk"))
   }
 
+  /** Triangle counting + global clustering coefficient over the co-order
+    * part graph (parts appearing in the same order are adjacent; the
+    * quantity filter keeps the graph at a realistic sparsity). The
+    * compact-forward / degree-ordering algorithm (Latapy 2008): every edge
+    * is oriented from its (degree, id)-smaller endpoint to the larger, so
+    * a node's out-degree is O(√m) no matter how hot a hub is — the wedge
+    * self-join (pairs of out-edges sharing a source) is bounded by
+    * Σ outdeg² instead of Σ deg² and each triangle forms exactly one
+    * wedge whose closing edge points the same way, so one equi-join
+    * counts each triangle exactly once. No windows, no global sorts:
+    * degree is ONE map-combined count and the orientation a per-row
+    * comparison, so the whole pipeline is joins + aggregates that AQE can
+    * re-plan at any scale. All-integer output (cc as BIGINT floor micro).
+    */
+  def graphTriangles(spark: SparkSession, dir: String, minQty: Double = 30): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") >= minQty)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges.join(du, "u").join(dv, "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
+        when(uFirst, col("v")).otherwise(col("u")).as("t"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("td"))
+    val o1 = oriented.as("o1"); val o2 = oriented.as("o2")
+    val wedges = o1.join(o2, col("o1.s") === col("o2.s") &&
+        (col("o1.td") < col("o2.td") ||
+          (col("o1.td") === col("o2.td") && col("o1.t") < col("o2.t"))))
+      .select(col("o1.t").as("x"), col("o2.t").as("y"))
+    val tri = wedges.join(oriented, col("x") === col("s") && col("y") === col("t"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val sums = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    sums.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+        expr("n_triangles * 3 * 1000000 DIV n_wedges").as("cc_micro"))
+  }
+
   /** TPC-H Q4-shaped order-priority check: orders in one quarter with at
     * least one LATE lineitem (shipped > 60 days after the order date),
     * counted by priority. The correlated EXISTS decorrelates to ONE

@@ -421,6 +421,34 @@ object StreamOps {
     }
   }
 
+  /** Registered-query run of [[funnelStateful]]: the strict
+    * view→click→purchase state machine replayed as a real AvailableNow
+    * stream, emitted in the batch `events_funnel` oracle schema (µs stage
+    * minima floored to epoch seconds, -1 → NULL, stages_reached derived).
+    * Shares the single-batch replay contract of [[streamSessionize]].
+    */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_funnel_${System.nanoTime()}"
+    withStreamPartitions(spark) { s =>
+      val src = readEventsStream(s, dir, Map("maxFilesPerTrigger" -> "1000000"))
+      val q = funnelStateful(s, src).toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val us = 1000000L
+      s.table(name)
+        .select(col("userId").as("user_id"),
+          floor(col("viewEpoch") / us).cast("long").as("view_epoch"),
+          when(col("clickEpoch") >= 0, floor(col("clickEpoch") / us).cast("long")).as("click_epoch"),
+          when(col("purchaseEpoch") >= 0, floor(col("purchaseEpoch") / us).cast("long")).as("purchase_epoch"),
+          (lit(1L) + when(col("clickEpoch") >= 0, 1L).otherwise(0L)
+            + when(col("purchaseEpoch") >= 0, 1L).otherwise(0L)).as("stages_reached"))
+        .orderBy(col("user_id"))
+    }
+  }
+
   /** Session state for stateful sessionization. */
   case class SessionAcc(userId: Long, sessionId: Long, nEvents: Long,
                         startEpoch: Long, endEpoch: Long)
@@ -458,7 +486,12 @@ object StreamOps {
         })
   }
 
-  /** Per-user funnel state: stage minima, -1 = stage not reached. */
+  /** Per-user funnel state: stage minima in MICROSECOND epochs (full
+    * timestamp precision — the events table carries sub-second ts, and a
+    * second-granularity state machine would mis-order same-second stage
+    * pairs that the batch formulation compares at full precision),
+    * -1 = stage not reached.
+    */
   case class FunnelAcc(userId: Long, viewEpoch: Long, clickEpoch: Long,
                        purchaseEpoch: Long)
 
@@ -477,7 +510,7 @@ object StreamOps {
     val stageRank = when(col("event_type") === "view", 0)
       .when(col("event_type") === "click", 1).otherwise(2)
     events.filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"), stageRank.as("stage"), col("ts").cast("long").as("epoch"))
+      .select(col("user_id"), stageRank.as("stage"), unix_micros(col("ts")).as("epoch"))
       .as[(Long, Int, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(

@@ -366,4 +366,35 @@ class OperatorSpec extends SparkSpec {
     assert(rawScans == 1, s"expected exactly one raw events scan, saw $rawScans")
     assert(plan.contains("graft_agg_base_"), "the base must come from the persisted table")
   }
+
+  test("triangles: degree-ordered count equals the naive ordered 3-join census") {
+    val got = Relational.graphTriangles(spark, sfDir).collect().head
+    // naive replay: u<v<w with all three edges present, each triangle once
+    val li = Tables.lineitem(spark, sfDir).filter($"l_quantity" >= 30)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val e = li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("u"), $"b.pk".as("v")).distinct().cache()
+    val e1 = e.select($"u".as("x"), $"v".as("y"))
+    val e2 = e.select($"u".as("y"), $"v".as("z"))
+    val e3 = e.select($"u".as("x2"), $"v".as("z2"))
+    val naive = e1.join(e2, "y")
+      .join(e3, $"x" === $"x2" && $"z" === $"z2")
+      .count()
+    assert(got.getAs[Long]("n_triangles") == naive,
+      s"degree-ordered count ${got.getAs[Long]("n_triangles")} != naive $naive")
+    assert(got.getAs[Long]("n_edges") == e.count())
+    e.unpersist()
+  }
+
+  test("kmv set-ops: below k the union sketch holds the whole union — estimates are exact, verdicts green") {
+    val audit = graft.operators.HeavyHitters.kmvSetOpsAudit(spark, sfDir).collect()
+    assert(audit.length == 10, s"expected C(5,2)=10 type pairs, got ${audit.length}")
+    audit.foreach { r =>
+      assert(r.getAs[Long]("within_bound") == 1L)
+      // sf0.001 has ~15 users << k=256: small-cardinality exactness
+      assert(r.getAs[Long]("est_union") == r.getAs[Long]("exact_union"),
+        s"${r.getAs[String]("type_a")}x${r.getAs[String]("type_b")}: est_union != exact below k")
+      assert(r.getAs[Long]("est_inter") == r.getAs[Long]("exact_inter"))
+    }
+  }
 }

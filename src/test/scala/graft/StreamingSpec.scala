@@ -109,9 +109,12 @@ class StreamingSpec extends SparkSpec {
       .select($"user_id", $"view_epoch",
         coalesce($"click_epoch", lit(-1L)).as("click_epoch"),
         coalesce($"purchase_epoch", lit(-1L)).as("purchase_epoch"))
+    // stateful epochs are µs (full ts precision); floor to the batch's seconds
+    def sec(c: org.apache.spark.sql.Column) =
+      when(c >= 0, floor(c / 1000000L).cast("long")).otherwise(lit(-1L))
     val stateful = StreamOps.funnelStateful(spark, Tables.events(spark, sfDir))
-      .toDF().select($"userId".as("user_id"), $"viewEpoch".as("view_epoch"),
-        $"clickEpoch".as("click_epoch"), $"purchaseEpoch".as("purchase_epoch"))
+      .toDF().select($"userId".as("user_id"), sec($"viewEpoch").as("view_epoch"),
+        sec($"clickEpoch").as("click_epoch"), sec($"purchaseEpoch").as("purchase_epoch"))
     assert(stateful.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(stateful).count() == 0)
   }
