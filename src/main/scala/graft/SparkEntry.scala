@@ -164,6 +164,7 @@ object SparkEntry {
     "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(s, d)),
     "q22_idle_customers" -> ((s, d) => Relational.q22IdleCustomers(s, d)),
     "graph_triangles" -> ((s, d) => Relational.graphTriangles(s, d)),
+    "events_anomaly_rolling" -> ((s, d) => Relational.rollingAnomaly(s, d)),
     "join_salted_skew" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
     "join_semi" -> ((s, d) => Relational.semiJoin(s, d)),
     "join_anti" -> ((s, d) => Relational.antiJoin(s, d)),
@@ -1961,6 +1962,21 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-06-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Rolling 3sigma anomaly over hourly rates: trailing-24-row frame,
+    // cross-multiplied integer test — the same formulation in both engines.
+    "events_anomaly_rolling" ->
+      """WITH h AS (SELECT event_type,
+        |                  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |        count(n) OVER w AS w, coalesce(sum(n) OVER w, 0) AS s1, sum(n*n) OVER w AS s2
+        |      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+        |                          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_epoch, n, CAST(w AS BIGINT) AS w, CAST(s1 AS BIGINT) AS s1,
+        |       CAST(CASE WHEN w >= 12 AND (w*n - s1)*(w*n - s1) > 9*(w*s2 - s1*s1)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM r ORDER BY event_type, hour_epoch""".stripMargin,
     // Triangle census over the co-order part graph: the degree-ordered
     // orientation replayed with row-value tuple comparisons.
     "graph_triangles" ->

@@ -713,6 +713,39 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Rolling-window anomaly detection over the hourly event-rate series —
+    * the streaming-adjacent "is this hour's traffic 3σ off its trailing
+    * day?" monitor, and the time-series companion to the global
+    * [[outlierAudit]]: per (event_type, hour) counts, trailing-24-row
+    * moments via ONE rows-frame window pass (`ROWS 24 PRECEDING..1
+    * PRECEDING` — the current hour never contaminates its own baseline),
+    * and the same zero-floating-point 3σ test in cross-multiplied integer
+    * form: (w·x − S₁)² > 9·(w·S₂ − S₁²) over exact count sums. Scale
+    * shape: the window runs over the HOURLY table (|hours|·|types| rows —
+    * thousands at any corpus size, partitioned by type), never the raw
+    * events; the raw scan is one map-combined count aggregate.
+    */
+  def rollingAnomaly(spark: SparkSession, dir: String, minHist: Int = 12): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("n"))
+    val frame = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+      .rowsBetween(-24, -1)
+    val withStats = hourly
+      .withColumn("w", count(col("n")).over(frame))
+      .withColumn("s1", sum(col("n")).over(frame))
+      .withColumn("s2", sum(col("n") * col("n")).over(frame))
+    val dev = col("w") * col("n") - col("s1")
+    val rhs = (col("w") * col("s2") - col("s1") * col("s1")) * lit(9L)
+    withStats
+      .withColumn("is_anomaly",
+        (col("w") >= minHist && dev * dev > rhs).cast("long"))
+      .select(col("event_type"), col("hour_epoch"), col("n"), col("w"),
+        coalesce(col("s1"), lit(0L)).as("s1"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_epoch"))
+  }
+
   /** Schema-drift reconciliation — merging snapshots written under
     * different schema versions, the unavoidable lake situation after a
     * column is added: the old half lacks `props`, the new half has it,
