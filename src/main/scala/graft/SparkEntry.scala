@@ -47,6 +47,9 @@ object SparkEntry {
     "knn_filtered" -> ((s, d) => VectorSearch.knnFiltered(s, d)),
     "rag_fusion" -> ((s, d) => VectorSearch.ragFusion(s, d)),
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
+    "knn_multiprobe" -> ((s, d) => VectorSearch.knnMultiProbe(s, d)),
+    "knn_maxsim" -> ((s, d) => VectorSearch.maxSim(s, d)),
+    "knn_matryoshka" -> ((s, d) => VectorSearch.knnMatryoshka(s, d)),
     "knn_binary" -> ((s, d) => VectorSearch.knnBinary(s, d)),
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
     "knn_graph" -> ((s, d) => graft.sources.GraphIndex.searchQuery(s, d)),
@@ -166,6 +169,7 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) => Relational.graphTriangles(s, d)),
     "events_anomaly_rolling" -> ((s, d) => Relational.rollingAnomaly(s, d)),
     "join_salted_skew" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
+    "join_size_estimate" -> ((s, d) => Relational.joinSizeEstimate(s, d)),
     "join_semi" -> ((s, d) => Relational.semiJoin(s, d)),
     "join_anti" -> ((s, d) => Relational.antiJoin(s, d)),
     "window_top_orders" -> ((s, d) => Relational.windowTopOrders(s, d)),
@@ -192,6 +196,7 @@ object SparkEntry {
     "quality_audit" -> ((s, d) => Relational.qualityAudit(s, d)),
     "profile_columns" -> ((s, d) => Relational.profileColumns(s, d)),
     "zorder_box" -> ((s, d) => graft.sources.ZOrderLayout.boxQuery(s, d)),
+    "sorted_prune" -> ((s, d) => graft.sources.SortedLayout.rangeQuery(s, d)),
     "snapshot_diff" -> ((s, d) => Crud.snapshotDiff(s, d)),
     "agg_partial_merge" -> ((s, d) => Relational.partialMerge(s, d)),
     "agg_incremental_refresh" -> ((s, d) => Relational.incrementalRefresh(s, d)),
@@ -789,6 +794,62 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       ${microSql("sim")} AS sim_micro
          |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // Multi-probe LSH: home bucket + the buckets reached by flipping the
+    // 2 lowest-|margin| bits (margin of bit i = |v[i+1]|, ties → lower i)
+    // — probe selection, XOR and scoring are all engine-portable.
+    "knn_multiprobe" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec, ${bucketSql("embedding", 8)} AS bucket FROM embeddings WHERE vec_id < 10),
+         |x AS (SELECT qid, qvec, bucket, i, abs(CAST(qvec[CAST(i + 1 AS INTEGER)] AS DOUBLE)) AS ax
+         |      FROM q CROSS JOIN range(0, 8) t(i)),
+         |f AS (SELECT qid, qvec, xor(bucket, CAST(pow(2, i) AS BIGINT)) AS bucket,
+         |             row_number() OVER (PARTITION BY qid ORDER BY ax, i) AS fr FROM x),
+         |p AS (SELECT qid, qvec, bucket FROM q
+         |      UNION ALL SELECT qid, qvec, bucket FROM f WHERE fr <= 2),
+         |s AS (SELECT p.qid, b.vec_id, ${dotSql("p.qvec", "b.embedding")} AS sim
+         |      FROM b JOIN p USING (bucket) WHERE b.vec_id <> p.qid),
+         |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // Late-interaction MaxSim (ColBERT scoring): docs = vec_id DIV 4
+    // token groups; score = Σ over the 4 query slots of the per-slot
+    // conditional max — a FIXED left-to-right addition of 4 doubles, so
+    // the fold replays bit-identically.
+    "knn_maxsim" ->
+      s"""WITH tok AS (SELECT vec_id // 4 AS ddoc, embedding FROM embeddings),
+         |qtok AS (SELECT vec_id // 4 AS qdoc, vec_id % 4 AS qslot, embedding AS qvec
+         |         FROM embeddings WHERE vec_id // 4 < 5),
+         |s AS (SELECT q.qdoc, t.ddoc, q.qslot, ${dotSql("q.qvec", "t.embedding")} AS sim
+         |      FROM tok t CROSS JOIN qtok q WHERE t.ddoc <> q.qdoc),
+         |a AS (SELECT qdoc, ddoc,
+         |             max(CASE WHEN qslot = 0 THEN sim END) AS m0,
+         |             max(CASE WHEN qslot = 1 THEN sim END) AS m1,
+         |             max(CASE WHEN qslot = 2 THEN sim END) AS m2,
+         |             max(CASE WHEN qslot = 3 THEN sim END) AS m3
+         |      FROM s GROUP BY qdoc, ddoc),
+         |sc AS (SELECT qdoc, ddoc,
+         |              ((coalesce(m0, 0.0) + coalesce(m1, 0.0)) + coalesce(m2, 0.0)) + coalesce(m3, 0.0) AS score
+         |       FROM a),
+         |r AS (SELECT qdoc, ddoc, score, row_number() OVER (PARTITION BY qdoc ORDER BY score DESC, ddoc) AS rank FROM sc)
+         |SELECT CAST(qdoc AS BIGINT) AS qdoc, CAST(ddoc AS BIGINT) AS ddoc, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("score")} AS score_micro
+         |FROM r WHERE rank <= 5 ORDER BY qdoc, rank""".stripMargin,
+    // Matryoshka two-stage: coarse prefix-dot (first 16 dims) → top-50
+    // pool → exact full-dim rerank. Both stages are the same left-fold
+    // dot both engines run, over identical slices.
+    "knn_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec, embedding[1:16] AS qpre
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT q.qid, q.qvec, e.vec_id, e.embedding,
+         |             ${dotSql("q.qpre", "e.embedding[1:16]")} AS coarse
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY coarse DESC, vec_id) AS crank FROM c),
+         |s AS (SELECT qid, vec_id, ${dotSql("qvec", "embedding")} AS sim FROM p WHERE crank <= 50),
+         |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // Binary-quantization search: sign codes (two 32-bit words), Hamming
     // candidate scan, exact-dot rerank of the top 50 — every stage is
     // engine-portable integer/float SQL, so the full two-stage pipeline
@@ -2001,6 +2062,24 @@ object SparkEntry {
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_wsum_c
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Join-size preflight: the p=1/16 key sample is the first md5 nibble,
+    // identical in both engines; everything downstream is integer.
+    "join_size_estimate" ->
+      """WITH la AS (SELECT l_orderkey AS k FROM lineitem),
+        |ob AS (SELECT o_orderkey AS k FROM orders),
+        |fa AS (SELECT k, count(*) AS fa FROM la GROUP BY k),
+        |fb AS (SELECT k, count(*) AS fb FROM ob GROUP BY k),
+        |ex AS (SELECT sum(fa * fb) AS exact_rows, count(*) AS n_keys FROM fa JOIN fb USING (k)),
+        |ins AS (SELECT (SELECT sum(fa) FROM fa) AS rows_a, (SELECT sum(fb) FROM fb) AS rows_b),
+        |sfa AS (SELECT k, count(*) AS fa FROM la WHERE substr(md5(CAST(k AS VARCHAR)), 1, 1) = '0' GROUP BY k),
+        |sfb AS (SELECT k, count(*) AS fb FROM ob WHERE substr(md5(CAST(k AS VARCHAR)), 1, 1) = '0' GROUP BY k),
+        |es AS (SELECT coalesce(sum(fa * fb), 0) AS samp_rows, count(*) AS sampled_keys FROM sfa JOIN sfb USING (k))
+        |SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(sampled_keys AS BIGINT) AS sampled_keys,
+        |       CAST(samp_rows * 16 AS BIGINT) AS est_rows, CAST(exact_rows AS BIGINT) AS exact_rows,
+        |       CAST(abs(samp_rows * 16 - exact_rows) * 1000 // exact_rows AS BIGINT) AS err_permille,
+        |       CAST(rows_a AS BIGINT) AS rows_a, CAST(rows_b AS BIGINT) AS rows_b,
+        |       CASE WHEN samp_rows * 16 > 4 * greatest(rows_a, rows_b) THEN 'explodes' ELSE 'ok' END AS verdict
+        |FROM ex, es, ins""".stripMargin,
     "join_semi" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
         |FROM customer c
@@ -2421,6 +2500,13 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
         |FROM events WHERE user_id BETWEEN 4 AND 6 AND value BETWEEN 10.0 AND 30.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Manifest pruning is conservative, so the pruned-scan result is
+    // EXACTLY the full-table range filter the oracle runs.
+    "sorted_prune" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM documents WHERE doc_id BETWEEN 100 AND 299
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // Snapshot diff: the engine compares xxhash64, the oracle md5 — hashes
     // never cross engines, only the derived status does.
     "snapshot_diff" ->

@@ -206,6 +206,53 @@ object Relational {
         col("share_micro"), col("n_keys"), col("skew_ratio_micro"))
   }
 
+  /** Join-SIZE preflight: estimate |A ⋈ B| from a deterministic hash
+    * sample of the key domain before paying for the join — the other half
+    * of the pre-join toolkit next to [[skewReport]] (that finds hot keys;
+    * this prices the output). Classic end-biased/coordinated sampling:
+    * a key is sampled iff the first hex nibble of md5(key) is '0'
+    * (p = 1/16), BOTH sides agree on the sample (same hash ⇒ the sampled
+    * sub-join is a true 1/16-of-keys join), and
+    * est = 16 · Σ_sampled fA(k)·fB(k) is unbiased for
+    * Σ fA(k)·fB(k) = |A ⋈ B|.
+    *
+    * Scale shape: the sample predicate sits BELOW the per-key aggregates,
+    * so the estimate branch's two shuffles carry ~1/16 of the key domain
+    * — at 100 TB you run ONLY that branch (estimateJoinSize) and the
+    * preflight costs 1/16 of a key-count pass, not a join. The registered
+    * query also runs the exact branch and reports the relative error, so
+    * the estimator itself stays oracle-audited: every output is integer
+    * arithmetic over md5 — an engine-portable replay, same contract as
+    * the md5 MinHash family.
+    */
+  def joinSizeEstimate(spark: SparkSession, dir: String,
+                       explodeFactor: Int = 4): DataFrame = {
+    def keys(df: DataFrame, key: String) = df.select(col(key).as("k"))
+    def freq(df: DataFrame, out: String) =
+      df.groupBy(col("k")).agg(count(lit(1)).as(out))
+    val la = keys(Tables.lineitem(spark, dir), "l_orderkey")
+    val ob = keys(Tables.orders(spark, dir), "o_orderkey")
+    val sampled = (df: DataFrame) =>
+      df.filter(substring(md5(col("k").cast("string")), 1, 1) === "0")
+    val fa = freq(la, "fa")
+    val fb = freq(ob, "fb")
+    val exact = fa.join(fb, "k")
+      .agg(sum(expr("fa * fb")).as("exact_rows"), count(lit(1)).as("n_keys"))
+    val inputs = fa.agg(sum(col("fa")).as("rows_a"))
+      .crossJoin(fb.agg(sum(col("fb")).as("rows_b")))
+    val est = freq(sampled(la), "fa").join(freq(sampled(ob), "fb"), "k")
+      .agg(coalesce(sum(expr("fa * fb")), lit(0L)).as("samp_rows"),
+        count(lit(1)).as("sampled_keys"))
+    exact.crossJoin(est).crossJoin(inputs)
+      .withColumn("est_rows", expr("samp_rows * 16"))
+      .withColumn("err_permille", expr("abs(est_rows - exact_rows) * 1000 DIV exact_rows"))
+      .withColumn("verdict",
+        expr(s"IF(est_rows > ${explodeFactor}L * greatest(rows_a, rows_b), 'explodes', 'ok')"))
+      .select(col("n_keys"), col("sampled_keys"), col("est_rows"),
+        col("exact_rows"), col("err_permille"), col("rows_a"), col("rows_b"),
+        col("verdict"))
+  }
+
   /** Skew-mitigated equi-join by explicit key salting — the join-side
     * complement of [[aggSalted]]. The fact side tags each row with
     * `salt = pmod(xxhash64(event_id), S)`; the dimension side is

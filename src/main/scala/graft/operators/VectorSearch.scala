@@ -559,6 +559,136 @@ object VectorSearch {
       .orderBy(col("id_a"))
   }
 
+  /** Late-interaction (ColBERT-style MaxSim) multi-vector search: a
+    * document is a BAG of token vectors, and the query/doc score is
+    * Σ over query tokens of (max over doc tokens of dot) — the retrieval
+    * model behind ColBERT/ColBERTv2/PLAID, and the natural next capability
+    * above the reference's single-vector `index.search`
+    * (`FAISS/PlainDemo/pipeline.py:232-263`): one embedding per *token*
+    * instead of one per document.
+    *
+    * Multi-vector docs are derived deterministically from the embeddings
+    * table: doc `vec_id DIV tokensPerDoc`, token slot `vec_id %
+    * tokensPerDoc` — every engine (and the DuckDB oracle) sees the same
+    * grouping. The nqd query docs' token vectors broadcast (nqd·tokensPerDoc
+    * tiny rows); every base token is scored map-side against each query
+    * token, and BOTH reduction levels collapse into ONE hash aggregate on
+    * (qdoc, ddoc): the per-query-token max is a conditional max per fixed
+    * slot (tokensPerDoc is a static constant), and the Σ over slots is a
+    * fixed left-to-right scalar addition of those maxes — fold-order-fixed,
+    * so the double arithmetic replays bit-identically in the oracle.
+    * Partial aggregation runs map-side (the shuffle carries ≤
+    * nqd·|docs| aggregated rows, never nqd·tokensPerDoc·|tokens| scored
+    * rows), and the per-query top-k plans as WindowGroupLimit.
+    *
+    * At 100 TB the same two-level reduce composes under any candidate
+    * pruner (per-token LSH/IVF probes feeding the conditional-max agg);
+    * the exact form here is the correctness anchor, same role as
+    * [[knnExact]] for single-vector search.
+    */
+  def maxSim(spark: SparkSession, dir: String, k: Int = 5, nqd: Int = 5,
+             tokensPerDoc: Int = 4): DataFrame = {
+    val tok = Tables.embeddings(spark, dir)
+      .select(expr(s"vec_id DIV $tokensPerDoc").as("ddoc"),
+        col("embedding"))
+    val qtok = Tables.embeddings(spark, dir)
+      .filter(expr(s"vec_id DIV $tokensPerDoc") < nqd)
+      .select(expr(s"vec_id DIV $tokensPerDoc").as("qdoc"),
+        expr(s"vec_id % $tokensPerDoc").as("qslot"),
+        col("embedding").as("qvec"))
+    val scored = tok.crossJoin(broadcast(qtok))
+      .filter(col("ddoc") =!= col("qdoc"))
+      .withColumn("sim", dot(col("qvec"), col("embedding")))
+    val slotMaxes = (0 until tokensPerDoc).map(i =>
+      max(when(col("qslot") === i, col("sim"))).as(s"m$i"))
+    val agg = scored.groupBy(col("qdoc"), col("ddoc"))
+      .agg(slotMaxes.head, slotMaxes.tail: _*)
+    val score = (0 until tokensPerDoc)
+      .map(i => coalesce(col(s"m$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("qdoc")).orderBy(col("score").desc, col("ddoc"))
+    agg.withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qdoc"), col("ddoc"), col("rank"), micro(col("score")).as("score_micro"))
+      .orderBy(col("qdoc"), col("rank"))
+  }
+
+  /** Matryoshka (MRL) two-stage search: coarse-rank on a PREFIX of the
+    * embedding, exact-rerank the survivors on the full vector. Matryoshka
+    * representation learning trains embeddings whose leading dimensions
+    * carry most of the signal, so the first `prefixDim` coordinates alone
+    * rank well — the coarse pass reads `prefixDim/dim` of the vector bytes
+    * per candidate (here 16/64 = ¼), and only `candidates` rows per query
+    * ever touch the full vector. The dimensional sibling of
+    * [[knnBinary]]'s bit-depth cascade: that compresses precision, this
+    * truncates dimensionality.
+    *
+    * Both stages are rank windows (WindowGroupLimit partial top-k); the
+    * full embedding rides the candidate row out of stage 1, so stage 2 is
+    * a projection over nq·candidates rows — no second scan, no refetch.
+    * At 100 TB the coarse stage runs over a stored prefix column (¼ the
+    * scan bytes, same sorted/clustered layout options as any column) and
+    * the rerank fetch becomes the bounded-id point lookup [[knnBinary]]
+    * uses. Deterministic end-to-end (prefix dot is the same left-fold both
+    * engines run over the same 16 floats) ⇒ DuckDB-oracle-exact.
+    */
+  def knnMatryoshka(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5,
+                    prefixDim: Int = 16, candidates: Int = 50): DataFrame = {
+    val q = querySet(spark, dir, nq)
+      .withColumn("qpre", slice(col("qvec"), 1, prefixDim))
+    val coarse = Tables.embeddings(spark, dir)
+      .withColumn("pre", slice(col("embedding"), 1, prefixDim))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("coarse", dot(col("qpre"), col("pre")))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("coarse").desc, col("vec_id"))
+    val pool = coarse.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= candidates)
+    val reranked = pool.withColumn("sim", dot(col("qvec"), col("embedding")))
+    rankTopK(reranked, k)
+  }
+
+  /** Multi-probe LSH: probe the query's own sign bucket PLUS the buckets
+    * reached by flipping its `probes` least-confident bits — the
+    * Lv et al. (VLDB '07) trick that buys LSH recall without more tables.
+    * For sign-LSH the "confidence" of bit i is the margin |v[i]|: a
+    * coordinate near zero means the true neighbors plausibly sit on the
+    * other side of that hyperplane, so those are the bits worth flipping.
+    *
+    * The probe set is computed per query with a rank window over the
+    * first `bits` coordinates (posexplode → order by |x|, ties → lower i
+    * — deterministic), XORing 2^i into the home bucket for the `probes`
+    * lowest-margin bits. Candidates are then ONE equi-join of the
+    * (1+probes)·nq probe rows (broadcast) against the bucketed base —
+    * each base vector lives in exactly one bucket and probe buckets are
+    * pairwise distinct, so no candidate dedup is needed. Recall strictly
+    * dominates [[knnLsh]] (its bucket is probed too) at (1+probes)× the
+    * candidate cost — still ~(1+probes)/2^bits of the corpus, vs the 2×
+    * of dropping one bit from `bits`.
+    */
+  def knnMultiProbe(spark: SparkSession, dir: String, k: Int = 3, nq: Int = 10,
+                    bits: Int = 8, probes: Int = 2): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signLshBucket(col("embedding"), bits))
+    val q = querySet(spark, dir, nq)
+      .withColumn("bucket", signLshBucket(col("qvec"), bits))
+    val wf = Window.partitionBy(col("qid")).orderBy(abs(col("x")), col("i"))
+    val flipped = q
+      .select(col("qid"), col("qvec"), col("bucket"),
+        posexplode(slice(vecD(col("qvec")), 1, bits)).as(Seq("i", "x")))
+      .withColumn("fr", row_number().over(wf))
+      .filter(col("fr") <= probes)
+      .select(col("qid"), col("qvec"),
+        col("bucket").bitwiseXOR(expr("CAST(pow(2, i) AS BIGINT)")).as("bucket"))
+    val probeSet = q.select(col("qid"), col("qvec"), col("bucket"))
+      .unionByName(flipped)
+    val scored = base.join(broadcast(probeSet), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qvec"), col("embedding")))
+    rankTopK(scored, k)
+  }
+
   /** J3: hits → source-row lookup join (`pipeline+ui.py:598-599` positional
     * lookup becomes an equi-join against documents).
     */

@@ -49,4 +49,68 @@ object SortedLayout {
       .agg(min(col(key)).as("lo"), max(col(key)).as("hi"),
         count(lit(1)).as("rows"))
       .orderBy(col("lo"))
+
+  // ------------------------------------------- zone-map manifest store --
+
+  def docStorePath(dir: String): String =
+    "/root/repo/data/sorted_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** doc_id-sorted documents store WITH a persisted zone-map manifest —
+    * the Iceberg/Delta file-skipping pattern made explicit: parquet's own
+    * min/max footers prune only after the planner has already listed and
+    * footer-read every file, but a manifest read is ONE tiny parquet (≤
+    * numFiles rows) regardless of lake size. At 100 TB the difference is
+    * a metadata query vs a million NameNode+footer round-trips per plan.
+    * The manifest is computed once at write time (the ranges are a
+    * by-product of the write's range exchange) and invalidated by the
+    * same `_src_fp` staleness cascade every other derived store uses.
+    */
+  def ensureDocStore(spark: SparkSession, dir: String): String = {
+    val path = docStorePath(dir)
+    if (!new java.io.File(s"$path/zonemap").exists() ||
+        !IndexStore.sourceFpCurrent(path, dir)) {
+      write(graft.Tables.documents(spark, dir), s"$path/data", "doc_id",
+        numFiles = 8, maxRecordsPerFile = 1000000L)
+      fileRanges(spark, s"$path/data", "doc_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/zonemap")
+      IndexStore.stampSourceFp(path, dir)
+    }
+    path
+  }
+
+  /** Data files whose [lo, hi] zone intersects [lo, hi] — read from the
+    * manifest, never by listing data files. Driver-side BOUNDED metadata
+    * (≤ numFiles manifest rows, the same contract as IndexStore's probed
+    * cell ids); returns (kept files, total files) so callers and specs
+    * can audit the skip rate.
+    */
+  private[graft] def overlappingFiles(spark: SparkSession, path: String,
+                                      lo: Long, hi: Long): (Seq[String], Int) = {
+    val zm = spark.read.parquet(s"$path/zonemap")
+      .select(col("file"), col("lo"), col("hi")).collect()
+    val keep = zm.filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+      .map(_.getString(0)).toSeq
+    (keep, zm.length)
+  }
+
+  /** Range aggregation over the manifest-pruned file set: the scan's
+    * input is only the files whose zones can hold the range (pruning is
+    * conservative ⇒ the post-filter result is EXACTLY the full-table
+    * filter, which is what the oracle replays). Row-group skipping inside
+    * the kept files still applies on top (the layout is sorted within
+    * files too).
+    */
+  def rangeQuery(spark: SparkSession, dir: String,
+                 lo: Long = 100L, hi: Long = 299L): DataFrame = {
+    val path = ensureDocStore(spark, dir)
+    val (files, _) = overlappingFiles(spark, path, lo, hi)
+    val scan =
+      if (files.isEmpty) spark.read.parquet(s"$path/data").limit(0)
+      else spark.read.parquet(files: _*)
+    scan.filter(col("doc_id") >= lo && col("doc_id") <= hi)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
 }

@@ -27,6 +27,8 @@ class PlanLintSpec extends SparkSpec {
     "knn_exact", "knn_doc_join", "knn_refine", "knn_filtered",
     "knn_range", "knn_hard_negatives",
     "knn_mmr",            // broadcast query/anchor batch × base scan
+    "knn_maxsim",         // broadcast nqd·tokensPerDoc query-token batch × token scan
+    "knn_matryoshka",     // broadcast query batch × prefix scan (stage 1)
     "knn_ivf", "knn_ivfpq", "knn_pq", "knn_quantized",
     "knn_tombstone",      // same bounded centroid cross as knn_ivf
     "knn_recall_report",  // exact leg: broadcast query batch; approx leg: centroid cross
@@ -47,6 +49,7 @@ class PlanLintSpec extends SparkSpec {
                           // LogicalRDD barriers, so they don't appear lazily)
     "agg_winsorized",                  // 1-row broadcast percentile bounds
     "stats_skew_report",               // 1-row broadcast totals cross (winsorized idiom)
+    "join_size_estimate",              // 1-row exact × 1-row estimate × 1-row inputs crosses
     "agg_heavy_hitters",               // 1-row broadcast total-tokens scalar cross
     "agg_countmin",                    // 1-row broadcast stream-length scalar cross
     "q22_idle_customers",              // 1-row broadcast balance-threshold cross

@@ -37,6 +37,25 @@ class SortedLayoutSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("zone-map manifest prunes files; pruned scan equals the full-table filter") {
+    val path = SortedLayout.ensureDocStore(spark, sfDir)
+    val (kept, total) = SortedLayout.overlappingFiles(spark, path, 100L, 299L)
+    assert(total >= 4, s"store should have several files, got $total")
+    assert(kept.nonEmpty && kept.length < total,
+      s"manifest should skip files: kept ${kept.length} of $total")
+    val pruned = SortedLayout.rangeQuery(spark, sfDir).collect().toSeq
+    val full = Tables.documents(spark, sfDir)
+      .filter($"doc_id".between(100, 299))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"lang").collect().toSeq
+    assert(pruned == full, "conservative pruning must not change the result")
+    // a range beyond every zone prunes everything
+    val (none, _) = SortedLayout.overlappingFiles(spark, path, Long.MaxValue - 1, Long.MaxValue)
+    assert(none.isEmpty)
+  }
+
   override def afterAll(): Unit = {
     graft.streaming.StreamOps.rmTree(new java.io.File(out))
     super.afterAll()

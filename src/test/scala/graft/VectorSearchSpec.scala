@@ -267,6 +267,71 @@ class VectorSearchSpec extends SparkSpec {
     assert(dMmr <= dTop + 1e-9, s"MMR did not diversify: $dMmr vs top-k $dTop")
   }
 
+  test("matryoshka with a corpus-covering candidate pool equals exact search") {
+    val n = Tables.embeddings(spark, sfDir).count().toInt
+    val mrl = VectorSearch.knnMatryoshka(spark, sfDir, candidates = n).collect().toSeq
+    val exact = VectorSearch.knnExact(spark, sfDir).collect().toSeq
+    assert(mrl == exact, "full-pool matryoshka must reduce to exact kNN")
+  }
+
+  test("matryoshka contract: k rows per query, contiguous ranks, non-increasing sims") {
+    val rows = VectorSearch.knnMatryoshka(spark, sfDir)
+      .select($"qid".as[Long], $"rank".as[Long], $"sim_micro".as[Long]).collect()
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 5L), s"q$qid ranks")
+      assert(rs.sortBy(_._2).map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"q$qid sims not non-increasing")
+    }
+  }
+
+  test("multi-probe LSH dominates single-bucket LSH rank for rank") {
+    val lsh = VectorSearch.knnLsh(spark, sfDir)
+      .select($"qid".as[Long], $"rank".as[Long], $"sim_micro".as[Long]).collect()
+    val mp = VectorSearch.knnMultiProbe(spark, sfDir)
+      .select($"qid".as[Long], $"rank".as[Long], $"sim_micro".as[Long]).collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    // the single-bucket probe set is a subset of the multi-probe set, so at
+    // every (qid, rank) the multi-probe hit is at least as similar
+    lsh.foreach { case (qid, rank, sim) =>
+      val m = mp.get((qid, rank))
+      assert(m.isDefined && m.get >= sim, s"q$qid r$rank: mp=$m lsh=$sim")
+    }
+    // and the probe set really is wider: total hits never shrink
+    assert(mp.size >= lsh.length)
+  }
+
+  test("maxsim equals an independent per-token two-level reduction") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.dot
+    val got = VectorSearch.maxSim(spark, sfDir)
+      .select($"qdoc".as[Long], $"ddoc".as[Long], $"rank".as[Long], $"score_micro".as[Long])
+      .collect()
+    // independent formulation: explicit (qdoc, ddoc, qslot) max, then sum
+    val emb = Tables.embeddings(spark, sfDir)
+    val tok = emb.select(expr("vec_id DIV 4").as("ddoc"), $"embedding")
+    val qtok = emb.filter(expr("vec_id DIV 4 < 5"))
+      .select(expr("vec_id DIV 4").as("qdoc"), expr("vec_id % 4").as("qslot"),
+        $"embedding".as("qvec"))
+    val ref = tok.crossJoin(broadcast(qtok)).filter($"ddoc" =!= $"qdoc")
+      .withColumn("sim", dot($"qvec", $"embedding"))
+      .groupBy($"qdoc", $"ddoc", $"qslot").agg(max($"sim").as("m"))
+      .groupBy($"qdoc", $"ddoc").agg(sum($"m").as("score"))
+      .select($"qdoc".as[Long], $"ddoc".as[Long],
+        floor($"score" * 1000000.0).cast("long").as[Long])
+      .collect().map(r => ((r._1, r._2), r._3)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (qdoc, ddoc, _, micro) =>
+      val r = ref((qdoc, ddoc))
+      // the independent sum is fold-order-free; allow one ulp of micro slack
+      assert(math.abs(r - micro) <= 1L, s"($qdoc,$ddoc): $r vs $micro")
+    }
+    // shape: 5 ranks per query doc, self-doc excluded
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to 5L))
+      assert(rs.forall(_._2 != q))
+    }
+  }
+
   private implicit class Tup3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => ((r._1, r._2), r._3)).toMap
   }
