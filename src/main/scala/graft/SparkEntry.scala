@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_minhash_md5" -> ((s, d) => Dedup.minhashMd5Pairs(s, d)),
+    "dedup_lsh_eval" -> ((s, d) => Dedup.lshEval(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5Pairs(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
@@ -147,6 +148,7 @@ object SparkEntry {
     // LLM-pipeline — embedding + multimodal plumbing
     "embed_docs" -> ((s, d) => EmbedQueries.embedDocs(s, d)),
     "embed_dim_stats" -> ((s, d) => EmbedQueries.dimStats(s, d)),
+    "embed_gram" -> ((s, d) => EmbedQueries.gramMatrix(s, d)),
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "media_decode" -> ((s, d) => EmbedQueries.mediaDecode(s, d)),
     "media_decode_real" -> ((s, d) => Multimodal.realDecodeQuery(s, d)),
@@ -197,6 +199,7 @@ object SparkEntry {
     "profile_columns" -> ((s, d) => Relational.profileColumns(s, d)),
     "zorder_box" -> ((s, d) => graft.sources.ZOrderLayout.boxQuery(s, d)),
     "sorted_prune" -> ((s, d) => graft.sources.SortedLayout.rangeQuery(s, d)),
+    "sorted_absorb" -> ((s, d) => graft.sources.SortedLayout.absorbQuery(s, d)),
     "snapshot_diff" -> ((s, d) => Crud.snapshotDiff(s, d)),
     "agg_partial_merge" -> ((s, d) => Relational.partialMerge(s, d)),
     "agg_incremental_refresh" -> ((s, d) => Relational.incrementalRefresh(s, d)),
@@ -1307,6 +1310,26 @@ object SparkEntry {
          |SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    // LSH precision/recall audit: the banded candidate set vs the exact
+    // Jaccard truth set — both legs reuse the shared `sh` shingle CTE.
+    "dedup_lsh_eval" ->
+      s"""WITH $minhashMd5BandCtesSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+         |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (SELECT id_a, id_b
+         |          FROM p JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |          WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.12),
+         |hit AS (SELECT count(*) AS n_hit FROM truth JOIN cand USING (id_a, id_b))
+         |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         |       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+         |       CAST(n_hit AS BIGINT) AS n_hit,
+         |       CAST(n_hit * 1000 // (SELECT count(*) FROM cand) AS BIGINT) AS precision_permille,
+         |       CAST(n_hit * 1000 // (SELECT count(*) FROM truth) AS BIGINT) AS recall_permille
+         |FROM hit""".stripMargin,
     // Incremental probe: incoming batch (doc_id%10=0) vs the corpus band
     // index (the rest). Band rows are per-doc, so filtering the shared
     // bands CTE by side replays Dedup.incrementalNearDup exactly.
@@ -1840,6 +1863,15 @@ object SparkEntry {
         |SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT) AS sum_micro,
         |       min(vm) AS min_micro, max(vm) AS max_micro
         |FROM v GROUP BY dim ORDER BY dim""".stripMargin,
+    // Upper-triangle Gram matrix: per-term micro floors BEFORE the sum
+    // (the dim-stats rule), so the reduction is pure BIGINT.
+    "embed_gram" ->
+      """SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |                           * CAST(embedding[CAST(j + 1 AS INTEGER)] AS DOUBLE)
+        |                           * 1000000.0) AS BIGINT)) AS BIGINT) AS gram_sum_micro
+        |FROM embeddings CROSS JOIN range(0, 16) ti(i) CROSS JOIN range(0, 16) tj(j)
+        |WHERE i <= j GROUP BY i, j ORDER BY i, j""".stripMargin,
     "pipeline_clean_corpus" -> (cleanCorpusSql + "\nORDER BY doc_id"),
     "pipeline_corpus_stats" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words
@@ -2506,6 +2538,13 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
         |       CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
         |FROM documents WHERE doc_id BETWEEN 100 AND 299
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Absorb lifecycle: delta files + manifest union are invisible to the
+    // semantics — the pruned post-absorb scan equals the full filter.
+    "sorted_absorb" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM documents WHERE doc_id BETWEEN 300 AND 599
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // Snapshot diff: the engine compares xxhash64, the oracle md5 — hashes
     // never cross engines, only the derived status does.

@@ -367,6 +367,36 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** LSH quality evaluation — precision/recall of the banded MinHash
+    * candidate set against the EXACT n-gram-Jaccard truth set, in one
+    * query: the measurement a pipeline runs before trusting a (numPerms,
+    * bands) configuration on a new corpus, the dedup sibling of the ANN
+    * side's `knn_recall_report`. Both legs are already engine-portable
+    * (the md5 banding and the inverted-index Jaccard), so the whole
+    * evaluation — candidate generation, truth generation, intersection,
+    * integer permille ratios — replays in the oracle.
+    *
+    * Scale shape: each leg is its own banding/inverted-index join (never
+    * all-pairs); the intersection is an equi-join of two pair sets; the
+    * three counts are 1-row aggregates crossed at the end (bounded
+    * broadcast). Precision misses (banding collisions that aren't dups)
+    * cost verify work downstream; recall misses are silent corpus bloat —
+    * permille integers make the trade auditable per configuration.
+    */
+  def lshEval(spark: SparkSession, dir: String, threshold: Double = 0.12,
+              numPerms: Int = 12, bands: Int = 4): DataFrame = {
+    val truth = ngramJaccardPairs(spark, dir, threshold)
+      .select(col("id_a"), col("id_b"))
+    val cand = minhashMd5Pairs(spark, dir, numPerms, bands)
+      .select(col("id_a"), col("id_b"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nHit = truth.join(cand, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hit"))
+    nTruth.crossJoin(nCand).crossJoin(nHit)
+      .withColumn("precision_permille", expr("n_hit * 1000 DIV n_cand"))
+      .withColumn("recall_permille", expr("n_hit * 1000 DIV n_truth"))
+  }
+
   /** (doc_id, band, bk) MinHash band index over `docs` — the md5/KM double
     * hashing construction shared by the full-corpus pair query
     * ([[minhashMd5Pairs]], self-join) and the incremental probe

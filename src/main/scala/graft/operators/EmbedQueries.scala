@@ -45,6 +45,41 @@ object EmbedQueries {
         min(col("vm")).as("min_micro"), max(col("vm")).as("max_micro"))
       .orderBy(col("dim"))
 
+  /** Upper-triangle Gram matrix Σ xᵢ·xⱼ over the embedding column — the
+    * distributed linear-algebra primitive under covariance estimation,
+    * whitening, and anisotropy diagnosis (is the embedding space
+    * collapsing onto a few directions? — the post-hoc check every
+    * embedding pipeline runs). One pass, NO pairwise row work: each row
+    * emits its d(d+1)/2 products map-side (a literal array of struct
+    * terms — pure codegen, no UDF/UDAF), and the aggregate map-combines
+    * into ≤ d(d+1)/2 groups, so the shuffle carries partitions × 136
+    * buffers at ANY corpus size — the same treeAggregate shape as the
+    * k-means centroid update.
+    *
+    * Terms are fixed-point-projected to micros BEFORE summing (the
+    * [[dimStats]] rule): the sum is pure BIGINT, fold-order-free, so the
+    * oracle replays it exactly; a double sum's low bits would depend on
+    * partitioning. dims=16 bounds the registered query's oracle cost;
+    * the spec runs the full 64.
+    */
+  def gramMatrix(spark: SparkSession, dir: String, dims: Int = 16): DataFrame =
+    Tables.embeddings(spark, dir)
+      // carry only the prefix the matrix reads, then fan out (i, j ≥ i)
+      // with two nested generators — each a tiny codegen'd Generate (a
+      // single literal array of d(d+1)/2 struct terms compiles into a
+      // >64KB Janino method and silently drops the stage to interpreted
+      // fallback; the nested-explode form stays inside whole-stage codegen)
+      .select(slice(col("embedding"), 1, dims).as("e"))
+      .select(col("e"), explode(sequence(lit(0), lit(dims - 1))).as("i"))
+      .select(col("e"), col("i"), explode(sequence(col("i"), lit(dims - 1))).as("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        floor(element_at(col("e"), col("i") + 1).cast("double") *
+          element_at(col("e"), col("j") + 1).cast("double") * lit(1000000.0))
+          .cast("long").as("t"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("gram_sum_micro"))
+      .orderBy(col("i"), col("j"))
+
   /** Multimodal decode path: binary column → batched partition-local decode
     * → typed metadata struct, projected flat.
     */

@@ -101,8 +101,10 @@ object SortedLayout {
     * files too).
     */
   def rangeQuery(spark: SparkSession, dir: String,
-                 lo: Long = 100L, hi: Long = 299L): DataFrame = {
-    val path = ensureDocStore(spark, dir)
+                 lo: Long = 100L, hi: Long = 299L): DataFrame =
+    rangeAgg(spark, ensureDocStore(spark, dir), lo, hi)
+
+  private def rangeAgg(spark: SparkSession, path: String, lo: Long, hi: Long): DataFrame = {
     val (files, _) = overlappingFiles(spark, path, lo, hi)
     val scan =
       if (files.isEmpty) spark.read.parquet(s"$path/data").limit(0)
@@ -113,4 +115,69 @@ object SortedLayout {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy(col("lang"))
   }
+
+  /** Day-2 ingest into a zone-mapped store WITHOUT touching existing
+    * files: the delta is range-written to a staging dir (its OWN sorted
+    * files — ingest batches at 100 TB must not force a merge-rewrite of
+    * the lake), its per-file zones computed from the staging scan alone
+    * (old data is never re-read), the part-files moved in, and the
+    * manifest rewritten as old rows + delta rows — a tiny driver-side
+    * union, exactly how Iceberg commits append manifests. New zones may
+    * overlap old ones; pruning stays conservative-correct, and a later
+    * full rewrite (the compaction sibling, [[write]]) restores
+    * disjointness. Returns the number of files absorbed.
+    */
+  def absorb(spark: SparkSession, path: String, delta: DataFrame, key: String,
+             numFiles: Int = 2, maxRecordsPerFile: Long = 1000000L): Int = {
+    val staging = s"$path/staging"
+    delta.repartitionByRange(numFiles, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(staging)
+    val staged = fileRanges(spark, staging, key).collect()
+    val dataDir = new java.io.File(s"$path/data")
+    val moved = staged.map { r =>
+      val src = new java.io.File(new java.net.URI(r.getString(0)))
+      val dst = new java.io.File(dataDir, src.getName)
+      require(src.renameTo(dst), s"absorb: rename failed $src -> $dst")
+      (dst.toURI.toString, r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // manifest commit: old rows (collected — the manifest is ≤ files rows
+    // by contract) + the delta's rows, rewritten as one tiny parquet
+    val old = spark.read.parquet(s"$path/zonemap")
+      .select(col("file"), col("lo"), col("hi"), col("rows")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    import spark.implicits._
+    (old ++ moved).toSeq.toDF("file", "lo", "hi", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/zonemap")
+    graft.streaming.StreamOps.rmTree(new java.io.File(staging))
+    moved.length
+  }
+
+  /** The absorb lifecycle as a REGISTERED query: a store built from the
+    * even-doc_id half, the odd half absorbed as a day-2 ingest batch,
+    * then a manifest-pruned range aggregation — which must equal the
+    * full-table filter (what the oracle replays), proving absorbed rows
+    * are immediately visible through the pruned path.
+    */
+  def ensureAbsorbStore(spark: SparkSession, dir: String): String = {
+    val path = docStorePath(dir) + "_absorb"
+    if (!new java.io.File(s"$path/zonemap").exists() ||
+        !IndexStore.sourceFpCurrent(path, dir)) {
+      graft.streaming.StreamOps.rmTree(new java.io.File(path))
+      val docs = graft.Tables.documents(spark, dir)
+      write(docs.filter(col("doc_id") % 2 === 0), s"$path/data", "doc_id",
+        numFiles = 4, maxRecordsPerFile = 1000000L)
+      fileRanges(spark, s"$path/data", "doc_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/zonemap")
+      absorb(spark, path, docs.filter(col("doc_id") % 2 === 1), "doc_id", numFiles = 4)
+      IndexStore.stampSourceFp(path, dir)
+    }
+    path
+  }
+
+  def absorbQuery(spark: SparkSession, dir: String,
+                  lo: Long = 300L, hi: Long = 599L): DataFrame =
+    rangeAgg(spark, ensureAbsorbStore(spark, dir), lo, hi)
 }

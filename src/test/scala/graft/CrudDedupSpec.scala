@@ -598,4 +598,20 @@ class CrudDedupSpec extends SparkSpec {
       .findAllIn(plan).length
     assert(joins == 1, s"exactly one exact-confirm join expected, saw $joins\n$plan")
   }
+
+  test("lsh eval: counts reconcile with the two pair queries and ratios are consistent") {
+    val r = Dedup.lshEval(spark, sfDir).collect().head
+    val nTruth = r.getAs[Long]("n_truth")
+    val nCand = r.getAs[Long]("n_cand")
+    val nHit = r.getAs[Long]("n_hit")
+    assert(nTruth == Dedup.ngramJaccardPairs(spark, sfDir).count())
+    assert(nCand == Dedup.minhashMd5Pairs(spark, sfDir).count())
+    assert(nHit <= math.min(nTruth, nCand))
+    assert(r.getAs[Long]("precision_permille") == nHit * 1000 / nCand)
+    assert(r.getAs[Long]("recall_permille") == nHit * 1000 / nTruth)
+    // 4 bands × 3 perms is a generous OR-amplification at τ=0.12: the
+    // banding should find most true near-dup pairs on this corpus
+    assert(r.getAs[Long]("recall_permille") >= 500L,
+      s"LSH recall collapsed: ${r.getAs[Long]("recall_permille")}‰")
+  }
 }

@@ -398,6 +398,19 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("gram matrix: full-dim diagonal mass equals the unit-norm row count, within floor slack") {
+    val dims = 64
+    val g = EmbedQueries.gramMatrix(spark, sfDir, dims).collect()
+    assert(g.length == dims * (dims + 1) / 2)
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(g.forall(_.getAs[Long]("n") == n), "every cell aggregates every row")
+    // embeddings are L2-normalized: Σᵢ xᵢ² = 1 per row, so the diagonal's
+    // total micro mass is n·10⁶ shy of at most `dims` unit floors per row
+    val diag = g.filter(r => r.getAs[Long]("i") == r.getAs[Long]("j"))
+      .map(_.getAs[Long]("gram_sum_micro")).sum
+    assert(diag <= n * 1000000L && diag >= n * (1000000L - dims), s"diag=$diag n=$n")
+  }
+
   test("join-size estimate: exact side is the true join count, estimate is sane, sample is 1/16-ish") {
     val r = Relational.joinSizeEstimate(spark, sfDir).collect().head
     val exact = r.getAs[Long]("exact_rows")

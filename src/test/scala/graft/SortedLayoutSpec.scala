@@ -56,6 +56,29 @@ class SortedLayoutSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("absorb: day-2 delta lands in its own files, manifest commits, pruned scans see it") {
+    val path = SortedLayout.ensureAbsorbStore(spark, sfDir)
+    val got = SortedLayout.absorbQuery(spark, sfDir).collect().toSeq
+    val want = Tables.documents(spark, sfDir).filter($"doc_id".between(300, 599))
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"lang").collect().toSeq
+    assert(got == want, "absorbed rows must be visible through the pruned path")
+    // both halves present: nothing lost in the staged move
+    assert(spark.read.parquet(s"$path/data").count() ==
+      Tables.documents(spark, sfDir).count())
+    // the manifest covers exactly the data files — no orphan, no missing
+    val files = new java.io.File(s"$path/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val manifest = spark.read.parquet(s"$path/zonemap")
+      .select($"file".as[String]).collect()
+      .map(f => new java.io.File(new java.net.URI(f)).getName).toSet
+    assert(manifest == files,
+      s"manifest drift: ${(files -- manifest) ++ (manifest -- files)}")
+    // base files + delta files, never a merge-rewrite
+    assert(files.size >= 6, s"expected base+delta file sets, got ${files.size}")
+  }
+
   override def afterAll(): Unit = {
     graft.streaming.StreamOps.rmTree(new java.io.File(out))
     super.afterAll()
