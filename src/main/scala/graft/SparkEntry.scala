@@ -49,6 +49,7 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) => VectorSearch.knnLsh(s, d)),
     "knn_multiprobe" -> ((s, d) => VectorSearch.knnMultiProbe(s, d)),
     "knn_maxsim" -> ((s, d) => VectorSearch.maxSim(s, d)),
+    "knn_maxsim_pruned" -> ((s, d) => VectorSearch.maxSimPruned(s, d)),
     "knn_matryoshka" -> ((s, d) => VectorSearch.knnMatryoshka(s, d)),
     "knn_binary" -> ((s, d) => VectorSearch.knnBinary(s, d)),
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
@@ -149,6 +150,7 @@ object SparkEntry {
     "embed_docs" -> ((s, d) => EmbedQueries.embedDocs(s, d)),
     "embed_dim_stats" -> ((s, d) => EmbedQueries.dimStats(s, d)),
     "embed_gram" -> ((s, d) => EmbedQueries.gramMatrix(s, d)),
+    "embed_top_eigen" -> ((s, d) => EmbedQueries.topEigen(s, d)),
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "media_decode" -> ((s, d) => EmbedQueries.mediaDecode(s, d)),
     "media_decode_real" -> ((s, d) => Multimodal.realDecodeQuery(s, d)),
@@ -376,6 +378,41 @@ object SparkEntry {
 
   private def microSql(x: String): String =
     s"CAST(floor(($x)*1000000.0) AS BIGINT)"
+
+  /** Unrolled power-iteration replay for `embed_top_eigen`: the Gram CTE
+    * (same arithmetic as the `embed_gram` oracle), symmetrized edges, and
+    * `rounds` matvec+renormalize steps in pure integer arithmetic —
+    * signed floor division expressed as (u − ((u % d + d) % d)) // d,
+    * which equals Spark's (u − pmod(u, d)) DIV d at every sign because
+    * the numerator is an exact multiple of d.
+    */
+  private def topEigenSql(dims: Int = 16, rounds: Int = 5): String = {
+    val head =
+      s"""WITH g AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |       CAST(sum(CAST(floor(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+         |                           * CAST(embedding[CAST(j + 1 AS INTEGER)] AS DOUBLE)
+         |                           * 1000000.0) AS BIGINT)) AS BIGINT) AS w
+         |     FROM embeddings CROSS JOIN range(0, $dims) ti(i) CROSS JOIN range(0, $dims) tj(j)
+         |     WHERE i <= j GROUP BY i, j),
+         |e AS (SELECT i, j, w FROM g UNION ALL SELECT j AS i, i AS j, w FROM g WHERE i <> j),
+         |v0 AS (SELECT CAST(i AS BIGINT) AS j, CAST(1000 AS BIGINT) AS v FROM range(0, $dims) t(i))""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""u$r AS (SELECT e.i AS i, CAST(sum(e.w * v.v) AS BIGINT) AS u
+         |        FROM e JOIN v${r - 1} v ON e.j = v.j GROUP BY e.i),
+         |d$r AS (SELECT greatest(CAST(max(abs(u)) AS BIGINT) // 1000, 1) AS d FROM u$r),
+         |v$r AS (SELECT u.i AS j, CAST((u - (((u % d) + d) % d)) // d AS BIGINT) AS v
+         |        FROM u$r u, d$r)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""uf AS (SELECT e.i AS i, CAST(sum(e.w * v.v) AS BIGINT) AS u
+         |       FROM e JOIN v$rounds v ON e.j = v.j GROUP BY e.i),
+         |lam AS (SELECT greatest(CAST(max(abs(u)) AS BIGINT) // 1000, 1) AS lambda_micro FROM uf),
+         |tr AS (SELECT CAST(sum(w) AS BIGINT) AS trace_micro FROM g WHERE i = j)
+         |SELECT v.j AS comp, v.v AS eigvec_milli, lambda_micro, trace_micro,
+         |       CAST(lambda_micro * 1000 // trace_micro AS BIGINT) AS top_share_permille
+         |FROM v$rounds v, lam, tr ORDER BY comp""".stripMargin
+    s"$head,\n$steps,\n$tail"
+  }
 
   /** Greedy MMR (λ = 0.7, k = 5, pool 30) unrolled into 5 CTE argmax steps
     * — the same replay trick that oracle'd the graph beam walk: the pick
@@ -825,6 +862,29 @@ object SparkEntry {
          |         FROM embeddings WHERE vec_id // 4 < 5),
          |s AS (SELECT q.qdoc, t.ddoc, q.qslot, ${dotSql("q.qvec", "t.embedding")} AS sim
          |      FROM tok t CROSS JOIN qtok q WHERE t.ddoc <> q.qdoc),
+         |a AS (SELECT qdoc, ddoc,
+         |             max(CASE WHEN qslot = 0 THEN sim END) AS m0,
+         |             max(CASE WHEN qslot = 1 THEN sim END) AS m1,
+         |             max(CASE WHEN qslot = 2 THEN sim END) AS m2,
+         |             max(CASE WHEN qslot = 3 THEN sim END) AS m3
+         |      FROM s GROUP BY qdoc, ddoc),
+         |sc AS (SELECT qdoc, ddoc,
+         |              ((coalesce(m0, 0.0) + coalesce(m1, 0.0)) + coalesce(m2, 0.0)) + coalesce(m3, 0.0) AS score
+         |       FROM a),
+         |r AS (SELECT qdoc, ddoc, score, row_number() OVER (PARTITION BY qdoc ORDER BY score DESC, ddoc) AS rank FROM sc)
+         |SELECT CAST(qdoc AS BIGINT) AS qdoc, CAST(ddoc AS BIGINT) AS ddoc, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("score")} AS score_micro
+         |FROM r WHERE rank <= 5 ORDER BY qdoc, rank""".stripMargin,
+    // Token-level sign-LSH pruned MaxSim: scoring only on bucket
+    // collisions; absent slots coalesce to 0 — deterministic bucketing
+    // keeps the approximation engine-exact.
+    "knn_maxsim_pruned" ->
+      s"""WITH tok AS (SELECT vec_id // 4 AS ddoc, embedding, ${bucketSql("embedding", 6)} AS bucket FROM embeddings),
+         |qtok AS (SELECT vec_id // 4 AS qdoc, vec_id % 4 AS qslot, embedding AS qvec,
+         |                ${bucketSql("embedding", 6)} AS bucket
+         |         FROM embeddings WHERE vec_id // 4 < 5),
+         |s AS (SELECT q.qdoc, t.ddoc, q.qslot, ${dotSql("q.qvec", "t.embedding")} AS sim
+         |      FROM tok t JOIN qtok q USING (bucket) WHERE t.ddoc <> q.qdoc),
          |a AS (SELECT qdoc, ddoc,
          |             max(CASE WHEN qslot = 0 THEN sim END) AS m0,
          |             max(CASE WHEN qslot = 1 THEN sim END) AS m1,
@@ -1863,6 +1923,12 @@ object SparkEntry {
         |SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT) AS sum_micro,
         |       min(vm) AS min_micro, max(vm) AS max_micro
         |FROM v GROUP BY dim ORDER BY dim""".stripMargin,
+    // Power iteration on the micro-integer Gram matrix, 5 rounds unrolled
+    // (the pagerank trick): matvec sums are exact BIGINT, re-quantization
+    // is max-norm FLOOR division built from truncating ops —
+    // (u − pmod(u, d)) is an exact multiple of d, so `//`/DIV agree at
+    // every sign and the replay is bit-identical.
+    "embed_top_eigen" -> topEigenSql(),
     // Upper-triangle Gram matrix: per-term micro floors BEFORE the sum
     // (the dim-stats rule), so the reduction is pure BIGINT.
     "embed_gram" ->

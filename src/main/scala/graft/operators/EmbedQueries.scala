@@ -80,6 +80,53 @@ object EmbedQueries {
       .agg(count(lit(1)).as("n"), sum(col("t")).as("gram_sum_micro"))
       .orderBy(col("i"), col("j"))
 
+  /** Dominant eigenvector of the Gram matrix by power iteration — the
+    * embedding-collapse audit: if the top eigenvalue's share of the trace
+    * is large, the embedding space has collapsed onto one direction and
+    * cosine similarity is mostly measuring that direction (the anisotropy
+    * problem every embedding-quality writeup warns about). The heavy,
+    * distributed step is [[gramMatrix]] (one corpus pass); the iteration
+    * itself runs on the d×d micro-integer matrix — matvec as an equi-join
+    * + map-combined sum, so each round shuffles ≤ d² rows regardless of
+    * corpus size (the pagerank shape).
+    *
+    * Arithmetic contract: the matrix entries are the micro-floored BIGINT
+    * Gram sums, the vector is re-quantized to ~milli scale each round by
+    * MAX-norm floor division — `(u − pmod(u, m)) DIV m` is exact for every
+    * sign (the numerator is an exact multiple, so truncating DIV equals
+    * floor division), keeping all five rounds pure integer and the DuckDB
+    * unrolled-CTE replay bit-identical; no double ever crosses a sum.
+    * λ falls out of the last normalization (max|G·v| with ‖v‖∞ ≈ 1000).
+    */
+  def topEigen(spark: SparkSession, dir: String, dims: Int = 16,
+               rounds: Int = 5): DataFrame = {
+    val g = gramMatrix(spark, dir, dims)
+      .select(col("i"), col("j"), col("gram_sum_micro").as("w"))
+    val edges = g.unionByName(
+        g.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("w")))
+      .localCheckpoint() // one corpus pass; every round re-reads d² rows
+    var v = spark.range(dims).select(col("id").as("j"), lit(1000L).as("v"))
+    for (_ <- 1 to rounds) {
+      val u = edges.join(v, "j").groupBy(col("i"))
+        .agg(sum(col("w") * col("v")).as("u"))
+      val m = u.agg(greatest(expr("max(abs(u)) DIV 1000"), lit(1L)).as("d"))
+      v = u.crossJoin(broadcast(m))
+        .select(col("i").as("j"), expr("(u - pmod(u, d)) DIV d").as("v"))
+    }
+    val uF = edges.join(v, "j").groupBy(col("i"))
+      .agg(sum(col("w") * col("v")).as("u"))
+    val lam = uF.agg(greatest(expr("max(abs(u)) DIV 1000"), lit(1L)).as("lambda_micro"))
+    val trace = g.filter(col("i") === col("j"))
+      .agg(sum(col("w")).as("trace_micro"))
+    v.crossJoin(broadcast(lam)).crossJoin(broadcast(trace))
+      .select(col("j").as("comp"), col("v").as("eigvec_milli"),
+        col("lambda_micro"),
+        col("trace_micro"),
+        expr("lambda_micro * 1000 DIV trace_micro").as("top_share_permille"))
+      .orderBy(col("comp"))
+  }
+
   /** Multimodal decode path: binary column → batched partition-local decode
     * → typed metadata struct, projected flat.
     */

@@ -614,6 +614,49 @@ object VectorSearch {
       .orderBy(col("qdoc"), col("rank"))
   }
 
+  /** The 100 TB path for [[maxSim]]: token-level sign-LSH pruning under
+    * the SAME two-level conditional-max reduce. Each token (query and
+    * doc side) keys on its sign bucket; scoring happens only on bucket
+    * collisions — an equi-join instead of the exact form's broadcast
+    * cross — so the scored-row count drops from nqd·tpd·|tokens| to the
+    * collision count (~1/2^bits of it). A query token with no collision
+    * against some doc contributes 0 to that pair's score (the coalesce
+    * the exact form already carries), and pairs with NO colliding token
+    * never materialize at all — the PLAID-style candidate-generation
+    * approximation: score mass concentrates in colliding tokens, and
+    * missed pairs are the ones MaxSim would have ranked low anyway.
+    * Deterministic bucketing ⇒ the whole approximate pipeline is still
+    * DuckDB-oracle-exact.
+    */
+  def maxSimPruned(spark: SparkSession, dir: String, k: Int = 5, nqd: Int = 5,
+                   tokensPerDoc: Int = 4, bits: Int = 6): DataFrame = {
+    val tok = Tables.embeddings(spark, dir)
+      .select(expr(s"vec_id DIV $tokensPerDoc").as("ddoc"), col("embedding"),
+        signLshBucket(col("embedding"), bits).as("bucket"))
+    val qtok = Tables.embeddings(spark, dir)
+      .filter(expr(s"vec_id DIV $tokensPerDoc") < nqd)
+      .select(expr(s"vec_id DIV $tokensPerDoc").as("qdoc"),
+        expr(s"vec_id % $tokensPerDoc").as("qslot"),
+        col("embedding").as("qvec"),
+        signLshBucket(col("embedding"), bits).as("bucket"))
+    val scored = tok.join(broadcast(qtok), "bucket")
+      .filter(col("ddoc") =!= col("qdoc"))
+      .withColumn("sim", dot(col("qvec"), col("embedding")))
+    val slotMaxes = (0 until tokensPerDoc).map(i =>
+      max(when(col("qslot") === i, col("sim"))).as(s"m$i"))
+    val agg = scored.groupBy(col("qdoc"), col("ddoc"))
+      .agg(slotMaxes.head, slotMaxes.tail: _*)
+    val score = (0 until tokensPerDoc)
+      .map(i => coalesce(col(s"m$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("qdoc")).orderBy(col("score").desc, col("ddoc"))
+    agg.withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qdoc"), col("ddoc"), col("rank"), micro(col("score")).as("score_micro"))
+      .orderBy(col("qdoc"), col("rank"))
+  }
+
   /** Matryoshka (MRL) two-stage search: coarse-rank on a PREFIX of the
     * embedding, exact-rerank the survivors on the full vector. Matryoshka
     * representation learning trains embeddings whose leading dimensions

@@ -411,6 +411,31 @@ class OperatorSpec extends SparkSpec {
     assert(diag <= n * 1000000L && diag >= n * (1000000L - dims), s"diag=$diag n=$n")
   }
 
+  test("power-iteration eigenvalue agrees with a driver-side double-precision iteration") {
+    val out = EmbedQueries.topEigen(spark, sfDir).collect()
+    assert(out.length == 16)
+    val lam = out.head.getAs[Long]("lambda_micro")
+    val share = out.head.getAs[Long]("top_share_permille")
+    assert(share > 0 && share <= 1000, s"share=$share")
+    // reference: double power iteration on the collected 16×16 micro matrix
+    val g = EmbedQueries.gramMatrix(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt),
+        r.getAs[Long]("gram_sum_micro").toDouble)).toMap
+    def gAt(i: Int, j: Int) = g.getOrElse((math.min(i, j), math.max(i, j)), 0.0)
+    var v = Array.fill(16)(1.0)
+    for (_ <- 1 to 50) {
+      val u = Array.tabulate(16)(i => (0 until 16).map(j => gAt(i, j) * v(j)).sum)
+      val n = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(_ / n)
+    }
+    val lamRef = {
+      val u = Array.tabulate(16)(i => (0 until 16).map(j => gAt(i, j) * v(j)).sum)
+      (0 until 16).map(i => v(i) * u(i)).sum
+    }
+    // integer milli-quantized 5-round iteration vs converged double: 5%
+    assert(math.abs(lam - lamRef) / lamRef < 0.05, s"lam=$lam ref=$lamRef")
+  }
+
   test("join-size estimate: exact side is the true join count, estimate is sane, sample is 1/16-ish") {
     val r = Relational.joinSizeEstimate(spark, sfDir).collect().head
     val exact = r.getAs[Long]("exact_rows")

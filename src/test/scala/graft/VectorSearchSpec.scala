@@ -332,6 +332,38 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("pruned maxsim matches a driver-side replay of the collision semantics") {
+    import graft.functions.VectorFunctions.signLshBucket
+    val got = VectorSearch.maxSimPruned(spark, sfDir)
+      .select($"qdoc".as[Long], $"ddoc".as[Long], $"rank".as[Long], $"score_micro".as[Long])
+      .collect()
+    // brute-force the same semantics on the driver (sf0.001 is tiny)
+    val rows = Tables.embeddings(spark, sfDir)
+      .select($"vec_id".as[Long], $"embedding".as[Seq[Float]],
+        signLshBucket($"embedding", 6).as[Long]).collect()
+    val toks = rows.map { case (id, e, b) => (id / 4, id % 4, e, b) }
+    val qtoks = toks.filter(_._1 < 5)
+    val scores = collection.mutable.Map[(Long, Long), Array[Option[Double]]]()
+    for ((qd, qs, qv, qb) <- qtoks; (dd, _, dv, db) <- toks
+         if db == qb && dd != qd) {
+      val sim = qv.zip(dv).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y.toDouble }
+      val slot = scores.getOrElseUpdate((qd, dd), Array.fill[Option[Double]](4)(None))
+      if (slot(qs.toInt).forall(_ < sim)) slot(qs.toInt) = Some(sim)
+    }
+    val want = scores.map { case ((qd, dd), ms) =>
+      ((qd, dd), math.floor(ms.map(_.getOrElse(0.0)).sum * 1e6).toLong)
+    }
+    got.foreach { case (qd, dd, _, micro) =>
+      val w = want((qd, dd))
+      assert(math.abs(w - micro) <= 1L, s"($qd,$dd): $w vs $micro")
+    }
+    // contract: ranks contiguous from 1 per query, never the self doc
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length))
+      assert(rs.forall(_._2 != q))
+    }
+  }
+
   private implicit class Tup3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => ((r._1, r._2), r._3)).toMap
   }
