@@ -163,6 +163,8 @@ object SparkEntry {
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q18_big_customers" -> ((s, d) => Relational.q18BigCustomers(s, d)),
     "q14_promo_share" -> ((s, d) => Relational.q14PromoShare(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
+    "q17_small_quantity" -> ((s, d) => Relational.q17SmallQuantity(s, d)),
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     "q4_order_priority" -> ((s, d) => Relational.q4OrderPriority(s, d)),
     "q7_volume_shipping" -> ((s, d) => Relational.q7VolumeShipping(s, d)),
@@ -2026,6 +2028,30 @@ object SparkEntry {
          |         // CAST(sum($discPrice)*10000 AS BIGINT) AS promo_share_micro
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q6-shaped scan-dominated aggregate: three pushed range predicates,
+    // one scalar sum of exact decimal products.
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_tmc,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+        |  AND l_quantity < 24""".stripMargin,
+    // Q17-shaped small-quantity loss: the correlated avg as a grouped
+    // aggregate joined back; the 0.2·avg cut in cross-multiplied exact
+    // decimal form (no division anywhere near the comparison).
+    "q17_small_quantity" ->
+      """WITH avgq AS (SELECT l_partkey AS ap, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+        |                     count(*) AS qty_n
+        |              FROM lineitem GROUP BY 1),
+        |f AS (SELECT l.l_extendedprice
+        |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#13'
+        |      JOIN avgq a ON l.l_partkey = a.ap
+        |      WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * a.qty_n < a.qty_sum)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) // 7 AS avg_yearly_c,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS loss_sum_c,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM f""".stripMargin,
     // Q8-shaped market-share: same 8-table join; the share is replayed with
     // the exact BIGINT floor division the engine uses (// in DuckDB ≡ DIV).
     "q8_market_share" ->

@@ -184,6 +184,54 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** TPC-H Q6-shaped forecast revenue change: the canonical
+    * scan-dominated query — THREE pushable range predicates and ONE
+    * aggregate, no join at all. The plan that matters at 100 TB is the
+    * scan: every predicate reaches parquet (`PushedFilters` on shipdate /
+    * discount / quantity prune row groups via min/max stats, and the
+    * [[graft.sources.SortedLayout]] story compounds this when the lake is
+    * date-clustered), the projection reads 3 columns of 11, and the
+    * aggregate is one partial-combined scalar. Revenue is the exact
+    * decimal product surfaced in 10⁻⁴ currency units (the q14 idiom).
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        dec2(col("l_discount")).between(lit(0.05).cast("decimal(18,2)"),
+          lit(0.07).cast("decimal(18,2)")) &&
+        col("l_quantity") < 24)
+      .agg(
+        (sum((dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_tmc"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q17-shaped small-quantity revenue loss: per-part average
+    * quantity as a grouped aggregate JOINED back (Catalyst's
+    * decorrelation of the classic correlated subquery, written directly),
+    * the avg compare in cross-multiplied exact-decimal form
+    * (5·qty·n < Σqty ⟺ qty < 0.2·avg — no division, no rounding), brand
+    * filter pushed to the broadcast part side. The per-part aggregate is
+    * map-combined; only matching-brand parts' lineitems survive to the
+    * final scalar sum.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String,
+                       brand: String = "Brand#13"): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_brand") === brand)
+      .select(col("p_partkey"))
+    val avgq = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty_sum"),
+        count(lit(1)).as("qty_n"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(avgq, l("l_partkey") === avgq("ap_partkey"))
+      .filter(dec2(col("l_quantity")) * 5 * col("qty_n") < col("qty_sum"))
+      .agg((sum(dec2(col("l_extendedprice"))) * 100).cast("long").as("loss_sum_c"),
+        count(lit(1)).as("n_lines"))
+      .select(expr("loss_sum_c DIV 7").as("avg_yearly_c"),
+        col("loss_sum_c"), col("n_lines"))
+  }
+
   /** Join-key skew PREFLIGHT — the report a pipeline runs before pointing
     * a big equi-join at a key: top-N hot keys with their share of the
     * table, plus the max/mean skew ratio that decides whether to salt

@@ -225,4 +225,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate,2000-06-01"),
       "recent-order cutoff must prune the orders scan: " + p.take(3000))
   }
+
+  test("q6: all three range predicates reach the lineitem scan; no join, no exchange but the scalar") {
+    val p = plan(Relational.q6ForecastRevenue(spark, sfDir))
+    // the PushedFilters list renders elided, so assert its surviving prefix
+    // plus the full predicates on the Filter node
+    assert(p.contains("GreaterThanOrEqual(l_shipda"),
+      "shipdate range not pushed: " + p.take(3000))
+    assert(p.contains("l_shipdate") && p.contains(">= 1996-01-01") &&
+      p.contains("l_quantity") && p.contains("< 24.0"),
+      "range predicates missing from the filter: " + p.take(3000))
+    assert(!p.contains("Join"), "Q6 must plan joinless: " + p.take(3000))
+    // column pruning: 11-column table, 3-column read
+    assert("ReadSchema:[^\\n]*l_extendedprice".r.findFirstIn(p).isDefined &&
+      !"ReadSchema:[^\\n]*l_orderkey".r.findFirstIn(p).isDefined,
+      "scan should read only the 3 referenced columns: " + p.take(3000))
+  }
+
+  test("q17: brand filter pushed to the part scan; per-part avg joined back, brand side broadcast") {
+    val p = plan(Relational.q17SmallQuantity(spark, sfDir))
+    assert(p.contains("EqualTo(p_brand,Brand#13)"),
+      "brand filter must reach the part scan: " + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
