@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash_md5" -> ((s, d) => Dedup.simhashMd5Pairs(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_bloom" -> ((s, d) => Dedup.bloomIncrementalDedup(s, d)),
     "dedup_paragraph" -> ((s, d) => Dedup.paragraphDedup(s, d)),
@@ -140,6 +141,7 @@ object SparkEntry {
     "corpus_budget_plan" -> ((s, d) => Sampling.budgetPlan(s, d)),
     "sample_dsir" -> ((s, d) => Sampling.dsirSelect(s, d)),
     "sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d)),
+    "sample_neyman" -> ((s, d) => Sampling.neymanPlan(s, d)),
     "corpus_budget_temperature" -> ((s, d) => Sampling.temperaturePlan(s, d)),
     "knn_ivfpq" -> ((s, d) => graft.sources.PqStore.searchIvfPq(s, d)),
     "knn_refine" -> ((s, d) => graft.sources.PqStore.searchRefined(s, d)),
@@ -1257,6 +1259,28 @@ object SparkEntry {
         |       CAST(length(text) AS BIGINT) AS text_len
         |FROM documents GROUP BY text ORDER BY doc_id_kept""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    // Threshold dial: the full candidate-pair set once, per-level counts
+    // as conditional aggregates — pairs at each τ plus docs whose BEST
+    // pair clears τ.
+    "dedup_threshold_curve" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+        |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b,
+        |             CAST(floor(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) * 1000000.0) AS BIGINT) AS jm
+        |      FROM p JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b),
+        |d AS (SELECT doc_id, max(jm) AS ms
+        |      FROM (SELECT id_a AS doc_id, jm FROM j UNION ALL SELECT id_b AS doc_id, jm FROM j)
+        |      GROUP BY 1),
+        |lv AS (SELECT unnest([120000, 200000, 300000, 500000, 800000]) AS tau_micro)
+        |SELECT CAST(l.tau_micro AS BIGINT) AS tau_micro,
+        |       CAST((SELECT count(*) FROM j WHERE jm >= l.tau_micro) AS BIGINT) AS n_pairs,
+        |       CAST((SELECT count(*) FROM d WHERE ms >= l.tau_micro) AS BIGINT) AS n_docs_flagged
+        |FROM lv l ORDER BY tau_micro""".stripMargin,
     // Asymmetric containment near-dup: same inverted index, score =
     // common / min(|A|,|B|), cut on the floored micro (engine-exact).
     "dedup_containment" ->
@@ -2672,6 +2696,21 @@ object SparkEntry {
     // integer allocations sum exactly to the budget; all-integer replay.
     // budget*mass widened to HUGEINT (128-bit, = the Scala DECIMAL(38,0)
     // path) so the product can't overflow BIGINT at 100 TB-scale masses.
+    // Neyman allocation: exact-decimal power sums → one IEEE sqrt per
+    // stratum → the same all-integer Hamilton tail as corpus_budget_plan.
+    "sample_neyman" ->
+      """WITH s AS (SELECT lang, count(*) AS n, sum(CAST(n_chars AS HUGEINT)) AS s1,
+        |                  sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS BIGINT) AS share FROM s),
+        |t AS (SELECT *, sum(share) OVER () AS total FROM w),
+        |b AS (SELECT *, (CAST(10000 AS HUGEINT) * share) // total AS base,
+        |             (CAST(10000 AS HUGEINT) * share) % total AS rem FROM t),
+        |l AS (SELECT *, 10000 - sum(base) OVER () AS leftover,
+        |             row_number() OVER (ORDER BY rem DESC, lang) AS rr FROM b)
+        |SELECT lang, CAST(n AS BIGINT) AS n, share AS neyman_w,
+        |       CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM l ORDER BY lang""".stripMargin,
     "corpus_budget_plan" ->
       """WITH m AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass FROM documents GROUP BY 1),
         |t AS (SELECT *, sum(mass) OVER () AS total FROM m),

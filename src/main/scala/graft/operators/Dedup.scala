@@ -397,6 +397,37 @@ object Dedup {
       .withColumn("recall_permille", expr("n_hit * 1000 DIV n_truth"))
   }
 
+  /** Dedup threshold dial: how many near-dup PAIRS and how many FLAGGED
+    * DOCUMENTS each candidate τ would act on — the measurement a pipeline
+    * runs before committing to a similarity cut (too low deletes unique
+    * text, too high ships duplicates; this query prices every level at
+    * once). Same one-pass conditional-aggregation trick as
+    * `knn_recall_curve`: the pair set is computed ONCE (the shared
+    * memoized inverted-index join), per-level pair counts are conditional
+    * sums over it, and per-level doc counts ride a per-doc max-similarity
+    * aggregate (a doc is flagged at τ iff its best pair clears τ) — never
+    * a per-level rescan, no count-distinct Expand.
+    */
+  def thresholdCurve(spark: SparkSession, dir: String,
+                     taus: Seq[Long] = Seq(120000L, 200000L, 300000L,
+                       500000L, 800000L)): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, threshold = 0.0)
+    val perDoc = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"),
+        col("jaccard_micro"))
+      .groupBy(col("doc_id")).agg(max(col("jaccard_micro")).as("ms"))
+    val pAgg = pairs.agg(
+      taus.map(t => sum(when(col("jaccard_micro") >= t, 1L).otherwise(0L)).as(s"p$t")).head,
+      taus.tail.map(t => sum(when(col("jaccard_micro") >= t, 1L).otherwise(0L)).as(s"p$t")): _*)
+    val dAgg = perDoc.agg(
+      taus.map(t => sum(when(col("ms") >= t, 1L).otherwise(0L)).as(s"d$t")).head,
+      taus.tail.map(t => sum(when(col("ms") >= t, 1L).otherwise(0L)).as(s"d$t")): _*)
+    val stackSql = s"stack(${taus.length}, " +
+      taus.map(t => s"${t}L, p$t, d$t").mkString(", ") +
+      ") as (tau_micro, n_pairs, n_docs_flagged)"
+    pAgg.crossJoin(dAgg).select(expr(stackSql)).orderBy(col("tau_micro"))
+  }
+
   /** (doc_id, band, bk) MinHash band index over `docs` — the md5/KM double
     * hashing construction shared by the full-corpus pair query
     * ([[minhashMd5Pairs]], self-join) and the incremental probe

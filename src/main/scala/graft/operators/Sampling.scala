@@ -264,6 +264,36 @@ object Sampling {
         col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
   }
 
+  /** Neyman-allocation sampling plan: per-stratum sample sizes ∝ N_l·σ_l
+    * — the variance-OPTIMAL allocation for estimating a corpus mean under
+    * stratified sampling (Neyman 1934), here stratified by language with
+    * n_chars as the measured variable. Proportional allocation
+    * ([[budgetPlan]]) oversamples strata that are merely LARGE; Neyman
+    * spends budget where the strata are VARIABLE, which is what an
+    * auditing pass (mean quality, mean length) actually needs.
+    *
+    * Engine-exact fractionals, the [[temperaturePlan]] rule: N_l·σ_l =
+    * √(N_l·S2_l − S1_l²) with the radicand an EXACT decimal (power sums,
+    * the agg_moments idiom), integerized immediately through the one
+    * IEEE-correctly-rounded fractional op (sqrt); the Hamilton tail then
+    * stays all-integer, so allocations sum exactly to the budget in both
+    * engines. |langs|-row arithmetic after one map-combined scan.
+    */
+  def neymanPlan(spark: SparkSession, dir: String, budget: Long = 10000L): DataFrame = {
+    val stats = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("s1"),
+        sum((col("n_chars").cast("decimal(38,0)") * col("n_chars"))
+          .cast("decimal(38,0)")).as("s2"))
+    val w = stats.withColumn("share",
+      floor(sqrt(expr("CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE)")))
+        .cast("long"))
+    hamilton(w, budget)
+      .select(col("lang"), col("n"), col("share").as("neyman_w"), col("alloc"))
+      .orderBy(col("lang"))
+  }
+
   /** Temperature-scaled mixing plan — the multilingual-LLM sampling rule
     * p_l ∝ mass_l^α with α = 1/2 (α < 1 upweights low-resource languages;
     * α = 1 is [[budgetPlan]]'s proportional split, α = 0 uniform). The

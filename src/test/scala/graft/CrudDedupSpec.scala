@@ -614,4 +614,20 @@ class CrudDedupSpec extends SparkSpec {
     assert(r.getAs[Long]("recall_permille") >= 500L,
       s"LSH recall collapsed: ${r.getAs[Long]("recall_permille")}‰")
   }
+
+  test("threshold curve: monotone in τ and consistent with the pair query at τ=0.12") {
+    val rows = Dedup.thresholdCurve(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("tau_micro"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs_flagged"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(120000L, 200000L, 300000L, 500000L, 800000L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 >= b._2 && a._3 >= b._3, s"not monotone: $a vs $b")
+      case _ =>
+    }
+    assert(rows.head._2 == Dedup.ngramJaccardPairs(spark, sfDir, 0.12).count(),
+      "τ=0.12 level must agree with the registered pair query")
+    // a pair flags at most 2 docs; a doc needs at least one pair
+    rows.foreach { case (_, p, d) => assert(d <= 2 * p && (p == 0 || d >= 2)) }
+  }
 }

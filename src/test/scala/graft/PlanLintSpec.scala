@@ -52,6 +52,7 @@ class PlanLintSpec extends SparkSpec {
     "join_size_estimate",              // 1-row exact × 1-row estimate × 1-row inputs crosses
     "dedup_lsh_eval",                  // 1-row truth × 1-row cand × 1-row hit count crosses
     "embed_top_eigen",                 // 1-row max-norm / λ / trace scalar crosses per round
+    "dedup_threshold_curve",           // 1-row pair-counts × 1-row doc-counts cross
     "agg_heavy_hitters",               // 1-row broadcast total-tokens scalar cross
     "agg_countmin",                    // 1-row broadcast stream-length scalar cross
     "q22_idle_customers",              // 1-row broadcast balance-threshold cross

@@ -289,4 +289,31 @@ class SamplingSpec extends SparkSpec {
     assert(diff == 0, "two-phase prefix sum must equal the naive global window")
     o.unpersist(blocking = false)
   }
+
+  test("neyman plan: allocations conserve the budget and track N·σ, not N") {
+    val budget = 10000L
+    val rows = Sampling.neymanPlan(spark, sfDir, budget).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == budget, "Hamilton must conserve exactly")
+    assert(rows.forall(r => r.getAs[Long]("alloc") >= 0 && r.getAs[Long]("neyman_w") >= 0))
+    // driver-side recompute of N·σ per stratum
+    val docs = Tables.documents(spark, sfDir)
+      .select($"lang".as[String], $"n_chars".as[Long]).collect().groupBy(_._1)
+    rows.foreach { r =>
+      val xs = docs(r.getAs[String]("lang")).map(_._2)
+      val n = xs.length.toLong
+      val s1 = xs.sum
+      val s2 = xs.map(x => x * x).sum
+      val w = math.floor(math.sqrt((n * s2 - s1 * s1).toDouble)).toLong
+      assert(r.getAs[Long]("neyman_w") == w, s"${r.getAs[String]("lang")}: $w")
+      assert(r.getAs[Long]("n") == n)
+    }
+    // optimality direction: allocation shares follow weight shares within
+    // the ±1 Hamilton rounding
+    val totW = rows.map(_.getAs[Long]("neyman_w")).sum
+    rows.foreach { r =>
+      val ideal = budget.toDouble * r.getAs[Long]("neyman_w") / totW
+      assert(math.abs(r.getAs[Long]("alloc") - ideal) <= 1.0,
+        s"${r.getAs[String]("lang")}: alloc ${r.getAs[Long]("alloc")} vs ideal $ideal")
+    }
+  }
 }
