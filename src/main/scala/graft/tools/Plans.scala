@@ -66,7 +66,15 @@ object Plans {
       "text_bpe_merges" -> "BPE trainer rounds: corpus work is ONE map-combined word count; each merge round is two windows over the bounded type table + a 1-row broadcast argmax, all rounds one lazy DAG",
       "text_bpe_encode" -> "BPE apply: learned pair sequence over the FULL word-type table, per-type token counts join back on the word key — shuffle sized to the vocabulary, never positions × corpus",
       "dedup_bloom" -> "bloom-pruned incremental exact dedup: might_contain literal gate splits the batch map-side — the definite-novel branch union-bypasses the single md5 confirm join",
-      "corpus_offsets" -> "global token offsets: per-shard window prefix sums + 8-row shard-base cumsum broadcast back — the naive global-ORDER-BY window is never planned")
+      "corpus_offsets" -> "global token offsets: per-shard window prefix sums + 8-row shard-base cumsum broadcast back — the naive global-ORDER-BY window is never planned",
+      "knn_maxsim" -> "late-interaction MaxSim: broadcast query-token batch, BOTH reduction levels (per-slot conditional max + fixed-order sum) in ONE map-combined hash aggregate, WindowGroupLimit top-k",
+      "knn_maxsim_pruned" -> "LSH-pruned MaxSim: token-bucket equi-join replaces the broadcast cross — only colliding tokens score, same one-aggregate reduce",
+      "knn_matryoshka" -> "MRL two-stage: coarse prefix-dot rank (¼ vector bytes), candidates carry the full vector out of stage 1 — the rerank is a projection, never a refetch",
+      "knn_multiprobe" -> "multi-probe LSH: (1+probes)·nq probe rows broadcast into ONE bucket equi-join — recall of flipping low-margin bits without more tables",
+      "embed_gram" -> "distributed Gram matrix: nested-explode fan-out keeps the stage in whole-stage codegen; map-combined into ≤136 cells, shuffle = partitions × cells",
+      "q6_forecast_revenue" -> "TPC-H Q6 shape: the scan IS the plan — three pushed range predicates, 3-of-11-column read, one partial-combined scalar",
+      "sorted_prune" -> "zone-map pruned range scan: the manifest (ONE tiny parquet) picks the file set; the scan opens only intersecting files",
+      "join_size_estimate" -> "join-size preflight: md5-nibble key sample BELOW the per-key aggregates — the estimate branch shuffles 1/16 of the key domain")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
