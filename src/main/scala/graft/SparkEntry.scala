@@ -89,12 +89,14 @@ object SparkEntry {
     "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_bloom" -> ((s, d) => Dedup.bloomIncrementalDedup(s, d)),
+    "dedup_cdc" -> ((s, d) => Dedup.cdcDedup(s, d)),
     "dedup_paragraph" -> ((s, d) => Dedup.paragraphDedup(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringRuns(s, d)),
     "dedup_substring_stats" -> ((s, d) => Dedup.substringStats(s, d)),
     "dedup_substring_prune" -> ((s, d) => Dedup.substringPrune(s, d)),
     "dedup_source_matrix" -> ((s, d) => Dedup.substringSourceMatrix(s, d)),
     "graph_pagerank" -> ((s, d) => Dedup.dupPagerank(s, d)),
+    "graph_label_prop" -> ((s, d) => Dedup.dupLabelProp(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestDedup(s, d)),
@@ -204,6 +206,8 @@ object SparkEntry {
     "quality_audit" -> ((s, d) => Relational.qualityAudit(s, d)),
     "profile_columns" -> ((s, d) => Relational.profileColumns(s, d)),
     "zorder_box" -> ((s, d) => graft.sources.ZOrderLayout.boxQuery(s, d)),
+    "partitioned_prune" -> ((s, d) => graft.sources.PartitionedStore.pruneQuery(s, d)),
+    "partitioned_dpp" -> ((s, d) => graft.sources.PartitionedStore.dppQuery(s, d)),
     "sorted_prune" -> ((s, d) => graft.sources.SortedLayout.rangeQuery(s, d)),
     "sorted_absorb" -> ((s, d) => graft.sources.SortedLayout.absorbQuery(s, d)),
     "snapshot_diff" -> ((s, d) => Crud.snapshotDiff(s, d)),
@@ -1437,6 +1441,28 @@ object SparkEntry {
         |SELECT CAST(b.doc_id AS BIGINT) AS doc_id, CAST(ck.dup_of AS BIGINT) AS dup_of,
         |       CAST(coalesce(ck.n_copies, 0) AS BIGINT) AS n_copies
         |FROM b LEFT JOIN ck USING (w) ORDER BY doc_id""".stripMargin,
+    // Content-defined chunking dedup: word-gear cut points (boundary after
+    // any word whose md5 gear word is ≡0 mod 8), chunk text re-assembled
+    // ORDER BY pos, duplication = one hash aggregate over the chunk table.
+    "dedup_cdc" ->
+      s"""WITH w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+         |           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |h AS (SELECT doc_id, pos, w, md5('cdc:' || w) AS dg FROM w),
+         |b AS (SELECT doc_id, pos, w,
+         |        CASE WHEN (${graft.operators.Dedup.hexWordSql("strpos", "dg", 1)}) % 8 = 0
+         |             THEN 1 ELSE 0 END AS brk FROM h),
+         |c AS (SELECT doc_id, pos, w,
+         |        COALESCE(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+         |      FROM b),
+         |ch AS (SELECT doc_id, chunk, md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+         |       FROM c GROUP BY 1, 2),
+         |occ AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY 1)
+         |SELECT CAST(ch.doc_id AS BIGINT) AS doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN occ.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |       CAST(sum(CASE WHEN occ.n_docs >= 2 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS dup_permille
+         |FROM ch JOIN occ USING (chunk_hash) GROUP BY 1 ORDER BY 1""".stripMargin,
     // Edit-distance near-dup: blocked candidates (>=2 common shingles),
     // exact Levenshtein verify, normalized integer-micro cut.
     "dedup_edit_distance" ->
@@ -1472,6 +1498,29 @@ object SparkEntry {
          |SELECT CAST(p.node AS BIGINT) AS node, p.pr_micro,
          |       CAST(d.out_deg AS BIGINT) AS degree
          |FROM pr$iters p JOIN deg d ON p.node = d.src ORDER BY node""".stripMargin
+    },
+    // Deterministic synchronous LPA replay: the same fixed rounds unrolled
+    // as CTEs — per round, neighbor votes + the self-vote counted, argmax
+    // with smallest-label tie-break (min over the max-count labels).
+    "graph_label_prop" -> {
+      val rounds = 4
+      val steps = (1 to rounds).map { i =>
+        s"""v$i AS (SELECT node, label, count(*) AS c FROM (
+           |  SELECT e.dst AS node, p.label FROM edges e JOIN l${i - 1} p ON e.src = p.node
+           |  UNION ALL SELECT node, label FROM l${i - 1}) GROUP BY 1, 2),
+           |l$i AS (SELECT v.node, min(v.label) AS label
+           |        FROM v$i v JOIN (SELECT node AS n2, max(c) AS mc FROM v$i GROUP BY 1) m
+           |          ON v.node = m.n2 AND v.c = m.mc GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT id_a, id_b FROM ($ngramJaccardSql)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         |$steps,
+         |sizes AS (SELECT label, count(*) AS community_size FROM l$rounds GROUP BY 1)
+         |SELECT CAST(l.node AS BIGINT) AS node, CAST(l.label AS BIGINT) AS label,
+         |       CAST(s.community_size AS BIGINT) AS community_size
+         |FROM l$rounds l JOIN sizes s ON l.label = s.label ORDER BY node""".stripMargin
     },
     // Passage-exact dedup with reconstruction: non-overlapping 10-word
     // segments, global keep-first by (doc_id, seg_no), docs rebuilt from
@@ -2647,6 +2696,20 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
         |FROM events WHERE user_id BETWEEN 4 AND 6 AND value BETWEEN 10.0 AND 30.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Partitioned-store queries: both oracles replay on the RAW events
+    // table — directory partitioning (and its static/dynamic pruning) may
+    // only change what is SCANNED, never the result.
+    "partitioned_prune" ->
+      """WITH lo AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM events, lo WHERE CAST(ts AS DATE) BETWEEN lo.d AND lo.d + INTERVAL 2 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "partitioned_dpp" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM events WHERE day(CAST(ts AS DATE)) % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Manifest pruning is conservative, so the pruned-scan result is
     // EXACTLY the full-table range filter the oracle runs.

@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Date-partitioned lake layout for the event stream — the third leg of
+  * the layout triad ([[SortedLayout]] 1-D range, [[ZOrderLayout]] 2-D
+  * curve, this: hive-style directory partitioning on the one column every
+  * time-series query filters by). The reference appends flow CSVs in
+  * arrival order (`Milvus/stream1.py:255-260`), so every time-window query
+  * re-reads the whole history; at 100 TB the standard fix is
+  * `partitionBy(event_date)` — the directory tree IS the index, and two
+  * pruning modes fall out of the plan with zero per-query work:
+  *
+  *  - STATIC pruning: a literal date predicate becomes `PartitionFilters`
+  *    on the scan — unmatched date directories are never even listed into
+  *    the file index ([[pruneQuery]]);
+  *  - DYNAMIC partition pruning: a join against a filtered dimension
+  *    (here: the calendar sidecar) plants a `dynamicpruning` subquery on
+  *    the fact scan, so partitions are pruned by the dim filter's RESULT
+  *    at runtime — the selective-dim-join pattern every warehouse query
+  *    uses ([[dppQuery]]).
+  *
+  * Store layout: `path/rows/event_date=*` (the fact), `path/calendar`
+  * (one row per distinct date with its day-of-month — the tiny dim a real
+  * lake keeps as a calendar table). Same `_src_fp` staleness cascade as
+  * [[IndexStore]]: the driver regenerates the testdata between rounds and
+  * a stale store must rebuild, not serve the previous generation.
+  */
+object PartitionedStore {
+
+  def defaultPath(dir: String): String =
+    "/root/repo/data/part_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Build the partitioned layout + calendar dim. The fact write pays one
+    * shuffle-free pass (dynamic partition write); the calendar is a
+    * |dates|-row aggregate coalesced to one file.
+    */
+  def write(spark: SparkSession, dir: String, path: String): Unit = {
+    val e = Tables.events(spark, dir).withColumn("event_date", to_date(col("ts")))
+    // partitionBy over an empty frame writes no readable files at all —
+    // degrade to a plain (empty, schema-bearing) parquet so readers and
+    // both query shapes still flow to correct empty results.
+    if (e.isEmpty)
+      e.write.mode("overwrite").parquet(s"$path/rows")
+    else
+      e.write.mode("overwrite").partitionBy("event_date").parquet(s"$path/rows")
+    e.select(col("event_date")).distinct()
+      .withColumn("dom", dayofmonth(col("event_date")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/calendar")
+    IndexStore.stampSourceFp(path, dir)
+  }
+
+  /** Build once per source-content generation (IndexStore contract). */
+  def ensure(spark: SparkSession, dir: String): String = {
+    val path = defaultPath(dir)
+    if (!new java.io.File(s"$path/calendar").exists() ||
+        !IndexStore.sourceFpCurrent(path, dir))
+      write(spark, dir, path)
+    path
+  }
+
+  /** First-3-days activity summary over the partitioned store. The range
+    * bounds come from the calendar sidecar (two driver-side scalars), so
+    * the fact predicate is LITERAL dates and the scan's `PartitionFilters`
+    * prunes 27 of 30 date directories before reading a byte — the plan
+    * shape PartitionedStoreSpec asserts. The oracle replays the same
+    * window on the RAW table: layout may only change what is scanned.
+    */
+  def pruneQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensure(spark, dir)
+    val rows = spark.read.parquet(s"$path/rows")
+    val lo = spark.read.parquet(s"$path/calendar")
+      .agg(min(col("event_date"))).head().getDate(0)
+    val filtered =
+      if (lo == null) rows.filter(lit(false)) // empty store: no partitions to prune
+      else rows.filter(col("event_date").between(lit(lo), date_add(lit(lo), 2)))
+    filtered
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Even-day-of-month activity via a calendar-dim join — the shape that
+    * exercises DYNAMIC partition pruning: the dim filter (`dom % 2 = 0`)
+    * is not a literal date set at plan time, so Catalyst plants a
+    * `dynamicpruning` subquery on the fact scan's `event_date` partition
+    * column and prunes odd-day directories with the broadcast dim's
+    * runtime result. At 100 TB this is every "join fact to filtered dim"
+    * query; without DPP the fact scan reads all partitions.
+    */
+  def dppQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensure(spark, dir)
+    val rows = spark.read.parquet(s"$path/rows")
+    val dim = spark.read.parquet(s"$path/calendar")
+      .filter(col("dom") % 2 === 0)
+      .select(col("event_date"))
+    rows.join(broadcast(dim), Seq("event_date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+      .orderBy(col("event_type"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.PartitionedStore
+
+/** Date-partitioned lake layout: static partition pruning (literal date
+  * range → `PartitionFilters`, strict directory subset listed), dynamic
+  * partition pruning (calendar-dim join → `dynamicpruning` subquery on the
+  * fact scan), and result invariance of both queries vs the raw table.
+  */
+class PartitionedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rawAgg(pred: org.apache.spark.sql.Column) =
+    Tables.events(spark, sfDir).withColumn("event_date", to_date($"ts"))
+      .filter(pred)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum($"value".cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+      .orderBy($"event_type")
+      .select($"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+      .collect().toSeq
+
+  test("prune query: literal date range reaches the scan as PartitionFilters") {
+    val q = PartitionedStore.pruneQuery(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(plan).nonEmpty,
+      plan.take(2000))
+    // the pruned scan must list a strict subset of the date directories
+    val path = PartitionedStore.defaultPath(sfDir)
+    val total = spark.read.parquet(s"$path/rows")
+      .select($"event_date").distinct().count()
+    val lo = spark.read.parquet(s"$path/calendar").agg(min($"event_date")).head().getDate(0)
+    val scanned = spark.read.parquet(s"$path/rows")
+      .filter($"event_date".between(lit(lo), date_add(lit(lo), 2)))
+      .select(input_file_name()).distinct().count()
+    val allFiles = spark.read.parquet(s"$path/rows")
+      .select(input_file_name()).distinct().count()
+    assert(total > 3, s"need >3 date partitions to demonstrate pruning, got $total")
+    assert(scanned < allFiles, s"pruning read every file: $scanned/$allFiles")
+  }
+
+  test("prune query result is invariant vs the raw table") {
+    val got = PartitionedStore.pruneQuery(spark, sfDir)
+      .select($"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+      .collect().toSeq
+    val lo = Tables.events(spark, sfDir).agg(min(to_date($"ts"))).head().getDate(0)
+    val want = rawAgg(to_date($"ts").between(lit(lo), date_add(lit(lo), 2)))
+    assert(got == want, s"layout changed the result: $got vs $want")
+    assert(got.nonEmpty)
+  }
+
+  test("dpp query: fact scan carries a dynamicpruning subquery on event_date") {
+    val q = PartitionedStore.dppQuery(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "expected a dynamic partition pruning filter on the fact scan:\n" + plan.take(3000))
+  }
+
+  test("dpp query result equals the raw even-day aggregate") {
+    val got = PartitionedStore.dppQuery(spark, sfDir)
+      .select($"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+      .collect().toSeq
+    val want = rawAgg(dayofmonth(to_date($"ts")) % 2 === 0)
+    assert(got == want, s"DPP changed the result: $got vs $want")
+    assert(got.nonEmpty)
+  }
+
+  test("stale source fingerprint triggers a rebuild") {
+    val path = PartitionedStore.defaultPath(sfDir)
+    PartitionedStore.ensure(spark, sfDir)
+    val d = new java.io.File(path)
+    // simulate a regenerated source: remove the stamp
+    d.listFiles().filter(_.getName.startsWith("_src_fp_")).foreach(_.delete())
+    val calBefore = new java.io.File(s"$path/calendar").lastModified()
+    Thread.sleep(1100) // mtime granularity
+    PartitionedStore.ensure(spark, sfDir)
+    assert(d.listFiles().exists(_.getName.startsWith("_src_fp_")), "stamp restored")
+    assert(new java.io.File(s"$path/calendar").lastModified() > calBefore,
+      "missing stamp must force a rebuild")
+  }
+}
