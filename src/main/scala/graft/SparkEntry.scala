@@ -1500,22 +1500,23 @@ object SparkEntry {
          |FROM pr$iters p JOIN deg d ON p.node = d.src ORDER BY node""".stripMargin
     },
     // Deterministic synchronous LPA replay: the same fixed rounds unrolled
-    // as CTEs — per round, neighbor votes + the self-vote counted, argmax
-    // with smallest-label tie-break (min over the max-count labels).
+    // as CTEs — the self-vote is a self-loop edge (as in the engine), so
+    // each round reads the previous one exactly ONCE (linear CTE chain,
+    // not 2^rounds re-derivations); argmax via QUALIFY with the
+    // smallest-label tie-break.
     "graph_label_prop" -> {
       val rounds = 4
       val steps = (1 to rounds).map { i =>
-        s"""v$i AS (SELECT node, label, count(*) AS c FROM (
-           |  SELECT e.dst AS node, p.label FROM edges e JOIN l${i - 1} p ON e.src = p.node
-           |  UNION ALL SELECT node, label FROM l${i - 1}) GROUP BY 1, 2),
-           |l$i AS (SELECT v.node, min(v.label) AS label
-           |        FROM v$i v JOIN (SELECT node AS n2, max(c) AS mc FROM v$i GROUP BY 1) m
-           |          ON v.node = m.n2 AND v.c = m.mc GROUP BY 1)""".stripMargin
+        s"""l$i AS (SELECT e.dst AS node, p.label, count(*) AS c
+           |        FROM edges e JOIN l${i - 1} p ON e.src = p.node GROUP BY 1, 2
+           |        QUALIFY row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, p.label) = 1)""".stripMargin
       }.mkString(",\n")
       s"""WITH pairs AS (SELECT id_a, id_b FROM ($ngramJaccardSql)),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |        UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |edges AS (SELECT src, dst FROM sym
+         |          UNION ALL SELECT DISTINCT src, src FROM sym),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
          |$steps,
          |sizes AS (SELECT label, count(*) AS community_size FROM l$rounds GROUP BY 1)
          |SELECT CAST(l.node AS BIGINT) AS node, CAST(l.label AS BIGINT) AS label,

@@ -1003,6 +1003,71 @@ object Dedup {
     } finally spark.conf.set(key, sessionParts.toString)
   }
 
+  /** Synchronous label-propagation communities over the near-dup graph
+    * (Raghavan et al. 2007), made deterministic: each round every node
+    * adopts the most frequent label among its neighbors PLUS its own
+    * current label (the self-vote breaks the 2-cycle oscillation of pure
+    * neighbor-majority), ties resolved to the smallest label. Unlike
+    * connected components ([[dupClusters]]'s lineage), LPA splits a
+    * component along its density structure — two dup-cliques joined by
+    * one accidental bridge pair land in different communities, which is
+    * the grouping a pipeline wants when choosing per-template canonical
+    * docs (a bridge collision must not merge two templates).
+    *
+    * The self-vote is folded into the edge list as SELF-LOOPS rather
+    * than a per-round union: each round then references the previous
+    * label frame exactly ONCE (one edge join + one argmax aggregate), so
+    * the unrolled lineage — and the oracle's unrolled CTE chain — stays
+    * linear in rounds instead of doubling per round (a twice-referenced
+    * loop frame re-derives its whole upstream twice per level:
+    * 2^rounds replays of the candidate-pair front-half).
+    *
+    * Scale shape: each round is ONE edge-sized equi-join + ONE
+    * (node,label) count aggregate + ONE per-node argmax — the argmax is
+    * `max(struct(count, -label))`, a hash aggregate with map-side
+    * combine, never a per-node window sort. Loop frames carry ≤ one row
+    * per node; shuffle partitions are sized to the materialized edge
+    * list exactly as in [[dupPagerank]]. Rounds are fixed (not
+    * to-convergence): deterministic cost, and the oracle unrolls the
+    * same rounds as CTEs.
+    */
+  def dupLabelProp(spark: SparkSession, dir: String,
+                   threshold: Double = 0.12, rounds: Int = 4): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, threshold)
+      .select(col("id_a"), col("id_b"))
+    val sym = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+    val edges = sym
+      .unionAll(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"))) // self-loop = self-vote
+      .localCheckpoint()
+    val nEdges = edges.count()
+    val key = "spark.sql.shuffle.partitions"
+    val sessionParts = spark.conf.get(key).toInt
+    spark.conf.set(key,
+      math.max(1L, math.min(sessionParts.toLong, nEdges / 65536 + 1)).toString)
+    try {
+      var lab = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to rounds) {
+        lab = edges.join(lab, edges("src") === lab("node"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+      }
+      // The final frame is referenced twice (sizes + join): truncate the
+      // 4-round lineage once so it isn't evaluated once per reference.
+      lab = lab.localCheckpoint()
+      val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+      lab.join(sizes, "label")
+        .select(col("node"), col("label"), col("community_size"))
+        .orderBy(col("node"))
+        .localCheckpoint()
+    } finally spark.conf.set(key, sessionParts.toString)
+  }
+
   /** Corpus-wide exact SEGMENT dedup with document reconstruction — the
     * sub-document exact-dedup shape ("remove every duplicated passage,
     * keep its globally first occurrence, then rebuild each document from
@@ -1335,6 +1400,66 @@ object Dedup {
     definiteNovel
       .select(col("doc_id"), lit(null).cast("long").as("dup_of"), lit(0L).as("n_copies"))
       .unionByName(confirmed)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content-defined chunks of every document — the storage-dedup cut
+    * (LBFS/Venti lineage, FastCDC's gear variant at word granularity):
+    * a chunk boundary falls AFTER any word whose 32-bit gear hash is
+    * ≡ 0 (mod `gear`), so cut points depend only on LOCAL content.
+    * That's the property fixed-size chunking lacks: insert a paragraph
+    * at the front and every fixed-size block shifts, but content-defined
+    * boundaries re-synchronize at the first gear word after the edit —
+    * unchanged suffixes keep their chunk hashes (spec-asserted), which
+    * is what makes chunk-level dedup catch partial overlap between
+    * crawl snapshots that whole-doc hashing misses.
+    *
+    * Engine-portable construction: ONE md5 per word ([[hexWordSql]]
+    * nibble arithmetic, the minhashMd5 hash family), the boundary scan
+    * is a per-doc running sum (window partitioned by doc_id — token
+    * ordering never leaves its document, so the shuffle is doc-sized),
+    * and chunk text reassembles via sort_array(collect_list(struct)) —
+    * order-deterministic on both engines (`string_agg ... ORDER BY` in
+    * the oracle).
+    */
+  private[graft] def cdcChunks(docs: DataFrame, gear: Int): DataFrame = {
+    val w = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("dg", md5(concat(lit("cdc:"), col("w"))))
+      .withColumn("brk",
+        (expr(hexWordSql("instr", "dg", 1)).cast("long") % gear === 0).cast("long"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    w.withColumn("chunk", coalesce(sum(col("brk")).over(win), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("w")))), x => x("w")),
+          " ")).as("chunk_hash"),
+        count(lit(1)).as("n_words"))
+  }
+
+  /** Chunk-level duplication report per document: how much of each doc is
+    * made of chunks that also appear in ANOTHER doc. Near-dup tells you
+    * two docs are similar; this tells you WHICH SHARE of a doc is
+    * boilerplate/recycled — the number a pipeline thresholds to strip
+    * template-heavy pages while keeping their unique remainder.
+    *
+    * Scale shape: chunking is one linear token pass (per-doc windows);
+    * cross-doc detection is ONE hash aggregate over the chunk table
+    * (`count(distinct doc_id) ≥ 2` per chunk_hash) joined back — never a
+    * doc-pair join, so cost is O(tokens + chunks), independent of how
+    * many docs share a chunk.
+    */
+  def cdcDedup(spark: SparkSession, dir: String, gear: Int = 8): DataFrame = {
+    val chunks = cdcChunks(Tables.documents(spark, dir), gear)
+    val occ = chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(occ, Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_permille", expr("n_dup_chunks * 1000 DIV n_chunks"))
       .orderBy(col("doc_id"))
   }
 }
