@@ -208,6 +208,8 @@ object SparkEntry {
     "zorder_box" -> ((s, d) => graft.sources.ZOrderLayout.boxQuery(s, d)),
     "partitioned_prune" -> ((s, d) => graft.sources.PartitionedStore.pruneQuery(s, d)),
     "partitioned_dpp" -> ((s, d) => graft.sources.PartitionedStore.dppQuery(s, d)),
+    "partitioned_backfill" -> ((s, d) => graft.sources.PartitionedStore.backfillQuery(s, d)),
+    "text_phrase_lift" -> ((s, d) => TextAnalysis.phraseLift(s, d)),
     "sorted_prune" -> ((s, d) => graft.sources.SortedLayout.rangeQuery(s, d)),
     "sorted_absorb" -> ((s, d) => graft.sources.SortedLayout.absorbQuery(s, d)),
     "snapshot_diff" -> ((s, d) => Crud.snapshotDiff(s, d)),
@@ -2712,6 +2714,33 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
         |FROM events WHERE day(CAST(ts AS DATE)) % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Backfill replay: the day-2 partition-overwrite correction applied
+    // inline on the raw table — overwrite may only change WHERE the
+    // corrected rows live, never what they aggregate to.
+    "partitioned_backfill" ->
+      """WITH lo AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(CASE WHEN CAST(ts AS DATE) = lo.d + 1
+        |                          THEN value * 2 ELSE value END AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM events, lo GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Collocation lift: integer micro ratio widened to HUGEINT (the
+    // corpus_budget overflow precedent), rank-equivalent to PMI.
+    "text_phrase_lift" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1),
+        |n AS (SELECT sum(c) AS n_words FROM uni),
+        |bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM (
+        |         SELECT unnest(list_transform(range(greatest(len(ws)-1, 0)),
+        |                  i -> ws[i+1] || ' ' || ws[i+2])) AS bigram FROM d)
+        |       GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |       CAST((CAST(c_ab AS HUGEINT) * n.n_words * 1000000) // (ua.c * ub.c) AS BIGINT) AS lift_micro
+        |FROM bi
+        |JOIN uni ua ON ua.w = string_split(bigram, ' ')[1]
+        |JOIN uni ub ON ub.w = string_split(bigram, ' ')[2]
+        |CROSS JOIN n
+        |ORDER BY lift_micro DESC, bigram LIMIT 50""".stripMargin,
     // Manifest pruning is conservative, so the pruned-scan result is
     // EXACTLY the full-table range filter the oracle runs.
     "sorted_prune" ->

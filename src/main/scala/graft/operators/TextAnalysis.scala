@@ -538,6 +538,43 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Collocation mining by LIFT — the association score behind phrase /
+    * tokenizer-merge candidate lists: lift(a,b) = p(ab) / (p(a)·p(b)),
+    * which ranks identically to PMI (its log) but stays in exact integer
+    * arithmetic — `lift_micro = c_ab·N·10⁶ ÷ (c_a·c_b)` with the product
+    * widened to DECIMAL(38,0) (the corpus_budget precedent: at 100 TB
+    * token masses the BIGINT product would overflow; HUGEINT on the
+    * oracle side). A raw-frequency top list ([[bigramTop]]) surfaces
+    * "of the"; lift surfaces pairs that co-occur far above chance, which
+    * is what a phrase vocabulary actually wants.
+    *
+    * Scale shape: two map-combined count aggregates (unigrams, bigrams)
+    * over one tokenize pass each; the unigram table joins in twice on the
+    * bigram's two words (vocab-sized — broadcast at any realistic vocab);
+    * min-count prunes the bigram tail BEFORE the joins; final top-K is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def phraseLift(spark: SparkSession, dir: String,
+                 minCount: Int = 5, topK: Int = 50): DataFrame = {
+    val d = Tables.documents(spark, dir).withColumn("ws", words(col("text")))
+    val uni = d.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nWords = broadcast(uni.agg(sum(col("c")).as("n_words")))
+    val bi = d.select(explode(graft.functions.Grams.kgrams(col("ws"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("wa", split(col("bigram"), " ").getItem(0))
+      .withColumn("wb", split(col("bigram"), " ").getItem(1))
+    bi.join(broadcast(uni.select(col("w").as("wa"), col("c").as("c_a"))), Seq("wa"))
+      .join(broadcast(uni.select(col("w").as("wb"), col("c").as("c_b"))), Seq("wb"))
+      .crossJoin(nWords)
+      .withColumn("lift_micro",
+        expr("(CAST(c_ab AS DECIMAL(38,0)) * n_words * 1000000) DIV (c_a * c_b)").cast("long"))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"), col("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** TF-IDF top terms per document — the classic relevance weighting, as
     * the pure relational pipeline it is at scale: explode → (doc, term)
     * counts → document frequency → score → per-doc rank-limit window
