@@ -209,6 +209,7 @@ object SparkEntry {
     "partitioned_prune" -> ((s, d) => graft.sources.PartitionedStore.pruneQuery(s, d)),
     "partitioned_dpp" -> ((s, d) => graft.sources.PartitionedStore.dppQuery(s, d)),
     "partitioned_backfill" -> ((s, d) => graft.sources.PartitionedStore.backfillQuery(s, d)),
+    "partitioned_hidden" -> ((s, d) => graft.sources.PartitionedStore.hiddenRouteQuery(s, d)),
     "text_phrase_lift" -> ((s, d) => TextAnalysis.phraseLift(s, d)),
     "sorted_prune" -> ((s, d) => graft.sources.SortedLayout.rangeQuery(s, d)),
     "sorted_absorb" -> ((s, d) => graft.sources.SortedLayout.absorbQuery(s, d)),
@@ -2723,6 +2724,16 @@ object SparkEntry {
         |       CAST(sum(CAST(CASE WHEN CAST(ts AS DATE) = lo.d + 1
         |                          THEN value * 2 ELSE value END AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
         |FROM events, lo GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Hidden-partitioning route: the user's data-column date filter,
+    // replayed inline on the raw table (the rewrite is exact — it only
+    // changes what is scanned).
+    "partitioned_hidden" ->
+      """WITH lo AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM events, lo
+        |WHERE CAST(ts AS DATE) BETWEEN lo.d + 3 AND lo.d + 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Collocation lift: integer micro ratio widened to HUGEINT (the
     // corpus_budget overflow precedent), rank-equivalent to PMI.
     "text_phrase_lift" ->

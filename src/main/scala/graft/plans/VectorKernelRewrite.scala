@@ -91,6 +91,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VectorKernelRewrite)
     ext.injectOptimizerRule(_ => AnnProbeRewrite)
+    ext.injectOptimizerRule(_ => HiddenPartitionRewrite)
     ext.injectPlannerStrategy(_ => KnnJoinStrategy)
   }
 }

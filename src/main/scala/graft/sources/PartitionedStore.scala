@@ -84,6 +84,33 @@ object PartitionedStore {
       .orderBy(col("event_type"))
   }
 
+  /** The HIDDEN-partitioning query shape: the user filters on the DATA
+    * column (`to_date(ts)`) and never mentions `event_date` — exactly how
+    * someone who doesn't know the layout writes the query. `to_date` is
+    * not a pushable predicate, so without help this scans every
+    * partition; [[graft.plans.HiddenPartitionRewrite]] mirrors the date
+    * comparisons onto the partition column at optimization time and the
+    * scan prunes directories statically (plan + file-subset
+    * spec-asserted). Days 4–6 of the corpus, so the result differs from
+    * [[pruneQuery]]'s days 1–3.
+    */
+  def hiddenRouteQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensure(spark, dir)
+    val rows = spark.read.parquet(s"$path/rows")
+    val lo = spark.read.parquet(s"$path/calendar")
+      .agg(min(col("event_date"))).head().getDate(0)
+    val filtered =
+      if (lo == null) rows.filter(lit(false))
+      else rows.filter(to_date(col("ts"))
+        .between(lit(java.sql.Date.valueOf(lo.toLocalDate.plusDays(3))),
+          lit(java.sql.Date.valueOf(lo.toLocalDate.plusDays(5)))))
+    filtered
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+      .orderBy(col("event_type"))
+  }
+
   /** Dynamic partition-overwrite backfill — the day-2 lake operation that
     * motivates directory partitioning in the first place: a correction
     * arrives for ONE day (late data, a fixed parser, a re-crawl) and only
