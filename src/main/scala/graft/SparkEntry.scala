@@ -58,6 +58,7 @@ object SparkEntry {
     "knn_rewrite" -> ((s, d) => graft.sources.IndexStore.rewriteSearchQuery(s, d)),
     "knn_tombstone" -> ((s, d) => graft.sources.IndexStore.searchTombstoned(s, d)),
     "knn_recall_report" -> ((s, d) => graft.sources.IndexStore.recallReport(s, d)),
+    "knn_rank_eval" -> ((s, d) => graft.sources.IndexStore.mrrReport(s, d)),
     "knn_recall_curve" -> ((s, d) => graft.sources.IndexStore.recallSweep(s, d)),
     "knn_autotune" -> ((s, d) => graft.sources.IndexStore.autoTuneSearch(s, d)),
     "knn_pq" -> ((s, d) => graft.sources.PqStore.searchQuery(s, d)),
@@ -624,7 +625,7 @@ object SparkEntry {
     * streaming execution of the same search). A `def`: [[ivfStorePath]]
     * re-derives from the pinned oracle sf dir on each call.
     */
-  private def ivfProbedSearchSql(extraRowPred: String = ""): String =
+  private def ivfProbedSearchSql(extraRowPred: String = "", k: Int = 5): String =
     s"""WITH cents AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
        |               FROM read_parquet('$ivfStorePath/centroids/*.parquet')),
        |r AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id, embedding
@@ -639,7 +640,7 @@ object SparkEntry {
        |rk AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
        |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
        |       ${microSql("sim")} AS sim_micro
-       |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+       |FROM rk WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
   /** Okapi BM25 CTE chain (k1 = 1, b = 0.75, linear idf; per-term integer
     * micros) ending in `bm25agg(doc_id, score_micro, n_terms)` — shared by
@@ -1023,6 +1024,22 @@ object SparkEntry {
          |       CAST(n_exact AS BIGINT) AS n_exact,
          |       CAST(COALESCE(n_found, 0) * 1000000 // n_exact AS BIGINT) AS recall_micro
          |FROM ne LEFT JOIN f ON ne.qid = f.qid ORDER BY qid""".stripMargin,
+    // Reciprocal-rank eval: the exact top-1's rank inside the probed
+    // top-10 (replayed over the exported store), rr = 10^6 // rank, 0 on
+    // a miss — integer arithmetic end to end.
+    "knn_rank_eval" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |ex AS (SELECT qid, vec_id FROM (
+         |        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS xr FROM s)
+         |       WHERE xr = 1),
+         |pk AS (SELECT qid, vec_id, rank FROM (${ivfProbedSearchSql(k = 10)}) t)
+         |SELECT CAST(ex.qid AS BIGINT) AS qid,
+         |       CAST(COALESCE(pk.rank, 0) AS BIGINT) AS rank,
+         |       CAST(CASE WHEN pk.rank IS NOT NULL THEN 1000000 // pk.rank ELSE 0 END AS BIGINT) AS rr_micro
+         |FROM ex LEFT JOIN pk ON ex.qid = pk.qid AND ex.vec_id = pk.vec_id
+         |ORDER BY qid""".stripMargin,
     // nprobe→recall curve: recall@k at level L = |exact ∩ cells(rank≤L)|,
     // so the sweep is one conditional aggregation over each exact hit's
     // cell rank — replayed over the exported store artifacts.

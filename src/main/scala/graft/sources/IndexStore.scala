@@ -246,6 +246,34 @@ object IndexStore {
       .orderBy(col("qid"))
   }
 
+  /** Reciprocal-rank eval of the probed search — recall@k asks "did the
+    * true neighbors show up"; MRR asks "how HIGH did the true nearest
+    * neighbor land", the rank-position metric retrieval evals report
+    * (RAG-style serving cares about position, not just membership).
+    * Per query: the exact top-1's rank in the probed top-`k` list,
+    * rr_micro = 10⁶ DIV rank (0 if missed) — exact integer arithmetic,
+    * no libm, so the DuckDB oracle replays it over the exported store.
+    *
+    * Scale shape: the probed leg is the standard partition-pruned store
+    * search; the exact leg is one nq-row top-1; the comparison is an
+    * (nq)-row left join. Nothing beyond the searches themselves touches
+    * the corpus.
+    */
+  def mrrReport(spark: SparkSession, dir: String,
+                k: Int = 10, nq: Int = 5, nprobe: Int = 10): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val probed = searchPruned(spark, path, VectorSearch.querySet(spark, dir, nq), k, nprobe)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
+    val exact1 = VectorSearch.knnExact(spark, dir, 1, nq)
+      .select(col("qid"), col("vec_id"))
+    exact1.join(probed, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), coalesce(col("rank"), lit(0L)).as("rank"))
+      .withColumn("rr_micro",
+        when(col("rank") > 0, expr("1000000 DIV rank")).otherwise(lit(0L)))
+      .orderBy(col("qid"))
+  }
+
   /** nprobe → recall CURVE in one query — the recall dial as a table,
     * matching the reference's index-quality intent (Milvus ef=128 search
     * knob, `Milvus/stream1.py:161-162`; FAISS nprobe sweeps). Uses the

@@ -121,6 +121,19 @@ class IndexStoreSpec extends SparkSpec {
       s"sweep n_found at nprobe=10 ($sweepAt10) != report total ($reportFound)")
   }
 
+  test("mrr eval: perfect at full probe, rr consistent with rank, misses are zero") {
+    val full = IndexStore.mrrReport(spark, sfDir, k = 10, nq = 5, nprobe = 1000)
+      .collect()
+    assert(full.length == 5)
+    assert(full.forall(r => r.getLong(1) == 1L && r.getLong(2) == 1000000L),
+      s"full probe must rank the true NN first: ${full.mkString(",")}")
+    val probed = IndexStore.mrrReport(spark, sfDir).collect()
+    assert(probed.forall { r =>
+      val (rank, rr) = (r.getLong(1), r.getLong(2))
+      if (rank > 0) rr == 1000000L / rank else rr == 0L
+    }, "rr_micro must be 10^6 DIV rank (0 on a miss)")
+  }
+
   test("rebuild compacts tombstones: live rows only, retrained cells, fresh build id") {
     val path = IndexStore.defaultPath(sfDir)
     IndexStore.ensure(spark, sfDir, path)
