@@ -211,6 +211,8 @@ object SparkEntry {
     "partitioned_dpp" -> ((s, d) => graft.sources.PartitionedStore.dppQuery(s, d)),
     "partitioned_backfill" -> ((s, d) => graft.sources.PartitionedStore.backfillQuery(s, d)),
     "partitioned_hidden" -> ((s, d) => graft.sources.PartitionedStore.hiddenRouteQuery(s, d)),
+    "partitioned_layout_stats" -> ((s, d) => graft.sources.PartitionedStore.layoutStats(s, d)),
+    "partitioned_retention" -> ((s, d) => graft.sources.PartitionedStore.retentionQuery(s, d)),
     "text_phrase_lift" -> ((s, d) => TextAnalysis.phraseLift(s, d)),
     "sorted_prune" -> ((s, d) => graft.sources.SortedLayout.rangeQuery(s, d)),
     "sorted_absorb" -> ((s, d) => graft.sources.SortedLayout.absorbQuery(s, d)),
@@ -325,6 +327,7 @@ object SparkEntry {
     * `val`): [[oracleSql]] re-derives it from [[oracleSfDir]] on each call.
     */
   private def ivfStorePath = graft.sources.IndexStore.defaultPath(oracleSfDir)
+  private def partStorePath = graft.sources.PartitionedStore.defaultPath(oracleSfDir)
 
   /** Where graft.sources.PqStore persists the PQ codebooks/codes the
     * Verify run builds — the oracle replays the ADC search over them.
@@ -2741,6 +2744,23 @@ object SparkEntry {
         |       CAST(sum(CAST(CASE WHEN CAST(ts AS DATE) = lo.d + 1
         |                          THEN value * 2 ELSE value END AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
         |FROM events, lo GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Layout audit replayed over the SAME exported store artifact — even
+    // the per-partition file attribution is hash-checked.
+    "partitioned_layout_stats" ->
+      s"""SELECT CAST(event_date AS DATE) AS event_date,
+         |       CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(*) // count(DISTINCT filename) AS BIGINT) AS rows_per_file
+         |FROM read_parquet('$partStorePath/rows/*/*.parquet', hive_partitioning=1, filename=true)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Retention replay: partition drop may only remove WHOLE days older
+    // than the cutoff — surviving rows equal the raw-table date filter.
+    "partitioned_retention" ->
+      """WITH hi AS (SELECT max(CAST(ts AS DATE)) AS d FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM events, hi WHERE CAST(ts AS DATE) >= hi.d - 6
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Hidden-partitioning route: the user's data-column date filter,
     // replayed inline on the raw table (the rewrite is exact — it only
     // changes what is scanned).

@@ -151,6 +151,60 @@ object PartitionedStore {
       .orderBy(col("event_type"))
   }
 
+  /** Per-partition layout audit — the small-files report every lake runs
+    * before deciding what to compact: rows and distinct files per date
+    * directory. One scan with `input_file_name()`; the oracle replays it
+    * over the SAME exported artifact (`read_parquet(filename=true)`), so
+    * even the file attribution is hash-checked, not just the row counts.
+    * At 100 TB this table is what a compaction scheduler consumes — the
+    * decision input, produced without touching file contents beyond the
+    * scan already needed for row counts.
+    */
+  def layoutStats(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensure(spark, dir)
+    spark.read.parquet(s"$path/rows")
+      .select(col("event_date"), input_file_name().as("f")) // project first:
+      // non-deterministic expressions may not appear inside an aggregate
+      .groupBy(col("event_date"))
+      .agg(countDistinct(col("f")).as("n_files"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("rows_per_file", expr("n_rows DIV n_files"))
+      .orderBy(col("event_date"))
+  }
+
+  /** Retention enforcement by PARTITION DROP — expiring old data on a
+    * date-partitioned layout is a directory delete, an O(partitions)
+    * metadata operation that never reads or rewrites a row (contrast a
+    * non-partitioned lake, where retention is a full rewrite with an
+    * anti-filter). Keeps the most recent `keepDays` dates; runs on its
+    * own store clone (`_ret`) so the shared store keeps matching the
+    * other queries' oracles. Idempotent: re-running drops nothing new.
+    */
+  def retentionQuery(spark: SparkSession, dir: String, keepDays: Int = 7): DataFrame = {
+    val path = defaultPath(dir) + "_ret"
+    if (!new java.io.File(s"$path/calendar").exists() ||
+        !IndexStore.sourceFpCurrent(path, dir))
+      write(spark, dir, path)
+    val hi = spark.read.parquet(s"$path/calendar")
+      .agg(max(col("event_date"))).head().getDate(0)
+    if (hi != null) {
+      val cutoff = hi.toLocalDate.minusDays(keepDays.toLong - 1)
+      val rowsDir = new java.io.File(s"$path/rows")
+      Option(rowsDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+        .filter { f =>
+          val d = java.time.LocalDate.parse(f.getName.stripPrefix("event_date="))
+          d.isBefore(cutoff)
+        }
+        .foreach(graft.streaming.StreamOps.rmTree)
+    }
+    spark.read.parquet(s"$path/rows")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+      .orderBy(col("event_type"))
+  }
+
   /** Even-day-of-month activity via a calendar-dim join — the shape that
     * exercises DYNAMIC partition pruning: the dim filter (`dom % 2 = 0`)
     * is not a literal date set at plan time, so Catalyst plants a

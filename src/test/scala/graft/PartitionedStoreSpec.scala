@@ -66,6 +66,41 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("layout stats partition the store: row counts sum to the table") {
+    val stats = PartitionedStore.layoutStats(spark, sfDir).collect()
+    assert(stats.nonEmpty)
+    assert(stats.map(_.getLong(2)).sum == Tables.events(spark, sfDir).count())
+    assert(stats.forall(r => r.getLong(1) >= 1L &&
+      r.getLong(3) == r.getLong(2) / r.getLong(1)))
+  }
+
+  test("retention drops exactly the expired partitions, idempotently") {
+    val got = PartitionedStore.retentionQuery(spark, sfDir, keepDays = 7)
+      .select($"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+      .collect().toSeq
+    // surviving directories are exactly the last 7 dates
+    val root = new java.io.File(PartitionedStore.defaultPath(sfDir) + "_ret/rows")
+    val dates = root.listFiles().filter(_.getName.startsWith("event_date="))
+      .map(f => f.getName.stripPrefix("event_date=")).sorted
+    val hi = Tables.events(spark, sfDir).agg(max(to_date($"ts"))).head().getDate(0)
+    assert(dates.length <= 7)
+    assert(dates.forall(d => !java.time.LocalDate.parse(d)
+      .isBefore(hi.toLocalDate.minusDays(6))), s"expired partition survived: ${dates.toSeq}")
+    val want = Tables.events(spark, sfDir)
+      .filter(to_date($"ts") >= lit(java.sql.Date.valueOf(hi.toLocalDate.minusDays(6))))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum($"value".cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+      .orderBy($"event_type")
+      .select($"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+      .collect().toSeq
+    assert(got == want, s"retention changed surviving rows: $got vs $want")
+    val again = PartitionedStore.retentionQuery(spark, sfDir, keepDays = 7)
+      .select($"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+      .collect().toSeq
+    assert(again == got, "re-running retention must drop nothing new")
+  }
+
   test("stale source fingerprint triggers a rebuild") {
     val path = PartitionedStore.defaultPath(sfDir)
     PartitionedStore.ensure(spark, sfDir)
