@@ -74,7 +74,12 @@ object Plans {
       "embed_gram" -> "distributed Gram matrix: nested-explode fan-out keeps the stage in whole-stage codegen; map-combined into ≤136 cells, shuffle = partitions × cells",
       "q6_forecast_revenue" -> "TPC-H Q6 shape: the scan IS the plan — three pushed range predicates, 3-of-11-column read, one partial-combined scalar",
       "sorted_prune" -> "zone-map pruned range scan: the manifest (ONE tiny parquet) picks the file set; the scan opens only intersecting files",
-      "join_size_estimate" -> "join-size preflight: md5-nibble key sample BELOW the per-key aggregates — the estimate branch shuffles 1/16 of the key domain")
+      "join_size_estimate" -> "join-size preflight: md5-nibble key sample BELOW the per-key aggregates — the estimate branch shuffles 1/16 of the key domain",
+      "partitioned_dpp" -> "dynamic partition pruning: the calendar-dim join plants a dynamicpruning subquery on the fact scan's event_date PartitionFilters",
+      "partitioned_hidden" -> "hidden partitioning: the user's to_date(ts) predicate, mirrored onto event_date by HiddenPartitionRewrite — static PartitionFilters from a data-column filter",
+      "dedup_cdc" -> "content-defined chunking: per-doc token window cut, chunk reassembly via sort_array(collect_list), duplication = ONE hash aggregate over the chunk table",
+      "graph_label_prop" -> "label propagation: self-loop self-vote keeps each unrolled round single-reference (linear lineage); argmax = max(struct) hash agg, no per-node window",
+      "text_phrase_lift" -> "collocation lift: two map-combined count aggs, vocab-sized broadcast joins, DECIMAL(38,0)-widened integer ratio, TakeOrderedAndProject top-K")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
