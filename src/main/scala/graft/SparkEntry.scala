@@ -213,6 +213,8 @@ object SparkEntry {
     "partitioned_hidden" -> ((s, d) => graft.sources.PartitionedStore.hiddenRouteQuery(s, d)),
     "partitioned_layout_stats" -> ((s, d) => graft.sources.PartitionedStore.layoutStats(s, d)),
     "partitioned_retention" -> ((s, d) => graft.sources.PartitionedStore.retentionQuery(s, d)),
+    "partitioned_compact" -> ((s, d) => graft.sources.PartitionedStore.compactQuery(s, d)),
+    "knn_filtered_adaptive" -> ((s, d) => VectorSearch.knnFilteredAdaptive(s, d)),
     "text_phrase_lift" -> ((s, d) => TextAnalysis.phraseLift(s, d)),
     "sorted_prune" -> ((s, d) => graft.sources.SortedLayout.rangeQuery(s, d)),
     "sorted_absorb" -> ((s, d) => graft.sources.SortedLayout.absorbQuery(s, d)),
@@ -832,6 +834,18 @@ object SparkEntry {
          |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       ${microSql("sim")} AS sim_micro
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Adaptive filtered search: label=3 is ~10% selective, under the 20%
+    // crossover, so the engine takes the BRUTE branch (exact over the
+    // qualifying subset) — the oracle replays that branch and pins the
+    // emitted strategy column.
+    "knn_filtered_adaptive" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid AND e.label = 3),
+         |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("sim")} AS sim_micro, 'brute' AS strategy
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "knn_range" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
@@ -2752,6 +2766,14 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_rows,
          |       CAST(count(*) // count(DISTINCT filename) AS BIGINT) AS rows_per_file
          |FROM read_parquet('$partStorePath/rows/*/*.parquet', hive_partitioning=1, filename=true)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Compaction replay over the compacted artifact: post-compaction every
+    // date directory is one file; rows are conserved.
+    "partitioned_compact" ->
+      s"""SELECT CAST(event_date AS DATE) AS event_date,
+         |       CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+         |       CAST(count(*) AS BIGINT) AS n_rows
+         |FROM read_parquet('${partStorePath}_cp/rows/*/*.parquet', hive_partitioning=1, filename=true)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Retention replay: partition drop may only remove WHOLE days older
     // than the cutoff — surviving rows equal the raw-table date filter.

@@ -306,6 +306,39 @@ object VectorSearch {
     knnDeclarative(querySet(spark, dir, nq),
       Tables.embeddings(spark, dir).filter(col("label") < maxLabel), k)
 
+  /** Selectivity-ADAPTIVE filtered search — the pre-filter vs post-filter
+    * decision every filtered-ANN engine makes (Milvus's expr planner,
+    * pgvector's iterative scan): probing the index and filtering inside
+    * probed cells is right when most rows qualify, but under a SELECTIVE
+    * predicate the qualifying set is small enough that an exact scan of
+    * just those rows is both cheaper and better (no recall loss — the
+    * probe can miss qualifying neighbors in unprobed cells, and the
+    * sparser the filter, the worse that gets). The crossover is decided
+    * from ONE conditional-count aggregate over the store (at lake scale,
+    * from table stats): selectivity ≤ `selThreshold` → brute-force the
+    * filtered subset (exact); above it → probed search with the
+    * predicate pushed into the pruned scan. The emitted `strategy`
+    * column makes the decision observable (and oracle-checkable).
+    */
+  def knnFilteredAdaptive(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5,
+                          pred: Column = col("label") === 3,
+                          selThreshold: Double = 0.2): DataFrame = {
+    val path = graft.sources.IndexStore.defaultPath(dir)
+    graft.sources.IndexStore.ensure(spark, dir, path)
+    val (rows, _) = graft.sources.IndexStore.read(spark, path)
+    val a = rows.agg(count(lit(1)).as("n"),
+      sum(when(pred, 1L).otherwise(0L)).as("m")).head()
+    val (total, matching) = (a.getLong(0), a.getLong(1))
+    if (total == 0L || matching.toDouble <= total * selThreshold)
+      knnDeclarative(querySet(spark, dir, nq),
+          rows.filter(pred).select(col("vec_id"), col("embedding")), k)
+        .withColumn("strategy", lit("brute"))
+    else
+      graft.sources.IndexStore.searchPruned(spark, path, querySet(spark, dir, nq),
+          k, nprobe = 10, rowPred = Some(pred))
+        .withColumn("strategy", lit("probed"))
+  }
+
   /** Reciprocal-rank fusion of lexical (BM25) and dense (exact kNN) hits —
     * the standard hybrid-retrieval merge (RRF: score = Σ 1/(c + rank),
     * c = 60): rank-based, so the incomparable score scales of BM25 and

@@ -161,8 +161,12 @@ object IndexStore {
     * files and scanning all of them.
     */
   def searchPruned(spark: SparkSession, path: String, queries: DataFrame,
-                   k: Int = 5, nprobe: Int = 10): DataFrame = {
-    val scored = scoreProbed(spark, path, queries, nprobe)
+                   k: Int = 5, nprobe: Int = 10,
+                   rowPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // An optional scalar predicate on the stored rows (the Milvus `expr`
+    // surface over the probed path): applied pre-rank, and Catalyst
+    // pushes it through the score join into the pruned scan.
+    val scored = rowPred.foldLeft(scoreProbed(spark, path, queries, nprobe))(_.filter(_))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -172,6 +172,40 @@ object PartitionedStore {
       .orderBy(col("event_date"))
   }
 
+  /** Partition compaction — the ACTION the [[layoutStats]] audit feeds:
+    * every date directory holding more than `targetFiles` files is
+    * rewritten (via the same dynamic partition overwrite as
+    * [[backfillQuery]] — untouched partitions keep their bytes) into one
+    * file per date, `repartition(col("event_date"))` guaranteeing each
+    * date lands in exactly one task. The rewrite set is localCheckpointed
+    * first: Spark (correctly) refuses to overwrite a path it is lazily
+    * reading from. Idempotent — a second run finds nothing above target.
+    * Runs on its own clone (`_cp`); returns the post-compaction audit.
+    */
+  def compactQuery(spark: SparkSession, dir: String, targetFiles: Int = 1): DataFrame = {
+    val path = defaultPath(dir) + "_cp"
+    if (!new java.io.File(s"$path/calendar").exists() ||
+        !IndexStore.sourceFpCurrent(path, dir))
+      write(spark, dir, path)
+    def audit() = spark.read.parquet(s"$path/rows")
+      .select(col("event_date"), input_file_name().as("f"))
+      .groupBy(col("event_date"))
+      .agg(countDistinct(col("f")).as("n_files"), count(lit(1)).as("n_rows"))
+    val needy = audit().filter(col("n_files") > targetFiles)
+      .select(col("event_date")).collect().map(_.getDate(0)) // ≤ |dates| rows
+    if (needy.nonEmpty) {
+      spark.read.parquet(s"$path/rows")
+        .filter(col("event_date").isin(needy.toIndexedSeq: _*))
+        .repartition(needy.length, col("event_date"))
+        .localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(s"$path/rows")
+    }
+    audit().orderBy(col("event_date"))
+  }
+
   /** Retention enforcement by PARTITION DROP — expiring old data on a
     * date-partitioned layout is a directory delete, an O(partitions)
     * metadata operation that never reads or rewrites a row (contrast a

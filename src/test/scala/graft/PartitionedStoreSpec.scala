@@ -101,6 +101,17 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(again == got, "re-running retention must drop nothing new")
   }
 
+  test("compaction: every date directory ends at one file, rows conserved, idempotent") {
+    val before = Tables.events(spark, sfDir).count()
+    val out = PartitionedStore.compactQuery(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) == 1L),
+      s"uncompacted partition left: ${out.filter(_.getLong(1) > 1L).mkString(",")}")
+    assert(out.map(_.getLong(2)).sum == before, "compaction must conserve rows")
+    val again = PartitionedStore.compactQuery(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("stale source fingerprint triggers a rebuild") {
     val path = PartitionedStore.defaultPath(sfDir)
     PartitionedStore.ensure(spark, sfDir)

@@ -367,4 +367,27 @@ class VectorSearchSpec extends SparkSpec {
   private implicit class Tup3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = rows.map(r => ((r._1, r._2), r._3)).toMap
   }
+
+  test("adaptive filtered search: selective pred takes the exact brute branch") {
+    val out = VectorSearch.knnFilteredAdaptive(spark, sfDir, pred = col("label") === 3)
+    assert(out.select($"strategy").distinct().as[String].collect().toSeq == Seq("brute"))
+    val got = out.select($"qid", $"vec_id", $"rank").as[(Long, Long, Long)].collect().toSet
+    val want = VectorSearch.knnDeclarative(
+        VectorSearch.querySet(spark, sfDir, 5),
+        Tables.embeddings(spark, sfDir).filter($"label" === 3)
+          .select($"vec_id", $"embedding"), 5)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(got == want, "brute branch must be the exact filtered top-k")
+  }
+
+  test("adaptive filtered search: loose pred takes the probed branch and matches searchPruned") {
+    val out = VectorSearch.knnFilteredAdaptive(spark, sfDir, pred = col("label") >= 0)
+    assert(out.select($"strategy").distinct().as[String].collect().toSeq == Seq("probed"))
+    val got = out.select($"qid", $"vec_id", $"rank").as[(Long, Long, Long)].collect().toSet
+    val path = graft.sources.IndexStore.defaultPath(sfDir)
+    val want = graft.sources.IndexStore.searchPruned(spark, path,
+        VectorSearch.querySet(spark, sfDir, 5))
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(got == want, "an always-true pred must reduce to the plain probed search")
+  }
 }
