@@ -59,6 +59,7 @@ object SparkEntry {
     "knn_tombstone" -> ((s, d) => graft.sources.IndexStore.searchTombstoned(s, d)),
     "knn_recall_report" -> ((s, d) => graft.sources.IndexStore.recallReport(s, d)),
     "knn_rank_eval" -> ((s, d) => graft.sources.IndexStore.mrrReport(s, d)),
+    "embed_centroid_drift" -> ((s, d) => graft.sources.IndexStore.centroidDrift(s, d)),
     "knn_recall_curve" -> ((s, d) => graft.sources.IndexStore.recallSweep(s, d)),
     "knn_autotune" -> ((s, d) => graft.sources.IndexStore.autoTuneSearch(s, d)),
     "knn_pq" -> ((s, d) => graft.sources.PqStore.searchQuery(s, d)),
@@ -168,6 +169,7 @@ object SparkEntry {
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q18_big_customers" -> ((s, d) => Relational.q18BigCustomers(s, d)),
     "q14_promo_share" -> ((s, d) => Relational.q14PromoShare(s, d)),
+    "basket_pairs" -> ((s, d) => Relational.basketPairs(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
     "q17_small_quantity" -> ((s, d) => Relational.q17SmallQuantity(s, d)),
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
@@ -275,6 +277,7 @@ object SparkEntry {
     "stream_interval_join" -> ((s, d) => StreamOps.streamIntervalJoin(s, d)),
     "stream_knn" -> ((s, d) => StreamOps.streamKnnSearch(s, d)),
     "stream_dedup_ingest" -> ((s, d) => StreamOps.streamDedupIngest(s, d)),
+    "stream_partitioned_ingest" -> ((s, d) => StreamOps.streamPartitionedIngest(s, d)),
     "stream_bloom_ingest" -> ((s, d) => StreamOps.streamBloomIngest(s, d)),
     "stream_dedup" -> ((s, d) => StreamOps.streamDedupRun(s, d)),
     // Real flatMapGroupsWithState execution, checked against the batch
@@ -1057,6 +1060,26 @@ object SparkEntry {
          |       CAST(CASE WHEN pk.rank IS NOT NULL THEN 1000000 // pk.rank ELSE 0 END AS BIGINT) AS rr_micro
          |FROM ex LEFT JOIN pk ON ex.qid = pk.qid AND ex.vec_id = pk.vec_id
          |ORDER BY qid""".stripMargin,
+    // Split-half centroid drift over the exported clustered rows: offset
+    // micros summed exactly, floor-division only on non-negatives.
+    "embed_centroid_drift" ->
+      s"""WITH r AS (SELECT vec_id, embedding, CAST(cell_id AS BIGINT) AS cell_id
+         |           FROM read_parquet('$ivfStorePath/rows/*/*.parquet', hive_partitioning=1)),
+         |comp AS (SELECT cell_id, vec_id % 2 = 0 AS even,
+         |                generate_subscripts(embedding, 1) AS dim,
+         |                CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT) AS xm
+         |         FROM r),
+         |sums AS (SELECT cell_id, dim,
+         |                sum(CASE WHEN even THEN xm ELSE 0 END) AS se,
+         |                sum(CASE WHEN even THEN 1 ELSE 0 END) AS ne,
+         |                sum(CASE WHEN NOT even THEN xm ELSE 0 END) AS so,
+         |                sum(CASE WHEN NOT even THEN 1 ELSE 0 END) AS no
+         |         FROM comp GROUP BY 1, 2),
+         |d AS (SELECT cell_id, ne, no, (se // ne) - (so // no) AS d
+         |      FROM sums WHERE ne > 0 AND no > 0)
+         |SELECT CAST(cell_id AS BIGINT) AS cell_id, CAST(max(ne) AS BIGINT) AS n_even,
+         |       CAST(max(no) AS BIGINT) AS n_odd, CAST(sum(d * d) AS BIGINT) AS drift_metric
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // nprobe→recall curve: recall@k at level L = |exact ∩ cells(rank≤L)|,
     // so the sweep is one conditional aggregation over each exact hit's
     // cell rank — replayed over the exported store artifacts.
@@ -2139,6 +2162,23 @@ object SparkEntry {
          |         // CAST(sum($discPrice)*10000 AS BIGINT) AS promo_share_micro
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Market-basket brand lift: distinct (order, brand) grid, self-join on
+    // the order key (basket-bounded fan-out), HUGEINT-widened lift.
+    "basket_pairs" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+        |marg AS (SELECT brand, CAST(count(*) AS BIGINT) AS c FROM ob GROUP BY 1),
+        |pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b, CAST(count(*) AS BIGINT) AS c_ab
+        |          FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        |          GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT brand_a, brand_b, c_ab, ma.c AS c_a, mb.c AS c_b,
+        |       CAST((CAST(c_ab AS HUGEINT) * n.n_orders * 1000000) // (ma.c * mb.c) AS BIGINT) AS lift_micro
+        |FROM pairs
+        |JOIN marg ma ON ma.brand = brand_a
+        |JOIN marg mb ON mb.brand = brand_b
+        |CROSS JOIN n
+        |ORDER BY lift_micro DESC, brand_a, brand_b LIMIT 20""".stripMargin,
     // Q6-shaped scan-dominated aggregate: three pushed range predicates,
     // one scalar sum of exact decimal products.
     "q6_forecast_revenue" ->
@@ -2767,6 +2807,12 @@ object SparkEntry {
          |       CAST(count(*) // count(DISTINCT filename) AS BIGINT) AS rows_per_file
          |FROM read_parquet('$partStorePath/rows/*/*.parquet', hive_partitioning=1, filename=true)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Streaming partitioned ingest: per-day aggregates are additive across
+    // micro-batch appends, so the lake aggregate equals the raw batch one.
+    "stream_partitioned_ingest" ->
+      """SELECT CAST(ts AS DATE) AS event_date, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Compaction replay over the compacted artifact: post-compaction every
     // date directory is one file; rows are conserved.
     "partitioned_compact" ->

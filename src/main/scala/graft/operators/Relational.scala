@@ -184,6 +184,46 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** Market-basket brand affinity — the retail sibling of
+    * [[graft.operators.TextAnalysis.phraseLift]]'s collocation mining:
+    * which part BRANDS co-occur in the same order above chance. Same
+    * exact-integer lift (c_ab·N·10⁶ ÷ (c_a·c_b), DECIMAL(38,0)-widened),
+    * no libm.
+    *
+    * Scale shape: the only corpus-sized work is one lineitem⋈part
+    * broadcast join collapsed to DISTINCT (order, brand) — the pair
+    * generator then self-joins on the ORDER key, whose fan-out is
+    * bounded by basket size (≤7 lineitems per TPC-H order, so ≤21 pairs)
+    * — never a brand-domain cross; brand marginals (≤25 rows) broadcast
+    * back; top-K is TakeOrderedAndProject.
+    */
+  def basketPairs(spark: SparkSession, dir: String,
+                  minCount: Int = 3, topK: Int = 20): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val ob = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val nOrders = broadcast(ob.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders")))
+    val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("c"))
+    val pairs = ob.as("a").join(ob.as("b"),
+        col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    pairs
+      .join(broadcast(marg.select(col("brand").as("brand_a"), col("c").as("c_a"))), Seq("brand_a"))
+      .join(broadcast(marg.select(col("brand").as("brand_b"), col("c").as("c_b"))), Seq("brand_b"))
+      .crossJoin(nOrders)
+      .withColumn("lift_micro",
+        expr("(CAST(c_ab AS DECIMAL(38,0)) * n_orders * 1000000) DIV (c_a * c_b)").cast("long"))
+      .select(col("brand_a"), col("brand_b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("brand_a"), col("brand_b"))
+      .limit(topK)
+  }
+
   /** TPC-H Q6-shaped forecast revenue change: the canonical
     * scan-dominated query — THREE pushable range predicates and ONE
     * aggregate, no join at all. The plan that matters at 100 TB is the

@@ -278,6 +278,43 @@ object IndexStore {
       .orderBy(col("qid"))
   }
 
+  /** Per-cell centroid DRIFT — the "when to re-train" signal for the
+    * [[absorb]]/[[rebuild]] maintenance cycle: as data drifts, cells
+    * unbalance and their true centroids move off the trained ones.
+    * Measured as the squared distance between the per-dimension means of
+    * the even- and odd-id halves of each cell (a split-half estimate of
+    * within-cell drift: a stable cell's halves agree; a drifting or
+    * bimodal cell's don't). Pure integer arithmetic end to end —
+    * components are offset (+1, normalized vectors ⇒ positive) and
+    * floored to micros BEFORE any division, so engine floor-division
+    * semantics never meet a negative operand (Spark `DIV` truncates,
+    * DuckDB `//` floors — they agree only on non-negatives).
+    *
+    * Scale shape: ONE scan of the clustered store exploded by dimension,
+    * a (cell, dim)-keyed map-combined aggregate, and a ≤ nlist-row
+    * report. No pairwise anything.
+    */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val (rows, _) = read(spark, path)
+    val comp = rows
+      .select(col("cell_id"), (col("vec_id") % 2 === 0).as("even"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xm", floor((col("x").cast("double") + lit(1.0)) * 1e6).cast("long"))
+    comp.groupBy(col("cell_id"), col("dim"))
+      .agg(sum(when(col("even"), col("xm")).otherwise(0L)).as("se"),
+        sum(when(col("even"), 1L).otherwise(0L)).as("ne"),
+        sum(when(!col("even"), col("xm")).otherwise(0L)).as("so"),
+        sum(when(!col("even"), 1L).otherwise(0L)).as("no"))
+      .filter(col("ne") > 0 && col("no") > 0)
+      .withColumn("d", expr("(se DIV ne) - (so DIV no)"))
+      .groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(max(col("ne")).as("n_even"), max(col("no")).as("n_odd"),
+        sum(expr("d * d")).as("drift_metric"))
+      .orderBy(col("cell_id"))
+  }
+
   /** nprobe → recall CURVE in one query — the recall dial as a table,
     * matching the reference's index-quality intent (Milvus ef=128 search
     * knob, `Milvus/stream1.py:161-162`; FAISS nprobe sweeps). Uses the

@@ -669,6 +669,55 @@ object StreamOps {
     result.orderBy(col("vec_id"))
   }
 
+  /** Streaming ingest INTO the date-partitioned lake layout — the write
+    * path that keeps [[graft.sources.PartitionedStore]]'s pruning story
+    * true under continuous arrival: every micro-batch derives
+    * `event_date = to_date(ts)` and dynamic-partition-APPENDS into the
+    * `event_date=*` directory tree, so rows land where the batch-side
+    * prune/DPP/hidden-partition queries already look, with no
+    * re-layout step between ingest and query. Per-day aggregates over
+    * the ingested lake are batching-invariant (append is additive), so
+    * the result equals the batch aggregate over the raw table — the
+    * batch ≡ stream contract, hash-checked by the oracle.
+    */
+  def streamPartitionedIngest(spark: SparkSession, dir: String,
+                              options: Map[String, String] = Map.empty): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-partingest").toString
+    val rowsDir = s"$out/rows"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val result =
+      try withStreamPartitions(spark) { s =>
+        val src = graft.Tables.normalizeTs(
+          s.readStream.schema(schema).options(options)
+            .option("basePath", dir)
+            .parquet(s"$dir/events.parquet*"))
+        val q = src.writeStream
+          .option("checkpointLocation", s"$out/chk")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[Row], _: Long) =>
+            batch.toDF().withColumn("event_date", to_date(col("ts")))
+              .write.mode("append").partitionBy("event_date").parquet(rowsDir)
+          }
+          .start()
+        q.awaitTermination()
+        val agg =
+          if (new java.io.File(rowsDir).exists())
+            s.read.parquet(rowsDir)
+              .groupBy(col("event_date"))
+              .agg(count(lit(1)).as("n"),
+                (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+          else {
+            // all-empty stream: no sink files — the correct result is an
+            // empty frame with the output schema, not a read error
+            val sch = new StructType().add("event_date", DateType)
+              .add("n", LongType).add("sum_value_c", LongType)
+            s.createDataFrame(s.sparkContext.emptyRDD[Row], sch)
+          }
+        agg.localCheckpoint(true)
+      } finally rmTree(new java.io.File(out))
+    result.orderBy(col("event_date"))
+  }
+
   /** Streaming EXACT dedup-on-ingest through the persisted Bloom sidecar —
     * the near-dup ingest gate's ([[streamDedupIngest]]) exact-content twin,
     * and the production shape for "have we crawled this page verbatim
