@@ -92,6 +92,8 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_bloom" -> ((s, d) => Dedup.bloomIncrementalDedup(s, d)),
     "dedup_cdc" -> ((s, d) => Dedup.cdcDedup(s, d)),
+    "dedup_funnel" -> ((s, d) => Dedup.dedupFunnel(s, d)),
+    "events_changepoint" -> ((s, d) => Relational.changepoint(s, d)),
     "dedup_paragraph" -> ((s, d) => Dedup.paragraphDedup(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringRuns(s, d)),
     "dedup_substring_stats" -> ((s, d) => Dedup.substringStats(s, d)),
@@ -1501,6 +1503,38 @@ object SparkEntry {
         |SELECT CAST(b.doc_id AS BIGINT) AS doc_id, CAST(ck.dup_of AS BIGINT) AS dup_of,
         |       CAST(coalesce(ck.n_copies, 0) AS BIGINT) AS n_copies
         |FROM b LEFT JOIN ck USING (w) ORDER BY doc_id""".stripMargin,
+    // Staged dedup funnel: each stage reuses its operator's exact
+    // survivor rule; the near-dup stage drops the LARGER side of every
+    // banded candidate pair (the shared minhash CTE fragments).
+    "dedup_funnel" ->
+      s"""WITH $minhashMd5BandCtesSql,
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |exact_kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |near_kept AS (SELECT doc_id FROM exact_kept
+         |              WHERE doc_id NOT IN (SELECT id_b FROM pairs)),
+         |q_kept AS (SELECT n.doc_id FROM near_kept n JOIN documents d ON d.doc_id = n.doc_id
+         |           WHERE d.n_chars >= 50)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_no, 'raw' AS stage,
+         |         CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+         |  UNION ALL SELECT 2, 'exact_dedup', CAST((SELECT count(*) FROM exact_kept) AS BIGINT)
+         |  UNION ALL SELECT 3, 'near_dup', CAST((SELECT count(*) FROM near_kept) AS BIGINT)
+         |  UNION ALL SELECT 4, 'length_floor', CAST((SELECT count(*) FROM q_kept) AS BIGINT)
+         |) ORDER BY stage_no""".stripMargin,
+    // CUSUM changepoint: division-free scaled deviations, windowed cumsum,
+    // argmax |cusum| flagged.
+    "events_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS event_date, CAST(count(*) AS BIGINT) AS n_events
+        |               FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS days FROM daily),
+        |c AS (SELECT event_date, n_events,
+        |        CAST(sum(n_events * days - total) OVER (ORDER BY event_date
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum_scaled
+        |      FROM daily CROSS JOIN tot)
+        |SELECT event_date, n_events, cusum_scaled,
+        |       abs(cusum_scaled) = (SELECT max(abs(cusum_scaled)) FROM c) AS is_peak
+        |FROM c ORDER BY event_date""".stripMargin,
     // Content-defined chunking dedup: word-gear cut points (boundary after
     // any word whose md5 gear word is ≡0 mod 8), chunk text re-assembled
     // ORDER BY pos, duplication = one hash aggregate over the chunk table.

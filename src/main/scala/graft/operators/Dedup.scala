@@ -1003,6 +1003,44 @@ object Dedup {
     } finally spark.conf.set(key, sessionParts.toString)
   }
 
+  /** Staged dedup FUNNEL — the coverage report a curation pipeline emits
+    * after a run: how many documents survive each successive gate
+    * (raw → exact dedup → MinHash near-dup removal → length floor). The
+    * number a data lead actually reads is the per-stage attrition, not
+    * any single gate's output; each stage's survivor rule reuses the
+    * corresponding operator's exact semantics (exact = min-id per
+    * md5(text) group; near-dup = drop every id that appears as the
+    * LARGER side of a banded MinHash candidate pair — [[minhashMd5Pairs]]
+    * construction; quality = n_chars ≥ 50), so the funnel is consistent
+    * with the individual queries and replays in the oracle from the same
+    * CTE fragments.
+    *
+    * Scale shape: one hash aggregate (exact), the banded pair join
+    * (already linear-ish), two anti-join/filter counts — each stage is a
+    * scalar, the output is 4 rows.
+    */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val exactKept = docs
+      .groupBy(md5(col("text")).as("w")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val dupIds = minhashMd5Pairs(spark, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+    val nearKept = exactKept.join(dupIds, Seq("doc_id"), "left_anti")
+    val qualityKept = nearKept
+      .join(docs.filter(col("n_chars") >= 50).select(col("doc_id")), Seq("doc_id"))
+    val stages = Seq(
+      (1L, "raw", docs.select(col("doc_id"))),
+      (2L, "exact_dedup", exactKept),
+      (3L, "near_dup", nearKept),
+      (4L, "length_floor", qualityKept))
+    stages.map { case (no, name, df) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"), col("n_docs"))
+    }.reduce(_.unionByName(_)).orderBy(col("stage_no"))
+  }
+
   /** Synchronous label-propagation communities over the near-dup graph
     * (Raghavan et al. 2007), made deterministic: each round every node
     * adopts the most frequent label among its neighbors PLUS its own

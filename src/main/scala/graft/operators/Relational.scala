@@ -184,6 +184,36 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** CUSUM changepoint scan over the daily event series — the classic
+    * "did the level shift, and when" detector (Page 1954) a pipeline
+    * runs on ingest volumes before trusting week-over-week comparisons.
+    * Division-free integer form: deviations are scaled by the day count
+    * (`n·days − total` = days·(n − mean)), so the cumulative sum needs
+    * no floor-division anywhere and both engines agree bit-for-bit; the
+    * argmax |cusum| day is the changepoint estimate (`is_peak`).
+    *
+    * Scale shape: one map-combined daily aggregate; the window runs over
+    * |days| rows (bounded by the calendar, not the data) — the global
+    * ordering is over a frame that fits on one task by construction.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = broadcast(daily.agg(sum(col("n_events")).as("total"),
+      count(lit(1)).as("days")))
+    val w = Window.orderBy(col("event_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily.crossJoin(tot)
+      .withColumn("dev", col("n_events") * col("days") - col("total"))
+      .withColumn("cusum_scaled", sum(col("dev")).over(w))
+    cusum
+      .withColumn("mx", max(abs(col("cusum_scaled"))).over(Window.partitionBy()))
+      .withColumn("is_peak", abs(col("cusum_scaled")) === col("mx"))
+      .select(col("event_date"), col("n_events"), col("cusum_scaled"), col("is_peak"))
+      .orderBy(col("event_date"))
+  }
+
   /** Market-basket brand affinity — the retail sibling of
     * [[graft.operators.TextAnalysis.phraseLift]]'s collocation mining:
     * which part BRANDS co-occur in the same order above chance. Same

@@ -17,7 +17,8 @@ class PlanLintSpec extends SparkSpec {
     */
   private val streamingRuns =
     Set("stream_hourly", "stream_interval_join", "stream_knn", "stream_dedup",
-      "stream_enrich", "stream_trending", "stream_dedup_ingest")
+      "stream_enrich", "stream_trending", "stream_dedup_ingest",
+      "stream_partitioned_ingest")
 
   /** Queries whose ONE nested-loop join is a deliberate broadcast of a
     * provably bounded side (≤ query batch / model table / scalar totals /
@@ -58,7 +59,12 @@ class PlanLintSpec extends SparkSpec {
     "q22_idle_customers",              // 1-row broadcast balance-threshold cross
     "graph_triangles",                 // 1-row census scalar crosses
 
-    "events_gapfill"                   // hour-grid × distinct-types bounded cross
+    "events_gapfill",                  // hour-grid × distinct-types bounded cross
+    "text_phrase_lift",                // 1-row broadcast n_words scalar cross
+    "basket_pairs",                    // 1-row broadcast n_orders scalar cross
+    "events_changepoint",              // 1-row broadcast (total, days) scalar cross
+    "knn_rank_eval",                   // exact leg query-batch cross + probed centroid cross
+    "knn_filtered_adaptive"            // brute branch: broadcast query batch × filtered subset
   )
 
   test("no registered query plans a CartesianProduct or an un-allowlisted nested-loop join") {
