@@ -218,6 +218,7 @@ object SparkEntry {
     "partitioned_layout_stats" -> ((s, d) => graft.sources.PartitionedStore.layoutStats(s, d)),
     "partitioned_retention" -> ((s, d) => graft.sources.PartitionedStore.retentionQuery(s, d)),
     "partitioned_compact" -> ((s, d) => graft.sources.PartitionedStore.compactQuery(s, d)),
+    "partitioned_time_travel" -> ((s, d) => graft.sources.PartitionedStore.timeTravelQuery(s, d)),
     "knn_filtered_adaptive" -> ((s, d) => VectorSearch.knnFilteredAdaptive(s, d)),
     "text_phrase_lift" -> ((s, d) => TextAnalysis.phraseLift(s, d)),
     "sorted_prune" -> ((s, d) => graft.sources.SortedLayout.rangeQuery(s, d)),
@@ -2855,6 +2856,19 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_rows
          |FROM read_parquet('${partStorePath}_cp/rows/*/*.parquet', hive_partitioning=1, filename=true)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Time-travel replay: v1 must equal the RAW table (snapshot isolation
+    // across the later correction), v2 the corrected one.
+    "partitioned_time_travel" ->
+      """WITH lo AS (SELECT min(CAST(ts AS DATE)) AS d FROM events),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS version, event_type, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |       FROM events GROUP BY 2),
+        |v2 AS (SELECT CAST(2 AS BIGINT) AS version, event_type, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(CAST(CASE WHEN CAST(ts AS DATE) = lo.d + 1
+        |                                 THEN value * 2 ELSE value END AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |       FROM events, lo GROUP BY 2)
+        |SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |ORDER BY version, event_type""".stripMargin,
     // Retention replay: partition drop may only remove WHOLE days older
     // than the cutoff — surviving rows equal the raw-table date filter.
     "partitioned_retention" ->

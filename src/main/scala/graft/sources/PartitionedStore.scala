@@ -206,6 +206,72 @@ object PartitionedStore {
     audit().orderBy(col("event_date"))
   }
 
+  /** Manifest-based TIME TRAVEL — the versioned-read leg of the
+    * lakehouse triad this store demonstrates (backfill = mutation,
+    * retention = vacuum, this = snapshot isolation): a correction is
+    * APPENDED as new files (never a physical delete — that is exactly
+    * what breaks time travel under [[backfillQuery]]'s dynamic
+    * overwrite), and tiny version manifests record which files belong
+    * to which snapshot — v1 the original layout, v2 the original minus
+    * the corrected day's files plus the correction. Reading "as of v1"
+    * AFTER the correction landed reproduces the pre-correction result
+    * bit-for-bit (the Delta/Iceberg log idea reduced to its mechanism:
+    * membership lists over immutable files).
+    *
+    * Both versions aggregate in ONE output frame keyed by `version`, so
+    * the oracle checks the isolation property itself: v1 equals the raw
+    * table, v2 equals the corrected one.
+    */
+  def timeTravelQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = defaultPath(dir) + "_tt"
+    val vdir = new java.io.File(s"$path/_versions")
+    def listParquet(): Seq[String] = {
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
+        else Iterator.single(f)
+      walk(new java.io.File(s"$path/rows"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq.sorted
+    }
+    if (!new java.io.File(s"$path/calendar").exists() ||
+        !IndexStore.sourceFpCurrent(path, dir) ||
+        !new java.io.File(vdir, "v2.txt").exists()) {
+      graft.streaming.StreamOps.rmTree(vdir)
+      write(spark, dir, path)
+      val v1 = listParquet()
+      val lo = spark.read.parquet(s"$path/calendar")
+        .agg(min(col("event_date"))).head().getDate(0)
+      val v2 =
+        if (lo == null) v1
+        else {
+          val day2 = lo.toLocalDate.plusDays(1)
+          Tables.events(spark, dir)
+            .withColumn("event_date", to_date(col("ts")))
+            .filter(col("event_date") === lit(java.sql.Date.valueOf(day2)))
+            .withColumn("value", col("value") * 2)
+            .write.mode("append").partitionBy("event_date").parquet(s"$path/rows")
+          val appended = listParquet().toSet -- v1.toSet
+          v1.filterNot(_.contains(s"event_date=$day2")) ++ appended.toSeq.sorted
+        }
+      vdir.mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get(vdir.getPath, "v1.txt"),
+        v1.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(vdir.getPath, "v2.txt"),
+        v2.mkString("\n").getBytes("UTF-8"))
+    }
+    def readVersion(v: Int): DataFrame = {
+      val files = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(vdir.getPath, s"v$v.txt")), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+      spark.read.option("basePath", s"$path/rows").parquet(files: _*)
+        .select(lit(v.toLong).as("version"), col("event_type"), col("value"))
+    }
+    readVersion(1).unionByName(readVersion(2))
+      .groupBy(col("version"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+      .orderBy(col("version"), col("event_type"))
+  }
+
   /** Retention enforcement by PARTITION DROP — expiring old data on a
     * date-partitioned layout is a directory delete, an O(partitions)
     * metadata operation that never reads or rewrites a row (contrast a

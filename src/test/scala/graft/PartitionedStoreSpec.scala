@@ -112,6 +112,29 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("time travel: v1 reproduces the pre-correction result AFTER the correction landed") {
+    val out = PartitionedStore.timeTravelQuery(spark, sfDir)
+      .select($"version".as[Long], $"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+      .collect().toSeq
+    def rawAggWith(valueCol: org.apache.spark.sql.Column) =
+      Tables.events(spark, sfDir).withColumn("v", valueCol)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum($"v".cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+        .orderBy($"event_type")
+        .select($"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+        .collect().toSeq
+    val v1 = out.filter(_._1 == 1L).map(t => (t._2, t._3, t._4))
+    assert(v1 == rawAggWith($"value"), "v1 must equal the uncorrected raw table")
+    val lo = Tables.events(spark, sfDir).agg(min(to_date($"ts"))).head().getDate(0)
+    val day2 = java.sql.Date.valueOf(lo.toLocalDate.plusDays(1))
+    val v2 = out.filter(_._1 == 2L).map(t => (t._2, t._3, t._4))
+    assert(v2 == rawAggWith(
+      when(to_date($"ts") === lit(day2), $"value" * 2).otherwise($"value")),
+      "v2 must equal the corrected table")
+    assert(v1 != v2, "the correction must be visible in v2 at test scale")
+  }
+
   test("stale source fingerprint triggers a rebuild") {
     val path = PartitionedStore.defaultPath(sfDir)
     PartitionedStore.ensure(spark, sfDir)
