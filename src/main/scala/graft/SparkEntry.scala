@@ -221,6 +221,7 @@ object SparkEntry {
     "partitioned_time_travel" -> ((s, d) => graft.sources.PartitionedStore.timeTravelQuery(s, d)),
     "knn_filtered_adaptive" -> ((s, d) => VectorSearch.knnFilteredAdaptive(s, d)),
     "text_phrase_lift" -> ((s, d) => TextAnalysis.phraseLift(s, d)),
+    "text_keyphrases" -> ((s, d) => TextAnalysis.keyphrases(s, d)),
     "sorted_prune" -> ((s, d) => graft.sources.SortedLayout.rangeQuery(s, d)),
     "sorted_absorb" -> ((s, d) => graft.sources.SortedLayout.absorbQuery(s, d)),
     "snapshot_diff" -> ((s, d) => Crud.snapshotDiff(s, d)),
@@ -2887,6 +2888,32 @@ object SparkEntry {
         |FROM events, lo
         |WHERE CAST(ts AS DATE) BETWEEN lo.d + 3 AND lo.d + 5
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // RAKE keyphrases: stopword gaps-and-islands candidates, integer
+    // degree/frequency word scores summed per phrase.
+    "text_keyphrases" ->
+      """WITH toks AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        |              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |t2 AS (SELECT doc_id, pos, w,
+        |              (w IN ('the','a','of','and','to','in','is') OR w = '') AS is_stop FROM toks),
+        |runs AS (SELECT doc_id, pos, w, is_stop,
+        |           sum(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |         FROM t2),
+        |cand AS (SELECT doc_id, grp, pos, w FROM runs WHERE NOT is_stop),
+        |phrases AS (SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |                   CAST(count(*) AS BIGINT) AS plen
+        |            FROM cand GROUP BY 1, 2),
+        |wl AS (SELECT c.doc_id, c.grp, c.w, p.plen FROM cand c JOIN phrases p USING (doc_id, grp)),
+        |wstats AS (SELECT w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(plen) AS BIGINT) AS degree
+        |           FROM wl GROUP BY 1),
+        |wscore AS (SELECT w, degree * 1000000 // freq AS word_score FROM wstats),
+        |sc AS (SELECT wl.doc_id, wl.grp, CAST(sum(word_score) AS BIGINT) AS score_micro
+        |       FROM wl JOIN wscore USING (w) GROUP BY 1, 2)
+        |SELECT p.phrase, CAST(max(p.plen) AS BIGINT) AS n_words,
+        |       CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(max(sc.score_micro) AS BIGINT) AS score_micro
+        |FROM phrases p JOIN sc USING (doc_id, grp)
+        |GROUP BY 1 ORDER BY score_micro DESC, phrase LIMIT 25""".stripMargin,
     // Collocation lift: integer micro ratio widened to HUGEINT (the
     // corpus_budget overflow precedent), rank-equivalent to PMI.
     "text_phrase_lift" ->

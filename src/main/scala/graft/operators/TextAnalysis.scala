@@ -538,6 +538,53 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    * keyword miner a curation pipeline runs to label corpus slices:
+    * candidate phrases are maximal stopword-free runs (gaps-and-islands
+    * over the token stream — the stopword positions ARE the gaps), each
+    * word scores degree/frequency over the candidate table (degree = Σ
+    * length of phrases containing it — co-occurrence reach; frequency =
+    * its candidate occurrences), a phrase scores the sum of its words'
+    * scores. All in exact integers: `word_score = degree·10⁶ DIV freq`,
+    * phrase scores are sums of those micros — no libm, oracle-exact.
+    *
+    * Scale shape: one tokenize pass; islands via a per-doc running sum
+    * (token ordering stays inside its document); the word-stats table is
+    * vocab-sized and joins back on the word key; identical phrases
+    * collapse in one hash aggregate; top-K is TakeOrderedAndProject.
+    */
+  def keyphrases(spark: SparkSession, dir: String, topK: Int = 25): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isin(stop.map(lit): _*) || col("w") === "")
+    val wrun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = toks
+      .withColumn("grp", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wrun))
+      .filter(!col("is_stop"))
+      .select(col("doc_id"), col("grp"), col("pos"), col("w"))
+      .localCheckpoint() // one tokenize pass shared by the three consumers below
+    val phrases = cand.groupBy(col("doc_id"), col("grp"))
+      .agg(array_join(transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+          x => x("w")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+    val withLen = cand.join(phrases.select(col("doc_id"), col("grp"), col("plen")),
+      Seq("doc_id", "grp"))
+    val wordStats = withLen.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("word_score", expr("degree * 1000000 DIV freq"))
+    val scores = withLen.join(wordStats.select(col("w"), col("word_score")), Seq("w"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("word_score")).as("score_micro"))
+    phrases.join(scores, Seq("doc_id", "grp"))
+      .groupBy(col("phrase"))
+      .agg(max(col("plen")).as("n_words"), count(lit(1)).as("n_occurrences"),
+        max(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** Collocation mining by LIFT — the association score behind phrase /
     * tokenizer-merge candidate lists: lift(a,b) = p(ab) / (p(a)·p(b)),
     * which ranks identically to PMI (its log) but stays in exact integer

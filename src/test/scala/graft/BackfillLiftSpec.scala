@@ -82,6 +82,36 @@ class BackfillLiftSpec extends SparkSpec {
       s"adjacent pair must outrank independent pair: ${lift("aa bb")} vs ${lift("xx yy")}")
   }
 
+  test("keyphrases: stopwords never appear inside a phrase, scores consistent") {
+    val out = TextAnalysis.keyphrases(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 25)
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    assert(out.forall(r => r.getString(0).split(" ").forall(w => !stop(w) && w.nonEmpty)),
+      "candidate phrases must be stopword-free")
+    assert(out.forall(r => r.getString(0).split(" ").length == r.getLong(1).toInt),
+      "n_words must match the phrase text")
+    val scores = out.map(_.getLong(3))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq, "descending score order")
+    // a known RAKE property on a toy doc: a 2-word phrase outscores its
+    // members' single-word phrases when the words only co-occur
+    val toy = Seq((1L, "alpha beta and alpha beta and gamma")).toDF("doc_id", "text")
+    // alpha/beta: freq 2, degree 4 → score 2e6 each → phrase 4e6; gamma: 1e6
+    // (replayed inline — keyphrases() reads the corpus table, this checks the rule)
+    val toks = toy.select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("is_stop", $"w".isin("and"))
+    val wrun = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+      .orderBy($"pos").rowsBetween(Long.MinValue, 0)
+    val cand = toks.withColumn("grp", sum(when($"is_stop", 1L).otherwise(0L)).over(wrun))
+      .filter(!$"is_stop")
+    val stats = cand.groupBy($"grp").agg(count(lit(1)).as("plen"))
+      .join(cand, Seq("grp"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"), sum($"plen").as("degree"))
+      .withColumn("ws", expr("degree * 1000000 DIV freq"))
+      .select($"w".as[String], $"ws".as[Long]).collect().toMap
+    assert(stats("alpha") == 2000000L && stats("beta") == 2000000L && stats("gamma") == 1000000L,
+      s"RAKE word scores off: $stats")
+  }
+
   test("named lift query: deterministic, ordered, min-count enforced") {
     val a = TextAnalysis.phraseLift(spark, sfDir).collect().toSeq
     val b = TextAnalysis.phraseLift(spark, sfDir).collect().toSeq
