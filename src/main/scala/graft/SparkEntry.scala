@@ -94,6 +94,8 @@ object SparkEntry {
     "dedup_cdc" -> ((s, d) => Dedup.cdcDedup(s, d)),
     "dedup_funnel" -> ((s, d) => Dedup.dedupFunnel(s, d)),
     "events_changepoint" -> ((s, d) => Relational.changepoint(s, d)),
+    "events_wau" -> ((s, d) => Relational.wauReport(s, d)),
+    "text_quality_curve" -> ((s, d) => TextAnalysis.qualityBudgetCurve(s, d)),
     "dedup_paragraph" -> ((s, d) => Dedup.paragraphDedup(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringRuns(s, d)),
     "dedup_substring_stats" -> ((s, d) => Dedup.substringStats(s, d)),
@@ -1524,6 +1526,35 @@ object SparkEntry {
          |  UNION ALL SELECT 3, 'near_dup', CAST((SELECT count(*) FROM near_kept) AS BIGINT)
          |  UNION ALL SELECT 4, 'length_floor', CAST((SELECT count(*) FROM q_kept) AS BIGINT)
          |) ORDER BY stage_no""".stripMargin,
+    // DAU / trailing-7-day WAU / stickiness: distinct activity grid,
+    // bounded day-list range join, integer ratio.
+    "events_wau" ->
+      """WITH grid AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM grid),
+        |dau AS (SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM grid GROUP BY 1),
+        |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM days JOIN grid ON grid.d BETWEEN day - 6 AND day GROUP BY 1)
+        |SELECT day, dau, wau, CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_micro
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    // Quality-dial token budget: one-pass conditional sums over the same
+    // score construction as text_quality, priced at every tau at once.
+    "text_quality_curve" -> {
+      val taus = Seq(600000L, 700000L, 750000L, 800000L, 850000L)
+      val rows = taus.map(t =>
+        s"SELECT CAST($t AS BIGINT) AS tau_micro, " +
+          s"CAST(sum(CASE WHEN sm >= $t THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept, " +
+          s"CAST(sum(CASE WHEN sm >= $t THEN nw ELSE 0 END) AS BIGINT) AS tokens_kept FROM s")
+        .mkString("\n|UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |t AS (SELECT doc_id, len(ws) AS nw, len(list_distinct(ws)) AS nd,
+         |         list_max(list_transform(list_distinct(ws), tk -> len(list_filter(ws, w -> w = tk)))) AS mf
+         |      FROM d),
+         |s AS (SELECT doc_id, nw,
+         |         CAST(floor(((CAST(least(nw, 50) AS DOUBLE)/50.0 + CAST(nd AS DOUBLE)/CAST(nw AS DOUBLE)
+         |          + 1.0 - CAST(mf AS DOUBLE)/CAST(nw AS DOUBLE))/3.0)*1000000.0) AS BIGINT) AS sm
+         |      FROM t)
+         |SELECT * FROM ($rows) ORDER BY tau_micro""".stripMargin
+    },
     // CUSUM changepoint: division-free scaled deviations, windowed cumsum,
     // argmax |cusum| flagged.
     "events_changepoint" ->

@@ -184,6 +184,29 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** Rolling-activity report — DAU and trailing-7-day WAU per day, plus
+    * the stickiness ratio (DAU·10⁶ DIV WAU) product analytics tracks.
+    * The (user, day) activity grid is pre-DISTINCT'd map-side (the
+    * retention-grid idiom), the trailing window is a bounded broadcast
+    * cross of the ≤|calendar| day list against the grid with a range
+    * predicate — per-day distinct-user counting over a 7-day span can't
+    * ride an ordinary window frame (count DISTINCT over a sliding range
+    * isn't a window aggregate), and the day list is calendar-bounded, so
+    * the cross is |days| × grid, never data × data.
+    */
+  def wauReport(spark: SparkSession, dir: String, window: Int = 7): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val days = broadcast(grid.select(col("d").as("day")).distinct())
+    val dau = grid.groupBy(col("d").as("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = days.join(grid,
+        col("d").between(date_sub(col("day"), window - 1), col("day")))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness_micro", expr("dau * 1000000 DIV wau"))
+      .orderBy(col("day"))
+  }
+
   /** CUSUM changepoint scan over the daily event series — the classic
     * "did the level shift, and when" detector (Page 1954) a pipeline
     * runs on ingest volumes before trusting week-over-week comparisons.

@@ -538,6 +538,29 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Quality-dial TOKEN BUDGET curve — what each candidate quality cut
+    * would cost in training tokens: docs and tokens surviving every τ at
+    * once, priced from ONE pass over the per-doc quality stats (the
+    * [[qualityGate]] score, micro-quantized) via conditional sums — the
+    * same one-pass-dial trick as dedup's threshold curve. The number a
+    * data lead reads before choosing τ: quality floors buy cleanliness
+    * with tokens, and this table is the exchange rate.
+    */
+  def qualityBudgetCurve(spark: SparkSession, dir: String,
+                         taus: Seq[Long] = Seq(600000L, 700000L, 750000L,
+                           800000L, 850000L)): DataFrame = {
+    val s = qualityStats(spark, dir)
+      .withColumn("sm", graft.functions.VectorFunctions.micro(col("score")))
+    val agg = s.agg(
+      taus.map(t => sum(when(col("sm") >= t, 1L).otherwise(0L)).as(s"d$t")).head,
+      (taus.tail.map(t => sum(when(col("sm") >= t, 1L).otherwise(0L)).as(s"d$t")) ++
+        taus.map(t => sum(when(col("sm") >= t, col("nw")).otherwise(0L)).as(s"k$t"))): _*)
+    val stackSql = s"stack(${taus.length}, " +
+      taus.map(t => s"${t}L, d$t, k$t").mkString(", ") +
+      ") as (tau_micro, n_docs_kept, tokens_kept)"
+    agg.select(expr(stackSql)).orderBy(col("tau_micro"))
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
     * keyword miner a curation pipeline runs to label corpus slices:
     * candidate phrases are maximal stopword-free runs (gaps-and-islands

@@ -21,6 +21,26 @@ class FunnelChangepointSpec extends SparkSpec {
     assert(ns(1) == distinctTexts, "exact stage must equal distinct-text count")
   }
 
+  test("wau: trailing window dominates dau, day-1 wau equals dau, ratio consistent") {
+    val out = Relational.wauReport(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(2) >= r.getLong(1)),
+      "a 7-day window can never contain fewer users than its last day")
+    assert(out.head.getLong(1) == out.head.getLong(2),
+      "the first day's trailing window is just that day")
+    assert(out.forall(r => r.getLong(3) == r.getLong(1) * 1000000L / r.getLong(2)))
+  }
+
+  test("quality curve: monotone non-increasing in tau, endpoints sane") {
+    val out = graft.operators.TextAnalysis.qualityBudgetCurve(spark, sfDir).collect()
+    assert(out.length == 5)
+    val docs = out.map(_.getLong(1))
+    val toks = out.map(_.getLong(2))
+    assert(docs.sliding(2).forall(p => p(1) <= p(0)), s"docs not monotone: ${docs.toSeq}")
+    assert(toks.sliding(2).forall(p => p(1) <= p(0)), s"tokens not monotone: ${toks.toSeq}")
+    assert(docs.head <= Tables.documents(spark, sfDir).count())
+  }
+
   test("changepoint: cusum telescopes to zero on the last day, exactly one peak value") {
     val out = Relational.changepoint(spark, sfDir).collect()
     assert(out.nonEmpty)

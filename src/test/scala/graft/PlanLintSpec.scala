@@ -64,7 +64,8 @@ class PlanLintSpec extends SparkSpec {
     "basket_pairs",                    // 1-row broadcast n_orders scalar cross
     "events_changepoint",              // 1-row broadcast (total, days) scalar cross
     "knn_rank_eval",                   // exact leg query-batch cross + probed centroid cross
-    "knn_filtered_adaptive"            // brute branch: broadcast query batch × filtered subset
+    "knn_filtered_adaptive",           // brute branch: broadcast query batch × filtered subset
+    "events_wau"                       // ≤|calendar| day list × activity grid range cross
   )
 
   test("no registered query plans a CartesianProduct or an un-allowlisted nested-loop join") {
