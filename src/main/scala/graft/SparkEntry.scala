@@ -1632,7 +1632,7 @@ object SparkEntry {
     // not 2^rounds re-derivations); argmax via QUALIFY with the
     // smallest-label tie-break.
     "graph_label_prop" -> {
-      val rounds = 4
+      val rounds = 3
       val steps = (1 to rounds).map { i =>
         s"""l$i AS (SELECT e.dst AS node, p.label, count(*) AS c
            |        FROM edges e JOIN l${i - 1} p ON e.src = p.node GROUP BY 1, 2

@@ -178,25 +178,33 @@ object Dedup {
     *
     * Returns (id_a, id_b, common, n_a, n_b) with id_a < id_b.
     */
-  private def shinglePairCommon(spark: SparkSession, dir: String, dfCap: Long): DataFrame = {
-    // Cached because the shingle table feeds four plan branches (sizes,
-    // df-prune, both self-join sides); spill-safe level.
-    val sh = memoPersist(spark, s"shingles|$dir|${dirFingerprint(dir)}")(
-      shingles(Tables.documents(spark, dir)))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
-    val df2 = inv.groupBy(col("sh_h")).count()
-      .filter(col("count") >= 2 && col("count") <= dfCap)
-      .select(col("sh_h"))
-    val inv2 = inv.join(df2, "sh_h")
-    inv2.as("a").join(inv2.as("b"),
-        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-  }
+  private def shinglePairCommon(spark: SparkSession, dir: String, dfCap: Long): DataFrame =
+    // The whole pair-counts frame is memoized, not just the shingle table:
+    // it feeds SEVEN consumers (jaccard/containment pairs, the pagerank
+    // and label-prop edge lists, clusters, keep-best, the threshold
+    // curve, lsh_eval's truth leg), each of which would otherwise re-run
+    // the inverted-index self-join — the most expensive shared front-half
+    // in the dedup family. The frame is pair-sized (candidates with ≥1
+    // shared shingle), orders of magnitude below the exploded index.
+    memoPersist(spark, s"pairCommon|$dir|$dfCap|${dirFingerprint(dir)}") {
+      // Cached because the shingle table feeds four plan branches (sizes,
+      // df-prune, both self-join sides); spill-safe level.
+      val sh = memoPersist(spark, s"shingles|$dir|${dirFingerprint(dir)}")(
+        shingles(Tables.documents(spark, dir)))
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+      val df2 = inv.groupBy(col("sh_h")).count()
+        .filter(col("count") >= 2 && col("count") <= dfCap)
+        .select(col("sh_h"))
+      val inv2 = inv.join(df2, "sh_h")
+      inv2.as("a").join(inv2.as("b"),
+          col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("common"))
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    }
 
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.12,
                         dfCap: Long = Long.MaxValue): DataFrame =
@@ -1067,10 +1075,13 @@ object Dedup {
     * per node; shuffle partitions are sized to the materialized edge
     * list exactly as in [[dupPagerank]]. Rounds are fixed (not
     * to-convergence): deterministic cost, and the oracle unrolls the
-    * same rounds as CTEs.
+    * same rounds as CTEs. Three rounds: min-label floods a clique in
+    * one, the frequency argmax stabilizes bridges by the second, and
+    * the third is the verification pass (the bench pays ~0.4 s per
+    * round — LabelPropSpec's structures all converge by round 2).
     */
   def dupLabelProp(spark: SparkSession, dir: String,
-                   threshold: Double = 0.12, rounds: Int = 4): DataFrame = {
+                   threshold: Double = 0.12, rounds: Int = 3): DataFrame = {
     val pairs = ngramJaccardPairs(spark, dir, threshold)
       .select(col("id_a"), col("id_b"))
     val sym = pairs
@@ -1083,8 +1094,11 @@ object Dedup {
     val nEdges = edges.count()
     val key = "spark.sql.shuffle.partitions"
     val sessionParts = spark.conf.get(key).toInt
+    // Finer grain than pagerank's sizing: LPA rounds carry (node, label)
+    // VOTE rows (≈ 2·|edges| per round) through TWO aggregates each, so a
+    // single partition serializes real work — size to ~16k votes/task.
     spark.conf.set(key,
-      math.max(1L, math.min(sessionParts.toLong, nEdges / 65536 + 1)).toString)
+      math.max(1L, math.min(sessionParts.toLong, nEdges / 16384 + 1)).toString)
     try {
       var lab = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"))

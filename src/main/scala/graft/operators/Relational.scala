@@ -253,16 +253,26 @@ object Relational {
   def basketPairs(spark: SparkSession, dir: String,
                   minCount: Int = 3, topK: Int = 20): DataFrame = {
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
-    val ob = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    // ONE order-key shuffle serves everything: per-order sorted brand sets
+    // (collect_set dedups in the aggregate — no separate DISTINCT
+    // exchange), pairs generated in-basket by a nested HOF over the ≤25
+    // sorted brands (no self-join exchange), marginals and the order
+    // count read the same baskets frame.
+    val baskets = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-      .distinct()
-    val nOrders = broadcast(ob.select(col("okey")).distinct()
-      .agg(count(lit(1)).as("n_orders")))
-    val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("c"))
-    val pairs = ob.as("a").join(ob.as("b"),
-        col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+      .localCheckpoint() // three consumers below — materialize the single shuffle
+    val nOrders = broadcast(baskets.agg(count(lit(1)).as("n_orders")))
+    val marg = baskets.select(explode(col("brands")).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("c"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(brands, (a, i) ->
+          |  transform(slice(brands, i + 2, size(brands)), b -> struct(a AS brand_a, b AS brand_b))))"""
+          .stripMargin)).as("pr"))
+      .select(col("pr.brand_a"), col("pr.brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
     pairs

@@ -32,7 +32,7 @@ class LabelPropSpec extends SparkSpec {
 
   test("two triangles joined by a bridge form two communities (CC would give one)") {
     val tri2 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
-    val labels = lpa(tri2, 4)
+    val labels = lpa(tri2, 3)
     assert(labels(1L) == labels(2L) && labels(2L) == labels(3L), s"left clique split: $labels")
     assert(labels(4L) == labels(5L) && labels(5L) == labels(6L), s"right clique split: $labels")
     assert(labels(1L) != labels(4L), s"bridge merged the cliques: $labels")
@@ -40,7 +40,7 @@ class LabelPropSpec extends SparkSpec {
 
   test("a clique collapses to its smallest member's label") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
-    val labels = lpa(k4, 4)
+    val labels = lpa(k4, 3)
     assert(labels.values.toSet == Set(1L), s"clique must converge to min label: $labels")
   }
 
