@@ -93,6 +93,8 @@ object SparkEntry {
     "dedup_bloom" -> ((s, d) => Dedup.bloomIncrementalDedup(s, d)),
     "dedup_cdc" -> ((s, d) => Dedup.cdcDedup(s, d)),
     "dedup_funnel" -> ((s, d) => Dedup.dedupFunnel(s, d)),
+    "dedup_cdc_incremental" -> ((s, d) => Dedup.cdcIncremental(s, d)),
+    "text_novelty_decay" -> ((s, d) => TextAnalysis.noveltyDecay(s, d)),
     "events_changepoint" -> ((s, d) => Relational.changepoint(s, d)),
     "events_wau" -> ((s, d) => Relational.wauReport(s, d)),
     "text_quality_curve" -> ((s, d) => TextAnalysis.qualityBudgetCurve(s, d)),
@@ -1590,6 +1592,43 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN occ.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
          |       CAST(sum(CASE WHEN occ.n_docs >= 2 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS dup_permille
          |FROM ch JOIN occ USING (chunk_hash) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Cross-snapshot CDC containment: chunking is per-doc independent, so
+    // chunking the whole table then splitting by side replays both legs.
+    "dedup_cdc_incremental" ->
+      s"""WITH w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+         |           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |h AS (SELECT doc_id, pos, w, md5('cdc:' || w) AS dg FROM w),
+         |b AS (SELECT doc_id, pos, w,
+         |        CASE WHEN (${graft.operators.Dedup.hexWordSql("strpos", "dg", 1)}) % 8 = 0
+         |             THEN 1 ELSE 0 END AS brk FROM h),
+         |c AS (SELECT doc_id, pos, w,
+         |        COALESCE(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+         |      FROM b),
+         |ch AS (SELECT doc_id, chunk, md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+         |       FROM c GROUP BY 1, 2),
+         |corpus AS (SELECT DISTINCT chunk_hash FROM ch WHERE doc_id % 10 <> 0),
+         |batch AS (SELECT * FROM ch WHERE doc_id % 10 = 0)
+         |SELECT CAST(batch.doc_id AS BIGINT) AS doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN corpus.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known_chunks,
+         |       CAST(sum(CASE WHEN corpus.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS known_permille
+         |FROM batch LEFT JOIN corpus USING (chunk_hash)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Novelty decay: distinct 3-grams attributed to their first document,
+    // per-decile first-seen share.
+    "text_novelty_decay" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(greatest(len(ws)-2, 0)),
+        |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS g
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |m AS (SELECT max(doc_id) AS mx FROM documents)
+        |SELECT CAST(least(9, doc_id * 10 // (mx + 1)) AS BIGINT) AS decile,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS novelty_permille
+        |FROM sh JOIN f USING (g) CROSS JOIN m
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Edit-distance near-dup: blocked candidates (>=2 common shingles),
     // exact Levenshtein verify, normalized integer-micro cut.
     "dedup_edit_distance" ->

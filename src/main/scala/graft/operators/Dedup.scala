@@ -366,7 +366,13 @@ object Dedup {
     */
   def minhashMd5Pairs(spark: SparkSession, dir: String,
                       numPerms: Int = 12, bands: Int = 4): DataFrame = {
-    val exploded = md5BandFrame(Tables.documents(spark, dir), numPerms, bands)
+    // The corpus band frame is memoized like the shingle pair-counts
+    // frame: it feeds both self-join sides here and the funnel/lsh_eval
+    // consumers, and is (docs × bands)-sized — tiny next to the md5 +
+    // min-aggregate work that builds it.
+    val exploded = memoPersist(spark,
+      s"md5bands|$dir|$numPerms|$bands|${dirFingerprint(dir)}")(
+      md5BandFrame(Tables.documents(spark, dir), numPerms, bands))
     exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1489,6 +1495,29 @@ object Dedup {
           transform(sort_array(collect_list(struct(col("pos"), col("w")))), x => x("w")),
           " ")).as("chunk_hash"),
         count(lit(1)).as("n_words"))
+  }
+
+  /** Cross-snapshot chunk containment — [[cdcDedup]]'s incremental form,
+    * the question a crawl pipeline asks of every NEW batch: "how much of
+    * this is content we already store?" (the storage-dedup use CDC was
+    * invented for: unchanged chunks are not re-stored). Corpus = doc_id
+    * % 10 ≠ 0, batch = the rest (the incremental-dedup convention);
+    * per batch doc: the share of its chunks whose hash already exists in
+    * the corpus chunk set. ONE distinct corpus-hash frame, one equi-join
+    * — never doc-pair work, and the corpus side is exactly the artifact
+    * a production pipeline would keep persisted.
+    */
+  def cdcIncremental(spark: SparkSession, dir: String, gear: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpusHashes = cdcChunks(docs.filter(col("doc_id") % 10 =!= 0), gear)
+      .select(col("chunk_hash")).distinct()
+    cdcChunks(docs.filter(col("doc_id") % 10 === 0), gear)
+      .join(corpusHashes.withColumn("known", lit(1L)), Seq("chunk_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("known"), lit(0L))).as("n_known_chunks"))
+      .withColumn("known_permille", expr("n_known_chunks * 1000 DIV n_chunks"))
+      .orderBy(col("doc_id"))
   }
 
   /** Chunk-level duplication report per document: how much of each doc is

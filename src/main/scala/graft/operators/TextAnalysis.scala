@@ -538,6 +538,33 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Corpus NOVELTY decay — how fast new data stops bringing new content:
+    * attribute every distinct 3-gram to its FIRST document (min doc_id),
+    * then report, per doc_id decile, what share of gram occurrences are
+    * first-seen there. A fresh crawl shows a flat curve; a saturated or
+    * self-duplicating one decays toward zero — the collection-level
+    * signal that more of the same source is no longer worth ingesting
+    * (the diminishing-returns curve behind data-mixing decisions).
+    *
+    * Scale shape: one shingle pass, a gram-keyed min aggregate
+    * (map-combined), a join back on the gram key, a 1-row broadcast
+    * max-id cross for the decile rule, a 10-row output.
+    */
+  def noveltyDecay(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.operators.Dedup.shingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val mx = broadcast(Tables.documents(spark, dir).agg(max(col("doc_id")).as("mx")))
+    sh.join(first, Seq("g"))
+      .crossJoin(mx)
+      .withColumn("decile", least(lit(9L), expr("doc_id * 10 DIV (mx + 1)")))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_permille", expr("n_novel * 1000 DIV n_grams"))
+      .orderBy(col("decile"))
+  }
+
   /** Quality-dial TOKEN BUDGET curve — what each candidate quality cut
     * would cost in training tokens: docs and tokens surviving every τ at
     * once, priced from ONE pass over the per-doc quality stats (the

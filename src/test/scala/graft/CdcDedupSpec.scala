@@ -49,6 +49,37 @@ class CdcDedupSpec extends SparkSpec {
     assert(rep(3L) == 0L, s"unique doc must have zero dup share: $rep")
   }
 
+  test("incremental containment: batch docs copied from the corpus read 1000 permille") {
+    val out = Dedup.cdcIncremental(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val (n, k, p) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      n > 0 && k >= 0 && k <= n && p == k * 1000 / n
+    })
+    // a batch doc whose text verbatim-equals a corpus doc must be fully known
+    val docs = Tables.documents(spark, sfDir)
+    val copies = docs.filter($"doc_id" % 10 === 0).as("b")
+      .join(docs.filter($"doc_id" % 10 =!= 0).as("c"), $"b.text" === $"c.text")
+      .select($"b.doc_id").as[Long].collect().toSet
+    if (copies.nonEmpty)
+      assert(out.filter(r => copies(r.getLong(0))).forall(_.getLong(3) == 1000L),
+        "verbatim corpus copies must be 100% known")
+  }
+
+  test("novelty decay: first decile is fully novel, totals cover all gram occurrences") {
+    val out = graft.operators.TextAnalysis.noveltyDecay(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    assert(out.head.getLong(0) == 0L)
+    // every gram in doc 0's decile-0... the FIRST doc's grams are all novel,
+    // and decile 0 contains the corpus's first docs — novelty there must
+    // strictly exceed the last decile's on a phrase-reusing corpus
+    assert(out.head.getLong(3) >= out.last.getLong(3),
+      s"novelty should not grow with corpus position: ${out.map(_.getLong(3)).toSeq}")
+    val totalGrams = graft.operators.Dedup.shingles(Tables.documents(spark, sfDir))
+      .select(explode($"sh")).count()
+    assert(out.map(_.getLong(1)).sum == totalGrams, "deciles must partition gram occurrences")
+  }
+
   test("named query is deterministic and doc-complete at test scale") {
     val a = Dedup.cdcDedup(spark, sfDir).collect().toSeq
     val b = Dedup.cdcDedup(spark, sfDir).collect().toSeq
