@@ -166,6 +166,7 @@ object SparkEntry {
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "media_decode" -> ((s, d) => EmbedQueries.mediaDecode(s, d)),
     "media_decode_real" -> ((s, d) => Multimodal.realDecodeQuery(s, d)),
+    "media_phash" -> ((s, d) => Multimodal.phashQuery(s, d)),
     "media_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
     "media_resize" -> ((s, d) => Multimodal.resizeQuery(s, d)),
     // §2.6–§2.9 — relational breadth
@@ -2195,6 +2196,20 @@ object SparkEntry {
         |       'png' AS format,
         |       CAST(12 AS BIGINT) AS rs_width, CAST(9 AS BIGINT) AS rs_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Perceptual hash: the dHash bit rule is the SAME generated SQL on
+    // both engines, evaluated over the exported grays artifact — only the
+    // decode+block-average step (non-SQL by nature) is trusted to the
+    // export, and even that is bit-deterministic integer arithmetic.
+    "media_phash" -> {
+      val lo = graft.operators.Multimodal.dhashSql("grays", 0, base = 1)
+      val hi = graft.operators.Multimodal.dhashSql("grays", 1, base = 1)
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST($lo AS BIGINT) AS phash_lo,
+         |       CAST($hi AS BIGINT) AS phash_hi,
+         |       CAST(bit_count(CAST($lo AS BIGINT)) + bit_count(CAST($hi AS BIGINT)) AS BIGINT) AS n_ones
+         |FROM read_parquet('${graft.operators.Multimodal.graysPath(oracleSfDir)}/grays/*.parquet')
+         |ORDER BY doc_id""".stripMargin
+    },
     "media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       CAST(ascii(text) AS BIGINT) AS first_cp

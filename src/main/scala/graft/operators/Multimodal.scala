@@ -231,6 +231,101 @@ object Multimodal {
     }.orderBy(col("doc_id"))
   }
 
+  /** 9×8 luma downsample of a decoded image by INTEGER block averaging —
+    * the perceptual-hash front half. Deliberately not Graphics2D resize:
+    * interpolation details are implementation-defined, but an integer
+    * block mean of decoded RGB is bit-deterministic on every JVM, which
+    * is what lets the exported grays replay in the oracle. Luma is the
+    * integer BT.601 form (299r + 587g + 114b) DIV 1000.
+    */
+  private[graft] def grays9x8(bytes: Array[Byte]): Array[Int] = {
+    imageIoNoDiskCache
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](72)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9; val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
+        val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        out(gy * 9 + gx) = (sum / n).toInt
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** The dHash BIT RULE as a SQL expression over a 72-element gray array:
+    * bit (y,x) set iff gray(x,y) > gray(x+1,y), packed into two positive
+    * 32-bit halves (cross-engine bit_count on negative BIGINTs is
+    * avoidable risk). SHARED by the engine query and the oracle — the
+    * hash construction itself is replayed, not trusted — with only the
+    * subscript BASE differing (Spark `[]` is 0-based, DuckDB 1-based).
+    */
+  private[graft] def dhashSql(col: String, half: Int, base: Int): String =
+    (0 until 32).map { i =>
+      val bit = half * 32 + i
+      val (y, x) = (bit / 8, bit % 8)
+      s"(CASE WHEN $col[${y * 9 + x + base}] > $col[${y * 9 + x + base + 1}] THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def graysPath(dir: String): String =
+    "/root/repo/data/phash_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Build the exported grays artifact once per source generation (the
+    * IndexStore `_src_fp` contract): decode + block-average is the only
+    * non-SQL step, and its output IS the artifact both engines hash.
+    */
+  def ensureGrays(spark: SparkSession, dir: String): String = {
+    val path = graysPath(dir)
+    if (!new java.io.File(s"$path/grays").exists() ||
+        !graft.sources.IndexStore.sourceFpCurrent(path, dir)) {
+      val imgs = syntheticImages(spark, dir)
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("grays", ArrayType(IntegerType, containsNull = false), nullable = false)))
+      implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+      val mediaIdx = imgs.schema.fieldIndex("media")
+      imgs.mapPartitions(_.map { r =>
+        Row(r.getLong(0), grays9x8(r.getAs[Array[Byte]](mediaIdx)).toSeq)
+      }).write.mode("overwrite").parquet(s"$path/grays")
+      graft.sources.IndexStore.stampSourceFp(path, dir)
+    }
+    path
+  }
+
+  /** Perceptual-hash (dHash) of every image — the image-side near-dup
+    * sketch (the [[graft.operators.Dedup]] SimHash idea on pixels:
+    * resize-invariant gradient signs, so re-encoded/rescaled copies of
+    * one image hash close in Hamming space, and the SAME banding
+    * machinery finds candidate pairs). Real decode, integer downsample,
+    * then the bit rule runs as the SHARED [[dhashSql]] expression over
+    * the exported grays — hash construction oracle-replayed end to end.
+    */
+  def phashQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureGrays(spark, dir)
+    spark.read.parquet(s"$path/grays")
+      .select(col("doc_id"),
+        expr(dhashSql("grays", 0, base = 0)).as("phash_lo"),
+        expr(dhashSql("grays", 1, base = 0)).as("phash_hi"))
+      .withColumn("n_ones", expr("bit_count(phash_lo) + bit_count(phash_hi)").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Named query: binary-column metadata projection. The oracle checks the
     * engine-agnostic parts (byte length, first code point); the stubbed
     * decode fields are covered by MultimodalSpec.

@@ -87,13 +87,13 @@ object IndexStore {
     * compares it so a regenerated corpus triggers a rebuild instead of
     * being probed through an index built from data that no longer exists.
     */
-  private[sources] def stampSourceFp(path: String, dir: String): Unit = {
+  private[graft] def stampSourceFp(path: String, dir: String): Unit = {
     val d = new java.io.File(path)
     Option(d.listFiles()).foreach(_.filter(_.getName.startsWith("_src_fp_")).foreach(_.delete()))
     new java.io.File(d, s"_src_fp_${graft.Tables.dirFingerprint(dir)}").createNewFile()
   }
 
-  private[sources] def sourceFpCurrent(path: String, dir: String): Boolean =
+  private[graft] def sourceFpCurrent(path: String, dir: String): Boolean =
     new java.io.File(path, s"_src_fp_${graft.Tables.dirFingerprint(dir)}").exists()
 
   private def stampBuildId(path: String): Unit = {
