@@ -167,6 +167,7 @@ object SparkEntry {
     "media_decode" -> ((s, d) => EmbedQueries.mediaDecode(s, d)),
     "media_decode_real" -> ((s, d) => Multimodal.realDecodeQuery(s, d)),
     "media_phash" -> ((s, d) => Multimodal.phashQuery(s, d)),
+    "media_phash_pairs" -> ((s, d) => Multimodal.phashPairsQuery(s, d)),
     "media_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
     "media_resize" -> ((s, d) => Multimodal.resizeQuery(s, d)),
     // §2.6–§2.9 — relational breadth
@@ -2209,6 +2210,26 @@ object SparkEntry {
          |       CAST(bit_count(CAST($lo AS BIGINT)) + bit_count(CAST($hi AS BIGINT)) AS BIGINT) AS n_ones
          |FROM read_parquet('${graft.operators.Multimodal.graysPath(oracleSfDir)}/grays/*.parquet')
          |ORDER BY doc_id""".stripMargin
+    },
+    // Multi-index Hamming pairs: 8 byte bands (complete for tau<8 by
+    // pigeonhole), exact xor/bit_count verify — all from the same export.
+    "media_phash_pairs" -> {
+      val lo = graft.operators.Multimodal.dhashSql("grays", 0, base = 1)
+      val hi = graft.operators.Multimodal.dhashSql("grays", 1, base = 1)
+      s"""WITH h AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |                  CAST($lo AS BIGINT) AS lo, CAST($hi AS BIGINT) AS hi
+         |           FROM read_parquet('${graft.operators.Multimodal.graysPath(oracleSfDir)}/grays/*.parquet')),
+         |b AS (SELECT doc_id, i,
+         |             CASE WHEN i < 4 THEN (lo >> (8 * i)) & 255
+         |                  ELSE (hi >> (8 * (i - 4))) & 255 END AS bv
+         |      FROM h CROSS JOIN (SELECT unnest(range(8)) AS i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |         FROM b a JOIN b b2 ON a.i = b2.i AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+         |v AS (SELECT id_a, id_b,
+         |             CAST(bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming
+         |      FROM cand JOIN h ha ON ha.doc_id = id_a JOIN h hb ON hb.doc_id = id_b)
+         |SELECT id_a, id_b, hamming FROM v WHERE hamming <= 7
+         |ORDER BY id_a, id_b""".stripMargin
     },
     "media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

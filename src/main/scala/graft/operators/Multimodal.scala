@@ -98,15 +98,41 @@ object Multimodal {
     * function of (seed, x, y), PNG-encoded. Used by [[syntheticImages]]
     * and the specs — the oracle never checks the bytes, only the
     * round-tripped dimensions, so encoder-version drift can't break it.
+    *
+    * The surface is a BILINEAR interpolation of a seed-random 5×5
+    * control grid (integer arithmetic throughout): smooth low-frequency
+    * content, like a real photo's structure at thumbnail scale — which
+    * is what makes the perceptual-hash fixtures honest. Per-pixel noise
+    * would be the pathological case for ANY perceptual hash (block
+    * means of noise don't survive resampling-grid shifts), and distinct
+    * seeds still produce distinct surfaces (distinct control values ⇒
+    * distinct local slopes ⇒ distinct dHash sign patterns).
     */
   def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
     imageIoNoDiskCache
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def mix(z0: Long): Long = { // splitmix64 finalizer: real avalanche,
+      var z = z0 + 0x9E3779B97F4A7C15L // unlike a linear form whose high
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L // bits barely move for
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL // small (seed, i, j)
+      z ^ (z >>> 31)
+    }
+    def ctrl(i: Int, j: Int, ch: Int): Long =
+      mix(seed * 75L + (i * 5 + j) * 3L + ch) & 0xffL
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, (seed * 31 + x * 7 + y * 131).toInt & 0xffffff)
+        val gx = if (w > 1) x * 4000 / (w - 1) else 0
+        val gy = if (h > 1) y * 4000 / (h - 1) else 0
+        val i = math.min(3, gx / 1000); val fx = (gx - i * 1000).toLong
+        val j = math.min(3, gy / 1000); val fy = (gy - j * 1000).toLong
+        def lerp2(ch: Int): Int = {
+          val top = ctrl(i, j, ch) * (1000 - fx) + ctrl(i + 1, j, ch) * fx
+          val bot = ctrl(i, j + 1, ch) * (1000 - fx) + ctrl(i + 1, j + 1, ch) * fx
+          ((top * (1000 - fy) + bot * fy) / 1000000L).toInt
+        }
+        img.setRGB(x, y, (lerp2(0) << 16) | (lerp2(1) << 8) | lerp2(2))
         x += 1
       }
       y += 1
@@ -284,11 +310,41 @@ object Multimodal {
     }.mkString("(", " + ", ")")
 
   def graysPath(dir: String): String =
-    "/root/repo/data/phash_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    "/root/repo/data/phash_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "_v6"
+
+  /** Deterministic nearest-neighbor 2× upscale — the "re-encoded copy"
+    * fixture generator: integer pixel replication, no interpolation, so
+    * the variant's grays are as bit-deterministic as the original's.
+    */
+  private def upscale2x(bytes: Array[Byte]): Array[Byte] = {
+    imageIoNoDiskCache
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val out = new java.awt.image.BufferedImage(img.getWidth * 2, img.getHeight * 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < out.getHeight) {
+      var x = 0
+      while (x < out.getWidth) {
+        out.setRGB(x, y, img.getRGB(x / 2, y / 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Offset marking the rescaled-variant rows in the grays store. */
+  val VariantOffset: Long = 1000000L
 
   /** Build the exported grays artifact once per source generation (the
     * IndexStore `_src_fp` contract): decode + block-average is the only
     * non-SQL step, and its output IS the artifact both engines hash.
+    * Every 10th document also contributes a 2×-upscaled VARIANT row
+    * (doc_id + [[VariantOffset]]) — the rescaled-copy population the
+    * pair query ([[phashPairsQuery]]) is meant to catch, generated here
+    * so the crawl fixture contains the duplicates a real crawl would.
     */
   def ensureGrays(spark: SparkSession, dir: String): String = {
     val path = graysPath(dir)
@@ -300,12 +356,53 @@ object Multimodal {
         StructField("grays", ArrayType(IntegerType, containsNull = false), nullable = false)))
       implicit val enc: Encoder[Row] = Encoders.row(outSchema)
       val mediaIdx = imgs.schema.fieldIndex("media")
-      imgs.mapPartitions(_.map { r =>
-        Row(r.getLong(0), grays9x8(r.getAs[Array[Byte]](mediaIdx)).toSeq)
+      imgs.mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        val media = r.getAs[Array[Byte]](mediaIdx)
+        val base = Row(id, grays9x8(media).toSeq)
+        if (id % 10 == 0)
+          Seq(base, Row(id + VariantOffset, grays9x8(upscale2x(media)).toSeq))
+        else Seq(base)
       }).write.mode("overwrite").parquet(s"$path/grays")
       graft.sources.IndexStore.stampSourceFp(path, dir)
     }
     path
+  }
+
+  /** Image NEAR-DUP PAIRS over the perceptual hashes — the multi-index
+    * Hamming search (the SimHash banding idea, byte-grained): 8 8-bit
+    * bands per 64-bit hash; any two hashes within τ < 8 bits share at
+    * least one band (pigeonhole), so the candidate join on (band, value)
+    * is COMPLETE for the τ=7 cut, and exact Hamming verifies. 8-bit
+    * bands keep unrelated collisions at 8/256 per pair — the candidate
+    * set stays linear-ish where 4-bit bands would collide constantly.
+    * Catches each rescaled variant against its source (spec-asserted).
+    */
+  def phashPairsQuery(spark: SparkSession, dir: String, tau: Int = 7): DataFrame = {
+    val h = phashQuery(spark, dir)
+      .select(col("doc_id"), col("phash_lo"), col("phash_hi"))
+    val bandCols = (0 until 8).map { i =>
+      val src = if (i < 4) s"phash_lo >> ${8 * i}" else s"phash_hi >> ${8 * (i - 4)}"
+      struct(lit(i).as("band"), expr(s"($src) & 255").as("bv"))
+    }
+    val bands = h.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(h.select(col("doc_id").as("id_a"), col("phash_lo").as("lo_a"),
+        col("phash_hi").as("hi_a")), Seq("id_a"))
+      .join(h.select(col("doc_id").as("id_b"), col("phash_lo").as("lo_b"),
+        col("phash_hi").as("hi_b")), Seq("id_b"))
+      .withColumn("hamming",
+        expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long"))
+      .filter(col("hamming") <= tau)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Perceptual-hash (dHash) of every image — the image-side near-dup

@@ -46,9 +46,42 @@ class PhashSpec extends SparkSpec {
     assert(dOther > dSame, s"unrelated image ($dOther) should exceed the rescaled copy ($dSame)")
   }
 
-  test("named query: one hash per document, halves positive, n_ones consistent") {
+  test("pair query catches every rescaled variant against its source") {
+    val pairs = Multimodal.phashPairsQuery(spark, sfDir)
+      .select($"id_a".as[Long], $"id_b".as[Long], $"hamming".as[Long])
+      .collect()
+    val variantPairs = pairs.filter { case (a, b, _) =>
+      b == a + Multimodal.VariantOffset
+    }
+    val nVariants = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 10 === 0).count()
+    // recall is the method's dial, not a defect: a variant whose drift
+    // exceeds tau is out of radius by definition (the MinHash-banding
+    // recall trade) — but most variants must land inside, and EVERY
+    // within-tau pair is found (pigeonhole over the 8 byte-bands), which
+    // the exhaustive check below pins exactly
+    assert(variantPairs.length * 10 >= nVariants * 7,
+      s"too few variants within tau: ${variantPairs.length}/$nVariants")
+    assert(pairs.forall(_._3 <= 7L))
+    // completeness: brute-force hamming over all hash pairs finds exactly
+    // the same within-tau set
+    val hs = Multimodal.phashQuery(spark, sfDir)
+      .select($"doc_id".as[Long], $"phash_lo".as[Long], $"phash_hi".as[Long])
+      .collect()
+    val brute = (for {
+      a <- hs; b <- hs if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+      if d <= 7
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(pairs.toSet == brute,
+      s"banding must be exactly the within-tau set: ${pairs.length} vs ${brute.size}")
+  }
+
+  test("named query: one hash per document plus variants, halves positive, n_ones consistent") {
     val out = Multimodal.phashQuery(spark, sfDir).collect()
-    assert(out.length == Tables.documents(spark, sfDir).count())
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val nVar = Tables.documents(spark, sfDir).filter($"doc_id" % 10 === 0).count()
+    assert(out.length == nDocs + nVar)
     assert(out.forall(r => r.getLong(1) >= 0L && r.getLong(2) >= 0L))
     assert(out.forall(r => r.getLong(3) ==
       java.lang.Long.bitCount(r.getLong(1)) + java.lang.Long.bitCount(r.getLong(2))))
