@@ -178,6 +178,7 @@ object SparkEntry {
     "q18_big_customers" -> ((s, d) => Relational.q18BigCustomers(s, d)),
     "q14_promo_share" -> ((s, d) => Relational.q14PromoShare(s, d)),
     "basket_pairs" -> ((s, d) => Relational.basketPairs(s, d)),
+    "orders_pareto" -> ((s, d) => Relational.revenueConcentration(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
     "q17_small_quantity" -> ((s, d) => Relational.q17SmallQuantity(s, d)),
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
@@ -2304,6 +2305,27 @@ object SparkEntry {
          |         // CAST(sum($discPrice)*10000 AS BIGINT) AS promo_share_micro
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Pareto concentration: exact per-customer cents, ranked cumulative
+    // window, milestones as conditional mins.
+    "orders_pareto" -> {
+      val disc = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+      val ts = Seq(500L, 800L, 900L)
+      val sel = ts.map(t =>
+        s"SELECT CAST($t AS BIGINT) AS threshold_permille, " +
+          s"CAST(min(CASE WHEN cum * 1000 >= total_rev * $t THEN rn END) AS BIGINT) AS n_customers, " +
+          s"CAST(min(CASE WHEN cum * 1000 >= total_rev * $t THEN rn END) * 1000 // max(n_cust) AS BIGINT) AS customers_permille " +
+          "FROM ranked CROSS JOIN totals")
+        .mkString("\n|UNION ALL ")
+      s"""WITH pc AS (SELECT o_custkey, CAST(sum(CAST($disc * 10000 AS BIGINT)) AS BIGINT) AS rev_tmc
+         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+         |ranked AS (SELECT o_custkey, rev_tmc,
+         |             CAST(row_number() OVER (ORDER BY rev_tmc DESC, o_custkey) AS BIGINT) AS rn,
+         |             sum(rev_tmc) OVER (ORDER BY rev_tmc DESC, o_custkey
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |           FROM pc),
+         |totals AS (SELECT sum(rev_tmc) AS total_rev, CAST(count(*) AS BIGINT) AS n_cust FROM pc)
+         |SELECT * FROM ($sel) ORDER BY threshold_permille""".stripMargin
+    },
     // Market-basket brand lift: distinct (order, brand) grid, self-join on
     // the order key (basket-bounded fan-out), HUGEINT-widened lift.
     "basket_pairs" ->

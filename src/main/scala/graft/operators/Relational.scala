@@ -184,6 +184,44 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** Revenue concentration (the Pareto/80-20 report): how many customers
+    * carry 50/80/90% of revenue. Exact money (the q14 per-row decimal
+    * product summed as 10⁻⁴-unit BIGINTs), one customer-keyed aggregate,
+    * ONE ranked cumulative window over the |customers|-row result (ties
+    * broken by key), and every milestone answered from a single
+    * conditional-min aggregate — the threshold-dial idiom. The global
+    * window is bounded by the CUSTOMER dimension, not the fact table; at
+    * lake scale the same curve comes from revenue-decile bucketing, but
+    * the dimension-bounded sort is the exact form.
+    */
+  def revenueConcentration(spark: SparkSession, dir: String,
+                           thresholds: Seq[Long] = Seq(500L, 800L, 900L)): DataFrame = {
+    val perCust = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("rev_c", ((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("decimal(18,4)") * 10000).cast("long"))
+      .groupBy(col("o_custkey")).agg(sum(col("rev_c")).as("rev_tmc"))
+    val w = Window.orderBy(col("rev_tmc").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perCust
+      .withColumn("rn", row_number().over(Window.orderBy(col("rev_tmc").desc, col("o_custkey"))).cast("long"))
+      .withColumn("cum", sum(col("rev_tmc")).over(w))
+    val totals = broadcast(perCust.agg(sum(col("rev_tmc")).as("total_rev"),
+      count(lit(1)).as("n_cust")))
+    val agg = ranked.crossJoin(totals).agg(
+      thresholds.map(t =>
+        min(when(col("cum") * 1000 >= col("total_rev") * t, col("rn"))).as(s"n$t")).head,
+      (thresholds.tail.map(t =>
+        min(when(col("cum") * 1000 >= col("total_rev") * t, col("rn"))).as(s"n$t")) :+
+        max(col("n_cust")).as("n_cust")): _*)
+    val stackSql = s"stack(${thresholds.length}, " +
+      thresholds.map(t => s"${t}L, n$t, n$t * 1000 DIV n_cust").mkString(", ") +
+      ") as (threshold_permille, n_customers, customers_permille)"
+    agg.select(expr(stackSql)).orderBy(col("threshold_permille"))
+  }
+
   /** Rolling-activity report — DAU and trailing-7-day WAU per day, plus
     * the stickiness ratio (DAU·10⁶ DIV WAU) product analytics tracks.
     * The (user, day) activity grid is pre-DISTINCT'd map-side (the

@@ -21,6 +21,26 @@ class FunnelChangepointSpec extends SparkSpec {
     assert(ns(1) == distinctTexts, "exact stage must equal distinct-text count")
   }
 
+  test("pareto: milestones are monotone and the 50% milestone is a strict minority") {
+    val out = Relational.revenueConcentration(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(500L, 800L, 900L))
+    val ns = out.map(_.getLong(1))
+    assert(ns.sliding(2).forall(p => p(0) <= p(1)), s"more revenue needs more customers: ${ns.toSeq}")
+    assert(out.head.getLong(2) < 500L,
+      s"revenue should concentrate: 50% of revenue needs ${out.head.getLong(2)}‰ of customers")
+    // independent replay of the 50% milestone
+    val perCust = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .withColumn("rev_c", (($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1) - $"l_discount".cast("decimal(18,2)"))).cast("decimal(18,4)") * 10000).cast("long"))
+      .groupBy($"o_custkey").agg(sum($"rev_c").as("r"))
+      .select($"r".as[Long]).collect().sorted(Ordering[Long].reverse)
+    val total = perCust.sum
+    var cum = 0L; var k = 0
+    while (cum * 1000 < total * 500) { cum += perCust(k); k += 1 }
+    assert(out.head.getLong(1) == k.toLong, s"50% milestone: got ${out.head.getLong(1)}, want $k")
+  }
+
   test("wau: trailing window dominates dau, day-1 wau equals dau, ratio consistent") {
     val out = Relational.wauReport(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -66,7 +66,8 @@ class PlanLintSpec extends SparkSpec {
     "knn_rank_eval",                   // exact leg query-batch cross + probed centroid cross
     "knn_filtered_adaptive",           // brute branch: broadcast query batch × filtered subset
     "events_wau",                      // ≤|calendar| day list × activity grid range cross
-    "text_novelty_decay"               // 1-row broadcast max-id scalar cross
+    "text_novelty_decay",              // 1-row broadcast max-id scalar cross
+    "orders_pareto"                    // 1-row broadcast totals scalar cross
   )
 
   test("no registered query plans a CartesianProduct or an un-allowlisted nested-loop join") {
