@@ -97,6 +97,8 @@ object SparkEntry {
     "text_novelty_decay" -> ((s, d) => TextAnalysis.noveltyDecay(s, d)),
     "events_changepoint" -> ((s, d) => Relational.changepoint(s, d)),
     "events_wau" -> ((s, d) => Relational.wauReport(s, d)),
+    "events_type_gini" -> ((s, d) => Relational.typeGini(s, d)),
+    "events_transitions" -> ((s, d) => Relational.transitionMatrix(s, d)),
     "text_quality_curve" -> ((s, d) => TextAnalysis.qualityBudgetCurve(s, d)),
     "dedup_paragraph" -> ((s, d) => Dedup.paragraphDedup(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringRuns(s, d)),
@@ -1541,6 +1543,25 @@ object SparkEntry {
         |        FROM days JOIN grid ON grid.d BETWEEN day - 6 AND day GROUP BY 1)
         |SELECT day, dau, wau, CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_micro
         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    // Per-day type diversity: rational Gini (no libm), exact integers.
+    "events_type_gini" ->
+      """WITH bt AS (SELECT CAST(ts AS DATE) AS event_date, event_type, CAST(count(*) AS BIGINT) AS n_t
+        |            FROM events GROUP BY 1, 2)
+        |SELECT event_date, CAST(sum(n_t) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(1000000 - (sum(n_t * n_t) * 1000000) // (sum(n_t) * sum(n_t)) AS BIGINT) AS gini_micro
+        |FROM bt GROUP BY 1 ORDER BY 1""".stripMargin,
+    // First-order transition matrix: per-user lead window (ts, event_id
+    // tiebreak), one pair-count aggregate, integer row-conditional permille.
+    "events_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |           FROM events),
+        |p AS (SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n, CAST(p.n * 1000 // t.n_from AS BIGINT) AS prob_permille
+        |FROM p JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin,
     // Quality-dial token budget: one-pass conditional sums over the same
     // score construction as text_quality, priced at every tau at once.
     "text_quality_curve" -> {

@@ -245,6 +245,52 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Per-day event-type DIVERSITY (Gini impurity, 1 − Σp²) — the mix-drift
+    * monitor a pipeline pairs with the volume changepoint: volume can hold
+    * steady while the composition collapses (one producer flooding).
+    * Gini instead of entropy because it is RATIONAL: gini_micro =
+    * 10⁶ − (Σ n_t² · 10⁶) DIV n², exact integers end to end, where
+    * entropy's log is libm and would make the oracle hash flaky.
+    * One (day, type) count aggregate, folded per day.
+    */
+  def typeGini(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    byType.groupBy(col("event_date"))
+      .agg(sum(col("n_t")).as("n"),
+        count(lit(1)).as("n_types"),
+        sum(col("n_t") * col("n_t")).as("sum_sq"))
+      .withColumn("gini_micro", expr("1000000 - (sum_sq * 1000000) DIV (n * n)"))
+      .select(col("event_date"), col("n"), col("n_types"), col("gini_micro"))
+      .orderBy(col("event_date"))
+  }
+
+  /** Behavioral TRANSITION MATRIX — P(next event type | current), the
+    * first-order Markov summary behind funnel design and anomaly
+    * baselines: per user, consecutive events pair up via a lead window
+    * (ordered by ts with event_id tiebreak — same-timestamp events are
+    * real in event data), transitions count in one hash aggregate, and
+    * the row-conditional probability is an integer permille against the
+    * from-type's total. The window partitions by user_id — ordering
+    * never leaves its user, the sessionize shuffle shape.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(fromTotals, Seq("from_type"))
+      .withColumn("prob_permille", expr("n * 1000 DIV n_from"))
+      .select(col("from_type"), col("to_type"), col("n"), col("prob_permille"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** CUSUM changepoint scan over the daily event series — the classic
     * "did the level shift, and when" detector (Page 1954) a pipeline
     * runs on ingest volumes before trusting week-over-week comparisons.

@@ -61,6 +61,38 @@ class FunnelChangepointSpec extends SparkSpec {
     assert(docs.head <= Tables.documents(spark, sfDir).count())
   }
 
+  test("gini: bounds honored, single-type day reads zero, uniform types read (k-1)/k") {
+    val out = Relational.typeGini(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val (k, g) = (r.getLong(2), r.getLong(3))
+      g >= 0L && g <= 1000000L - 1000000L / k
+    }, "gini must sit in [0, 1 - 1/k]")
+    // closed-form check on a uniform toy distribution
+    val toy = Seq.tabulate(40)(i => (java.sql.Date.valueOf("2024-01-01"), s"t${i % 4}"))
+      .toDF("event_date", "event_type")
+    val g = toy.groupBy($"event_date", $"event_type").agg(count(lit(1)).as("n_t"))
+      .groupBy($"event_date")
+      .agg(expr("1000000 - (sum(n_t * n_t) * 1000000) DIV (sum(n_t) * sum(n_t))").as("g"))
+      .select($"g".as[Long]).head()
+    assert(g == 750000L, s"uniform 4-type gini must be 750000, got $g")
+  }
+
+  test("transitions: counts partition the pair stream, probabilities sum to ~1000 per row") {
+    val out = Relational.transitionMatrix(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val nPairs = out.map(_.getLong(2)).sum
+    val nEvents = Tables.events(spark, sfDir).count()
+    val nUsers = Tables.events(spark, sfDir).select($"user_id").distinct().count()
+    assert(nPairs == nEvents - nUsers,
+      s"each user contributes |events|-1 transitions: $nPairs vs ${nEvents - nUsers}")
+    out.groupBy(_.getString(0)).foreach { case (ft, rows) =>
+      val s = rows.map(_.getLong(3)).sum
+      assert(s <= 1000L && s >= 1000L - rows.length,
+        s"floor-division permilles for $ft must sum to (1000 - ties]: $s")
+    }
+  }
+
   test("changepoint: cusum telescopes to zero on the last day, exactly one peak value") {
     val out = Relational.changepoint(spark, sfDir).collect()
     assert(out.nonEmpty)
