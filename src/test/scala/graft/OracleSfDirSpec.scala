@@ -27,13 +27,27 @@ class OracleSfDirSpec extends SparkSpec {
       assert(sql("knn_pq").contains(expectPq))
       assert(sql("knn_ivfpq").contains(expectIvf) && sql("knn_ivfpq").contains(expectPq))
       assert(!sql("knn_ivf").contains("sf0.01"), "no stale default path may leak through")
+      // The r10 store-backed oracles must follow the override too: the
+      // partitioned lake's layout/compaction replays and the perceptual
+      // hash's grays replay read per-sf artifacts.
+      val expectPart = graft.sources.PartitionedStore.defaultPath(sfDir)
+      val expectGrays = graft.operators.Multimodal.graysPath(sfDir)
+      assert(sql("partitioned_layout_stats").contains(expectPart))
+      assert(sql("partitioned_compact").contains(expectPart + "_cp"))
+      assert(sql("media_phash").contains(expectGrays))
+      assert(sql("media_phash_pairs").contains(expectGrays))
+      assert(!sql("partitioned_layout_stats").contains("sf0.01"),
+        "no stale default path may leak through the partitioned-store oracle")
       // Running the same queries at the overridden sf builds exactly the
       // artifacts the oracle SQL will read.
-      for (name <- Seq("knn_ivf", "knn_pq", "index_stats"))
+      for (name <- Seq("knn_ivf", "knn_pq", "index_stats",
+          "partitioned_layout_stats", "media_phash"))
         assert(SparkEntry.queries(name)(spark, sfDir).count() > 0, s"$name returns rows")
       assert(new java.io.File(s"$expectIvf/centroids").exists(), "exported centroids")
       assert(new java.io.File(s"$expectIvf/rows").exists(), "exported clustered rows")
       assert(new java.io.File(s"$expectPq/codebooks").exists(), "exported PQ codebooks")
+      assert(new java.io.File(s"$expectPart/rows").exists(), "exported partitioned rows")
+      assert(new java.io.File(s"$expectGrays/grays").exists(), "exported grays")
     } finally prev match {
       case Some(v) => sys.props("graft.oracle.sfdir") = v
       case None => sys.props.remove("graft.oracle.sfdir")

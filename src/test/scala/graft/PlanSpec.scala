@@ -248,4 +248,19 @@ class PlanSpec extends SparkSpec {
       "brand filter must reach the part scan: " + p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("basket pairs: no shuffle join anywhere — pairs explode in-basket, dims broadcast") {
+    val p = plan(Relational.basketPairs(spark, sfDir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the single-shuffle rewrite must not re-introduce a shuffle join: " + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), "marginals must broadcast: " + p.take(3000))
+  }
+
+  test("phash pairs: candidate generation is a band equi-join, never a cartesian") {
+    val p = plan(graft.operators.Multimodal.phashPairsQuery(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "banding must plan as an equi-join: " + p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
