@@ -2326,8 +2326,10 @@ object SparkEntry {
          |         // CAST(sum($discPrice)*10000 AS BIGINT) AS promo_share_micro
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // Pareto concentration: exact per-customer cents, ranked cumulative
-    // window, milestones as conditional mins.
+    // Pareto concentration: the oracle replays the NAIVE global cumulative
+    // window; the engine runs the two-phase range-sharded prefix sum, so
+    // the hash equality IS the two-phase correctness proof (the
+    // corpus_offsets convention).
     "orders_pareto" -> {
       val disc = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
       val ts = Seq(500L, 800L, 900L)

@@ -187,15 +187,24 @@ object Relational {
   /** Revenue concentration (the Pareto/80-20 report): how many customers
     * carry 50/80/90% of revenue. Exact money (the q14 per-row decimal
     * product summed as 10⁻⁴-unit BIGINTs), one customer-keyed aggregate,
-    * ONE ranked cumulative window over the |customers|-row result (ties
-    * broken by key), and every milestone answered from a single
-    * conditional-min aggregate — the threshold-dial idiom. The global
-    * window is bounded by the CUSTOMER dimension, not the fact table; at
-    * lake scale the same curve comes from revenue-decile bucketing, but
-    * the dimension-bounded sort is the exact form.
+    * then the ranked cumulative sum as a TWO-PHASE range-sharded prefix
+    * sum (the [[graft.operators.Sampling.globalOffsets]] idiom) instead
+    * of a partition-less global window: rows range-bucket on the sort key
+    * itself (`rev_tmc`, linearly between the broadcast min/max, so bucket
+    * order ≡ global descending revenue order and equal revenues never
+    * straddle a bucket), phase 1 ranks WITHIN each bucket under an
+    * ordinary partitioned window, phase 2 cumulates the ≤`shards`-row
+    * per-bucket (count, revenue) totals into base offsets and
+    * broadcast-joins them back. No task ever sorts more than one bucket;
+    * the oracle replays the naive global window, so the hash equality IS
+    * the two-phase correctness proof. Milestone comparisons are widened
+    * to DECIMAL(38,0) — `cum·10³` and `total_rev·t` would wrap BIGINT
+    * near TPC-H sf300 revenue totals (the 100 TB design point) while the
+    * DuckDB oracle auto-promotes to HUGEINT.
     */
   def revenueConcentration(spark: SparkSession, dir: String,
-                           thresholds: Seq[Long] = Seq(500L, 800L, 900L)): DataFrame = {
+                           thresholds: Seq[Long] = Seq(500L, 800L, 900L),
+                           shards: Int = 32): DataFrame = {
     val perCust = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
@@ -203,18 +212,43 @@ object Relational {
       .withColumn("rev_c", ((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
         .cast("decimal(18,4)") * 10000).cast("long"))
       .groupBy(col("o_custkey")).agg(sum(col("rev_c")).as("rev_tmc"))
-    val w = Window.orderBy(col("rev_tmc").desc, col("o_custkey"))
+    val bounds = broadcast(perCust.agg(min(col("rev_tmc")).as("lo"), max(col("rev_tmc")).as("hi")))
+    // Deterministic monotone bucketing on the sort key: highest revenue →
+    // bucket 0. Equal rev_tmc ⇒ equal bucket, so the within-bucket
+    // (rev_tmc DESC, custkey) order concatenated bucket-by-bucket is
+    // exactly the global order. The subtraction runs in DECIMAL(38,0) so
+    // `span · shards` cannot wrap at lake-scale revenue magnitudes.
+    val sharded = perCust.crossJoin(bounds)
+      .withColumn("shard",
+        expr(s"CAST((CAST(hi AS DECIMAL(38,0)) - rev_tmc) * $shards DIV " +
+          s"(CAST(hi AS DECIMAL(38,0)) - lo + 1) AS INT)"))
+      .drop("lo", "hi")
+    val wLocal = Window.partitionBy(col("shard"))
+      .orderBy(col("rev_tmc").desc, col("o_custkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = perCust
-      .withColumn("rn", row_number().over(Window.orderBy(col("rev_tmc").desc, col("o_custkey"))).cast("long"))
-      .withColumn("cum", sum(col("rev_tmc")).over(w))
+    val within = sharded
+      .withColumn("rn_local",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("rev_tmc").desc, col("o_custkey"))).cast("long"))
+      .withColumn("cum_local", sum(col("rev_tmc")).over(wLocal))
+    val wBase = Window.partitionBy(lit(1)).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val bases = within.groupBy(col("shard"))
+      .agg(count(lit(1)).as("cnt"), sum(col("rev_tmc")).as("tot"))
+      .withColumn("base_rn", coalesce(sum(col("cnt")).over(wBase), lit(0L)))
+      .withColumn("base_rev", coalesce(sum(col("tot")).over(wBase), lit(0L)))
+      .select(col("shard"), col("base_rn"), col("base_rev"))
+    val ranked = within.join(broadcast(bases), "shard")
+      .select(col("o_custkey"), col("rev_tmc"),
+        (col("base_rn") + col("rn_local")).as("rn"),
+        (col("base_rev") + col("cum_local")).as("cum"))
     val totals = broadcast(perCust.agg(sum(col("rev_tmc")).as("total_rev"),
       count(lit(1)).as("n_cust")))
+    def hit(t: Long) =
+      col("cum").cast("decimal(38,0)") * 1000 >= col("total_rev").cast("decimal(38,0)") * t
     val agg = ranked.crossJoin(totals).agg(
-      thresholds.map(t =>
-        min(when(col("cum") * 1000 >= col("total_rev") * t, col("rn"))).as(s"n$t")).head,
-      (thresholds.tail.map(t =>
-        min(when(col("cum") * 1000 >= col("total_rev") * t, col("rn"))).as(s"n$t")) :+
+      thresholds.map(t => min(when(hit(t), col("rn"))).as(s"n$t")).head,
+      (thresholds.tail.map(t => min(when(hit(t), col("rn"))).as(s"n$t")) :+
         max(col("n_cust")).as("n_cust")): _*)
     val stackSql = s"stack(${thresholds.length}, " +
       thresholds.map(t => s"${t}L, n$t, n$t * 1000 DIV n_cust").mkString(", ") +
@@ -260,8 +294,13 @@ object Relational {
     byType.groupBy(col("event_date"))
       .agg(sum(col("n_t")).as("n"),
         count(lit(1)).as("n_types"),
-        sum(col("n_t") * col("n_t")).as("sum_sq"))
-      .withColumn("gini_micro", expr("1000000 - (sum_sq * 1000000) DIV (n * n)"))
+        // Widened to DECIMAL(38,0) BEFORE the multiply: n_t² and n² wrap
+        // BIGINT once a day carries ~3·10⁹ events (ANSI off ⇒ silent),
+        // while the DuckDB oracle promotes to HUGEINT — the engine must
+        // stay exact at the same magnitudes the oracle is.
+        sum(col("n_t").cast("decimal(38,0)") * col("n_t")).as("sum_sq"))
+      .withColumn("gini_micro",
+        expr("1000000 - (sum_sq * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * n)"))
       .select(col("event_date"), col("n"), col("n_types"), col("gini_micro"))
       .orderBy(col("event_date"))
   }

@@ -67,7 +67,7 @@ class PlanLintSpec extends SparkSpec {
     "knn_filtered_adaptive",           // brute branch: broadcast query batch × filtered subset
     "events_wau",                      // ≤|calendar| day list × activity grid range cross
     "text_novelty_decay",              // 1-row broadcast max-id scalar cross
-    "orders_pareto"                    // 1-row broadcast totals scalar cross
+    "orders_pareto"                    // 1-row broadcast bounds/totals scalar crosses
   )
 
   test("no registered query plans a CartesianProduct or an un-allowlisted nested-loop join") {

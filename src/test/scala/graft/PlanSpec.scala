@@ -55,6 +55,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("orders_pareto two-phase: customer-row windows are shard-partitioned, " +
+      "unpartitioned windows only ride per-shard aggregates") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val exec = Relational.revenueConcentration(spark, sfDir).queryExecution.sparkPlan
+    val ws = exec.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, exec.toString.take(3000))
+    val (unpart, part) = ws.partition(_.partitionSpec.isEmpty)
+    // phase 1: the |customers|-row rank/cumsum windows run under the shard key
+    assert(part.nonEmpty &&
+      part.forall(_.partitionSpec.flatMap(_.references.toSeq).exists(_.name == "shard")),
+      exec.toString.take(3000))
+    // phase 2: any partition-less window consumes a per-shard AGGREGATE
+    // (≤shards rows), never raw customer rows — the corpus_offsets contract
+    assert(unpart.forall(w => w.exists { case _: BaseAggregateExec => true; case _ => false }),
+      exec.toString.take(3000))
+  }
+
   test("knnExact broadcasts the query side (no shuffle of the base table)") {
     val p = plan(VectorSearch.knnExact(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
