@@ -29,10 +29,25 @@ import org.apache.spark.sql.types.{DateType, TimestampType}
   *
   * The injected predicates are implied row-wise, so this rewrite is
   * EXACT (unlike the recall-trading [[AnnProbeRewrite]]); it is still
-  * gated on the layout being a PartitionedStore (rows root with a
-  * `calendar` sibling, detection memoized per path — zero filesystem
-  * calls after the first matching plan) and on
-  * `spark.graft.layout.rewrite.enabled` (default true).
+  * gated three ways so a FOREIGN layout can never acquire a row-dropping
+  * filter it didn't earn:
+  *   1. the layout must be a graft PartitionedStore — a `rows` root with
+  *      a `calendar` sibling AND the `_src_fp_*` generation stamp graft's
+  *      own writer plants (the [[AnnProbeRewrite]] `_build_id` contract;
+  *      a shape-coincident external table lacks the stamp and is left
+  *      alone). Detection is memoized per path — zero filesystem calls
+  *      after the first matching plan — and
+  *      [[graft.sources.PartitionedStore.write]] invalidates the entry on
+  *      every store rebuild, so a path whose layout is replaced in a
+  *      long-lived session re-detects instead of serving the stale
+  *      verdict;
+  *   2. `spark.sql.session.timeZone` must be `UTC`: the store writes
+  *      `event_date = to_date(ts)` under graft's pinned-UTC sessions, so
+  *      both the day-floor of a timestamp literal AND `cast(ts AS DATE)`
+  *      only equal the partition day when the reading session shares that
+  *      zone — under any other tz the rule stays inert rather than
+  *      mirroring a local-day comparison onto a UTC partition column;
+  *   3. `spark.graft.layout.rewrite.enabled` (default true).
   */
 object HiddenPartitionRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -46,12 +61,26 @@ object HiddenPartitionRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private[graft] def invalidateAll(): Unit = detectCache.clear()
 
+  /** Store-rebuild hook ([[graft.sources.PartitionedStore.write]] calls
+    * this after every rewrite/stamp): drop the cached verdict for the
+    * store's `rows` root so the next plan re-detects against the NEW
+    * layout. Keys are compared by URI path (the cache key may carry a
+    * `file:` scheme the caller's string doesn't).
+    */
+  private[graft] def invalidatePath(rowsRoot: String): Unit = {
+    val target = new Path(rowsRoot).toUri.getPath
+    val it = detectCache.keySet.iterator
+    while (it.hasNext) if (new Path(it.next()).toUri.getPath == target) it.remove()
+  }
+
   private def enabled: Boolean =
     conf.getConfString("spark.graft.layout.rewrite.enabled", "true").toBoolean
 
   /** The relation is a PartitionedStore layout iff it reads a single
     * `.../rows` root date-partitioned by `event_date` with a sibling
-    * `calendar` artifact.
+    * `calendar` artifact AND the writer's `_src_fp_*` generation stamp —
+    * the graft-store marker a merely shape-coincident foreign table
+    * cannot carry.
     */
   private def isPartitionedStore(rel: LogicalRelation): Boolean = rel.relation match {
     case fs: HadoopFsRelation
@@ -62,7 +91,12 @@ object HiddenPartitionRewrite extends Rule[LogicalPlan] with PredicateHelper {
           detectCache.computeIfAbsent(p.toString, _ => {
             fsDetectCalls.incrementAndGet()
             val hfs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
-            java.lang.Boolean.valueOf(hfs.exists(new Path(p.getParent, "calendar")))
+            val stamped = hfs.exists(new Path(p.getParent, "calendar")) && {
+              val ls = try hfs.listStatus(p.getParent)
+                       catch { case _: java.io.IOException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+              ls.exists(_.getPath.getName.startsWith("_src_fp_"))
+            }
+            java.lang.Boolean.valueOf(stamped)
           }).booleanValue()
         case _ => false
       }
@@ -161,6 +195,12 @@ object HiddenPartitionRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
+    // The layout invariant `event_date = to_date(ts)` was written under
+    // graft's pinned-UTC sessions; a non-UTC reader's day floors (both the
+    // timestamp-literal forms and `cast(ts AS DATE)`) name DIFFERENT days
+    // for the same instant, so mirroring would inject a row-dropping
+    // filter. Stay inert outside UTC.
+    if (conf.sessionLocalTimeZone != "UTC") return plan
     plan.transform {
       case f @ Filter(cond, rel: LogicalRelation)
           if !cond.references.exists(_.name == "event_date") &&

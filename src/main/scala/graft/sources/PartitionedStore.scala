@@ -51,6 +51,9 @@ object PartitionedStore {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/calendar")
     IndexStore.stampSourceFp(path, dir)
+    // a rebuilt layout must not serve the previous generation's cached
+    // store-detection verdict (HiddenPartitionRewrite memoizes per path)
+    graft.plans.HiddenPartitionRewrite.invalidatePath(s"$path/rows")
   }
 
   /** Build once per source-content generation (IndexStore contract). */

@@ -64,6 +64,51 @@ class HiddenPartitionSpec extends SparkSpec {
       "second plan over the same path must do no filesystem IO")
   }
 
+  test("rule is inert on a shape-coincident foreign store (rows + calendar, no _src_fp stamp)") {
+    val root = s"/tmp/graft_hidden_foreign_${System.nanoTime()}"
+    try {
+      Tables.events(spark, sfDir).withColumn("event_date", to_date($"ts"))
+        .write.partitionBy("event_date").parquet(s"$root/rows")
+      Tables.events(spark, sfDir).select(to_date($"ts").as("event_date")).distinct()
+        .write.parquet(s"$root/calendar") // shape matches; generation stamp absent
+      HiddenPartitionRewrite.invalidateAll()
+      val d = Tables.events(spark, sfDir).agg(min(to_date($"ts"))).head().getDate(0)
+      val plan = planOf(spark.read.parquet(s"$root/rows")
+        .filter(to_date($"ts") === lit(d)).select($"event_id"))
+      assert("PartitionFilters: \\[[^\\]]*event_date[^\\]]*=".r.findFirstIn(plan).isEmpty,
+        "rule must not fire without the _src_fp_ writer stamp:\n" + plan.take(2000))
+    } finally graft.streaming.StreamOps.rmTree(new java.io.File(root))
+  }
+
+  test("rule is inert under a non-UTC session timezone") {
+    val path = PartitionedStore.ensure(spark, sfDir)
+    val d = spark.read.parquet(s"$path/calendar").agg(min($"event_date")).head().getDate(0)
+    def plan() = planOf(spark.read.parquet(s"$path/rows")
+      .filter(to_date($"ts") === lit(d)).select($"event_id"))
+    assert("PartitionFilters: \\[[^\\]]*event_date[^\\]]*=".r.findFirstIn(plan()).nonEmpty,
+      "precondition: rule fires under UTC")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try
+      assert("PartitionFilters: \\[[^\\]]*event_date[^\\]]*=".r.findFirstIn(plan()).isEmpty,
+        "a non-UTC reader's day floor names a different partition day — rule must stay inert")
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("store rebuild invalidates the cached detection verdict for its rows root") {
+    PartitionedStore.ensure(spark, sfDir)
+    // prime the cache with a positive verdict
+    PartitionedStore.hiddenRouteQuery(spark, sfDir).queryExecution.executedPlan
+    val primed = HiddenPartitionRewrite.fsDetectCalls.get()
+    PartitionedStore.hiddenRouteQuery(spark, sfDir).queryExecution.executedPlan
+    assert(HiddenPartitionRewrite.fsDetectCalls.get() == primed, "verdict memoized")
+    // a rebuild through the writer must drop exactly this path's entry:
+    // the next plan re-detects (one new FS probe) instead of reusing it
+    PartitionedStore.write(spark, sfDir, PartitionedStore.defaultPath(sfDir))
+    PartitionedStore.hiddenRouteQuery(spark, sfDir).queryExecution.executedPlan
+    assert(HiddenPartitionRewrite.fsDetectCalls.get() == primed + 1,
+      "write() must invalidate the memoized verdict so the new layout re-detects")
+  }
+
   test("rule is inert on a date-partitioned layout that is not a store") {
     val out = s"/tmp/graft_hidden_plain_${System.nanoTime()}"
     try {
