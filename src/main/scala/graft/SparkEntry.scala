@@ -31,6 +31,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.5/§2.7/§2.8 — vector search (the flagship surface)
     "knn_exact" -> ((s, d) => VectorSearch.knnExact(s, d)),
+    "knn_exact_sql" -> ((s, d) => VectorSearch.knnExactSql(s, d)),
+    "vec_sql_kernels" -> ((s, d) => VectorSearch.sqlKernelsQuery(s, d)),
     "knn_exact_phys" -> ((s, d) => VectorSearch.knnExactPhysical(s, d)),
     "knn_batch" -> ((s, d) => VectorSearch.knnBatch(s, d)),
     "knn_batch_oracle" -> ((s, d) => VectorSearch.knnBatchOracle(s, d)),
@@ -806,6 +808,32 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       ${microSql("sim")} AS sim_micro
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // The SQL-path twin computes the identical result through the
+    // injectFunction-registered dot(): same oracle as knn_exact.
+    "knn_exact_sql" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, e.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("sim")} AS sim_micro
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // All seven SQL-registered kernels: the l2_normalize mirror multiplies
+    // by the double inverse norm and rounds each element THROUGH FLOAT,
+    // exactly as the codegen kernel does.
+    "vec_sql_kernels" ->
+      s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |                  a.embedding AS va, b.embedding AS vb
+         |           FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+         |u AS (SELECT *, 1.0 / sqrt(${dotSql("va", "va")}) AS inv FROM p),
+         |n AS (SELECT *, list_transform(va, x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT)) AS ua FROM u)
+         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         |       ${microSql(dotSql("va", "vb"))} AS dot_micro,
+         |       ${microSql(s"sqrt(${sqDistSql("va", "vb")})")} AS l2_micro,
+         |       ${microSql(s"${dotSql("va", "vb")} / (sqrt(${dotSql("va", "va")}) * sqrt(${dotSql("vb", "vb")}))")} AS cos_micro,
+         |       CAST(floor(CAST(ua[1] AS DOUBLE) * 1000000000.0) AS BIGINT) AS unit0_nano,
+         |       ${microSql(s"sqrt(${dotSql("ua", "ua")})")} AS unit_norm_micro
+         |FROM n ORDER BY id_a""".stripMargin,
     // Hard-negative mining: top-k most-similar vectors with a DIFFERENT label.
     "knn_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel

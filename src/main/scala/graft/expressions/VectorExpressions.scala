@@ -33,6 +33,9 @@ object VectorExpressions {
   def dotL(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductLong(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def l2normF(a: Column): Column =
+    ExpressionUtils.column(L2NormalizeFloat(ExpressionUtils.expression(a)))
 }
 
 /** ⟨a,b⟩ over float arrays, accumulated left-to-right in double.
@@ -205,5 +208,58 @@ case class Norm2Float(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): Norm2Float =
+    copy(child = newChild)
+}
+
+/** a / ‖a‖₂ over a float array — the unit-normalize every cosine index
+  * wants at ingest (reference: FAISS `normalize_L2` before `IndexFlatIP`,
+  * `FAISS/PlainDemo/pipeline.py:229-236`). The zero vector has no
+  * direction; it is returned unchanged (norm 0 ⇒ inv = 1), matching the
+  * `transform(v, x -> x / nullif(norm,0))`-with-coalesce HOF form the
+  * engine would otherwise use. Codegen emits one tight two-pass loop and
+  * wraps the result as an UnsafeArrayData over a primitive float[].
+  */
+case class L2NormalizeFloat(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    val inv = if (s == 0.0) 1.0 else 1.0 / math.sqrt(s)
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) { out(i) = (x.getFloat(i).toDouble * inv).toFloat; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val inv = ctx.freshName("inv")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double v = (double) $a.getFloat($i);
+         |  $s += v * v;
+         |}
+         |double $inv = ($s == 0.0) ? 1.0 : 1.0 / java.lang.Math.sqrt($s);
+         |float[] $out = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (float) (((double) $a.getFloat($i)) * $inv);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2NormalizeFloat =
     copy(child = newChild)
 }

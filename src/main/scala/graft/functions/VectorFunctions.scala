@@ -39,6 +39,9 @@ object VectorFunctions {
   /** Cosine similarity for arbitrary (not necessarily normalized) vectors. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
+  /** Unit-normalize a / ‖a‖₂ (zero vector unchanged) — codegen'd. */
+  def l2Normalize(a: Column): Column = graft.expressions.VectorExpressions.l2normF(a)
+
   /** Squared L2 distance (cheaper; monotone in l2Distance for top-k). */
   def l2DistanceSq(a: Column, b: Column): Column =
     graft.expressions.VectorExpressions.l2SqF(a, b)

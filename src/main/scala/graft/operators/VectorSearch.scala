@@ -82,6 +82,48 @@ object VectorSearch {
   def knnExact(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5): DataFrame =
     knnDeclarative(querySet(spark, dir, nq), Tables.embeddings(spark, dir), k)
 
+  /** [[knnExact]]'s pure-SQL twin through the `injectFunction`-registered
+    * kernels — the first surface a SQL user touches on a vector engine is
+    * `SELECT dot(a, b)`, so the engine must reach the same codegen
+    * expressions from `spark.sql` text as from the Scala API (the
+    * reference exposes this as `index.search` with IP/COSINE metrics,
+    * `FAISS/PlainDemo/pipeline.py:237-240`). Identical output contract
+    * and oracle as knn_exact; SqlFunctionsSpec asserts the SQL call plans
+    * to [[graft.expressions.DotProductFloat]], never a UDF.
+    */
+  def knnExactSql(spark: SparkSession, dir: String, k: Int = 5, nq: Int = 5): DataFrame = {
+    Tables.embeddings(spark, dir).createOrReplaceTempView("emb_sql")
+    spark.sql(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM emb_sql WHERE vec_id < $nq),
+         |s AS (SELECT /*+ BROADCAST(q) */ q.qid, e.vec_id, dot(q.qvec, e.embedding) AS sim
+         |      FROM emb_sql e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+         |      FROM s)
+         |SELECT qid, vec_id, rank, CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
+         |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin)
+  }
+
+  /** All seven SQL-registered kernels in one oracle-checked sweep over
+    * consecutive-id pairs (the [[pairMetricsQuery]] join shape): dot,
+    * l2_distance, cosine_sim, plus l2_normalize probed two ways — its
+    * first component at nano precision and `norm2(l2_normalize(v))`
+    * (≈ 1 by construction, exact to the bit against the oracle's
+    * mirrored float-rounded multiply-by-inverse).
+    */
+  def sqlKernelsQuery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir).createOrReplaceTempView("emb_sql")
+    spark.sql(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(floor(dot(a.embedding, b.embedding) * 1000000.0) AS BIGINT) AS dot_micro,
+        |  CAST(floor(l2_distance(a.embedding, b.embedding) * 1000000.0) AS BIGINT) AS l2_micro,
+        |  CAST(floor(cosine_sim(a.embedding, b.embedding) * 1000000.0) AS BIGINT) AS cos_micro,
+        |  CAST(floor(CAST(element_at(l2_normalize(a.embedding), 1) AS DOUBLE) * 1000000000.0) AS BIGINT) AS unit0_nano,
+        |  CAST(floor(norm2(l2_normalize(a.embedding)) * 1000000.0) AS BIGINT) AS unit_norm_micro
+        |FROM emb_sql a JOIN emb_sql b ON b.vec_id = a.vec_id + 1
+        |ORDER BY id_a""".stripMargin)
+  }
+
   /** Exact top-k through the custom Catalyst operator
     * (graft.plans.KnnJoin → KnnJoinExec, registered via GraftExtensions):
     * scoring fused into the base scan with bounded per-partition heaps,

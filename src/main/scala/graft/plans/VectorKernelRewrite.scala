@@ -86,12 +86,58 @@ object VectorKernelRewrite extends Rule[LogicalPlan] {
 
 /** Session-extension entry point: `spark.sql.extensions=graft.plans.GraftExtensions`
   * (also wired programmatically in graft's own session builders).
+  *
+  * Besides the optimizer rules and the kNN strategy, this registers the
+  * codegen vector kernels as SQL FUNCTIONS — a SQL user's first touch of
+  * a vector engine is `SELECT dot(a, b)`, and without `injectFunction`
+  * the kernels would be Scala-API only (the reference exposes the same
+  * surface through `index.search`'s IP/L2/COSINE metric names,
+  * `FAISS/PlainDemo/pipeline.py:237-240`). Each builder returns the SAME
+  * Catalyst expression the DataFrame helpers construct, so the SQL path
+  * plans to the identical whole-stage-codegen loop — never a UDF.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import graft.expressions.{DotProductLong, L2NormalizeFloat, Norm2Float}
+
+  private def fn(name: String, arity: Int, usage: String)(
+      builder: Seq[Expression] => Expression):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.expressions.VectorExpressions", name),
+      (args: Seq[Expression]) => {
+        if (args.length != arity)
+          throw new IllegalArgumentException(
+            s"$name expects $arity argument(s), got ${args.length}")
+        builder(args)
+      })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VectorKernelRewrite)
     ext.injectOptimizerRule(_ => AnnProbeRewrite)
     ext.injectOptimizerRule(_ => HiddenPartitionRewrite)
     ext.injectPlannerStrategy(_ => KnnJoinStrategy)
+    ext.injectFunction(fn("dot", 2,
+      "dot(a, b) - ⟨a,b⟩ over ARRAY<FLOAT> in double precision") {
+      a => DotProductFloat(a(0), a(1)) })
+    ext.injectFunction(fn("dot_long", 2,
+      "dot_long(a, b) - exact ⟨a,b⟩ over ARRAY<BIGINT>") {
+      a => DotProductLong(a(0), a(1)) })
+    ext.injectFunction(fn("l2_distance_sq", 2,
+      "l2_distance_sq(a, b) - ‖a−b‖₂² over ARRAY<FLOAT>") {
+      a => L2DistanceSqFloat(a(0), a(1)) })
+    ext.injectFunction(fn("l2_distance", 2,
+      "l2_distance(a, b) - ‖a−b‖₂ over ARRAY<FLOAT>") {
+      a => Sqrt(L2DistanceSqFloat(a(0), a(1))) })
+    ext.injectFunction(fn("norm2", 1,
+      "norm2(a) - Euclidean norm ‖a‖₂ of an ARRAY<FLOAT>") {
+      a => Norm2Float(a(0)) })
+    ext.injectFunction(fn("l2_normalize", 1,
+      "l2_normalize(a) - a / ‖a‖₂ (zero vector unchanged) over ARRAY<FLOAT>") {
+      a => L2NormalizeFloat(a(0)) })
+    ext.injectFunction(fn("cosine_sim", 2,
+      "cosine_sim(a, b) - cosine similarity of ARRAY<FLOAT> vectors") {
+      a => Divide(DotProductFloat(a(0), a(1)),
+        Multiply(Norm2Float(a(0)), Norm2Float(a(1)))) })
   }
 }

@@ -25,7 +25,9 @@ class PlanLintSpec extends SparkSpec {
     * eval holdout — each justified at its operator's Scaladoc).
     */
   private val broadcastCrossOk = Set(
-    "knn_exact", "knn_doc_join", "knn_refine", "knn_filtered",
+    "knn_exact",
+    "knn_exact_sql",      // the SQL-path twin: same broadcast query cross
+    "knn_doc_join", "knn_refine", "knn_filtered",
     "knn_range", "knn_hard_negatives",
     "knn_mmr",            // broadcast query/anchor batch × base scan
     "knn_maxsim",         // broadcast nqd·tokensPerDoc query-token batch × token scan
