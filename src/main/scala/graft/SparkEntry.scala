@@ -62,6 +62,7 @@ object SparkEntry {
     "knn_recall_report" -> ((s, d) => graft.sources.IndexStore.recallReport(s, d)),
     "knn_rank_eval" -> ((s, d) => graft.sources.IndexStore.mrrReport(s, d)),
     "embed_centroid_drift" -> ((s, d) => graft.sources.IndexStore.centroidDrift(s, d)),
+    "embed_maintain" -> ((s, d) => graft.sources.IndexStore.maintainQuery(s, d)),
     "knn_recall_curve" -> ((s, d) => graft.sources.IndexStore.recallSweep(s, d)),
     "knn_autotune" -> ((s, d) => graft.sources.IndexStore.autoTuneSearch(s, d)),
     "knn_pq" -> ((s, d) => graft.sources.PqStore.searchQuery(s, d)),
@@ -1121,6 +1122,32 @@ object SparkEntry {
          |SELECT CAST(cell_id AS BIGINT) AS cell_id, CAST(max(ne) AS BIGINT) AS n_even,
          |       CAST(max(no) AS BIGINT) AS n_odd, CAST(sum(d * d) AS BIGINT) AS drift_metric
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Drift-driven maintenance decision: the same drift replay feeds the
+    // τ rule; rows_after must equal the corpus (both branches end serving
+    // every vector). The executed branch's structure is spec-pinned.
+    "embed_maintain" ->
+      s"""WITH r AS (SELECT vec_id, embedding, CAST(cell_id AS BIGINT) AS cell_id
+         |           FROM read_parquet('$ivfStorePath/rows/*/*.parquet', hive_partitioning=1)),
+         |comp AS (SELECT cell_id, vec_id % 2 = 0 AS even,
+         |                generate_subscripts(embedding, 1) AS dim,
+         |                CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT) AS xm
+         |         FROM r),
+         |sums AS (SELECT cell_id, dim,
+         |                sum(CASE WHEN even THEN xm ELSE 0 END) AS se,
+         |                sum(CASE WHEN even THEN 1 ELSE 0 END) AS ne,
+         |                sum(CASE WHEN NOT even THEN xm ELSE 0 END) AS so,
+         |                sum(CASE WHEN NOT even THEN 1 ELSE 0 END) AS no
+         |         FROM comp GROUP BY 1, 2),
+         |d AS (SELECT cell_id, ne, no, (se // ne) - (so // no) AS d
+         |      FROM sums WHERE ne > 0 AND no > 0),
+         |dr AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, CAST(max(ne) AS BIGINT) AS n_even,
+         |              CAST(max(no) AS BIGINT) AS n_odd, CAST(sum(d * d) AS BIGINT) AS drift_metric
+         |       FROM d GROUP BY 1)
+         |SELECT cell_id, n_even, n_odd, drift_metric,
+         |       CASE WHEN max(drift_metric) OVER () >= 500000 THEN 'rebuild' ELSE 'absorb' END AS decision,
+         |       CAST(500000 AS BIGINT) AS threshold,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS rows_after
+         |FROM dr ORDER BY cell_id""".stripMargin,
     // nprobe→recall curve: recall@k at level L = |exact ∩ cells(rank≤L)|,
     // so the sweep is one conditional aggregation over each exact hit's
     // cell rank — replayed over the exported store artifacts.

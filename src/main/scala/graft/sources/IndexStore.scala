@@ -65,6 +65,64 @@ object IndexStore {
     stampBuildId(path)
   }
 
+  /** Drift-DRIVEN day-2 maintenance — the consumer of the
+    * [[centroidDrift]] monitor: measure, decide, act. The decision rule a
+    * serving cluster runs nightly is `absorb` while the index still
+    * represents its data (max split-half cell drift below τ — cheap
+    * append into current cells, centroids fixed) and `rebuild` once any
+    * cell has drifted past τ (full re-train over live ∪ incoming — the
+    * expensive off-peak job). Acts on a MAINTENANCE COPY seeded from the
+    * even-id half (the [[ensureCorpusHalf]] day-1/day-2 split: odd ids
+    * play the incoming crawl), reset at every invocation so the operation
+    * is idempotent per run; returns the path that would now SERVE
+    * (blue/green: absorb serves the same store, rebuild serves the
+    * re-trained one).
+    */
+  def maintain(spark: SparkSession, dir: String, decision: String): String = {
+    val maintPath = defaultPath(dir) + "_maint"
+    val emb = Tables.embeddings(spark, dir)
+    writeFrom(emb.filter(col("vec_id") % 2 === 0), maintPath) // day-1 reset
+    val incoming = emb.filter(col("vec_id") % 2 =!= 0)
+    decision match {
+      case "absorb" =>
+        absorb(spark, maintPath, incoming)
+        maintPath
+      case _ =>
+        absorb(spark, maintPath, incoming) // land the batch, then re-train
+        val rb = maintPath + "_rb"
+        rebuild(spark, maintPath, rb, emb.select(col("vec_id")).limit(0))
+        rb
+    }
+  }
+
+  /** The registered maintenance query (`embed_maintain`): the canonical
+    * store's oracle-proven drift report drives the τ decision, the
+    * decided action actually runs against the maintenance copy, and the
+    * report surfaces the decision as a column (the knn_filtered_adaptive
+    * idiom — the plan's chosen branch is part of the result). `rows_after`
+    * re-reads the serving store post-action: both branches must end
+    * serving every vector (|even| + |odd| = |embeddings|), which the
+    * oracle checks as the corpus count while the branch-specific
+    * structure (centroids fixed vs re-trained) is spec-pinned. The only
+    * driver-side scalar is the max over the ≤nlist-row drift report.
+    */
+  def maintainQuery(spark: SparkSession, dir: String,
+                    tauMicroSq: Long = 500000L): DataFrame = {
+    val drift = centroidDrift(spark, dir).cache()
+    val maxDrift = drift.agg(max(col("drift_metric"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val decision = if (maxDrift >= tauMicroSq) "rebuild" else "absorb"
+    val servingPath = maintain(spark, dir, decision)
+    val rowsAfter = spark.read.parquet(s"$servingPath/rows").count()
+    drift
+      .withColumn("decision", lit(decision))
+      .withColumn("threshold", lit(tauMicroSq))
+      .withColumn("rows_after", lit(rowsAfter))
+      .orderBy(col("cell_id"))
+  }
+
   /** The even-vec_id half of a dir's embeddings as its own persisted
     * store — the "existing corpus" the streaming dedup-ingest probes
     * (the odd half plays the incoming crawl). Same canonical-path and

@@ -216,6 +216,49 @@ class IndexStoreSpec extends SparkSpec {
     } finally graft.streaming.StreamOps.rmTree(new java.io.File(tmp))
   }
 
+  test("maintain absorb branch: serving store keeps the day-1 centroids, all rows land") {
+    val report = IndexStore.maintainQuery(spark, sfDir, tauMicroSq = Long.MaxValue)
+    val decisions = report.select($"decision").distinct().as[String].collect()
+    assert(decisions.toSeq == Seq("absorb"), "τ=∞ must always absorb")
+    val maintPath = IndexStore.defaultPath(sfDir) + "_maint"
+    val (rows, centroids) = IndexStore.read(spark, maintPath)
+    val e = Tables.embeddings(spark, sfDir)
+    assert(rows.count() == e.count(), "absorb must end serving every vector")
+    // centroids are the ones trained on the even half alone: re-deriving
+    // that training must reproduce them exactly (absorb never re-trains)
+    val (_, wantCentroids) = graft.operators.VectorSearch.ivfBuildFrom(
+      e.filter($"vec_id" % 2 === 0))
+    val got = centroids.select($"cell_id".cast("long"), $"centroid").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val want = wantCentroids.select($"cell_id".cast("long"), $"centroid").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got == want, "absorb branch must not move the trained centroids")
+    val n = report.select($"rows_after").distinct().as[Long].collect()
+    assert(n.toSeq == Seq(e.count()))
+  }
+
+  test("maintain rebuild branch: serving store is re-trained over live ∪ incoming") {
+    val report = IndexStore.maintainQuery(spark, sfDir, tauMicroSq = 0L)
+    val decisions = report.select($"decision").distinct().as[String].collect()
+    assert(decisions.toSeq == Seq("rebuild"), "τ=0 must always rebuild")
+    val rbPath = IndexStore.defaultPath(sfDir) + "_maint_rb"
+    assert(IndexStore.buildId(rbPath).nonEmpty, "rebuild must stamp the new store")
+    val (rows, centroids) = IndexStore.read(spark, rbPath)
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(rows.count() == n, "rebuild must serve every vector")
+    // re-trained quantizer: nlist follows the FULL corpus size, the
+    // signature of a re-train (the absorb branch keeps the half-corpus's)
+    val wantNlist = math.max(1, math.min(100, math.sqrt(n.toDouble).toInt))
+    assert(centroids.count() == wantNlist,
+      s"expected re-trained nlist=$wantNlist, got ${centroids.count()}")
+    // every row sits in the cell the NEW centroids assign
+    val mis = rows.select($"vec_id", $"cell_id".cast("long").as("got"))
+      .join(graft.operators.VectorSearch.assignCells(rows.drop("cell_id"), centroids)
+        .select($"vec_id", $"cell_id".cast("long").as("want")), "vec_id")
+      .filter($"got" =!= $"want").count()
+    assert(mis == 0)
+  }
+
   test("ensure rebuilds when the source data is regenerated, and only then") {
     // The driver rewrites the testdata between rounds; a store keyed only
     // on artifact EXISTENCE would keep serving the previous corpus's
