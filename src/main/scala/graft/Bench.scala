@@ -54,8 +54,30 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nErr = results.count(_._2.isLeft)
+    def r3(v: Double): String = f"$v%.3f"
+    // Like-for-like anchor ratio: ANCHORS.json pins each query's quiet
+    // timing at the round-10 HEAD. The TOTAL across rounds measures suite
+    // growth (every round adds queries the anchor predates); the ratio
+    // over the SHARED query set measures the engine. Convention: see
+    // BASELINE.md "Per-query anchors".
+    val anchors: Map[String, Double] = {
+      val f = java.nio.file.Paths.get("ANCHORS.json")
+      if (java.nio.file.Files.exists(f)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    }
+    val shared = results.collect { case (k, Right(v)) if anchors.contains(k) => (v, anchors(k)) }
+    val sva =
+      if (shared.isEmpty) ""
+      else {
+        val now = shared.map(_._1).sum
+        val anc = shared.map(_._2).sum
+        s""","shared_vs_anchor":{"n_shared":${shared.size},"now_sec":${r3(now)},"anchor_sec":${r3(anc)},"ratio":${r3(now / anc)}}"""
+      }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr$sva,"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout; with 90+ queries
     // the full-precision line outgrows that window and truncates into
     // unparseable JSON (BENCH_r1–r3 all recorded parsed:null). Persist the
@@ -65,14 +87,13 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     println(full)
-    def r3(v: Double): String = f"$v%.3f"
     val slowest = results.collect { case (k, Right(v)) => (k, v) }
       .sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val errsShort = results.collect { case (k, Left(e)) => (k, e) }.take(5)
       .map { case (k, e) => s"\"" + k + "\":\"" + esc(e.take(60)) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_shown":${math.min(20, results.size)},"n_errors":$nErr,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_shown":${math.min(20, results.size)},"n_errors":$nErr$sva,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

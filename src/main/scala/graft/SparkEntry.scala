@@ -1144,8 +1144,8 @@ object SparkEntry {
          |              CAST(max(no) AS BIGINT) AS n_odd, CAST(sum(d * d) AS BIGINT) AS drift_metric
          |       FROM d GROUP BY 1)
          |SELECT cell_id, n_even, n_odd, drift_metric,
-         |       CASE WHEN max(drift_metric) OVER () >= 500000 THEN 'rebuild' ELSE 'absorb' END AS decision,
-         |       CAST(500000 AS BIGINT) AS threshold,
+         |       CASE WHEN max(drift_metric) OVER () >= 1000000000000 THEN 'rebuild' ELSE 'absorb' END AS decision,
+         |       CAST(1000000000000 AS BIGINT) AS threshold,
          |       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS rows_after
          |FROM dr ORDER BY cell_id""".stripMargin,
     // nprobe→recall curve: recall@k at level L = |exact ∩ cells(rank≤L)|,

@@ -78,10 +78,34 @@ object IndexStore {
     * (blue/green: absorb serves the same store, rebuild serves the
     * re-trained one).
     */
+  /** Pristine day-1 state (even half clustered), built ONCE per source
+    * generation; [[maintain]] resets its working copy from this by file
+    * copy, so the per-invocation reset costs IO, not a k-means train.
+    */
+  private def ensureMaintDay1(spark: SparkSession, dir: String): String = {
+    val p = defaultPath(dir) + "_maint_day1"
+    if (!new java.io.File(s"$p/centroids").exists() || !sourceFpCurrent(p, dir)) {
+      writeFrom(Tables.embeddings(spark, dir).filter(col("vec_id") % 2 === 0), p)
+      stampSourceFp(p, dir)
+    }
+    p
+  }
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def maintain(spark: SparkSession, dir: String, decision: String): String = {
     val maintPath = defaultPath(dir) + "_maint"
     val emb = Tables.embeddings(spark, dir)
-    writeFrom(emb.filter(col("vec_id") % 2 === 0), maintPath) // day-1 reset
+    // day-1 reset: file-copy the pristine clustered even half into place
+    graft.streaming.StreamOps.rmTree(new java.io.File(maintPath))
+    copyTree(new java.io.File(ensureMaintDay1(spark, dir)), new java.io.File(maintPath))
     val incoming = emb.filter(col("vec_id") % 2 =!= 0)
     decision match {
       case "absorb" =>
@@ -105,9 +129,17 @@ object IndexStore {
     * oracle checks as the corpus count while the branch-specific
     * structure (centroids fixed vs re-trained) is spec-pinned. The only
     * driver-side scalar is the max over the ≤nlist-row drift report.
+    *
+    * τ calibration: drift_metric = Σ over 64 dims of (split-half
+    * per-dim mean diff in micros)², so pure sampling noise for a cell of
+    * n/2-per-parity ≈ 64·(σ·10⁶)²·(2/n) with σ≈0.3 — about 10¹⁰ at
+    * hundreds of rows per cell and FALLING as cells fill. The 10¹²
+    * default sits an order above the noise floor of even the small test
+    * SFs: crossing it requires the per-dim means to move ~10⁻¹ in
+    * embedding units — structural drift, not noise.
     */
   def maintainQuery(spark: SparkSession, dir: String,
-                    tauMicroSq: Long = 500000L): DataFrame = {
+                    tauMicroSq: Long = 1000000000000L): DataFrame = {
     val drift = centroidDrift(spark, dir).cache()
     val maxDrift = drift.agg(max(col("drift_metric"))).head() match {
       case r if r.isNullAt(0) => 0L

@@ -59,13 +59,30 @@ object ScaleSweep {
   private val SfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
+  /** The heavy subset additionally swept at the synthetic sf1 decade
+    * (`SPARK_GRAFT_SF1_DIR`, built by [[BlowUp]]): the most expensive
+    * bench queries spanning every engine family, plus `orders_pareto` as
+    * the two-phase-window showcase. sf0.1→sf1 is the first decade where
+    * plan cost dominates per-job overhead, so this is the decade the
+    * 100 TB claims are judged on.
+    */
+  val Sf1Queries: Set[String] = Set(
+    "dedup_funnel", "media_phash_pairs", "text_bpe_encode",
+    "stream_bloom_ingest", "basket_pairs", "knn_batch",
+    "dedup_lsh_eval", "embed_top_eigen", "graph_triangles",
+    "metrics_combined", "dedup_minhash_md5", "orders_pareto",
+    "graph_pagerank", "dedup_edit_distance")
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s(s.length / 2)
   }
 
   def main(args: Array[String]): Unit = {
-    val names = if (args.nonEmpty) args(0).split(",").toSeq else DefaultQueries
+    val names0 = if (args.nonEmpty) args(0).split(",").toSeq else DefaultQueries
+    // orders_pareto joined the sweep with the sf1 decade (round 11)
+    val names = if (names0 == DefaultQueries) names0 :+ "orders_pareto" else names0
+    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,10 +94,11 @@ object ScaleSweep {
 
     // (query, sf dir) -> median seconds
     val times = scala.collection.mutable.Map.empty[(String, String), Double]
-    for (dir <- SfDirs) {
+    val allDirs = SfDirs ++ sf1Dir.toSeq
+    for (dir <- allDirs) {
       spark.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag").count().count() // warm the scan path
-      for (q <- names) {
+      for (q <- names if !sf1Dir.contains(dir) || Sf1Queries(q)) {
         val fn = graft.SparkEntry.queries(q)
         fn(spark, dir).count() // untimed: store builds, exports, JIT
         spark.catalog.clearCache()
@@ -98,27 +116,47 @@ object ScaleSweep {
     spark.stop()
 
     val lines = new scala.collection.mutable.ArrayBuffer[String]
-    lines += "# SCALING — per-decade time exponents (round 10)"
+    lines += "# SCALING — per-decade time exponents (round 11)"
     lines += ""
     lines += "Generated by `graft.tools.ScaleSweep`: median of 3 timed runs per"
     lines += "(query, sf) after one untimed warm run, serial, one JVM, bench session"
     lines += "config (local[" + cpus + "]). Row counts scale linearly with sf, so the"
     lines += "per-decade exponent is `slope = log10(t(10·sf)/t(sf))`: 1.0 = linear,"
-    lines += "n·log n ≈ 1.05, flag threshold 1.3 on the 0.01→0.1 decade (the small"
-    lines += "decade measures per-job overhead at sub-second totals, not the plan)."
-    lines += "Slopes well BELOW 1.0 mean fixed per-job overhead (scheduling, codegen,"
-    lines += "store probes) still dominates the data-proportional work at these sf's —"
-    lines += "the plan cost is growing no faster than the input; only measured work"
-    lines += "growing super-linearly trips the flag."
+    lines += "n·log n ≈ 1.05, flag threshold 1.3 on the LARGEST measured decade (the"
+    lines += "small decade measures per-job overhead at sub-second totals, not the"
+    lines += "plan). Slopes well BELOW 1.0 mean fixed per-job overhead (scheduling,"
+    lines += "codegen, store probes) still dominates the data-proportional work at"
+    lines += "these sf's — the plan cost is growing no faster than the input; only"
+    lines += "measured work growing super-linearly trips the flag."
+    if (sf1Dir.nonEmpty) {
+      lines += ""
+      lines += "The sf1 column is the SYNTHETIC next decade (`graft.tools.BlowUp`:"
+      lines += "10× " + SfDirs.last + " with per-replica key offsets, token-suffixed"
+      lines += "document replicas and sign-flip-decorrelated embeddings, so join"
+      lines += "fan-outs, the customer dimension and near-dup/ANN pair density all"
+      lines += "grow LINEARLY — the constant-density null model of a 10× corpus)."
+      lines += "Swept for the heavy subset (ScaleSweep.Sf1Queries); 0.1→1 is the"
+      lines += "first decade where plan cost dominates overhead, so its slope is the"
+      lines += "one the 100 TB claims ride on."
+    }
     lines += ""
-    lines += "| query | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | slope 0.001→0.01 | slope 0.01→0.1 | verdict |"
-    lines += "|---|---|---|---|---|---|---|"
+    val sf1Head = if (sf1Dir.nonEmpty) " t(sf1) s | slope 0.1→1 |" else ""
+    lines += s"| query | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | slope 0.001→0.01 | slope 0.01→0.1 |$sf1Head verdict |"
+    lines += "|---|---|---|---|---|---|" + (if (sf1Dir.nonEmpty) "---|---|" else "") + "---|"
     for (q <- names) {
       val Seq(t0, t1, t2) = SfDirs.map(d => times((q, d)))
       val s01 = math.log10(t1 / t0)
       val s12 = math.log10(t2 / t1)
-      val verdict = if (s12 <= 1.3) "ok" else "SUPER-LINEAR"
-      lines += f"| $q | $t0%.2f | $t1%.2f | $t2%.2f | $s01%.2f | $s12%.2f | $verdict |"
+      val t3 = sf1Dir.flatMap(d => times.get((q, d)))
+      val s23 = t3.map(t => math.log10(t / t2))
+      val lastSlope = s23.getOrElse(s12)
+      val verdict = if (lastSlope <= 1.3) "ok" else "SUPER-LINEAR"
+      val sf1Cols =
+        if (sf1Dir.isEmpty) ""
+        else t3.zip(s23)
+          .map { case (t, s) => f" $t%.2f | $s%.2f |" }
+          .getOrElse(" — | — |")
+      lines += f"| $q | $t0%.2f | $t1%.2f | $t2%.2f | $s01%.2f | $s12%.2f |$sf1Cols $verdict |"
     }
     lines += ""
     val out = lines.mkString("\n") + "\n"
