@@ -193,6 +193,13 @@ object SparkEntry {
     "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(s, d)),
     "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(s, d)),
     "q22_idle_customers" -> ((s, d) => Relational.q22IdleCustomers(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
+    "q9_product_profit" -> ((s, d) => Relational.q9ProductProfit(s, d)),
+    "q11_important_parts" -> ((s, d) => Relational.q11ImportantParts(s, d)),
+    "q13_order_distribution" -> ((s, d) => Relational.q13OrderDistribution(s, d)),
+    "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    "q16_supplier_cnt" -> ((s, d) => Relational.q16SupplierCount(s, d)),
+    "q20_excess_suppliers" -> ((s, d) => Relational.q20ExcessSuppliers(s, d)),
     "graph_triangles" -> ((s, d) => Relational.graphTriangles(s, d)),
     "events_anomaly_rolling" -> ((s, d) => Relational.rollingAnomaly(s, d)),
     "join_salted_skew" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
@@ -225,6 +232,8 @@ object SparkEntry {
     "zorder_box" -> ((s, d) => graft.sources.ZOrderLayout.boxQuery(s, d)),
     "partitioned_prune" -> ((s, d) => graft.sources.PartitionedStore.pruneQuery(s, d)),
     "partitioned_dpp" -> ((s, d) => graft.sources.PartitionedStore.dppQuery(s, d)),
+    "lake_sql_prune" -> ((s, d) => graft.sources.PartitionedStore.sqlPruneQuery(s, d)),
+    "lake_sql_dpp" -> ((s, d) => graft.sources.PartitionedStore.sqlDppQuery(s, d)),
     "partitioned_backfill" -> ((s, d) => graft.sources.PartitionedStore.backfillQuery(s, d)),
     "partitioned_hidden" -> ((s, d) => graft.sources.PartitionedStore.hiddenRouteQuery(s, d)),
     "partitioned_layout_stats" -> ((s, d) => graft.sources.PartitionedStore.layoutStats(s, d)),
@@ -2445,6 +2454,86 @@ object SparkEntry {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS loss_sum_c,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM f""".stripMargin,
+    // Q2-shape: the correlated per-part MIN decorrelated; the derived
+    // (part, supplier) offer replays exactly (cents // integral quantity).
+    "q2_min_cost_supplier" ->
+      """WITH rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |                 JOIN region ON n_regionkey = r_regionkey
+        |            WHERE r_name = 'EUROPE'),
+        |pp AS (SELECT p_partkey, p_brand FROM part WHERE p_size = 15 AND p_type = 'STANDARD'),
+        |off AS (SELECT l_partkey, l_suppkey,
+        |               min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                   // CAST(l_quantity AS BIGINT)) AS offer_c
+        |        FROM lineitem GROUP BY 1, 2),
+        |reg AS (SELECT o.l_partkey, o.offer_c, rs.s_name, rs.s_acctbal, rs.n_name, pp.p_brand
+        |        FROM off o JOIN pp ON o.l_partkey = pp.p_partkey
+        |                   JOIN rs ON o.l_suppkey = rs.s_suppkey),
+        |mc AS (SELECT l_partkey AS mk, min(offer_c) AS min_c FROM reg GROUP BY 1)
+        |SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS s_acctbal_c,
+        |       s_name, n_name, CAST(l_partkey AS BIGINT) AS p_partkey, p_brand, offer_c
+        |FROM reg JOIN mc ON l_partkey = mk AND offer_c = min_c
+        |ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    // Q9-shape: profit = discounted revenue − retail·qty/2, supplier nation × year.
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         |       CAST(sum(CAST($discPrice * 10000 AS BIGINT)
+         |                - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * 10000 AS BIGINT) // 2) AS BIGINT) AS profit_tmc
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |     JOIN orders ON l_orderkey = o_orderkey
+         |     JOIN supplier ON l_suppkey = s_suppkey
+         |     JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // Q11-shape: the HAVING scalar subquery as a cross-multiplied total.
+    "q11_important_parts" ->
+      """WITH v AS (SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+        |                  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_c
+        |           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |                JOIN nation ON s_nationkey = n_nationkey
+        |           WHERE n_name = 'NATION_3' GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM v)
+        |SELECT p_partkey, value_c FROM v, t WHERE value_c * 10000 > total_c
+        |ORDER BY value_c DESC, p_partkey""".stripMargin,
+    // Q13-shape: LEFT join so zero-order customers stay in the histogram.
+    "q13_order_distribution" ->
+      """WITH cc AS (SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+        |            FROM customer LEFT JOIN orders
+        |              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |            GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM cc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q15-shape: quarter revenue view + scalar max matched by equality.
+    "q15_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey, CAST(sum(CAST($discPrice * 10000 AS BIGINT)) AS BIGINT) AS total_rev_tmc
+         |             FROM lineitem
+         |             WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         |             GROUP BY 1),
+         |m AS (SELECT max(total_rev_tmc) AS max_tmc FROM rev)
+         |SELECT CAST(r.l_suppkey AS BIGINT) AS s_suppkey, s.s_name, r.total_rev_tmc
+         |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey CROSS JOIN m
+         |WHERE r.total_rev_tmc = m.max_tmc ORDER BY s_suppkey""".stripMargin,
+    // Q16-shape: excluded suppliers anti-joined below the distinct count.
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q20-shape: the double-nested IN as a semi-join chain.
+    "q20_excess_suppliers" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 100)
+        |ORDER BY s_name""".stripMargin,
     // Q8-shaped market-share: same 8-table join; the share is replayed with
     // the exact BIGINT floor division the engine uses (// in DuckDB ≡ DIV).
     "q8_market_share" ->
@@ -3027,6 +3116,20 @@ object SparkEntry {
         |FROM events, lo WHERE CAST(ts AS DATE) BETWEEN lo.d AND lo.d + INTERVAL 2 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "partitioned_dpp" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM events WHERE day(CAST(ts AS DATE)) % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The SQL-surface twins (catalog views over the same layout) replay
+    // the identical raw-table oracles: entry surface may only change what
+    // is scanned.
+    "lake_sql_prune" ->
+      """WITH lo AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM events, lo WHERE CAST(ts AS DATE) BETWEEN lo.d AND lo.d + INTERVAL 2 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lake_sql_dpp" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
         |FROM events WHERE day(CAST(ts AS DATE)) % 2 = 0

@@ -1512,4 +1512,189 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("total_bal_c"))
       .orderBy(col("c_nationkey"))
   }
+
+  /** Q2-shaped minimum-cost supplier. The schema has no partsupp table,
+    * so the (part, supplier) offer is DERIVED from observed trade: the
+    * minimum unit price (extendedprice cents DIV quantity — both exact
+    * integers) each supplier ever shipped a part for. The Q2 skeleton is
+    * intact: a correlated MIN subquery per part (decorrelated into a
+    * per-part aggregate + equality join back) against a region-filtered
+    * supplier dimension, dims broadcast, ordered by supplier balance.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String,
+                        size: Int = 15, region: String = "EUROPE",
+                        topN: Int = 100): DataFrame = {
+    val regionSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_size") === size && col("p_type") === lit("STANDARD"))
+      .select(col("p_partkey"), col("p_brand"))
+    val offers = Tables.lineitem(spark, dir)
+      .withColumn("unit_c",
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV CAST(l_quantity AS BIGINT)"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_c")).as("offer_c"))
+    val regional = offers.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+    val minCost = regional.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("offer_c")).as("min_c"))
+    regional.join(minCost,
+        col("l_partkey") === col("mc_partkey") && col("offer_c") === col("min_c"))
+      .select((dec2(col("s_acctbal")) * 100).cast("long").as("s_acctbal_c"),
+        col("s_name"), col("n_name"),
+        col("l_partkey").cast("long").as("p_partkey"), col("p_brand"),
+        col("offer_c"))
+      .orderBy(col("s_acctbal_c").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(topN)
+  }
+
+  /** Q9-shaped product-type profit by nation and year. partsupp's
+    * supplycost is absent, so cost is derived from the part dimension:
+    * cost_c = retailprice·quantity/2 in exact 10⁻⁴ units (the ×5 DIV 10
+    * decimal form — no floating point). Profit = discounted revenue −
+    * cost, grouped by the SUPPLIER's nation and the order year — the
+    * Q9 join graph (lineitem ⋈ orders ⋈ part(name LIKE) ⋈ supplier ⋈
+    * nation) with both dims broadcast.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String,
+                      nameToken: String = "red"): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_name").contains(nameToken))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rev_tmc",
+        ((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("decimal(18,4)") * 10000).cast("long"))
+      .withColumn("cost_tmc",
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * 10000 AS BIGINT) DIV 2"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(col("rev_tmc") - col("cost_tmc")).as("profit_tmc"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q11-shaped important-part concentration: per-part traded value from
+    * the suppliers of ONE nation, kept only where it exceeds fraction·the
+    * nation's total — the scalar HAVING subquery decorrelated into a
+    * 1-row broadcast compared in cross-multiplied integer form
+    * (value·10⁴ > total, i.e. fraction 1/10⁴), exactly the q22 idiom.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String,
+                        nation: String = "NATION_3",
+                        fractionInv: Long = 10000L): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("val_c", (dec2(col("l_extendedprice")) * 100).cast("long"))
+      .groupBy(col("l_partkey").cast("long").as("p_partkey"))
+      .agg(sum(col("val_c")).as("value_c"))
+    val total = vals.agg(sum(col("value_c")).as("total_c"))
+    vals.crossJoin(broadcast(total))
+      .filter(col("value_c") * fractionInv > col("total_c"))
+      .select(col("p_partkey"), col("value_c"))
+      .orderBy(col("value_c").desc, col("p_partkey"))
+  }
+
+  /** Q13-shaped customer order-count distribution: customers LEFT-joined
+    * to their non-urgent orders (the comment-pattern exclusion adapted to
+    * the priority column this schema has), orders counted per customer
+    * (absent ⇒ 0 — the LEFT join is the point: Q13 exists to count the
+    * zero-order customers), then the count distribution in a second tiny
+    * aggregate. Two hash aggregates, one shuffle each, no windows.
+    */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= lit("1-URGENT"))
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q15-shaped top supplier: revenue per supplier over one quarter, the
+    * MAX picked as a 1-row aggregate and matched back by EQUALITY join
+    * (the revenue "view" + scalar-max skeleton, decorrelated without any
+    * broadcast cross — ties all surface, as in the spec's ORDER BY).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String,
+                     qStart: String = "1996-01-01"): DataFrame = {
+    val start = to_timestamp(lit(qStart))
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= start && col("l_shipdate") < add_months(start, 3))
+      .withColumn("rev_tmc",
+        ((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("decimal(18,4)") * 10000).cast("long"))
+      .groupBy(col("l_suppkey")).agg(sum(col("rev_tmc")).as("total_rev_tmc"))
+    val top = rev.agg(max(col("total_rev_tmc")).as("max_tmc"))
+    rev.join(broadcast(top), col("total_rev_tmc") === col("max_tmc"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+        col("total_rev_tmc"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q16-shaped supplier count per (brand, type, size): the part filter
+    * excludes one brand and one type, the supplier exclusion ("customer
+    * complaints" adapted to a negative account balance) is a broadcast
+    * ANTI join below the distinct count, and the single COUNT(DISTINCT)
+    * plans as Spark's standard two-phase distinct aggregate — no Expand.
+    */
+  def q16SupplierCount(spark: SparkSession, dir: String,
+                       exclBrand: String = "Brand#13",
+                       exclType: String = "PROMO",
+                       sizes: Seq[Int] = Seq(1, 4, 9, 16, 25, 36, 49)): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= exclBrand && col("p_type") =!= exclType &&
+        col("p_size").isin(sizes.map(Integer.valueOf): _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val badSupp = Tables.supplier(spark, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q20-shaped excess-stock suppliers: suppliers who shipped more than
+    * `minQty` units of the name-filtered parts in one year (the partsupp
+    * availqty/2 threshold adapted to observed shipped volume), surfaced
+    * through a LEFT-SEMI join chain — the classic double-nested-IN
+    * decorrelation — then nation-labelled and name-ordered.
+    */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String,
+                         namePrefix: String = "small", yearStart: String = "1996-01-01",
+                         minQty: Int = 100): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey"))
+    val start = to_timestamp(lit(yearStart))
+    val heavy = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= start && col("l_shipdate") < add_months(start, 12))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > minQty)
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, dir)
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
 }

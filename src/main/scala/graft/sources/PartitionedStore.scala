@@ -114,6 +114,62 @@ object PartitionedStore {
       .orderBy(col("event_type"))
   }
 
+  /** SQL-first entry to the lake layout: the fact and its calendar dim
+    * registered as datasource-backed views (`USING parquet OPTIONS
+    * (path …)`), so plain `spark.sql("SELECT … FROM lake_events WHERE
+    * event_date …")` plans through the SAME HadoopFsRelation — partition
+    * discovery, static PartitionFilters, DPP, and the hidden-partition
+    * rewrite all fire exactly as on the DataFrame path (spec-asserted).
+    * Registered per call (cheap: view DDL is catalog-only) so the views
+    * always track the current dir's store generation.
+    */
+  def ensureSqlViews(spark: SparkSession, dir: String): String = {
+    val path = ensure(spark, dir)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_events " +
+      s"USING parquet OPTIONS (path '$path/rows')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_calendar " +
+      s"USING parquet OPTIONS (path '$path/calendar')")
+    path
+  }
+
+  private def emptyReport(spark: SparkSession): DataFrame =
+    spark.range(0).selectExpr("CAST(NULL AS STRING) AS event_type",
+      "CAST(NULL AS BIGINT) AS n", "CAST(NULL AS BIGINT) AS sum_value_c")
+
+  /** [[pruneQuery]]'s SQL twin over the `lake_events` view — the query a
+    * SQL user writes against a lake table, pruning 27 of 30 date
+    * directories through static PartitionFilters. Same oracle as
+    * partitioned_prune: layout and entry surface may only change what is
+    * scanned, never the result.
+    */
+  def sqlPruneQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureSqlViews(spark, dir)
+    val lo = spark.read.parquet(s"$path/calendar")
+      .agg(min(col("event_date"))).head().getDate(0)
+    if (lo == null) return emptyReport(spark) // empty store: no partition dirs
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+         |FROM lake_events
+         |WHERE event_date BETWEEN DATE'$lo' AND DATE'${lo.toLocalDate.plusDays(2)}'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** [[dppQuery]]'s SQL twin: fact × filtered calendar dim through the
+    * views, pruned at runtime by dynamic partition pruning — the
+    * "join fact to filtered dim" query every warehouse runs, written in
+    * SQL against catalog names instead of paths.
+    */
+  def sqlDppQuery(spark: SparkSession, dir: String): DataFrame = {
+    ensureSqlViews(spark, dir)
+    spark.sql(
+      """SELECT /*+ BROADCAST(c) */ e.event_type, count(*) AS n,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM lake_events e JOIN lake_calendar c ON e.event_date = c.event_date
+        |WHERE c.dom % 2 = 0
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
+  }
+
   /** Dynamic partition-overwrite backfill — the day-2 lake operation that
     * motivates directory partitioning in the first place: a correction
     * arrives for ONE day (late data, a fixed parser, a re-crawl) and only

@@ -80,8 +80,12 @@ object ScaleSweep {
 
   def main(args: Array[String]): Unit = {
     val names0 = if (args.nonEmpty) args(0).split(",").toSeq else DefaultQueries
-    // orders_pareto joined the sweep with the sf1 decade (round 11)
-    val names = if (names0 == DefaultQueries) names0 :+ "orders_pareto" else names0
+    // the sf1 heavy subset joined the sweep in round 11 — default runs
+    // must cover all of it (orders_pareto, dedup_funnel, phash pairs, …)
+    val names =
+      if (names0 == DefaultQueries)
+        names0 ++ Sf1Queries.toSeq.sorted.filterNot(names0.toSet)
+      else names0
     val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")

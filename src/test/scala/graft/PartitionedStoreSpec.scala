@@ -66,6 +66,32 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("SQL-surface prune: lake_events view plans the same PartitionFilters, result matches the DataFrame path") {
+    val q = PartitionedStore.sqlPruneQuery(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(plan).nonEmpty,
+      plan.take(2000))
+    val got = q.select($"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+      .collect().toSeq
+    val want = PartitionedStore.pruneQuery(spark, sfDir)
+      .select($"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+      .collect().toSeq
+    assert(got == want && got.nonEmpty, s"SQL and DataFrame paths diverged: $got vs $want")
+  }
+
+  test("SQL-surface dpp: view join carries the dynamicpruning subquery, result matches") {
+    val q = PartitionedStore.sqlDppQuery(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "expected DPP on the lake_events scan through the SQL views:\n" + plan.take(3000))
+    val got = q.select($"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+      .collect().toSeq
+    val want = PartitionedStore.dppQuery(spark, sfDir)
+      .select($"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+      .collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("layout stats partition the store: row counts sum to the table") {
     val stats = PartitionedStore.layoutStats(spark, sfDir).collect()
     assert(stats.nonEmpty)

@@ -59,6 +59,7 @@ class PlanLintSpec extends SparkSpec {
     "agg_heavy_hitters",               // 1-row broadcast total-tokens scalar cross
     "agg_countmin",                    // 1-row broadcast stream-length scalar cross
     "q22_idle_customers",              // 1-row broadcast balance-threshold cross
+    "q11_important_parts",             // 1-row broadcast nation-total scalar cross
     "graph_triangles",                 // 1-row census scalar crosses
 
     "events_gapfill",                  // hour-grid × distinct-types bounded cross
