@@ -234,6 +234,7 @@ object SparkEntry {
     "partitioned_dpp" -> ((s, d) => graft.sources.PartitionedStore.dppQuery(s, d)),
     "lake_sql_prune" -> ((s, d) => graft.sources.PartitionedStore.sqlPruneQuery(s, d)),
     "lake_sql_dpp" -> ((s, d) => graft.sources.PartitionedStore.sqlDppQuery(s, d)),
+    "lake_sql_hidden" -> ((s, d) => graft.sources.PartitionedStore.sqlHiddenQuery(s, d)),
     "partitioned_backfill" -> ((s, d) => graft.sources.PartitionedStore.backfillQuery(s, d)),
     "partitioned_hidden" -> ((s, d) => graft.sources.PartitionedStore.hiddenRouteQuery(s, d)),
     "partitioned_layout_stats" -> ((s, d) => graft.sources.PartitionedStore.layoutStats(s, d)),
@@ -311,6 +312,10 @@ object SparkEntry {
     // Real stateful funnel run, checked against the batch events_funnel
     // oracle (same strict-sequence stage minima).
     "stream_funnel" -> ((s, d) => StreamOps.streamFunnel(s, d)),
+    // CDC changelog apply: batch windowed form + the real stateful
+    // streaming run, one oracle text (the SQL replay of the fold).
+    "cdc_apply" -> ((s, d) => Temporal.cdcApply(s, d)),
+    "stream_cdc_apply" -> ((s, d) => StreamOps.streamCdcApply(s, d)),
     "stream_enrich" -> ((s, d) => StreamOps.streamEnrich(s, d)),
     "stream_trending" -> ((s, d) => StreamOps.streamTrending(s, d)),
   )
@@ -628,6 +633,32 @@ object SparkEntry {
       |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** CDC changelog apply replayed in SQL — shared by the batch query
+    * (`cdc_apply`) and its stateful streaming twin (`stream_cdc_apply`):
+    * per-key (ts, event_id) replay order via row_number, the last `error`
+    * tombstone as a deletion frontier (state restarts after it; a key
+    * whose log ends in a tombstone is absent), exact cents, last mutation
+    * by max_by, tombstone count as key metadata.
+    */
+  private val cdcApplySql =
+    """WITH base AS (SELECT user_id, ts, event_id, event_type,
+      |                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+      |              FROM events),
+      |ord AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |        FROM base),
+      |tomb AS (SELECT user_id, max(rn) AS del_rn, count(*) AS n_tomb
+      |         FROM ord WHERE event_type = 'error' GROUP BY 1),
+      |live AS (SELECT o.* FROM ord o LEFT JOIN tomb t USING (user_id)
+      |         WHERE o.event_type <> 'error' AND o.rn > coalesce(t.del_rn, 0)),
+      |agg AS (SELECT user_id, count(*) AS n_events, sum(v_c) AS sum_value_c,
+      |               max_by(event_type, rn) AS last_type,
+      |               CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ep
+      |        FROM live GROUP BY 1)
+      |SELECT CAST(a.user_id AS BIGINT) AS user_id, CAST(n_events AS BIGINT) AS n_events,
+      |       CAST(sum_value_c AS BIGINT) AS sum_value_c, last_type, last_ep,
+      |       CAST(coalesce(t.n_tomb, 0) AS BIGINT) AS n_tombstones
+      |FROM agg a LEFT JOIN tomb t USING (user_id) ORDER BY user_id""".stripMargin
+
   /** Strict view→click→purchase funnel as correlated stage minima —
     * shared by the batch query (`events_funnel`) and its stateful
     * streaming twin (`stream_funnel`).
@@ -842,7 +873,8 @@ object SparkEntry {
          |       ${microSql(s"sqrt(${sqDistSql("va", "vb")})")} AS l2_micro,
          |       ${microSql(s"${dotSql("va", "vb")} / (sqrt(${dotSql("va", "va")}) * sqrt(${dotSql("vb", "vb")}))")} AS cos_micro,
          |       CAST(floor(CAST(ua[1] AS DOUBLE) * 1000000000.0) AS BIGINT) AS unit0_nano,
-         |       ${microSql(s"sqrt(${dotSql("ua", "ua")})")} AS unit_norm_micro
+         |       ${microSql(s"sqrt(${dotSql("ua", "ua")})")} AS unit_norm_micro,
+         |       CAST(bit_count(xor(id_a * 2654435761, id_b * 2654435761)) AS BIGINT) AS ham_bits
          |FROM n ORDER BY id_a""".stripMargin,
     // Hard-negative mining: top-k most-similar vectors with a DIFFERENT label.
     "knn_hard_negatives" ->
@@ -2867,6 +2899,12 @@ object SparkEntry {
     // The stateful streaming funnel resolves the SAME strict sequence the
     // batch SQL derives — one oracle text, two execution models.
     "stream_funnel" -> funnelSql,
+    // CDC changelog apply (tombstone = 'error', everything else upserts):
+    // the fold replayed as a per-key row_number order, the last-tombstone
+    // frontier, and a max_by last-mutation pick. Keys whose log ends in a
+    // tombstone are deleted — absent. One text, batch + streaming models.
+    "cdc_apply" -> cdcApplySql,
+    "stream_cdc_apply" -> cdcApplySql,
     // Keys-only projection makes the streaming dropDuplicates deterministic:
     // the surviving key set == SELECT DISTINCT regardless of arrival order.
     "stream_dedup" ->
@@ -3191,6 +3229,15 @@ object SparkEntry {
     // replayed inline on the raw table (the rewrite is exact — it only
     // changes what is scanned).
     "partitioned_hidden" ->
+      """WITH lo AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM events, lo
+        |WHERE CAST(ts AS DATE) BETWEEN lo.d + 3 AND lo.d + 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The SQL-view twin of the hidden-partition route: a pure ts-range
+    // predicate, same days-4-6 slice, same raw-table replay.
+    "lake_sql_hidden" ->
       """WITH lo AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c

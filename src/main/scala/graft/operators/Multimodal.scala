@@ -152,10 +152,20 @@ object Multimodal {
   /** Real-image twin of [[withBinary]]: one generated PNG per document,
     * width = 8 + doc_id % 16, height = 8 + doc_id % 7 — dimension formulas
     * the oracle replays in SQL. Partition-local generation (per-row encode;
-    * the codec has no batch mode to exploit), no shuffle.
+    * the codec has no batch mode to exploit).
+    *
+    * The ids are REPARTITIONED to the session's parallelism first: codec
+    * work is CPU-bound, and inheriting the source's file-split layout
+    * serializes it onto however many splits the (tiny) id table happens
+    * to occupy — measured: the sf1 grays build ran ONE task off a
+    * single-split documents.parquet, 1.4 cores on a 32-core session. An
+    * id-only exchange costs 8 bytes/row and unlocks every core; at the
+    * 100 TB design point decode parallelism must track CLUSTER size, not
+    * upstream file count.
     */
   def syntheticImages(spark: SparkSession, dir: String): DataFrame = {
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val outSchema = ids.schema.add(StructField("media", BinaryType, nullable = false))
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     ids.mapPartitions(_.map { r =>

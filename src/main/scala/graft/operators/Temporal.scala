@@ -200,4 +200,43 @@ object Temporal {
         col("week_offset"), col("n_users"))
       .orderBy(col("cohort_week_epoch"), col("week_offset"))
   }
+
+  /** CDC changelog apply — materialize the current per-key state from an
+    * event log with tombstones (the Debezium/"apply a change stream to a
+    * snapshot" operation every lake pipeline runs; the reference's
+    * delete+re-insert upsert cycle, `Milvus/stream1.py:219-247`, IS this
+    * with the tombstone inlined). Semantics: events replay per user in
+    * (ts, event_id) order; `error` is a DELETE tombstone that drops all
+    * accumulated state for the key (the tombstone COUNT survives as key
+    * metadata, as a CDC consumer's op log would); every other type
+    * UPSERTs — bumps the event count, adds exact cents, takes over
+    * last_type/last_ep. Keys whose log ends in a tombstone (no mutation
+    * after the last `error`) are absent — deleted — from the result.
+    *
+    * Scale shape: ONE user-key shuffle; the replay order is a per-key
+    * `row_number` window (bounded by events-per-user, never global), the
+    * tombstone frontier a ≤|users|-row self-aggregate joined back on the
+    * same key, and the fold collapses to one hash aggregate with
+    * `max_by` — no driver state, no global sort.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("v_c"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ord = base.withColumn("rn", row_number().over(w))
+    val tomb = ord.filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("t_user"))
+      .agg(max(col("rn")).as("del_rn"), count(lit(1)).as("n_tomb"))
+    val live = ord.filter(col("event_type") =!= "error")
+      .join(tomb, col("user_id") === col("t_user"), "left")
+      .filter(col("del_rn").isNull || col("rn") > col("del_rn"))
+    live.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v_c")).as("sum_value_c"),
+        max_by(col("event_type"), col("rn")).as("last_type"),
+        floor(max(unix_micros(col("ts"))) / 1000000L).cast("long").as("last_ep"),
+        coalesce(first(col("n_tomb")), lit(0L)).as("n_tombstones"))
+      .orderBy(col("user_id"))
+  }
 }

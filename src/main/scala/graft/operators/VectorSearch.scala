@@ -119,7 +119,8 @@ object VectorSearch {
         |  CAST(floor(l2_distance(a.embedding, b.embedding) * 1000000.0) AS BIGINT) AS l2_micro,
         |  CAST(floor(cosine_sim(a.embedding, b.embedding) * 1000000.0) AS BIGINT) AS cos_micro,
         |  CAST(floor(CAST(element_at(l2_normalize(a.embedding), 1) AS DOUBLE) * 1000000000.0) AS BIGINT) AS unit0_nano,
-        |  CAST(floor(norm2(l2_normalize(a.embedding)) * 1000000.0) AS BIGINT) AS unit_norm_micro
+        |  CAST(floor(norm2(l2_normalize(a.embedding)) * 1000000.0) AS BIGINT) AS unit_norm_micro,
+        |  CAST(hamming64(a.vec_id * 2654435761, b.vec_id * 2654435761) AS BIGINT) AS ham_bits
         |FROM emb_sql a JOIN emb_sql b ON b.vec_id = a.vec_id + 1
         |ORDER BY id_a""".stripMargin)
   }

@@ -139,5 +139,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "cosine_sim(a, b) - cosine similarity of ARRAY<FLOAT> vectors") {
       a => Divide(DotProductFloat(a(0), a(1)),
         Multiply(Norm2Float(a(0)), Norm2Float(a(1)))) })
+    ext.injectFunction(fn("hamming64", 2,
+      "hamming64(a, b) - Hamming distance of two 64-bit packed sign codes " +
+        "(BIGINT), the knn_binary candidate metric: bit_count(a XOR b)") {
+      a => BitwiseCount(BitwiseXor(a(0), a(1))) })
   }
 }

@@ -155,6 +155,29 @@ object PartitionedStore {
          |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** [[hiddenRouteQuery]]'s SQL twin: the layout-ignorant timestamp-range
+    * query (`WHERE ts >= … AND ts < …` — no mention of the partition
+    * column) written in plain SQL against the `lake_events` view. The
+    * optimizer-time [[graft.plans.HiddenPartitionRewrite]] mirrors the ts
+    * bounds onto `event_date`, so the SQL user gets static directory
+    * pruning without knowing the store is partitioned — Iceberg's hidden
+    * partitioning promise, on the SQL path (spec-asserted).
+    * Same days-4–6 slice and oracle as `partitioned_hidden`.
+    */
+  def sqlHiddenQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureSqlViews(spark, dir)
+    val lo = spark.read.parquet(s"$path/calendar")
+      .agg(min(col("event_date"))).head().getDate(0)
+    if (lo == null) return emptyReport(spark)
+    val (a, b) = (lo.toLocalDate.plusDays(3), lo.toLocalDate.plusDays(6))
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+         |FROM lake_events
+         |WHERE ts >= TIMESTAMP'$a 00:00:00' AND ts < TIMESTAMP'$b 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** [[dppQuery]]'s SQL twin: fact × filtered calendar dim through the
     * views, pruned at runtime by dynamic partition pruning — the
     * "join fact to filtered dim" query every warehouse runs, written in

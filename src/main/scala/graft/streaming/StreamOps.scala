@@ -532,6 +532,72 @@ object StreamOps {
         })
   }
 
+  /** Materialized CDC state per user: exact cents sum, last mutation's
+    * type and MICROSECOND epoch (full ts precision, as [[FunnelAcc]]),
+    * tombstone count as key metadata. `nEvents == 0` ⇔ the key is
+    * currently deleted (log ends in a tombstone) and must not be emitted.
+    */
+  case class CdcAcc(userId: Long, nEvents: Long, sumValueC: Long,
+                    lastType: String, lastUs: Long, nTombstones: Long)
+
+  /** Stateful streaming twin of [[graft.operators.Temporal.cdcApply]]:
+    * the changelog fold as a per-user state machine in
+    * `flatMapGroupsWithState` — in-group (ts, event_id) sort under the
+    * AvailableNow replay contract of [[sessionizeStateful]], `error`
+    * resets the accumulated state (keeping the tombstone count), any
+    * other type upserts. Emits the key's current state per batch when
+    * live; state persists so a continuation batch extends (and re-emits)
+    * rather than loses it.
+    */
+  def cdcStateful(spark: SparkSession, events: DataFrame): Dataset[CdcAcc] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v_c"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[(Long, Long, Long, String, Long)],
+         state: GroupState[CdcAcc]) => {
+          // (us, event_id) replay order — the CDC log's total order key.
+          val sorted = it.map(e => (e._2, e._3, e._4, e._5)).toArray.sortBy(e => (e._1, e._2))
+          var acc = state.getOption.getOrElse(CdcAcc(user, 0L, 0L, null, -1L, 0L))
+          for ((us, _, tpe, vC) <- sorted) {
+            if (tpe == "error")
+              acc = CdcAcc(user, 0L, 0L, null, -1L, acc.nTombstones + 1)
+            else
+              acc = CdcAcc(user, acc.nEvents + 1, acc.sumValueC + vC, tpe, us,
+                acc.nTombstones)
+          }
+          state.update(acc)
+          if (acc.nEvents > 0) Iterator.single(acc) else Iterator.empty
+        })
+  }
+
+  /** Registered-query run of [[cdcStateful]]: the changelog applied by a
+    * REAL AvailableNow stream, emitted in the batch `cdc_apply` oracle
+    * schema (µs epochs floored to seconds). Deleted keys are absent.
+    */
+  def streamCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_cdc_apply_${System.nanoTime()}"
+    withStreamPartitions(spark) { s =>
+      val src = readEventsStream(s, dir, Map("maxFilesPerTrigger" -> "1000000"))
+      val q = cdcStateful(s, src).toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+          col("sumValueC").as("sum_value_c"), col("lastType").as("last_type"),
+          floor(col("lastUs") / 1000000L).cast("long").as("last_ep"),
+          col("nTombstones").as("n_tombstones"))
+        .orderBy(col("user_id"))
+    }
+  }
+
   /** Streaming kNN search — the reference's serve loop: queries arrive
     * continuously and each round searches the collection
     * (`Milvus/stream1.py:161-162` `collection.search(...)` inside the

@@ -79,7 +79,10 @@ object Plans {
       "partitioned_hidden" -> "hidden partitioning: the user's to_date(ts) predicate, mirrored onto event_date by HiddenPartitionRewrite — static PartitionFilters from a data-column filter",
       "dedup_cdc" -> "content-defined chunking: per-doc token window cut, chunk reassembly via sort_array(collect_list), duplication = ONE hash aggregate over the chunk table",
       "graph_label_prop" -> "label propagation: self-loop self-vote keeps each unrolled round single-reference (linear lineage); argmax = max(struct) hash agg, no per-node window",
-      "text_phrase_lift" -> "collocation lift: two map-combined count aggs, vocab-sized broadcast joins, DECIMAL(38,0)-widened integer ratio, TakeOrderedAndProject top-K")
+      "text_phrase_lift" -> "collocation lift: two map-combined count aggs, vocab-sized broadcast joins, DECIMAL(38,0)-widened integer ratio, TakeOrderedAndProject top-K",
+      "orders_pareto" -> "revenue Pareto (r11 rewrite): range-sharded two-phase prefix sum — per-shard windows + ≤shards-row base-offset broadcast; NO partition-less global Window survives in the plan",
+      "lake_sql_hidden" -> "SQL-surface hidden partitioning: a plain SQL ts-range over the lake_events view, rewritten to event_date PartitionFilters by HiddenPartitionRewrite",
+      "cdc_apply" -> "CDC changelog apply: ONE user-key shuffle — per-key row_number replay order, tombstone-frontier self-join, max_by final-state aggregate")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

@@ -92,6 +92,19 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("SQL-surface hidden partitioning: ts-only SQL predicate prunes via mirrored PartitionFilters, result matches") {
+    val q = PartitionedStore.sqlHiddenQuery(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(plan).nonEmpty,
+      "expected the rewrite to mirror the SQL ts bounds onto event_date:\n" + plan.take(2000))
+    val got = q.select($"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+      .collect().toSeq
+    val want = PartitionedStore.hiddenRouteQuery(spark, sfDir)
+      .select($"event_type".as[String], $"n".as[Long], $"sum_value_c".as[Long])
+      .collect().toSeq
+    assert(got == want && got.nonEmpty, s"SQL and DataFrame hidden routes diverged: $got vs $want")
+  }
+
   test("layout stats partition the store: row counts sum to the table") {
     val stats = PartitionedStore.layoutStats(spark, sfDir).collect()
     assert(stats.nonEmpty)

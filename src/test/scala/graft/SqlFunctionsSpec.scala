@@ -87,4 +87,19 @@ class SqlFunctionsSpec extends SparkSpec {
     val err = intercept[Exception](spark.sql("SELECT dot(array(CAST(1.0 AS FLOAT)))").collect())
     assert(err.getMessage.contains("2 argument"), err.getMessage)
   }
+
+  test("hamming64: popcount-of-xor over packed codes, identity zero, wrong arity rejected") {
+    // 0b1011 vs 0b0110 differ in bits 0, 2, 3 — distance 3
+    assert(spark.sql("SELECT hamming64(11L, 6L) AS h").as[Int].head() == 3)
+    assert(spark.sql("SELECT hamming64(-1L, 0L) AS h").as[Int].head() == 64)
+    assert(spark.sql("SELECT hamming64(42L, 42L) AS h").as[Int].head() == 0)
+    // agrees with the composed built-ins the binary search path uses
+    val pairs = spark.range(1, 200).selectExpr("id * 2654435761 AS a", "(id + 7) * 40503 AS b")
+    pairs.createOrReplaceTempView("ham_pairs")
+    val viaFn = spark.sql("SELECT sum(hamming64(a, b)) FROM ham_pairs").head().getLong(0)
+    val viaBuiltins = pairs.selectExpr("sum(bit_count(a ^ b))").head().getLong(0)
+    assert(viaFn == viaBuiltins)
+    val err = intercept[Exception](spark.sql("SELECT hamming64(1L)").collect())
+    assert(err.getMessage.contains("2 argument"), err.getMessage)
+  }
 }

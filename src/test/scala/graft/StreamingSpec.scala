@@ -242,6 +242,49 @@ class StreamingSpec extends SparkSpec {
     assert(norms.forall(n => n >= 999990L && n <= 1000000L))
   }
 
+  test("stateful CDC apply agrees with the batch windowed cdcApply") {
+    val batch = Temporal.cdcApply(spark, sfDir)
+    val stateful = StreamOps.cdcStateful(spark, Tables.events(spark, sfDir))
+      .toDF().select($"userId".as("user_id"), $"nEvents".as("n_events"),
+        $"sumValueC".as("sum_value_c"), $"lastType".as("last_type"),
+        floor($"lastUs" / 1000000L).cast("long").as("last_ep"),
+        $"nTombstones".as("n_tombstones"))
+    assert(stateful.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(stateful).count() == 0)
+    assert(batch.count() > 0)
+  }
+
+  test("streamCdcApply (real streaming run) equals the batch cdcApply") {
+    val streamed = StreamOps.streamCdcApply(spark, sfDir)
+    val batch = Temporal.cdcApply(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("CDC tombstone semantics: reset state, count kept, trailing tombstone deletes the key") {
+    import java.sql.Timestamp
+    val log = Seq(
+      // user 1: upsert, tombstone, upsert — survives with post-tombstone state only
+      (1L, Timestamp.valueOf("2024-01-01 00:00:01"), 10L, "view", 1.50),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:02"), 11L, "error", 9.99),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:03"), 12L, "click", 2.25),
+      // user 2: mutations then a trailing tombstone — DELETED, absent
+      (2L, Timestamp.valueOf("2024-01-01 00:00:04"), 13L, "view", 5.00),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:05"), 14L, "error", 0.00),
+      // user 3: never touched by a tombstone
+      (3L, Timestamp.valueOf("2024-01-01 00:00:06"), 15L, "purchase", 7.75),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:07"), 16L, "view", 0.25))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = StreamOps.cdcStateful(spark, log).toDF()
+      .select($"userId".as[Long], $"nEvents".as[Long], $"sumValueC".as[Long],
+        $"lastType".as[String], $"nTombstones".as[Long])
+      .collect().map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+    assert(got == Set(
+      (1L, 1L, 225L, "click", 1L),   // post-tombstone click only, cents exact
+      (3L, 2L, 800L, "view", 0L)),   // user 2 deleted
+      got.toString)
+  }
+
   test("streaming dedup drops in-batch duplicate keys") {
     val doubled = Tables.events(spark, sfDir).unionByName(Tables.events(spark, sfDir))
     // batch twin of streamDedup's dropDuplicates semantics
