@@ -298,6 +298,8 @@ object SparkEntry {
     "range_join_bucketed" -> ((s, d) => Temporal.rangeJoinBucketed(s, d)),
     "events_funnel" -> ((s, d) => Temporal.eventsFunnel(s, d)),
     "events_retention" -> ((s, d) => Temporal.retentionCohorts(s, d)),
+    "scd2_build" -> ((s, d) => Temporal.scd2Build(s, d)),
+    "events_attribution" -> ((s, d) => Temporal.lastTouchAttribution(s, d)),
     // §2.10 — an actual Structured Streaming execution, oracle-checked
     "stream_hourly" -> ((s, d) => StreamOps.streamHourly(s, d)),
     "stream_interval_join" -> ((s, d) => StreamOps.streamIntervalJoin(s, d)),
@@ -2905,6 +2907,51 @@ object SparkEntry {
     // tombstone are deleted — absent. One text, batch + streaming models.
     "cdc_apply" -> cdcApplySql,
     "stream_cdc_apply" -> cdcApplySql,
+    // SCD2 interval history: lag-change islands per user, [valid_from,
+    // valid_to) bounds via lead, NULL valid_to ⇔ is_current. IS DISTINCT
+    // FROM mirrors Spark's null-safe <=> change flag.
+    "scd2_build" ->
+      """WITH ord AS (SELECT user_id, ts, event_id, event_type,
+        |                    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+        |                    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |                         THEN 1 ELSE 0 END AS chg
+        |             FROM events
+        |             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |isl AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |        FROM ord),
+        |grp AS (SELECT user_id, version, min(event_type) AS event_type, min(ts) AS t0,
+        |               count(*) AS n_events, sum(v_c) AS sum_value_c
+        |        FROM isl GROUP BY 1, 2)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(version AS BIGINT) AS version,
+        |       event_type,
+        |       CAST(floor(epoch(t0)) AS BIGINT) AS valid_from_ep,
+        |       CAST(floor(epoch(lead(t0) OVER wv)) AS BIGINT) AS valid_to_ep,
+        |       CAST(CASE WHEN lead(t0) OVER wv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+        |       CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(sum_value_c AS BIGINT) AS sum_value_c
+        |FROM grp WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
+    // Last-touch attribution: IGNORE NULLS last over the preceding-rows
+    // frame pulls the latest non-purchase touch (type + timestamp from the
+    // same row); 7-day lookback in exact integer microseconds.
+    "events_attribution" ->
+      """WITH base AS (SELECT user_id, ts, event_id, event_type,
+        |                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+        |                     CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type,
+        |                     CASE WHEN event_type <> 'purchase' THEN ts END AS touch_ts
+        |              FROM events),
+        |att AS (SELECT *, last_value(touch_type IGNORE NULLS) OVER w AS prev_type,
+        |               last_value(touch_ts IGNORE NULLS) OVER w AS prev_ts
+        |        FROM base
+        |        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT coalesce(CASE WHEN epoch_us(ts) - epoch_us(prev_ts) <= 604800000000
+        |                     THEN prev_type END, 'direct') AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(v_c) AS BIGINT) AS revenue_c
+        |FROM att WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Keys-only projection makes the streaming dropDuplicates deterministic:
     // the surviving key set == SELECT DISTINCT regardless of arrival order.
     "stream_dedup" ->

@@ -239,4 +239,83 @@ object Temporal {
         coalesce(first(col("n_tomb")), lit(0L)).as("n_tombstones"))
       .orderBy(col("user_id"))
   }
+
+  /** SCD type-2 dimension build — fold the event log into an interval
+    * history per key (the warehouse "slowly changing dimension" table the
+    * reference's full-row update cycle approximates by overwrite,
+    * `FAISS/PlainDemo/pipeline.py:208-214`; here every historical version
+    * is kept with its validity range). The tracked attribute is
+    * `event_type`: each maximal run of consecutive equal values per user
+    * becomes one version row with `[valid_from, valid_to)` bounds,
+    * `valid_to` = the next version's start (NULL on the current row),
+    * plus run metadata (event count, exact cents).
+    *
+    * Scale shape: ONE user-key shuffle for the whole build — the
+    * change-flag lag window, the island running sum, the per-island
+    * aggregate (grouping keys (user, version) are a superset of the
+    * window's partition key, so `HashPartitioning(user)` already
+    * satisfies the aggregate's `ClusteredDistribution` and Spark inserts
+    * no second Exchange), and the valid_to lead window all ride the same
+    * partitioning. Island numbering is the classic lag→flag→running-sum
+    * (the [[sessionize]] pattern), per-key bounded, never global.
+    */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ord = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("v_c"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w) <=> col("event_type"), 0L).otherwise(1L))
+      .withColumn("version",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val grp = ord.groupBy(col("user_id"), col("version"))
+      .agg(first(col("event_type")).as("event_type"),
+        min(col("ts")).as("t0"),
+        count(lit(1)).as("n_events"),
+        sum(col("v_c")).as("sum_value_c"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    grp.withColumn("t1", lead(col("t0"), 1).over(wv))
+      .select(col("user_id"), col("version"), col("event_type"),
+        floor(unix_micros(col("t0")) / 1000000L).cast("long").as("valid_from_ep"),
+        floor(unix_micros(col("t1")) / 1000000L).cast("long").as("valid_to_ep"),
+        when(col("t1").isNull, 1L).otherwise(0L).as("is_current"),
+        col("n_events"), col("sum_value_c"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Last-touch marketing attribution — credit each `purchase` to the
+    * most recent PRECEDING non-purchase event (the "channel") when that
+    * touch is within a 7-day lookback, else to `direct`; report per
+    * channel purchase counts and exact-cents revenue. The classic
+    * event-analytics credit assignment (single-touch form of the
+    * multi-touch family).
+    *
+    * Scale shape: ONE user-key shuffle; the preceding touch is an
+    * `IGNORE NULLS last` frame over `rows between unbounded preceding
+    * and 1 preceding` (type and timestamp pulled through the SAME frame,
+    * so they come from the same touch row), per-key bounded; the final
+    * per-channel rollup is a map-combined hash aggregate over ≤|types|+1
+    * groups. Never a purchases×touches join.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val sevenDaysUs = 7L * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("v_c"))
+      .withColumn("touch_type",
+        when(col("event_type") =!= "purchase", col("event_type")))
+      .withColumn("touch_us",
+        when(col("event_type") =!= "purchase", unix_micros(col("ts"))))
+      .withColumn("prev_type", last(col("touch_type"), ignoreNulls = true).over(w))
+      .withColumn("prev_us", last(col("touch_us"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        coalesce(when(unix_micros(col("ts")) - col("prev_us") <= sevenDaysUs,
+          col("prev_type")), lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v_c")).as("revenue_c"))
+      .orderBy(col("channel"))
+  }
 }

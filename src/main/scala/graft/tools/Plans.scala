@@ -82,7 +82,9 @@ object Plans {
       "text_phrase_lift" -> "collocation lift: two map-combined count aggs, vocab-sized broadcast joins, DECIMAL(38,0)-widened integer ratio, TakeOrderedAndProject top-K",
       "orders_pareto" -> "revenue Pareto (r11 rewrite): range-sharded two-phase prefix sum — per-shard windows + ≤shards-row base-offset broadcast; NO partition-less global Window survives in the plan",
       "lake_sql_hidden" -> "SQL-surface hidden partitioning: a plain SQL ts-range over the lake_events view, rewritten to event_date PartitionFilters by HiddenPartitionRewrite",
-      "cdc_apply" -> "CDC changelog apply: ONE user-key shuffle — per-key row_number replay order, tombstone-frontier self-join, max_by final-state aggregate")
+      "cdc_apply" -> "CDC changelog apply: ONE user-key shuffle — per-key row_number replay order, tombstone-frontier self-join, max_by final-state aggregate",
+      "scd2_build" -> "SCD2 interval history: ONE user-key shuffle — lag-change islands, per-island aggregate reusing the window partitioning (subset rule), valid_to lead",
+      "events_attribution" -> "last-touch attribution: IGNORE-NULLS last over a preceding-rows frame, never a purchases-to-touches join; tiny per-channel rollup")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

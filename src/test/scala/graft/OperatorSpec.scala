@@ -314,6 +314,68 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("scd2 build: intervals tile each user's timeline, one current row, events conserved") {
+    val rows = Temporal.scd2Build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      // versions are 1..n dense
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq, s"user $u")
+      // exactly one current row, and it's the last version
+      val current = sorted.filter(_.getLong(5) == 1L)
+      assert(current.length == 1 && current.head.getLong(1) == sorted.length, s"user $u")
+      // valid_to of version v == valid_from of version v+1; only the last is null
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(4) && a.getLong(4) == b.getLong(3), s"user $u gap/overlap")
+          // consecutive versions must actually change the tracked attribute
+          assert(a.getString(2) != b.getString(2), s"user $u non-change split")
+        case _ =>
+      }
+      assert(sorted.last.isNullAt(4), s"user $u current valid_to")
+    }
+    // run metadata conserves the log: counts and cents sum to the raw table
+    val total = Tables.events(spark, sfDir)
+      .agg(count(lit(1)), sum(($"value".cast("decimal(18,2)") * 100).cast("long")))
+      .head()
+    assert(rows.map(_.getLong(6)).sum == total.getLong(0))
+    assert(rows.map(_.getLong(7)).sum == total.getLong(1))
+  }
+
+  test("last-touch attribution conserves purchases and matches a per-row reference") {
+    val e = Tables.events(spark, sfDir)
+      .select($"user_id".as[Long], $"ts".as[java.sql.Timestamp], $"event_id".as[Long],
+        $"event_type".as[String],
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as[Long])
+      .collect()
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def key(r: (Long, java.sql.Timestamp, Long, String, Long)): (Long, Long) = (us(r._2), r._3)
+    val ord = Ordering.Tuple2[Long, Long]
+    val byUser = e.groupBy(_._1).map { case (u, rs) => u -> rs.sortBy(key)(ord) }
+    val expected = byUser.values.flatten.toSeq
+      .filter(_._4 == "purchase")
+      .map { p =>
+        val prior = byUser(p._1).takeWhile(r => ord.lt(key(r), key(p)))
+          .filter(_._4 != "purchase")
+        prior.lastOption match {
+          case Some(t) if us(p._2) - us(t._2) <= 7L * 86400L * 1000000L =>
+            (t._4, p._5)
+          case _ => ("direct", p._5)
+        }
+      }
+      .groupBy(_._1)
+      .map { case (ch, xs) => (ch, xs.length.toLong, xs.map(_._2).sum) }
+      .toSet
+    val got = Temporal.lastTouchAttribution(spark, sfDir)
+      .select($"channel".as[String], $"n_purchases".as[Long], $"revenue_c".as[Long])
+      .collect().toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // every purchase is credited exactly once
+    val nPurchases = e.count(_._4 == "purchase").toLong
+    assert(got.toSeq.map(_._2).sum == nPurchases && nPurchases > 0)
+  }
+
   test("asof join matches a per-row reference computation") {
     val e = Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", $"event_type", $"ts".cast("long").as("ep"),

@@ -144,6 +144,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("In(event_type"), p.take(3000))
   }
 
+  test("scd2 build: one user_id exchange serves windows, aggregate, and valid_to lead") {
+    // HashPartitioning(user_id) must satisfy the (user_id, version)
+    // aggregate's ClusteredDistribution (subset rule) — a second Exchange
+    // here would mean the whole interval build shuffles twice at 100 TB.
+    val p = plan(Temporal.scd2Build(spark, sfDir))
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"SCD2 build should shuffle once on user_id, got $hashExchanges\n" + p.take(3000))
+  }
+
+  test("attribution: one user_id exchange, no purchases-to-touches join") {
+    val p = plan(Temporal.lastTouchAttribution(spark, sfDir))
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // one for the user window; the ≤|types|+1-row channel rollup may add
+    // its own tiny exchange — what must NOT appear is any join
+    assert(hashExchanges <= 2, p.take(3000))
+    assert(!p.contains("Join"), "attribution must be a window scan, not a join\n" + p.take(3000))
+  }
+
   test("runtime bloom filter injects on a selective fact-fact join (semi-join reduction)") {
     // The 100 TB lever for fact⋈filtered-fact: the filtered side's keys are
     // bloom-sketched at runtime and the probe scan drops non-members before
