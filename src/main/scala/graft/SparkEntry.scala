@@ -299,6 +299,7 @@ object SparkEntry {
     "events_funnel" -> ((s, d) => Temporal.eventsFunnel(s, d)),
     "events_retention" -> ((s, d) => Temporal.retentionCohorts(s, d)),
     "scd2_build" -> ((s, d) => Temporal.scd2Build(s, d)),
+    "scd2_merge" -> ((s, d) => Temporal.scd2Merge(s, d)),
     "events_attribution" -> ((s, d) => Temporal.lastTouchAttribution(s, d)),
     // §2.10 — an actual Structured Streaming execution, oracle-checked
     "stream_hourly" -> ((s, d) => StreamOps.streamHourly(s, d)),
@@ -660,6 +661,36 @@ object SparkEntry {
       |       CAST(sum_value_c AS BIGINT) AS sum_value_c, last_type, last_ep,
       |       CAST(coalesce(t.n_tomb, 0) AS BIGINT) AS n_tombstones
       |FROM agg a LEFT JOIN tomb t USING (user_id) ORDER BY user_id""".stripMargin
+
+  /** SCD2 interval history replayed in SQL — shared by the full build
+    * (`scd2_build`) and the incremental merge (`scd2_merge`, whose hash
+    * match against this full-rebuild replay IS the merge-correctness
+    * proof): lag-change islands per user (IS DISTINCT FROM mirrors
+    * Spark's null-safe `<=>` flag), `[valid_from, valid_to)` bounds via
+    * lead, NULL valid_to ⇔ is_current.
+    */
+  private val scd2Sql =
+    """WITH ord AS (SELECT user_id, ts, event_id, event_type,
+      |                    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+      |                    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |                         THEN 1 ELSE 0 END AS chg
+      |             FROM events
+      |             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |isl AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |        FROM ord),
+      |grp AS (SELECT user_id, version, min(event_type) AS event_type, min(ts) AS t0,
+      |               count(*) AS n_events, sum(v_c) AS sum_value_c
+      |        FROM isl GROUP BY 1, 2)
+      |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(version AS BIGINT) AS version,
+      |       event_type,
+      |       CAST(floor(epoch(t0)) AS BIGINT) AS valid_from_ep,
+      |       CAST(floor(epoch(lead(t0) OVER wv)) AS BIGINT) AS valid_to_ep,
+      |       CAST(CASE WHEN lead(t0) OVER wv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+      |       CAST(n_events AS BIGINT) AS n_events,
+      |       CAST(sum_value_c AS BIGINT) AS sum_value_c
+      |FROM grp WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+      |ORDER BY user_id, version""".stripMargin
 
   /** Strict view→click→purchase funnel as correlated stage minima —
     * shared by the batch query (`events_funnel`) and its stateful
@@ -2910,28 +2941,11 @@ object SparkEntry {
     // SCD2 interval history: lag-change islands per user, [valid_from,
     // valid_to) bounds via lead, NULL valid_to ⇔ is_current. IS DISTINCT
     // FROM mirrors Spark's null-safe <=> change flag.
-    "scd2_build" ->
-      """WITH ord AS (SELECT user_id, ts, event_id, event_type,
-        |                    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
-        |                    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
-        |                         THEN 1 ELSE 0 END AS chg
-        |             FROM events
-        |             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |isl AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
-        |        FROM ord),
-        |grp AS (SELECT user_id, version, min(event_type) AS event_type, min(ts) AS t0,
-        |               count(*) AS n_events, sum(v_c) AS sum_value_c
-        |        FROM isl GROUP BY 1, 2)
-        |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(version AS BIGINT) AS version,
-        |       event_type,
-        |       CAST(floor(epoch(t0)) AS BIGINT) AS valid_from_ep,
-        |       CAST(floor(epoch(lead(t0) OVER wv)) AS BIGINT) AS valid_to_ep,
-        |       CAST(CASE WHEN lead(t0) OVER wv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
-        |       CAST(n_events AS BIGINT) AS n_events,
-        |       CAST(sum_value_c AS BIGINT) AS sum_value_c
-        |FROM grp WINDOW wv AS (PARTITION BY user_id ORDER BY version)
-        |ORDER BY user_id, version""".stripMargin,
+    "scd2_build" -> scd2Sql,
+    // Incremental merge of the day-2 slice into the persisted SCD2 base:
+    // the oracle is the FULL REBUILD replay, so the hash match proves
+    // merge ≡ rebuild (the agg_incremental_refresh convention).
+    "scd2_merge" -> scd2Sql,
     // Last-touch attribution: IGNORE NULLS last over the preceding-rows
     // frame pulls the latest non-purchase touch (type + timestamp from the
     // same row); 7-day lookback in exact integer microseconds.

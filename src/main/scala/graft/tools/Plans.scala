@@ -84,7 +84,8 @@ object Plans {
       "lake_sql_hidden" -> "SQL-surface hidden partitioning: a plain SQL ts-range over the lake_events view, rewritten to event_date PartitionFilters by HiddenPartitionRewrite",
       "cdc_apply" -> "CDC changelog apply: ONE user-key shuffle — per-key row_number replay order, tombstone-frontier self-join, max_by final-state aggregate",
       "scd2_build" -> "SCD2 interval history: ONE user-key shuffle — lag-change islands, per-island aggregate reusing the window partitioning (subset rule), valid_to lead",
-      "events_attribution" -> "last-touch attribution: IGNORE-NULLS last over a preceding-rows frame, never a purchases-to-touches join; tiny per-channel rollup")
+      "events_attribution" -> "last-touch attribution: IGNORE-NULLS last over a preceding-rows frame, never a purchases-to-touches join; tiny per-channel rollup",
+      "scd2_merge" -> "incremental SCD2 merge: ONE raw scan (the delta slice), closed history passes through from the persisted base unshuffled, open rows seed the fold")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

@@ -343,6 +343,28 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_.getLong(7)).sum == total.getLong(1))
   }
 
+  test("scd2 merge equals the full rebuild and never rescans the history") {
+    val merged = Temporal.scd2Merge(spark, sfDir)
+    val full = Temporal.scd2Build(spark, sfDir)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "incremental merge must be row-identical to the full rebuild")
+    assert(merged.count() > 0)
+    // the scale property: the raw log is scanned ONCE (the delta slice);
+    // history arrives via the persisted base table
+    val plan = Temporal.scd2Merge(spark, sfDir).queryExecution.executedPlan.toString
+    val rawScans = "events\\.parquet".r.findAllIn(plan).length
+    assert(rawScans == 1, s"expected exactly one raw events scan, saw $rawScans")
+    assert(plan.contains("graft_scd2_base_"), "history must come from the persisted base")
+    // the merge genuinely extends/closes/keeps: the base's current rows
+    // and the merged current rows must differ for at least one key (the
+    // delta is 6 of 30 days, so some user changed state)
+    val base = spark.table(Temporal.ensureScd2Base(spark, sfDir))
+    assert(base.filter($"valid_to_us".isNull).count() !=
+      merged.filter($"is_current" === 1 && $"version" === 1).count() ||
+      base.count() < merged.count(),
+      "day-2 slice should have moved at least one key's state")
+  }
+
   test("last-touch attribution conserves purchases and matches a per-row reference") {
     val e = Tables.events(spark, sfDir)
       .select($"user_id".as[Long], $"ts".as[java.sql.Timestamp], $"event_id".as[Long],
