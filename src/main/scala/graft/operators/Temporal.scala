@@ -391,6 +391,41 @@ object Temporal {
       col("valid_to_us"), col("n_events"), col("sum_value_c"))))
   }
 
+  /** Point-in-time lookup against the SCD2 history — the feature-store
+    * "state as of event time" join that makes interval histories useful
+    * (train-serve skew dies exactly here: a model must see the version
+    * that was CURRENT at the example's timestamp, never a later one).
+    * Query points are the log's purchases, each resolving to the version
+    * current JUST BEFORE its timestamp (`valid_from < t ≤ valid_to` — the
+    * state the user was in when they decided to buy; looking up AT t
+    * would vacuously return the purchase's own island). The tiling
+    * invariant makes the match unique; a purchase that is its user's
+    * very first event has no prior state and reports `none` (left join —
+    * every purchase emits exactly one row, conservation spec-asserted).
+    *
+    * Scale shape: an equi-join on the user key with the interval bounds
+    * as residual predicates — per-key work is purchases × versions of
+    * that key only (the [[asofClickView]] class), never a global range
+    * join; both sides shuffle once on the same key.
+    */
+  def scd2PitLookup(spark: SparkSession, dir: String): DataFrame = {
+    val iv = scd2IntervalsUs(Tables.events(spark, dir))
+    val q = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("q_user"), col("event_id").as("purchase_event"),
+        unix_micros(col("ts")).as("q_us"))
+    q.join(iv, col("q_user") === col("user_id") &&
+        col("valid_from_us") < col("q_us") &&
+        (col("valid_to_us").isNull || col("q_us") <= col("valid_to_us")), "left")
+      .select(col("q_user").as("user_id"), col("purchase_event"),
+        floor(col("q_us") / 1000000L).cast("long").as("at_ep"),
+        coalesce(col("version"), lit(0L)).as("version"),
+        coalesce(col("event_type"), lit("none")).as("state_type"),
+        floor(col("valid_from_us") / 1000000L).cast("long").as("valid_from_ep"),
+        coalesce(col("n_events"), lit(0L)).as("version_n_events"))
+      .orderBy(col("user_id"), col("purchase_event"))
+  }
+
   /** Last-touch marketing attribution — credit each `purchase` to the
     * most recent PRECEDING non-purchase event (the "channel") when that
     * touch is within a 7-day lookback, else to `direct`; report per

@@ -54,7 +54,11 @@ object ScaleSweep {
     "q14_promo_share", "knn_maxsim", "knn_maxsim_pruned",
     // session additions: token-window CDC chunking, iterative LPA rounds,
     // probed-vs-exact rank eval (the other new queries are sub-second)
-    "dedup_cdc", "graph_label_prop", "knn_rank_eval")
+    "dedup_cdc", "graph_label_prop", "knn_rank_eval",
+    // round-11 additions: the CDC fold (batch + real stream), the SCD2
+    // build and its incremental merge, the drift-driven maintenance run
+    "cdc_apply", "stream_cdc_apply", "scd2_build", "scd2_merge",
+    "embed_maintain")
 
   private val SfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
@@ -71,7 +75,10 @@ object ScaleSweep {
     "stream_bloom_ingest", "basket_pairs", "knn_batch",
     "dedup_lsh_eval", "embed_top_eigen", "graph_triangles",
     "metrics_combined", "dedup_minhash_md5", "orders_pareto",
-    "graph_pagerank", "dedup_edit_distance")
+    "graph_pagerank", "dedup_edit_distance",
+    // r11: the new key-state folds — scd2_merge is the incremental-vs-
+    // rebuild showcase at the decade where plan cost dominates
+    "cdc_apply", "scd2_build", "scd2_merge")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -111,7 +111,7 @@ object ShuffleAudit {
       q -> (rs.find(_.sf == "sf0.01").get, rs.find(_.sf == "sf0.1").get)
     }
     val lines = new scala.collection.mutable.ArrayBuffer[String]
-    lines += "# SHUFFLE — measured bytes moved per query (round 10)"
+    lines += "# SHUFFLE — measured bytes moved per query (round 11)"
     lines += ""
     lines += "Generated by `graft.tools.ShuffleAudit`: task-metrics listener totals"
     lines += "for ONE measured run per (query, sf) after an untimed warm run (byte"
@@ -127,23 +127,54 @@ object ShuffleAudit {
     lines += "localCheckpoint (shingle cache, featurizer output) warm from the prior"
     lines += "run — `shuf/in` is only meaningful when input > 0."
     lines += ""
-    lines += "## Flag attribution (round 10)"
+    lines += "## Flag attribution (round 11)"
     lines += ""
-    lines += "The four SUPER-LINEAR flags (graph_pagerank, dedup_edit_distance,"
-    lines += "dedup_containment, dedup_ngram_jaccard at slope 1.26-1.29) share one"
-    lines += "cause, and it is the DATA, not the plans: the synthetic corpus reuses a"
+    lines += "SEVEN SUPER-LINEAR flags appear in the table. Five (graph_pagerank,"
+    lines += "graph_label_prop, dedup_edit_distance, dedup_containment,"
+    lines += "dedup_ngram_jaccard at slope 1.55-1.56 this sweep) share one cause,"
+    lines += "and it is the DATA, not the plans: the synthetic corpus reuses a"
     lines += "bounded phrase vocabulary, so distinct 3-gram shingles grow only 1.7x"
     lines += "over the 10x decade (16,245 -> 27,213; DuckDB recount) while per-shingle"
     lines += "document frequency grows ~6x — candidate pair volume in the data grows"
     lines += "90x (slope 1.96, near-quadratic). The engines' measured shuffle grows"
-    lines += "only 19x against that because the inverted index itself is linear and"
+    lines += "far slower against that because the inverted index itself is linear and"
     lines += "partial aggregation combines the in-join pair expansion before the"
-    lines += "exchange; pagerank's edge list inherits the same density. On a real"
+    lines += "exchange; the pagerank and label-prop edge lists inherit the same"
+    lines += "density (both iterate over the near-dup pair graph). On a real"
     lines += "corpus, vocabulary grows with the data (Heaps' law) and per-shingle df"
     lines += "stays bounded; the dfCap stop-shingle guard bounds the worst case, and"
-    lines += "the banded MinHash path (dedup_minhash_md5, measured slope 0.95-0.97"
+    lines += "the banded MinHash path (dedup_minhash_md5, measured slope 0.93-0.97"
     lines += "here) is the documented 100 TB route — the exact shingle-pair variants"
     lines += "are its oracle-exactness twins."
+    lines += ""
+    lines += "The remaining two flags have the same data-density root, one step"
+    lines += "removed:"
+    lines += ""
+    lines += "- **dedup_lsh_eval (1.52)** runs the exact-Jaccard truth leg ON PURPOSE"
+    lines += "  — it is the precision/recall AUDIT of the banded path against exact"
+    lines += "  shingle-pair Jaccard, so its shuffle rides the same near-quadratic"
+    lines += "  in-data candidate-pair growth (slope 1.96) the five exact variants"
+    lines += "  above do. The production path it certifies (dedup_minhash_md5, slope"
+    lines += "  0.93-0.97) is the 100 TB route; the eval is a sampled off-peak job by"
+    lines += "  nature, not a per-ingest operator."
+    lines += "- **graph_triangles (1.31)** counts wedges over the near-dup pair graph,"
+    lines += "  and its edge list inherits the corpus's duplicate density exactly as"
+    lines += "  pagerank/label-prop do: wedge volume grows with Σ deg(v)² of a graph"
+    lines += "  whose edges grow near-quadratically in this synthetic corpus. The"
+    lines += "  compact-forward census itself is the standard linear-in-wedges plan"
+    lines += "  (each triangle counted once via id-ordered edges); on a Heaps'-law"
+    lines += "  corpus with bounded per-shingle df the edge list is linear and the"
+    lines += "  wedge volume bounded by the dfCap guard upstream."
+    lines += ""
+    lines += "The round-11 key-state folds (cdc_apply, stream_cdc_apply, scd2_build,"
+    lines += "scd2_merge) measure slope 0.98-1.01 — exactly linear, as a single"
+    lines += "user-key shuffle should be — and scd2_merge moves ~2.5x fewer bytes"
+    lines += "than scd2_build at sf0.1 because only the delta slice and open rows pay"
+    lines += "the exchange (closed history passes through the persisted base"
+    lines += "unshuffled). media_decode_real's new nonzero shuf/in is the r11"
+    lines += "id-repartition before the CPU-bound decode: an 8-byte/row exchange"
+    lines += "bought decode parallelism tracking the session, not the file split"
+    lines += "count."
     lines += ""
     lines += "| query | input sf0.1 MB | shufW sf0.1 MB | shufR sf0.1 MB | shuf/in | spill MB | tasks | skew | shufW slope | verdict |"
     lines += "|---|---|---|---|---|---|---|---|---|---|"

@@ -365,6 +365,31 @@ class OperatorSpec extends SparkSpec {
       "day-2 slice should have moved at least one key's state")
   }
 
+  test("scd2 point-in-time lookup: every purchase resolves to exactly one prior state") {
+    val got = Temporal.scd2PitLookup(spark, sfDir).cache()
+    val nPurchases = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase").count()
+    assert(got.count() == nPurchases && nPurchases > 0,
+      "left join + tiling: exactly one row per purchase")
+    assert(got.select($"purchase_event").distinct().count() == nPurchases,
+      "no purchase may match two versions")
+    // strictly-before semantics: the prior state is 'purchase' only for a
+    // non-leading purchase of a purchase run — both cases must occur
+    val types = got.select($"state_type").distinct().as[String].collect().toSet
+    assert(types.contains("purchase") && (types - "purchase").nonEmpty, types.toString)
+    assert(got.filter($"valid_from_ep" > $"at_ep").count() == 0)
+    // a 'none' row is exactly a purchase that is its user's first event
+    val firstEvents = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")))
+      .filter($"rn" === 1 && $"event_type" === "purchase")
+      .select($"event_id").as[Long].collect().toSet
+    val noneRows = got.filter($"state_type" === "none")
+      .select($"purchase_event").as[Long].collect().toSet
+    assert(noneRows == firstEvents, s"none=$noneRows firsts=$firstEvents")
+    got.unpersist()
+  }
+
   test("last-touch attribution conserves purchases and matches a per-row reference") {
     val e = Tables.events(spark, sfDir)
       .select($"user_id".as[Long], $"ts".as[java.sql.Timestamp], $"event_id".as[Long],
