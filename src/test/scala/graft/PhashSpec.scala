@@ -58,7 +58,8 @@ class PhashSpec extends SparkSpec {
     // recall is the method's dial, not a defect: a variant whose drift
     // exceeds tau is out of radius by definition (the MinHash-banding
     // recall trade) — but most variants must land inside, and EVERY
-    // within-tau pair is found (pigeonhole over the 8 byte-bands), which
+    // within-tau pair is found (pigeonhole over the 4 16-bit bands with
+    // single-bit probe expansion: some band differs <= 1 bit), which
     // the exhaustive check below pins exactly
     assert(variantPairs.length * 10 >= nVariants * 7,
       s"too few variants within tau: ${variantPairs.length}/$nVariants")
