@@ -64,8 +64,18 @@ object Bench {
       val f = java.nio.file.Paths.get("ANCHORS.json")
       if (java.nio.file.Files.exists(f)) {
         val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-        """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        val parsed = """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // Every anchor key must name a registered query — if the file ever
+        // gains metadata/nested fields, their numbers must not be silently
+        // swallowed into the shared_vs_anchor ratio.
+        val registered = graft.SparkEntry.queries.keySet
+        val strays = parsed.keySet -- registered
+        if (strays.nonEmpty)
+          System.err.println(
+            s"WARN: ANCHORS.json keys not matching any registered query " +
+              s"(ignored): ${strays.toSeq.sorted.mkString(", ")}")
+        parsed.view.filterKeys(registered).toMap
       } else Map.empty
     }
     val shared = results.collect { case (k, Right(v)) if anchors.contains(k) => (v, anchors(k)) }

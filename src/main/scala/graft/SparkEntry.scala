@@ -900,7 +900,8 @@ object SparkEntry {
       s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |                  a.embedding AS va, b.embedding AS vb
          |           FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
-         |u AS (SELECT *, 1.0 / sqrt(${dotSql("va", "va")}) AS inv FROM p),
+         |u AS (SELECT *, CASE WHEN ${dotSql("va", "va")} = 0 THEN 1.0
+         |                     ELSE 1.0 / sqrt(${dotSql("va", "va")}) END AS inv FROM p),
          |n AS (SELECT *, list_transform(va, x -> CAST(CAST(x AS DOUBLE) * inv AS FLOAT)) AS ua FROM u)
          |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
          |       ${microSql(dotSql("va", "vb"))} AS dot_micro,

@@ -140,7 +140,11 @@ object IndexStore {
     */
   def maintainQuery(spark: SparkSession, dir: String,
                     tauMicroSq: Long = 1000000000000L): DataFrame = {
-    val drift = centroidDrift(spark, dir).cache()
+    // ≤nlist-row report: localCheckpoint (not cache) — materializes once
+    // for the two consumers and its blocks are reclaimed by the context
+    // cleaner when the frame goes out of scope, so repeated maintenance
+    // calls in a long-lived session can't accumulate pinned cached blocks.
+    val drift = centroidDrift(spark, dir).localCheckpoint()
     val maxDrift = drift.agg(max(col("drift_metric"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)

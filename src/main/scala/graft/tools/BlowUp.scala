@@ -106,8 +106,13 @@ object BlowUp {
       .withColumn("n_chars", length(col("text")))
       .drop("rep"), "documents")
 
-    // embeddings: per-replica sign-flip pattern on a replica-dependent
-    // stride — exact (negation), norm-preserving, decorrelating
+    // embeddings: per-replica sign-flip mask hashed from (rep, dim) —
+    // exact (negation), norm-preserving, and GENUINELY decorrelating:
+    // every replica draws its own ~50% flip pattern, so no two replicas
+    // share a mask (a stride rule like (j·rep) % 3 degenerates to two
+    // equivalence classes — reps ≡ 0 mod 3 flip nothing and every other
+    // rep flips the same j % 3 = 0 dims, making cross-replica vectors
+    // exact clones and biasing the sf1 neighbor structure)
     val emb = t("embeddings")
     val maxV = maxOf(emb, "vec_id")
     w(replicate(spark, emb, factor)
@@ -116,7 +121,7 @@ object BlowUp {
         when(col("rep") === 0, col("embedding"))
           .otherwise(zip_with(col("embedding"),
             sequence(lit(0), size(col("embedding")) - 1),
-            (x, j) => when((j * col("rep")) % 3 === 0, x).otherwise(-x))))
+            (x, j) => when(pmod(hash(col("rep"), j), lit(2)) === 0, x).otherwise(-x))))
       .drop("rep"), "embeddings")
 
     spark.stop()
