@@ -2364,11 +2364,25 @@ object SparkEntry {
          |FROM read_parquet('${graft.operators.Multimodal.graysPath(oracleSfDir)}/grays/*.parquet')
          |ORDER BY doc_id""".stripMargin
     },
-    // Multi-index Hamming pairs: 8 byte bands (complete for tau<8 by
-    // pigeonhole), exact xor/bit_count verify — all from the same export.
+    // Multi-index Hamming pairs with the AUTO-SCALED band layout. The
+    // pair SET is layout-independent (every feasible layout is complete
+    // for the tau cut by pigeonhole), so the oracle replays it with the
+    // fixed 8-byte-band layout; the LAYOUT DECISION is replayed from the
+    // same measured statistics (corpus size + per-width collision mass,
+    // all integer) and attached as the audit columns — the hash match
+    // proves both the pairs and that the engine chose the cost argmin.
     "media_phash_pairs" -> {
       val lo = graft.operators.Multimodal.dhashSql("grays", 0, base = 1)
       val hi = graft.operators.Multimodal.dhashSql("grays", 1, base = 1)
+      // probes/band per width for the default tau=7 — layout constants,
+      // computed by the same combinatorics the engine uses
+      val pCase = graft.operators.Multimodal.HammingWidths.map { w =>
+        val p = graft.operators.Multimodal.probeBitsFor(w, 7)
+        s"WHEN $w THEN ${graft.operators.Multimodal.probesPerBand(w, p)}"
+      }.mkString(" ")
+      val pbCase = graft.operators.Multimodal.HammingWidths.map { w =>
+        s"WHEN $w THEN ${graft.operators.Multimodal.probeBitsFor(w, 7)}"
+      }.mkString(" ")
       s"""WITH h AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |                  CAST($lo AS BIGINT) AS lo, CAST($hi AS BIGINT) AS hi
          |           FROM read_parquet('${graft.operators.Multimodal.graysPath(oracleSfDir)}/grays/*.parquet')),
@@ -2376,12 +2390,38 @@ object SparkEntry {
          |             CASE WHEN i < 4 THEN (lo >> (8 * i)) & 255
          |                  ELSE (hi >> (8 * (i - 4))) & 255 END AS bv
          |      FROM h CROSS JOIN (SELECT unnest(range(8)) AS i)),
+         |allb AS (SELECT 8 AS w, i,
+         |                CASE WHEN i < 4 THEN (lo >> (8 * i)) & 255
+         |                     ELSE (hi >> (8 * (i - 4))) & 255 END AS bv
+         |         FROM h CROSS JOIN (SELECT unnest(range(8)) AS i)
+         |         UNION ALL
+         |         SELECT 16, i,
+         |                CASE WHEN i < 2 THEN (lo >> (16 * i)) & 65535
+         |                     ELSE (hi >> (16 * (i - 2))) & 65535 END
+         |         FROM h CROSS JOIN (SELECT unnest(range(4)) AS i)
+         |         UNION ALL
+         |         SELECT 32, i,
+         |                CASE WHEN i = 0 THEN lo & 4294967295 ELSE hi & 4294967295 END
+         |         FROM h CROSS JOIN (SELECT unnest(range(2)) AS i)),
+         |cm AS (SELECT w, SUM(c * c) AS coll
+         |       FROM (SELECT w, i, bv, COUNT(*) AS c FROM allb GROUP BY 1, 2, 3)
+         |       GROUP BY w),
+         |nn AS (SELECT COUNT(*) AS n FROM h),
+         |pick AS (SELECT w, 64 // w AS m, CASE w $pbCase END AS p
+         |         FROM (SELECT w,
+         |                      n * (64 // w) * (CASE w $pCase END)
+         |                        + (CASE w $pCase END) * coll AS cost
+         |               FROM cm CROSS JOIN nn)
+         |         ORDER BY cost, w LIMIT 1),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
          |         FROM b a JOIN b b2 ON a.i = b2.i AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
          |v AS (SELECT id_a, id_b,
          |             CAST(bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming
          |      FROM cand JOIN h ha ON ha.doc_id = id_a JOIN h hb ON hb.doc_id = id_b)
-         |SELECT id_a, id_b, hamming FROM v WHERE hamming <= 7
+         |SELECT id_a, id_b, hamming,
+         |       CAST(pick.w AS BIGINT) AS band_w, CAST(pick.m AS BIGINT) AS n_bands,
+         |       CAST(pick.p AS BIGINT) AS probe_bits, CAST(nn.n AS BIGINT) AS n_hashes
+         |FROM v CROSS JOIN pick CROSS JOIN nn WHERE hamming <= 7
          |ORDER BY id_a, id_b""".stripMargin
     },
     "media_meta" ->

@@ -379,47 +379,135 @@ object Multimodal {
     path
   }
 
-  /** Image NEAR-DUP PAIRS over the perceptual hashes — multi-index
-    * Hamming search (Norouzi et al.'s MIH shape): 4 16-bit bands per
-    * 64-bit hash with single-bit QUERY EXPANSION on the probe side. Any
-    * two hashes within τ ≤ 7 have SOME band differing in ≤ ⌊7/4⌋ = 1 bit
-    * (pigeonhole), and the probe side explodes each band value into
-    * itself plus its 16 single-bit flips, so the (band, value) equi-join
-    * is COMPLETE for the τ=7 cut; exact Hamming verifies.
+  /** Candidate band widths for the 64-bit (lo32 ++ hi32) hash — every
+    * divisor of 64 that tiles the two 32-bit halves without straddling.
+    */
+  private[graft] val HammingWidths: Seq[Int] = Seq(8, 16, 32)
+
+  /** Probe depth the completeness law τ ≤ m·(p+1) − 1 requires of an
+    * m-band layout: the smallest p with m·(p+1) > τ (pigeonhole: some
+    * band of a within-τ pair differs in ≤ p bits).
+    */
+  private[graft] def probeBitsFor(width: Int, tau: Int): Int = {
+    val m = 64 / width
+    math.max(0, (tau + 1 + m - 1) / m - 1)
+  }
+
+  /** Probes per band value under p-bit expansion: Σ_{i≤p} C(width, i). */
+  private[graft] def probesPerBand(width: Int, p: Int): Long = {
+    def choose(nn: Int, kk: Int): Long =
+      (1 to kk).foldLeft(1L)((a, i) => a * (nn - i + 1) / i)
+    (0 to p).map(choose(width, _)).sum
+  }
+
+  /** Pick the band layout from MEASURED corpus statistics — the
+    * `knn_autotune` idiom applied to Hamming search. Band width is the
+    * capacity dial of a multi-index (the nlist of Hamming search): a
+    * fixed 8×8-bit layout's 2,048-bucket space candidates grow as
+    * n²/2048 no matter how well-spread the hashes are, while wider bands
+    * pay more probe rows per hash (Σ C(w,i) XOR flips). Estimated total
+    * work for width w with m = 64/w bands and P probes/band:
     *
-    * Why 16-bit bands and not 8: band width is the CAPACITY dial of this
-    * index (the nlist of Hamming search). An 8-band/8-bit layout has a
-    * FIXED 8·256 = 2,048-bucket space, so candidates grow as n²/2048 no
-    * matter how well-spread the hashes are — measured 376M candidate
-    * pairs for 57k true pairs at the synthetic sf1 decade. 4×16-bit
-    * probing buys a 2^16-per-band space (and 17 cheap probe rows per
-    * band) for a ~12× measured candidate cut at the same completeness;
-    * at larger corpora the dial keeps going (wider bands + deeper
-    * probes: completeness holds for τ ≤ m·(p+1) − 1 with m bands and
-    * p-bit expansion). The residual super-linear term at the sf1 sweep
-    * is the DATA's: the blow-up's replica images are genuine near-dups,
-    * so the true pair set itself grows 902 → 57,455 over the decade
-    * (in-data output slope 1.80) and any complete algorithm pays it.
-    * Catches each rescaled variant against its source (spec-asserted).
+    *   cost(w) = n·m·P  (probe rows)  +  P·collMass(w)  (candidates),
+    *
+    * where collMass(w) = Σ_{band,value} count² is the measured home-bucket
+    * collision mass (each probe bucket's occupancy estimated by the home
+    * bucket's — exact for P=1, a same-order proxy under expansion). All
+    * integer arithmetic over measured counts, so the DuckDB oracle replays
+    * the decision bit for bit; ties break to the narrower band. Widths
+    * whose probe fan-out is absurd for the requested τ (> 2²⁰ probes) are
+    * infeasible, never chosen.
+    */
+  private[graft] def chooseHammingLayout(n: Long, collMass: Map[Int, Long],
+                                         tau: Int): (Int, Int) = {
+    val costs = HammingWidths.flatMap { w =>
+      val p = probeBitsFor(w, tau)
+      val pr = probesPerBand(w, p)
+      if (pr > (1L << 20)) None
+      else Some((w, p,
+        BigInt(n) * (64 / w) * pr + BigInt(pr) * BigInt(collMass.getOrElse(w, 0L))))
+    }
+    require(costs.nonEmpty, s"no feasible band layout for tau=$tau")
+    val (w, p, _) = costs.minBy { case (ww, _, c) => (c, BigInt(ww)) }
+    (w, p)
+  }
+
+  /** Band `i` of width `w` over the (lo32 ++ hi32) hash as a SQL
+    * fragment — global bit offset w·i, drawn from `phash_lo` below bit 32
+    * and `phash_hi` above (widths tile the halves, never straddle).
+    */
+  private def bandValSql(w: Int, i: Int): String = {
+    val off = w * i
+    val mask = (1L << w) - 1
+    if (off < 32) s"((phash_lo >> $off) & $mask)"
+    else s"((phash_hi >> ${off - 32}) & $mask)"
+  }
+
+  /** One aggregate pass over the hash frame: corpus size n and, for every
+    * candidate width, the home-bucket collision mass Σ count² — the two
+    * measured inputs of [[chooseHammingLayout]]. 14 tiny (w, band, value)
+    * rows per hash, map-combined; the report is ≤ |widths| rows.
+    */
+  private[graft] def hammingLayoutStats(h: DataFrame): (Long, Map[Int, Long]) = {
+    val bandCols = HammingWidths.flatMap { w =>
+      (0 until 64 / w).map(i =>
+        struct(lit(w).as("w"), lit(i).as("band"), expr(bandValSql(w, i)).as("bv")))
+    }
+    val rows = h.select(explode(array(bandCols: _*)).as("b"))
+      .groupBy(col("b.w").as("w"), col("b.band").as("band"), col("b.bv").as("bv"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("w"))
+      .agg(sum(expr("c * c")).as("coll"), sum(col("c")).as("total"))
+      .collect()
+    val coll = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = rows.headOption.map(r => r.getLong(2) / (64 / r.getInt(0))).getOrElse(0L)
+    (n, coll)
+  }
+
+  /** Image NEAR-DUP PAIRS over the perceptual hashes — multi-index
+    * Hamming search (Norouzi et al.'s MIH shape) with an AUTO-SCALED band
+    * layout: [[chooseHammingLayout]] derives (band width, probe depth)
+    * from the measured corpus (size + per-width collision mass) under the
+    * completeness law τ ≤ m·(p+1) − 1, so candidate volume tracks the
+    * true-pair volume at any n instead of riding a hand constant — tiny
+    * corpora get cheap 8-bit bands with zero expansion, big corpora get
+    * 16/32-bit bands whose larger bucket spaces keep collisions near the
+    * within-τ set (measured 376M candidates for 57k true pairs when the
+    * old fixed 8×8 layout met the synthetic sf1 decade; the 4×16 probed
+    * layout cut that ~12× at identical output). Any two hashes within τ
+    * have SOME band differing in ≤ p bits (pigeonhole), and the probe
+    * side explodes each band value into its ≤p-bit XOR flips, so the
+    * (band, value) equi-join is COMPLETE for the τ cut at EVERY derived
+    * layout (spec re-proves exactness against brute force); exact Hamming
+    * verifies. The chosen layout surfaces as audit columns the oracle
+    * replays from the same measured statistics. The residual
+    * super-linear term at the sf1 sweep is the DATA's: the blow-up's
+    * replica images are genuine near-dups, so the true pair set itself
+    * grows at slope ~1.8 over the decade and any complete algorithm
+    * pays it.
     */
   def phashPairsQuery(spark: SparkSession, dir: String, tau: Int = 7): DataFrame = {
-    require(tau <= 7, s"4-band/1-bit-probe layout is complete only for tau <= 7, got $tau")
+    require(tau >= 0 && tau < 64, s"tau must be a 64-bit Hamming radius, got $tau")
     val h = phashQuery(spark, dir)
       .select(col("doc_id"), col("phash_lo"), col("phash_hi"))
-    def bandVal(i: Int): String =
-      if (i < 2) s"((phash_lo >> ${16 * i}) & 65535)"
-      else s"((phash_hi >> ${16 * (i - 2)}) & 65535)"
-    val exactCols = (0 until 4).map(i =>
+    val (n, collMass) = hammingLayoutStats(h)
+    val (w, p) = chooseHammingLayout(n, collMass, tau)
+    val m = 64 / w
+    def bandVal(i: Int): String = bandValSql(w, i)
+    val exactCols = (0 until m).map(i =>
       struct(lit(i).as("band"), expr(bandVal(i)).as("bv")))
     val exact = h.select(col("doc_id"), explode(array(exactCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val probeCols = (0 until 4).map { i =>
-      struct(lit(i).as("band"),
-        expr(s"transform(sequence(0, 16), j -> CASE WHEN j = 0 THEN ${bandVal(i)} " +
-          s"ELSE ${bandVal(i)} ^ shiftleft(CAST(1 AS BIGINT), j - 1) END)").as("bvs"))
-    }
+    // ≤p-bit XOR masks, driver-enumerated (a pure function of the layout,
+    // bounded by the probesPerBand feasibility cut — never data-sized)
+    val masks: Array[Long] = (0 to p).flatMap(i =>
+      (0 until w).combinations(i).map(_.foldLeft(0L)((a, b) => a | (1L << b)))).toArray
+    val probeCols = (0 until m).map(i =>
+      struct(lit(i).as("band"), expr(bandVal(i)).as("bv0")))
     val probes = h.select(col("doc_id"), explode(array(probeCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), explode(col("bb.bvs")).as("bv"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        explode(lit(masks)).as("mask"), col("bb.bv0"))
+      .select(col("doc_id"), col("band"), expr("bv0 ^ mask").as("bv"))
     val cand = probes.as("a").join(exact.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -434,6 +522,10 @@ object Multimodal {
         expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long"))
       .filter(col("hamming") <= tau)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .withColumn("band_w", lit(w.toLong))
+      .withColumn("n_bands", lit(m.toLong))
+      .withColumn("probe_bits", lit(p.toLong))
+      .withColumn("n_hashes", lit(n))
       .orderBy(col("id_a"), col("id_b"))
   }
 

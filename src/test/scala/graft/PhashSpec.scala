@@ -78,6 +78,72 @@ class PhashSpec extends SparkSpec {
       s"banding must be exactly the within-tau set: ${pairs.length} vs ${brute.size}")
   }
 
+  test("derived band layout: completeness law, feasibility, and measured-cost argmin") {
+    // the completeness law holds for every candidate width at every tau
+    for (w <- Multimodal.HammingWidths; tau <- 0 to 15) {
+      val p = Multimodal.probeBitsFor(w, tau)
+      val m = 64 / w
+      assert(m * (p + 1) - 1 >= tau, s"w=$w tau=$tau p=$p violates the law")
+      assert(p == 0 || m * p - 1 < tau, s"w=$w tau=$tau p=$p is not minimal")
+    }
+    // probe combinatorics for the default tau=7
+    assert(Multimodal.probesPerBand(8, Multimodal.probeBitsFor(8, 7)) == 1L)
+    assert(Multimodal.probesPerBand(16, Multimodal.probeBitsFor(16, 7)) == 17L)
+    assert(Multimodal.probesPerBand(32, Multimodal.probeBitsFor(32, 7)) == 5489L)
+    // under uniform collision mass (coll ~ m*n^2/2^w) a tiny corpus picks
+    // the cheap 8-bit bands, a big one pays probes for a bigger bucket space
+    def uniform(n: Long): Map[Int, Long] =
+      Multimodal.HammingWidths.map(w => w -> (64 / w) * (n * n >> w)).toMap
+    assert(Multimodal.chooseHammingLayout(300, uniform(300), 7)._1 == 8)
+    assert(Multimodal.chooseHammingLayout(50000, uniform(50000), 7)._1 == 16)
+    // a huge well-spread corpus buys the 2^32 bucket space despite the
+    // 5489-probe fan-out — candidates dominate the probe term
+    assert(Multimodal.chooseHammingLayout(20000000, uniform(20000000), 7)._1 == 32)
+    // a degenerate corpus (all hashes equal: coll = m*n^2 at EVERY width)
+    // correctly refuses to pay probes — widening can't split the bucket
+    val clone = Multimodal.HammingWidths.map(w => w -> (64 / w) * 4000000000L).toMap
+    assert(Multimodal.chooseHammingLayout(63000, clone, 7)._1 == 8)
+    // deterministic: same inputs, same layout
+    assert(Multimodal.chooseHammingLayout(50000, uniform(50000), 7) ==
+      Multimodal.chooseHammingLayout(50000, uniform(50000), 7))
+  }
+
+  test("pair query at tau=9 stays exactly the brute-force set (general probe masks)") {
+    val pairs = Multimodal.phashPairsQuery(spark, sfDir, tau = 9)
+      .select($"id_a".as[Long], $"id_b".as[Long], $"hamming".as[Long])
+      .collect()
+    val hs = Multimodal.phashQuery(spark, sfDir)
+      .select($"doc_id".as[Long], $"phash_lo".as[Long], $"phash_hi".as[Long])
+      .collect()
+    val brute = (for {
+      a <- hs; b <- hs if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+      if d <= 9
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(pairs.toSet == brute,
+      s"tau=9 banding must be exactly the within-tau set: ${pairs.length} vs ${brute.size}")
+  }
+
+  test("audit columns surface a lawful layout consistent with the measured stats") {
+    val rows = Multimodal.phashPairsQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val w = rows.head.getAs[Long]("band_w")
+    val m = rows.head.getAs[Long]("n_bands")
+    val p = rows.head.getAs[Long]("probe_bits")
+    val n = rows.head.getAs[Long]("n_hashes")
+    assert(rows.forall(r => r.getAs[Long]("band_w") == w &&
+      r.getAs[Long]("n_bands") == m && r.getAs[Long]("probe_bits") == p &&
+      r.getAs[Long]("n_hashes") == n))
+    assert(w * m == 64L && m * (p + 1) - 1 >= 7)
+    // the surfaced n is the hash-frame count, and the surfaced layout IS
+    // the measured-cost argmin for these hashes
+    val h = Multimodal.phashQuery(spark, sfDir)
+      .select($"doc_id", $"phash_lo", $"phash_hi")
+    val (nM, coll) = Multimodal.hammingLayoutStats(h)
+    assert(nM == n)
+    assert(Multimodal.chooseHammingLayout(nM, coll, 7) == ((w.toInt, p.toInt)))
+  }
+
   test("named query: one hash per document plus variants, halves positive, n_ones consistent") {
     val out = Multimodal.phashQuery(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()
