@@ -58,6 +58,7 @@ object SparkEntry {
     "knn_graph" -> ((s, d) => graft.sources.GraphIndex.searchQuery(s, d)),
     "graph_degree_stats" -> ((s, d) => graft.sources.GraphIndex.degreeStats(s, d)),
     "knn_rewrite" -> ((s, d) => graft.sources.IndexStore.rewriteSearchQuery(s, d)),
+    "lake_sql_ann" -> ((s, d) => graft.sources.IndexStore.sqlAnnQuery(s, d)),
     "knn_tombstone" -> ((s, d) => graft.sources.IndexStore.searchTombstoned(s, d)),
     "knn_recall_report" -> ((s, d) => graft.sources.IndexStore.recallReport(s, d)),
     "knn_rank_eval" -> ((s, d) => graft.sources.IndexStore.mrrReport(s, d)),
@@ -1102,6 +1103,10 @@ object SparkEntry {
     // The AnnProbeRewrite-rewritten naive flat query probes the same cells
     // and scores identically — one oracle serves both plans.
     "knn_rewrite" -> ivfProbedSearchSql(),
+    // The SQL-route twin: spark.sql over the lake_vectors catalog view,
+    // rewritten by the same rule into the same probed plan — one oracle
+    // serves the DataFrame, rewritten-flat, and SQL entry surfaces.
+    "lake_sql_ann" -> ivfProbedSearchSql(),
     // The streaming run searches the SAME persisted store with the same
     // k/nprobe/query set — one oracle serves both the batch and the
     // AvailableNow streaming execution.

@@ -179,12 +179,27 @@ object AnnProbeRewrite extends Rule[LogicalPlan] {
       (s, cid)
     }.sortBy(identity).take(n).map(_._2).toSeq
 
+  /** The sorted-limit head, tolerating one derived-column Project pushed
+    * between the limit and the sort (the optimizer moves outer per-row
+    * projections like `floor(sim*1e6)` below LocalLimit — the shape every
+    * "SELECT …, f(sim) FROM (… ORDER BY sim LIMIT k)" composition takes).
+    * Returns the Sort plus a re-wrapper for the interposed node.
+    */
+  private object SortedLimitChild {
+    def unapply(p: LogicalPlan): Option[(Sort, LogicalPlan => LogicalPlan)] = p match {
+      case st: Sort => Some((st, identity))
+      case pj @ Project(_, st: Sort) => Some((st, (np: LogicalPlan) => pj.copy(child = np)))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transform {
       case gl @ GlobalLimit(IntegerLiteral(_),
-          ll @ LocalLimit(_, st @ Sort(SortOrder(attr: Attribute, direction, _, _) +: _, true,
-            pj @ Project(projList, ScanChain(rel, filters, rebuild)), _)))
+          ll @ LocalLimit(_, SortedLimitChild(
+            st @ Sort(SortOrder(attr: Attribute, direction, _, _) +: _, true,
+              pj @ Project(projList, ScanChain(rel, filters, rebuild)), _), rewrap)))
           if !filters.exists(_.references.exists(_.name == "cell_id")) =>
         distSpec(projList, attr, direction) match {
           case Some((qvec, embAttr))
@@ -203,7 +218,8 @@ object AnnProbeRewrite extends Rule[LogicalPlan] {
                 if (lits.isEmpty || cells.isEmpty) gl
                 else {
                   val pruned = rebuild(Filter(In(cellAttr, lits), rel))
-                  gl.copy(child = ll.copy(child = st.copy(child = pj.copy(child = pruned))))
+                  gl.copy(child = ll.copy(child =
+                    rewrap(st.copy(child = pj.copy(child = pruned)))))
                 }
               case None => gl
             }

@@ -556,6 +556,58 @@ object IndexStore {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** SQL-first entry to the vector store: the clustered rows registered
+    * as a datasource-backed catalog view (the `lake_events` pattern of
+    * [[PartitionedStore.ensureSqlViews]]), so plain `spark.sql` over
+    * `lake_vectors` plans through the SAME HadoopFsRelation the DataFrame
+    * path reads — including [[graft.plans.AnnProbeRewrite]]'s store
+    * detection, which keys on the relation's `rows` root + sibling
+    * markers and is entry-surface-agnostic. Registered per call (view
+    * DDL is catalog-only) so the view always tracks the current store
+    * generation.
+    */
+  def ensureSqlView(spark: SparkSession, dir: String): String = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_vectors " +
+      s"USING parquet OPTIONS (path '$path/rows')")
+    path
+  }
+
+  /** The `lake_sql_ann` named query — the reference's client surface
+    * (`Milvus/stream1.py:161-162` search-by-expression) for SQL users:
+    * the NAIVE `ORDER BY dot(<literal qvec>, embedding) DESC … LIMIT k`
+    * text over the `lake_vectors` view, one arm per standard query
+    * vector. Nothing in the SQL mentions cells or probing — the
+    * optimizer-time [[graft.plans.AnnProbeRewrite]] recognizes each
+    * arm's sorted-limit shape over the store layout and injects the
+    * static `cell_id IN (<nprobe nearest cells>)` filter, so the SQL
+    * user gets the partition-pruned probed plan (`PartitionFilters`
+    * INSET on every arm's scan, spec-asserted) exactly as the DataFrame
+    * path does. Row-identical to `knn_ivf`, replayed by the SAME
+    * exported-store DuckDB oracle. Query vectors are inlined as double
+    * literals narrowed to float — Float.toString round-trips through a
+    * double literal bit-exactly.
+    */
+  def sqlAnnQuery(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    ensureSqlView(spark, dir)
+    val qs = VectorSearch.querySet(spark, dir, 5).orderBy(col("qid")).collect()
+    val arms = qs.map { r =>
+      val qid = r.getLong(0)
+      val vec = r.getSeq[Float](1).map(f => s"${f}D").mkString(", ")
+      s"""(SELECT CAST($qid AS BIGINT) AS qid, vec_id,
+         |        dot(CAST(array($vec) AS ARRAY<FLOAT>), embedding) AS sim
+         | FROM lake_vectors WHERE vec_id <> $qid
+         | ORDER BY sim DESC, vec_id LIMIT $k)""".stripMargin
+    }
+    spark.sql(
+      s"""SELECT qid, vec_id,
+         |       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank,
+         |       CAST(FLOOR(sim * 1000000.0D) AS BIGINT) AS sim_micro
+         |FROM (${arms.mkString("\nUNION ALL\n")})
+         |ORDER BY qid, rank""".stripMargin)
+  }
+
   /** Radius (range) search over the persisted pruned index — the scale
     * path of [[graft.operators.VectorSearch.rangeSearch]]: probe the
     * nprobe nearest cells exactly as [[searchPruned]] does (static IN-list

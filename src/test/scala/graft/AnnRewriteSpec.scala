@@ -38,6 +38,28 @@ class AnnRewriteSpec extends SparkSpec {
     assert(rewritten == probed)
   }
 
+  test("SQL route: every union arm of the lake_vectors query gets the probed INSET") {
+    val df = IndexStore.sqlAnnQuery(spark, sfDir)
+    // the rewrite fires at optimization time on each arm's sorted-limit,
+    // even with the outer sim_micro projection pushed between limit and sort
+    val cellFilters = df.queryExecution.optimizedPlan.collect {
+      case f: Filter if f.condition.references.exists(_.name == "cell_id") => f
+    }
+    assert(cellFilters.size == 5, df.queryExecution.optimizedPlan.toString)
+    val physical = df.queryExecution.executedPlan.toString
+    val insets = "PartitionFilters: \\[[^\\]]*cell_id[^\\]]* IN ".r
+      .findAllIn(physical).length
+    assert(insets == 5, physical.take(4000))
+  }
+
+  test("SQL route is row-identical to the explicit probed search (knn_ivf)") {
+    val viaSql = IndexStore.sqlAnnQuery(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val probed = IndexStore.searchQuery(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(viaSql == probed)
+  }
+
   test("disabling the conf restores the exact flat scan") {
     spark.conf.set("spark.graft.ann.rewrite.enabled", "false")
     try {
