@@ -237,6 +237,7 @@ object SparkEntry {
     "lake_sql_dpp" -> ((s, d) => graft.sources.PartitionedStore.sqlDppQuery(s, d)),
     "lake_sql_hidden" -> ((s, d) => graft.sources.PartitionedStore.sqlHiddenQuery(s, d)),
     "partitioned_backfill" -> ((s, d) => graft.sources.PartitionedStore.backfillQuery(s, d)),
+    "partitioned_merge" -> ((s, d) => graft.sources.PartitionedStore.mergeQuery(s, d)),
     "partitioned_hidden" -> ((s, d) => graft.sources.PartitionedStore.hiddenRouteQuery(s, d)),
     "partitioned_layout_stats" -> ((s, d) => graft.sources.PartitionedStore.layoutStats(s, d)),
     "partitioned_retention" -> ((s, d) => graft.sources.PartitionedStore.retentionQuery(s, d)),
@@ -3320,6 +3321,24 @@ object SparkEntry {
         |       CAST(sum(CAST(CASE WHEN CAST(ts AS DATE) = lo.d + 1
         |                          THEN value * 2 ELSE value END AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
         |FROM events, lo GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Lake MERGE replay: the whole changeset (delete day-2 keys ≡ 0 mod 7,
+    // re-derive day-3 click values ×2, insert day-1 keys ≡ 0 mod 5 as
+    // fresh day-3 rows) applied inline on the raw table — the hash match
+    // proves the copy-on-write merge ≡ a full recompute.
+    "partitioned_merge" ->
+      """WITH r AS (SELECT event_id, event_type, value, CAST(ts AS DATE) AS d FROM events),
+        |b AS (SELECT min(d) AS lo FROM r),
+        |keep AS (SELECT event_type, value FROM r, b
+        |         WHERE NOT (d = b.lo + 1 AND event_id % 7 = 0)
+        |           AND NOT (d = b.lo + 2 AND event_type = 'click')),
+        |upd AS (SELECT event_type, value * 2 AS value FROM r, b
+        |        WHERE d = b.lo + 2 AND event_type = 'click'),
+        |ins AS (SELECT event_type, value FROM r, b
+        |        WHERE d = b.lo AND event_id % 5 = 0),
+        |m AS (SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // Layout audit replayed over the SAME exported store artifact — even
     // the per-partition file attribution is hash-checked.
     "partitioned_layout_stats" ->

@@ -233,6 +233,85 @@ object PartitionedStore {
       .orderBy(col("event_type"))
   }
 
+  /** Row-level MERGE into the date-partitioned lake — the keyed
+    * upsert+delete the vector store answers with tombstones/rebuild
+    * ([[IndexStore.searchTombstoned]]/[[IndexStore.rebuild]]) and Crud
+    * answers table→table ([[graft.operators.Crud.upsert]]), answered
+    * lake-side: apply a changeset (deletes + keyed upserts, reference
+    * semantics `Milvus/stream1.py:370-371` upsert + tombstone delete) via
+    * COPY-ON-WRITE of only the affected `event_date=` directories. The
+    * [[backfillQuery]] machinery generalized from recompute-a-day to
+    * apply-a-changeset:
+    *
+    *  1. affected partitions = the changeset's distinct dates (driver-side,
+    *     ≤ |dates| — bounded metadata);
+    *  2. current rows of ONLY those partitions are read (literal date
+    *     IN-list → static `PartitionFilters`), anti-joined on the key to
+    *     drop deleted rows AND stale versions of upserted keys;
+    *  3. survivors ∪ upsert rows rewrite those directories under
+    *     `partitionOverwriteMode=dynamic` — every untouched partition's
+    *     files keep their bytes (mtime spec-asserted).
+    *
+    * At 100 TB this is the difference between touching two directories
+    * and rewriting the lake; the changeset is derived from the RAW table
+    * each run (delete day-2 keys ≡ 0 mod 7; re-derive day-3 click values
+    * ×2; insert day-1 keys ≡ 0 mod 5 shifted to day 3 under fresh ids),
+    * so re-applying is IDEMPOTENT — the scd2_merge recompute-from-source
+    * idiom. The oracle replays the whole changeset against the raw table:
+    * the hash match proves merge ≡ full recompute. Runs on its own store
+    * clone (`_mg`) so the shared store keeps matching the other queries'
+    * oracles.
+    */
+  def mergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = defaultPath(dir) + "_mg"
+    if (!new java.io.File(s"$path/calendar").exists() ||
+        !IndexStore.sourceFpCurrent(path, dir))
+      write(spark, dir, path)
+    val lo = spark.read.parquet(s"$path/calendar")
+      .agg(min(col("event_date"))).head().getDate(0)
+    if (lo != null) {
+      val day1 = java.sql.Date.valueOf(lo.toLocalDate)
+      val day2 = java.sql.Date.valueOf(lo.toLocalDate.plusDays(1))
+      val day3 = java.sql.Date.valueOf(lo.toLocalDate.plusDays(2))
+      val raw = Tables.events(spark, dir).withColumn("event_date", to_date(col("ts")))
+      val maxId = raw.agg(max(col("event_id"))).head().getLong(0)
+      // the changeset: (op, full payload for upserts) — derived from raw,
+      // so a re-apply recomputes the same target state
+      val deletes = raw
+        .filter(col("event_date") === lit(day2) && col("event_id") % 7 === 0)
+        .select(col("event_id"), col("event_date"))
+      val updates = raw
+        .filter(col("event_date") === lit(day3) && col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+      val inserts = raw
+        .filter(col("event_date") === lit(day1) && col("event_id") % 5 === 0)
+        .withColumn("event_id", col("event_id") + lit(maxId + 1L))
+        .withColumn("ts", expr("ts + INTERVAL 2 DAYS"))
+        .withColumn("event_date", to_date(col("ts")))
+      val upserts = updates.unionByName(inserts)
+      val changeKeys = deletes.select(col("event_id"))
+        .unionByName(upserts.select(col("event_id")))
+      val affected = deletes.select(col("event_date"))
+        .unionByName(upserts.select(col("event_date")))
+        .distinct().collect().map(_.getDate(0)) // ≤ |dates| rows
+      val current = spark.read.parquet(s"$path/rows")
+        .filter(col("event_date").isin(affected.toIndexedSeq: _*))
+      val survivors = current
+        .join(broadcast(changeKeys), Seq("event_id"), "left_anti")
+      survivors.unionByName(upserts.select(survivors.columns.map(col): _*))
+        .localCheckpoint() // Spark refuses lazy self-overwrite
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(s"$path/rows")
+    }
+    spark.read.parquet(s"$path/rows")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-partition layout audit — the small-files report every lake runs
     * before deciding what to compact: rows and distinct files per date
     * directory. One scan with `input_file_name()`; the oracle replays it

@@ -174,6 +174,49 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(v1 != v2, "the correction must be visible in v2 at test scale")
   }
 
+  test("merge rewrites ONLY the changeset's partitions; re-apply is idempotent") {
+    val first = PartitionedStore.mergeQuery(spark, sfDir).collect().toSeq
+    val path = PartitionedStore.defaultPath(sfDir) + "_mg"
+    val lo = spark.read.parquet(s"$path/calendar")
+      .agg(min($"event_date")).head().getDate(0).toLocalDate
+    val affected = Set(s"event_date=${lo.plusDays(1)}", s"event_date=${lo.plusDays(2)}")
+    def fileStamps(): Map[String, Long] = {
+      val rowsDir = new java.io.File(s"$path/rows")
+      Option(rowsDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified()))
+        .toMap
+    }
+    val before = fileStamps()
+    val second = PartitionedStore.mergeQuery(spark, sfDir).collect().toSeq
+    val after = fileStamps()
+    // idempotent: re-applying the changeset yields the same rows
+    assert(second == first)
+    // copy-on-write: files of untouched partitions are byte-identical
+    // (same names, same mtimes); only affected dirs may change
+    val untouchedBefore = before.filterNot { case (k, _) =>
+      affected.exists(k.startsWith) }
+    val untouchedAfter = after.filterNot { case (k, _) =>
+      affected.exists(k.startsWith) }
+    assert(untouchedBefore == untouchedAfter,
+      s"untouched partitions changed: ${(untouchedBefore.toSet diff untouchedAfter.toSet).take(3)}")
+    // and the changeset's partitions WERE rewritten on the second apply
+    val touched = after.keys.filter(k => affected.exists(k.startsWith))
+    assert(touched.nonEmpty)
+    // the merged state differs from the pre-merge raw slice: day-2 keys
+    // ≡ 0 mod 7 are gone, day-3 gained the inserted keys
+    val merged = spark.read.parquet(s"$path/rows")
+    val day2 = java.sql.Date.valueOf(lo.plusDays(1))
+    assert(merged.filter($"event_date" === lit(day2) && $"event_id" % 7 === 0).count() == 0)
+    val raw = Tables.events(spark, sfDir)
+    val maxId = raw.agg(max($"event_id")).head().getLong(0)
+    assert(merged.filter($"event_id" > maxId).count() ==
+      raw.filter(to_date($"ts") === lit(java.sql.Date.valueOf(lo)) &&
+        $"event_id" % 5 === 0).count())
+  }
+
   test("stale source fingerprint triggers a rebuild") {
     val path = PartitionedStore.defaultPath(sfDir)
     PartitionedStore.ensure(spark, sfDir)
