@@ -303,6 +303,7 @@ object SparkEntry {
     "scd2_build" -> ((s, d) => Temporal.scd2Build(s, d)),
     "scd2_merge" -> ((s, d) => Temporal.scd2Merge(s, d)),
     "scd2_pit_lookup" -> ((s, d) => Temporal.scd2PitLookup(s, d)),
+    "lake_sql_pit" -> ((s, d) => Temporal.sqlPitQuery(s, d)),
     "events_attribution" -> ((s, d) => Temporal.lastTouchAttribution(s, d)),
     // §2.10 — an actual Structured Streaming execution, oracle-checked
     "stream_hourly" -> ((s, d) => StreamOps.streamHourly(s, d)),
@@ -694,6 +695,38 @@ object SparkEntry {
       |       CAST(sum_value_c AS BIGINT) AS sum_value_c
       |FROM grp WINDOW wv AS (PARTITION BY user_id ORDER BY version)
       |ORDER BY user_id, version""".stripMargin
+
+  /** SCD2 point-in-time lookup replay (strictly-before interval join) —
+    * shared by the DataFrame path (`scd2_pit_lookup`) and its registered
+    * SQL-view surface (`lake_sql_pit`).
+    */
+  private val scd2PitSql =
+    """WITH ord AS (SELECT user_id, ts, event_id, event_type,
+      |                    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |                         THEN 1 ELSE 0 END AS chg
+      |             FROM events
+      |             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |isl AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |        FROM ord),
+      |grp AS (SELECT user_id, version, min(event_type) AS event_type,
+      |               min(epoch_us(ts)) AS from_us, count(*) AS n_events
+      |        FROM isl GROUP BY 1, 2),
+      |iv AS (SELECT *, lead(from_us) OVER (PARTITION BY user_id ORDER BY version) AS to_us
+      |       FROM grp),
+      |q AS (SELECT user_id AS q_user, event_id AS purchase_event, epoch_us(ts) AS q_us
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT CAST(q.q_user AS BIGINT) AS user_id,
+      |       CAST(purchase_event AS BIGINT) AS purchase_event,
+      |       CAST(q_us // 1000000 AS BIGINT) AS at_ep,
+      |       CAST(coalesce(version, 0) AS BIGINT) AS version,
+      |       coalesce(event_type, 'none') AS state_type,
+      |       CAST(from_us // 1000000 AS BIGINT) AS valid_from_ep,
+      |       CAST(coalesce(n_events, 0) AS BIGINT) AS version_n_events
+      |FROM q LEFT JOIN iv ON iv.user_id = q.q_user
+      |               AND iv.from_us < q.q_us
+      |               AND (iv.to_us IS NULL OR q.q_us <= iv.to_us)
+      |ORDER BY user_id, purchase_event""".stripMargin
 
   /** Strict view→click→purchase funnel as correlated stage minima —
     * shared by the batch query (`events_funnel`) and its stateful
@@ -2998,33 +3031,10 @@ object SparkEntry {
     // JUST BEFORE it (valid_from < t <= valid_to — at-t would vacuously be
     // its own island); first-ever-event purchases report 'none'. Bounds in
     // exact integer microseconds; left join conserves purchases.
-    "scd2_pit_lookup" ->
-      """WITH ord AS (SELECT user_id, ts, event_id, event_type,
-        |                    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
-        |                         THEN 1 ELSE 0 END AS chg
-        |             FROM events
-        |             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |isl AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
-        |        FROM ord),
-        |grp AS (SELECT user_id, version, min(event_type) AS event_type,
-        |               min(epoch_us(ts)) AS from_us, count(*) AS n_events
-        |        FROM isl GROUP BY 1, 2),
-        |iv AS (SELECT *, lead(from_us) OVER (PARTITION BY user_id ORDER BY version) AS to_us
-        |       FROM grp),
-        |q AS (SELECT user_id AS q_user, event_id AS purchase_event, epoch_us(ts) AS q_us
-        |      FROM events WHERE event_type = 'purchase')
-        |SELECT CAST(q.q_user AS BIGINT) AS user_id,
-        |       CAST(purchase_event AS BIGINT) AS purchase_event,
-        |       CAST(q_us // 1000000 AS BIGINT) AS at_ep,
-        |       CAST(coalesce(version, 0) AS BIGINT) AS version,
-        |       coalesce(event_type, 'none') AS state_type,
-        |       CAST(from_us // 1000000 AS BIGINT) AS valid_from_ep,
-        |       CAST(coalesce(n_events, 0) AS BIGINT) AS version_n_events
-        |FROM q LEFT JOIN iv ON iv.user_id = q.q_user
-        |               AND iv.from_us < q.q_us
-        |               AND (iv.to_us IS NULL OR q.q_us <= iv.to_us)
-        |ORDER BY user_id, purchase_event""".stripMargin,
+    "scd2_pit_lookup" -> scd2PitSql,
+    // The same as-of join reached through the registered SQL views — one
+    // strictly-before replay serves both entry surfaces.
+    "lake_sql_pit" -> scd2PitSql,
     // Last-touch attribution: IGNORE NULLS last over the preceding-rows
     // frame pulls the latest non-purchase touch (type + timestamp from the
     // same row); 7-day lookback in exact integer microseconds.

@@ -426,6 +426,36 @@ object Temporal {
       .orderBy(col("user_id"), col("purchase_event"))
   }
 
+  /** The `lake_sql_pit` named query — [[scd2PitLookup]]'s SQL surface:
+    * the SCD2 interval history registered as a catalog view
+    * (`lake_scd2_history`, the lake_events/lake_vectors pattern) and the
+    * feature-store as-of join written as plain interval-join SQL text, so
+    * `spark.sql("… FROM purchases q LEFT JOIN lake_scd2_history v ON
+    * v.user_id = q.user_id AND v.valid_from_us < q.q_us …")` is the whole
+    * client surface — the `AS OF`-style lookup reachable without any
+    * DataFrame code. Plans into the same user-key equi-join with interval
+    * residuals as the DataFrame path (per-key bounded, never a global
+    * range join); shares scd2_pit_lookup's strictly-before DuckDB replay.
+    */
+  def sqlPitQuery(spark: SparkSession, dir: String): DataFrame = {
+    scd2IntervalsUs(Tables.events(spark, dir))
+      .createOrReplaceTempView("lake_scd2_history")
+    Tables.events(spark, dir).createOrReplaceTempView("lake_events_log")
+    spark.sql(
+      """SELECT q.user_id, q.purchase_event,
+        |       CAST(FLOOR(q.q_us / 1000000) AS BIGINT) AS at_ep,
+        |       COALESCE(v.version, 0L) AS version,
+        |       COALESCE(v.event_type, 'none') AS state_type,
+        |       CAST(FLOOR(v.valid_from_us / 1000000) AS BIGINT) AS valid_from_ep,
+        |       COALESCE(v.n_events, 0L) AS version_n_events
+        |FROM (SELECT user_id, event_id AS purchase_event, unix_micros(ts) AS q_us
+        |      FROM lake_events_log WHERE event_type = 'purchase') q
+        |LEFT JOIN lake_scd2_history v
+        |  ON v.user_id = q.user_id AND v.valid_from_us < q.q_us
+        |     AND (v.valid_to_us IS NULL OR q.q_us <= v.valid_to_us)
+        |ORDER BY user_id, purchase_event""".stripMargin)
+  }
+
   /** Last-touch marketing attribution — credit each `purchase` to the
     * most recent PRECEDING non-purchase event (the "channel") when that
     * touch is within a 7-day lookback, else to `direct`; report per

@@ -390,6 +390,12 @@ class OperatorSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("SQL-surface PIT lookup is row-identical to the DataFrame path") {
+    val viaSql = Temporal.sqlPitQuery(spark, sfDir).collect().toSeq
+    val viaDf = Temporal.scd2PitLookup(spark, sfDir).collect().toSeq
+    assert(viaSql.map(_.toSeq) == viaDf.map(_.toSeq))
+  }
+
   test("last-touch attribution conserves purchases and matches a per-row reference") {
     val e = Tables.events(spark, sfDir)
       .select($"user_id".as[Long], $"ts".as[java.sql.Timestamp], $"event_id".as[Long],
