@@ -174,6 +174,7 @@ object SparkEntry {
     "media_decode_real" -> ((s, d) => Multimodal.realDecodeQuery(s, d)),
     "media_phash" -> ((s, d) => Multimodal.phashQuery(s, d)),
     "media_phash_pairs" -> ((s, d) => Multimodal.phashPairsQuery(s, d)),
+    "dedup_crossmodal" -> ((s, d) => Multimodal.crossModalQuery(s, d)),
     "media_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
     "media_resize" -> ((s, d) => Multimodal.resizeQuery(s, d)),
     // §2.6–§2.9 — relational breadth
@@ -2462,6 +2463,50 @@ object SparkEntry {
          |       CAST(pick.p AS BIGINT) AS probe_bits, CAST(nn.n AS BIGINT) AS n_hashes
          |FROM v CROSS JOIN pick CROSS JOIN nn WHERE hamming <= 7
          |ORDER BY id_a, id_b""".stripMargin
+    },
+    // Cross-modal curation: the md5 MinHash banding (text leg) and the
+    // 8-band Hamming replay over the grays export (image leg, within-τ
+    // pairs mapped to documents through the variant-offset link,
+    // same-document pairs dropped), united by a full-outer flag join.
+    "dedup_crossmodal" -> {
+      val lo = graft.operators.Multimodal.dhashSql("grays", 0, base = 1)
+      val hi = graft.operators.Multimodal.dhashSql("grays", 1, base = 1)
+      val off = graft.operators.Multimodal.VariantOffset
+      s"""WITH $minhashMd5BandCtesSql,
+         |tp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM bands a JOIN bands b
+         |         ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |td AS (SELECT DISTINCT doc_id FROM (SELECT id_a AS doc_id FROM tp
+         |                                    UNION ALL SELECT id_b FROM tp)),
+         |ph AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |              CAST($lo AS BIGINT) AS lo, CAST($hi AS BIGINT) AS hi
+         |       FROM read_parquet('${graft.operators.Multimodal.graysPath(oracleSfDir)}/grays/*.parquet')),
+         |pb AS (SELECT doc_id, i,
+         |              CASE WHEN i < 4 THEN (lo >> (8 * i)) & 255
+         |                   ELSE (hi >> (8 * (i - 4))) & 255 END AS bv
+         |       FROM ph CROSS JOIN (SELECT unnest(range(8)) AS i)),
+         |pc AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |       FROM pb a JOIN pb b2 ON a.i = b2.i AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+         |pv AS (SELECT id_a, id_b FROM pc
+         |       JOIN ph ha ON ha.doc_id = pc.id_a JOIN ph hb ON hb.doc_id = pc.id_b
+         |       WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= 7),
+         |pl AS (SELECT CASE WHEN id_a >= $off THEN id_a - $off ELSE id_a END AS doc_a,
+         |              CASE WHEN id_b >= $off THEN id_b - $off ELSE id_b END AS doc_b
+         |       FROM pv),
+         |idv AS (SELECT DISTINCT doc_id FROM (
+         |          SELECT doc_a AS doc_id FROM pl WHERE doc_a <> doc_b
+         |          UNION ALL SELECT doc_b FROM pl WHERE doc_a <> doc_b)),
+         |fl AS (SELECT coalesce(td.doc_id, idv.doc_id) AS doc_id,
+         |              CASE WHEN td.doc_id IS NULL THEN 0 ELSE 1 END AS text_dup,
+         |              CASE WHEN idv.doc_id IS NULL THEN 0 ELSE 1 END AS image_dup
+         |       FROM td FULL OUTER JOIN idv ON td.doc_id = idv.doc_id)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(text_dup AS BIGINT) AS text_dup,
+         |       CAST(image_dup AS BIGINT) AS image_dup,
+         |       CASE WHEN text_dup = 1 AND image_dup = 1 THEN 'both'
+         |            WHEN text_dup = 1 THEN 'text_only'
+         |            ELSE 'image_only' END AS curation
+         |FROM fl ORDER BY doc_id""".stripMargin
     },
     "media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -547,6 +547,51 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-modal near-dup join — the curation decision the text-side
+    * MinHash family and the image-side phash family exist to feed: a
+    * multimodal document is flagged when EITHER modality is a known
+    * near-dup, and the interesting rows are the disagreements (novel text
+    * carrying a duplicated image, or verbatim text with a fresh image —
+    * the cases a single-modality dedup silently ships or over-deletes).
+    *
+    * Composition, not new machinery: the text leg is the banded
+    * [[Dedup.minhashMd5Pairs]] candidate join; the image leg is
+    * [[phashPairsQuery]]'s multi-index Hamming join with image ids mapped
+    * to their documents through the deterministic link (variant id =
+    * doc_id + [[VariantOffset]]) and same-document pairs dropped (a
+    * rescaled variant matching its own source is expected, not a
+    * cross-document dup). Both legs are the existing band-join shuffle
+    * shapes; the final full-outer join unites two bounded flag sets
+    * (≤ flagged docs each). Output: one row per flagged doc with both
+    * flags and the curation verdict.
+    */
+  def crossModalQuery(spark: SparkSession, dir: String, tau: Int = 7): DataFrame = {
+    val textPairs = Dedup.minhashMd5Pairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val textDocs = textPairs.select(col("id_a").as("doc_id"))
+      .unionByName(textPairs.select(col("id_b").as("doc_id")))
+      .distinct()
+      .withColumn("text_dup", lit(1L))
+    def docOf(c: org.apache.spark.sql.Column) =
+      when(c >= VariantOffset, c - VariantOffset).otherwise(c)
+    val crossDoc = phashPairsQuery(spark, dir, tau)
+      .select(docOf(col("id_a")).as("doc_a"), docOf(col("id_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val imageDocs = crossDoc.select(col("doc_a").as("doc_id"))
+      .unionByName(crossDoc.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("image_dup", lit(1L))
+    textDocs.join(imageDocs, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("text_dup"), lit(0L)).as("text_dup"),
+        coalesce(col("image_dup"), lit(0L)).as("image_dup"))
+      .withColumn("curation",
+        when(col("text_dup") === 1 && col("image_dup") === 1, "both")
+          .when(col("text_dup") === 1, "text_only")
+          .otherwise("image_only"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Named query: binary-column metadata projection. The oracle checks the
     * engine-agnostic parts (byte length, first code point); the stubbed
     * decode fields are covered by MultimodalSpec.

@@ -144,6 +144,38 @@ class PhashSpec extends SparkSpec {
     assert(Multimodal.chooseHammingLayout(nM, coll, 7) == ((w.toInt, p.toInt)))
   }
 
+  test("cross-modal join: flags recompute independently; variant self-pairs never flag") {
+    val out = Multimodal.crossModalQuery(spark, sfDir)
+      .select($"doc_id".as[Long], $"text_dup".as[Long], $"image_dup".as[Long],
+        $"curation".as[String])
+      .collect()
+    // independent recompute of both flag sets from the two pair queries
+    val tp = graft.operators.Dedup.minhashMd5Pairs(spark, sfDir)
+      .select($"id_a".as[Long], $"id_b".as[Long]).collect()
+    val textDocs = tp.flatMap(p => Seq(p._1, p._2)).toSet
+    def doc(id: Long): Long =
+      if (id >= Multimodal.VariantOffset) id - Multimodal.VariantOffset else id
+    val ip = Multimodal.phashPairsQuery(spark, sfDir)
+      .select($"id_a".as[Long], $"id_b".as[Long]).collect()
+    val imageDocs = ip.flatMap { case (a, b) =>
+      if (doc(a) != doc(b)) Seq(doc(a), doc(b)) else Nil
+    }.toSet
+    val expect = (textDocs ++ imageDocs).toSeq.sorted.map { d =>
+      val (t, i) = (if (textDocs(d)) 1L else 0L, if (imageDocs(d)) 1L else 0L)
+      (d, t, i, if (t == 1 && i == 1) "both" else if (t == 1) "text_only" else "image_only")
+    }
+    assert(out.toSeq == expect)
+    // a variant pair against its own source exists in the hash pairs but
+    // must not flag the doc on its own
+    val selfPairDocs = ip.collect { case (a, b) if doc(a) == doc(b) => doc(a) }.toSet
+    assert(selfPairDocs.nonEmpty)
+    assert((selfPairDocs -- imageDocs).nonEmpty,
+      "some doc with ONLY a self variant pair should stay unflagged")
+    // the disagreement classes the query exists to surface are non-empty
+    val classes = out.map(_._4).toSet
+    assert(classes.contains("text_only") && classes.contains("image_only"), classes.toString)
+  }
+
   test("named query: one hash per document plus variants, halves positive, n_ones consistent") {
     val out = Multimodal.phashQuery(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()
