@@ -139,6 +139,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabReport(s, d)),
     "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    "text_unigram_lm" -> ((s, d) => TextAnalysis.unigramLm(s, d)),
     "text_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
@@ -582,6 +583,90 @@ object SparkEntry {
     s"""WITH ${bpeTrainCtes(rounds, topWords)},
        |$sums
        |SELECT * FROM ($union) ORDER BY merge_round""".stripMargin
+  }
+
+  /** Unigram-LM trainer replay — the bounded type table, the
+    * substring-census seed inventory, then `rounds` unrolled EM rounds:
+    * forward Viterbi DP and backward reconstruction as RECURSIVE CTEs per
+    * round (the exact integer objective of `TextAnalysis.viterbiPieces` —
+    * fewest pieces via the 10¹² penalty, then max Σ count, longest-piece
+    * tie-break as the CASE cascade), usage recount, char-floored inventory
+    * update. Entirely integer, so the final census hashes identically.
+    */
+  private def unigramLmSql(rounds: Int = 3, topWords: Int = 300,
+                           topK: Int = 50): String = {
+    val big = "1000000000000"
+    def dpCte(r: Int): String = {
+      val p = s"p${r - 1}"
+      s"""dp$r AS MATERIALIZED (
+         |  SELECT word, len(word) AS wl, 0 AS j,
+         |         CAST(0 AS BIGINT) AS b0, CAST(NULL AS BIGINT) AS b1,
+         |         CAST(NULL AS BIGINT) AS b2, CAST(NULL AS BIGINT) AS b3
+         |  FROM wc
+         |  UNION ALL
+         |  SELECT d.word, d.wl, d.j + 1,
+         |         greatest(
+         |           CASE WHEN q1.cnt IS NOT NULL THEN d.b0 + q1.cnt END,
+         |           CASE WHEN q2.cnt IS NOT NULL THEN d.b1 + q2.cnt END,
+         |           CASE WHEN q3.cnt IS NOT NULL THEN d.b2 + q3.cnt END,
+         |           CASE WHEN q4.cnt IS NOT NULL THEN d.b3 + q4.cnt END) - $big AS b0,
+         |         d.b0, d.b1, d.b2
+         |  FROM dp$r d
+         |  LEFT JOIN $p q1 ON q1.piece = substring(d.word, d.j + 1, 1)
+         |  LEFT JOIN $p q2 ON d.j >= 1 AND q2.piece = substring(d.word, d.j, 2)
+         |  LEFT JOIN $p q3 ON d.j >= 2 AND q3.piece = substring(d.word, d.j - 1, 3)
+         |  LEFT JOIN $p q4 ON d.j >= 3 AND q4.piece = substring(d.word, d.j - 2, 4)
+         |  WHERE d.j < d.wl)""".stripMargin
+    }
+    def wkCte(r: Int): String = {
+      val p = s"p${r - 1}"
+      s"""wk$r AS MATERIALIZED (
+         |  SELECT word, len(word) AS j, CAST(NULL AS VARCHAR) AS piece FROM wc
+         |  UNION ALL
+         |  SELECT word, j - lb, substring(word, j - lb + 1, lb)
+         |  FROM (
+         |    SELECT w.word, w.j,
+         |           CASE WHEN w.j >= 4 AND q4.cnt IS NOT NULL AND d4.b0 + q4.cnt - $big = dj.b0 THEN 4
+         |                WHEN w.j >= 3 AND q3.cnt IS NOT NULL AND d3.b0 + q3.cnt - $big = dj.b0 THEN 3
+         |                WHEN w.j >= 2 AND q2.cnt IS NOT NULL AND d2.b0 + q2.cnt - $big = dj.b0 THEN 2
+         |                ELSE 1 END AS lb
+         |    FROM wk$r w
+         |    JOIN dp$r dj ON dj.word = w.word AND dj.j = w.j
+         |    LEFT JOIN dp$r d2 ON d2.word = w.word AND d2.j = w.j - 2
+         |    LEFT JOIN dp$r d3 ON d3.word = w.word AND d3.j = w.j - 3
+         |    LEFT JOIN dp$r d4 ON d4.word = w.word AND d4.j = w.j - 4
+         |    LEFT JOIN $p q2 ON q2.piece = substring(w.word, w.j - 1, 2)
+         |    LEFT JOIN $p q3 ON q3.piece = substring(w.word, w.j - 2, 3)
+         |    LEFT JOIN $p q4 ON q4.piece = substring(w.word, w.j - 3, 4)
+         |    WHERE w.j > 0))""".stripMargin
+    }
+    def updCtes(r: Int): String =
+      s"""u$r AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS u
+         |      FROM wk$r JOIN wc USING (word) WHERE piece IS NOT NULL GROUP BY 1),
+         |p$r AS MATERIALIZED (SELECT piece, CAST(CASE WHEN s = 0 THEN 1 ELSE s END AS BIGINT) AS cnt
+         |      FROM (SELECT piece, sum(u) AS s
+         |            FROM (SELECT piece, u FROM u$r
+         |                  UNION ALL SELECT piece, 0 FROM ch) GROUP BY 1))""".stripMargin
+    val roundCtes = (1 to rounds)
+      .map(r => Seq(dpCte(r), wkCte(r), updCtes(r)).mkString(",\n")).mkString(",\n")
+    s"""WITH RECURSIVE
+       |w0 AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w0
+       |      WHERE length(word) >= 2 GROUP BY 1
+       |      ORDER BY n DESC, word LIMIT $topWords),
+       |p0 AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+       |        SELECT unnest(flatten(list_transform(range(1, len(word) + 1), s ->
+       |                 list_transform(range(1, 5), l ->
+       |                   CASE WHEN s + l - 1 <= len(word) THEN substring(word, s, l) END)))) AS piece,
+       |               n
+       |        FROM wc)
+       |      WHERE piece IS NOT NULL GROUP BY 1),
+       |ch AS MATERIALIZED (SELECT DISTINCT unnest(list_transform(range(1, len(word) + 1),
+       |                s -> substring(word, s, 1))) AS piece FROM wc),
+       |$roundCtes
+       |SELECT CAST(row_number() OVER (ORDER BY u DESC, piece) AS BIGINT) AS rank,
+       |       piece, CAST(len(piece) AS BIGINT) AS piece_len, CAST(u AS BIGINT) AS usage
+       |FROM u$rounds ORDER BY rank LIMIT $topK""".stripMargin
   }
 
   /** BPE apply-side replay: the train chain re-derives each round's merge
@@ -2172,6 +2257,9 @@ object SparkEntry {
     // BPE trainer replay: unrolled merge rounds over the bounded word-type
     // table; greedy non-overlap via the gaps-and-islands parity rule.
     "text_bpe_merges" -> bpeSql(),
+    // Unigram-LM trainer: 3 unrolled EM rounds, forward DP + backward walk
+    // per round as recursive CTEs under the exact integer objective.
+    "text_unigram_lm" -> unigramLmSql(),
     // BPE apply replay: the learned pair sequence re-applied to the full
     // type table, token counts joined back per doc.
     "text_bpe_encode" -> bpeEncodeSql(),

@@ -838,6 +838,126 @@ object TextAnalysis {
   /** Bounded BPE train set: top word types by corpus frequency (1-char
     * types carry no pairs and are excluded).
     */
+  /** Deterministic integer Viterbi segmentation under the current piece
+    * inventory: maximize Σ count(piece) − |pieces|·`big`, i.e. FEWEST
+    * pieces first (big dominates any achievable count sum), then highest
+    * total piece frequency — the unigram-LM objective with the one
+    * fractional step (log-probabilities) replaced by an exactly-integer
+    * rank-equivalent, so both engines replay the same segmentation bit
+    * for bit (the orders_pareto/text_lm_score no-libm convention).
+    * Backward reconstruction prefers the LONGEST piece achieving the
+    * optimum (ties fully specified — the oracle's CASE cascade tries
+    * l = max..1). Single-character pieces are always in the inventory,
+    * so a segmentation always exists.
+    */
+  private[graft] def viterbiPieces(w: String, cnt: collection.Map[String, Long],
+                                   maxPieceLen: Int, big: Long): List[String] = {
+    val L = w.length
+    val dp = Array.fill(L + 1)(Long.MinValue / 4)
+    dp(0) = 0L
+    var j = 1
+    while (j <= L) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, j)) {
+        cnt.get(w.substring(j - l, j)) match {
+          case Some(c) =>
+            val v = dp(j - l) + c - big
+            if (v > dp(j)) dp(j) = v
+          case None =>
+        }
+        l += 1
+      }
+      j += 1
+    }
+    var out = List.empty[String]
+    j = L
+    while (j > 0) {
+      var chosen = -1
+      var l = math.min(maxPieceLen, j)
+      while (chosen < 0 && l >= 1) {
+        cnt.get(w.substring(j - l, j)) match {
+          case Some(c) if dp(j - l) + c - big == dp(j) => chosen = l
+          case _ => l -= 1
+        }
+      }
+      out = w.substring(j - chosen, j) :: out
+      j -= chosen
+    }
+    out
+  }
+
+  /** Shared trainer core of [[unigramLm]] — returns the bounded train-type
+    * table and the final round's piece-usage census (spec entry point for
+    * the conservation and determinism laws).
+    */
+  private[graft] def unigramLmFit(spark: SparkSession, dir: String,
+                                  rounds: Int, topWords: Int, maxPieceLen: Int)
+      : (Array[(String, Long)], Array[(String, Long)]) = {
+    import spark.implicits._
+    val big = 1000000000000L
+    val typesDs = bpeTrainTypes(spark, dir, topWords)
+      .localCheckpoint().as[(String, Long)]
+    // seed inventory: weighted substring census (≤ types × len × maxPieceLen
+    // rows — bounded by the train table, never the corpus)
+    val seed: Map[String, Long] = typesDs.flatMap { case (w, n) =>
+        for {
+          s <- 0 until w.length
+          l <- 1 to math.min(maxPieceLen, w.length - s)
+        } yield (w.substring(s, s + l), n)
+      }.toDF("piece", "u").groupBy("piece").agg(sum(col("u")).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val charInv: Set[String] = seed.keySet.filter(_.length == 1)
+    var cnts = seed
+    var lastUsage: Array[(String, Long)] = Array.empty
+    for (_ <- 1 to rounds) {
+      val bc = spark.sparkContext.broadcast(cnts)
+      // E-step on executors: Viterbi per type under the broadcast inventory;
+      // M-step: one map-combined usage aggregate. Only the bounded piece
+      // census crosses to the driver (the kmeans ≤nlist-partials contract).
+      val usage = typesDs.flatMap { case (w, n) =>
+          viterbiPieces(w, bc.value, maxPieceLen, big).map(p => (p, n))
+        }.toDF("piece", "u").groupBy("piece").agg(sum(col("u")).as("usage"))
+        .as[(String, Long)].collect()
+      val u = usage.toMap
+      // pieces the corpus stopped using are pruned; single characters keep
+      // a floor count of 1 so a segmentation always exists next round
+      cnts = u ++ charInv.iterator.filterNot(u.contains).map(_ -> 1L)
+      lastUsage = usage
+    }
+    (typesDs.collect(), lastUsage)
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer trainer — the EM sibling
+    * of [[bpeMerges]] (Kudo 2018, public knowledge): start from a
+    * substring-census piece inventory over the bounded word-type table,
+    * then alternate (E) Viterbi-segment every type under the current
+    * piece scores and (M) re-estimate each piece's score from its usage,
+    * pruning pieces the corpus stopped using. Where SentencePiece scores
+    * segmentations by Σ log p(piece), this trainer uses the exactly
+    * rank-equivalent integer objective (fewest pieces, then highest total
+    * piece frequency — [[viterbiPieces]]), so all `rounds` unrolled EM
+    * rounds replay bit-identically in the DuckDB oracle (forward DP and
+    * backward walk as recursive CTEs).
+    *
+    * Scale shape: the corpus-sized work is the ONE tokenize pass behind
+    * the type census ([[bpeMerges]]' trick — train on types × counts,
+    * never tokens); each EM round is a mapPartitions Viterbi over the
+    * bounded type table under a broadcast inventory plus one map-combined
+    * usage aggregate; only the ≤|inventory|-row census visits the driver.
+    * Output: the final round's top-`topK` pieces by usage.
+    */
+  def unigramLm(spark: SparkSession, dir: String, rounds: Int = 3,
+                topWords: Int = 300, maxPieceLen: Int = 4,
+                topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val (_, usage) = unigramLmFit(spark, dir, rounds, topWords, maxPieceLen)
+    usage.sortBy { case (p, u) => (-u, p) }.take(topK)
+      .zipWithIndex
+      .map { case ((p, u), i) => (i + 1L, p, p.length.toLong, u) }
+      .toSeq.toDF("rank", "piece", "piece_len", "usage")
+      .orderBy(col("rank"))
+  }
+
   private def bpeTrainTypes(spark: SparkSession, dir: String,
                             topWords: Int): DataFrame =
     Tables.documents(spark, dir)
