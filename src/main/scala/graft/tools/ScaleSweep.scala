@@ -58,7 +58,10 @@ object ScaleSweep {
     // round-11 additions: the CDC fold (batch + real stream), the SCD2
     // build and its incremental merge, the drift-driven maintenance run
     "cdc_apply", "stream_cdc_apply", "scd2_build", "scd2_merge",
-    "embed_maintain")
+    "embed_maintain",
+    // round-12 additions: the unigram-LM EM trainer, the cross-modal
+    // composition of the two band joins, the lake changeset merge
+    "text_unigram_lm", "dedup_crossmodal", "partitioned_merge")
 
   private val SfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
@@ -78,7 +81,10 @@ object ScaleSweep {
     "graph_pagerank", "dedup_edit_distance",
     // r11: the new key-state folds — scd2_merge is the incremental-vs-
     // rebuild showcase at the decade where plan cost dominates
-    "cdc_apply", "scd2_build", "scd2_merge")
+    "cdc_apply", "scd2_build", "scd2_merge",
+    // r12: the cross-modal composition of the two band joins (rides the
+    // same duplicate-density decade as its two legs)
+    "dedup_crossmodal")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -80,6 +80,10 @@ object ShuffleAudit {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args(0).split(",").toSeq
                 else ScaleSweep.DefaultQueries
+    // The synthetic sf1 decade (BlowUp dir, same contract as ScaleSweep):
+    // byte exponents for the heavy subset on the first overhead-free
+    // decade — the actual 100 TB currency, not wall-clock.
+    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -91,28 +95,42 @@ object ShuffleAudit {
     val acc = new Acc
     spark.sparkContext.addSparkListener(acc)
 
-    val rows = for (dir <- SfDirs; q <- names) yield {
-      val fn = graft.SparkEntry.queries(q)
-      fn(spark, dir).count() // warm: store builds, exports, JIT
-      spark.catalog.clearCache()
-      // Drain straggler task-end events from the warm run before reset.
-      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
-      acc.reset()
-      fn(spark, dir).count()
-      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
-      val r = Row(q, dir.split("/").last, acc.input, acc.shufWrite,
-        acc.shufRead, acc.memSpill + acc.diskSpill, acc.tasks, acc.skewPct)
-      println(f"${r.query}%-24s ${r.sf}%-8s input ${mb(r.input)}%8s MB  shufW ${mb(r.shufWrite)}%8s MB  spill ${mb(r.spill)}%6s MB  tasks ${r.tasks}%5d  skew ${r.skewPct}%4d%%")
-      r
-    }
+    val allDirs = SfDirs ++ sf1Dir.toSeq
+    val rows = for (dir <- allDirs;
+                    q <- names if !sf1Dir.contains(dir) || ScaleSweep.Sf1Queries(q))
+      yield {
+        val fn = graft.SparkEntry.queries(q)
+        fn(spark, dir).count() // warm: store builds, exports, JIT
+        spark.catalog.clearCache()
+        // Drain straggler task-end events from the warm run before reset.
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        acc.reset()
+        fn(spark, dir).count()
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        val sfName = if (sf1Dir.contains(dir)) "sf1" else dir.split("/").last
+        val r = Row(q, sfName, acc.input, acc.shufWrite,
+          acc.shufRead, acc.memSpill + acc.diskSpill, acc.tasks, acc.skewPct)
+        println(f"${r.query}%-24s ${r.sf}%-8s input ${mb(r.input)}%8s MB  shufW ${mb(r.shufWrite)}%8s MB  spill ${mb(r.spill)}%6s MB  tasks ${r.tasks}%5d  skew ${r.skewPct}%4d%%")
+        r
+      }
     spark.stop()
 
     val bySf = rows.groupBy(_.query).map { case (q, rs) =>
-      q -> (rs.find(_.sf == "sf0.01").get, rs.find(_.sf == "sf0.1").get)
+      q -> (rs.find(_.sf == "sf0.01").get, rs.find(_.sf == "sf0.1").get,
+        rs.find(_.sf == "sf1"))
     }
     val lines = new scala.collection.mutable.ArrayBuffer[String]
-    lines += "# SHUFFLE — measured bytes moved per query (round 11)"
+    lines += "# SHUFFLE — measured bytes moved per query (round 12)"
     lines += ""
+    if (sf1Dir.nonEmpty) {
+      lines += "This sweep includes the SYNTHETIC sf1 decade (graft.tools.BlowUp"
+      lines += "10× blow-up, constant-density null model) for the heavy subset"
+      lines += "(ScaleSweep.Sf1Queries): `slope 0.1→1` is the shuffle-byte exponent"
+      lines += "on the first decade where plan cost dominates per-job overhead —"
+      lines += "the 100 TB claims ride these byte exponents, not wall-clock."
+      lines += "Flags judge the LARGEST measured decade for flagged queries."
+      lines += ""
+    }
     lines += "Generated by `graft.tools.ShuffleAudit`: task-metrics listener totals"
     lines += "for ONE measured run per (query, sf) after an untimed warm run (byte"
     lines += "counts are exact and run-stable, unlike wall-clock). `shuf/in` is"
@@ -176,21 +194,37 @@ object ShuffleAudit {
     lines += "bought decode parallelism tracking the session, not the file split"
     lines += "count."
     lines += ""
-    lines += "| query | input sf0.1 MB | shufW sf0.1 MB | shufR sf0.1 MB | shuf/in | spill MB | tasks | skew | shufW slope | verdict |"
-    lines += "|---|---|---|---|---|---|---|---|---|---|"
+    val sf1Head = if (sf1Dir.nonEmpty) " shufW sf1 MB | slope 0.1→1 |" else ""
+    lines += s"| query | input sf0.1 MB | shufW sf0.1 MB | shufR sf0.1 MB | shuf/in | spill MB | tasks | skew | shufW slope |$sf1Head verdict |"
+    lines += "|---|---|---|---|---|---|---|---|---|" +
+      (if (sf1Dir.nonEmpty) "---|---|" else "") + "---|"
     for (q <- names) {
-      val (s01, s1) = bySf(q)
+      val (s01, s1, s10) = bySf(q)
       val ratio = if (s1.input == 0) "-" else f"${s1.shufWrite.toDouble / s1.input}%.2f"
       val slope = if (s01.shufWrite < 1024 || s1.shufWrite < 1024) "-"
                   else f"${math.log10(s1.shufWrite.toDouble / s01.shufWrite)}%.2f"
+      val slope1 = s10.flatMap { s =>
+        if (s1.shufWrite < 1024 || s.shufWrite < 1024) None
+        else Some(math.log10(s.shufWrite.toDouble / s1.shufWrite))
+      }
+      // flags judge the LARGEST measured decade; spill anywhere flags
       val flags = scala.collection.mutable.ArrayBuffer.empty[String]
-      if (s1.shufWrite > 64L * 1048576 && s1.shufWrite > s1.input)
+      val (flagRow, flagSlope) = s10 match {
+        case Some(s) => (s, slope1.map(v => f"$v%.2f").getOrElse("-"))
+        case None => (s1, slope)
+      }
+      if (flagRow.shufWrite > 64L * 1048576 && flagRow.shufWrite > flagRow.input)
         flags += "SHUFFLE>INPUT"
-      if (slope != "-" && slope.toDouble > 1.15 && s1.shufWrite > 1048576)
+      if (flagSlope != "-" && flagSlope.toDouble > 1.15 && flagRow.shufWrite > 1048576)
         flags += "SUPER-LINEAR"
-      if (s1.spill > 0) flags += "SPILL"
+      if (s1.spill > 0 || s10.exists(_.spill > 0)) flags += "SPILL"
       val verdict = if (flags.isEmpty) "ok" else flags.mkString("+")
-      lines += s"| $q | ${mb(s1.input)} | ${mb(s1.shufWrite)} | ${mb(s1.shufRead)} | $ratio | ${mb(s1.spill)} | ${s1.tasks} | ${s1.skewPct}% | $slope | $verdict |"
+      val sf1Cols =
+        if (sf1Dir.isEmpty) ""
+        else s10.map(s =>
+            s" ${mb(s.shufWrite)} | ${slope1.map(v => f"$v%.2f").getOrElse("-")} |")
+          .getOrElse(" — | — |")
+      lines += s"| $q | ${mb(s1.input)} | ${mb(s1.shufWrite)} | ${mb(s1.shufRead)} | $ratio | ${mb(s1.spill)} | ${s1.tasks} | ${s1.skewPct}% | $slope |$sf1Cols $verdict |"
     }
     lines += ""
     val out = lines.mkString("\n") + "\n"
