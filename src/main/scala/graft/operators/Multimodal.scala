@@ -566,19 +566,20 @@ object Multimodal {
     * flags and the curation verdict.
     */
   def crossModalQuery(spark: SparkSession, dir: String, tau: Int = 7): DataFrame = {
-    val textPairs = Dedup.minhashMd5Pairs(spark, dir)
-      .select(col("id_a"), col("id_b"))
-    val textDocs = textPairs.select(col("id_a").as("doc_id"))
-      .unionByName(textPairs.select(col("id_b").as("doc_id")))
+    // Each leg's pair join is the expensive subtree, and Catalyst does not
+    // share subtrees — so both sides of a pair explode out of ONE scan of
+    // the join (a union of two selects would execute the band join twice;
+    // measured 2.4× the whole query at the sf1 decade).
+    val textDocs = Dedup.minhashMd5Pairs(spark, dir)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
       .withColumn("text_dup", lit(1L))
     def docOf(c: org.apache.spark.sql.Column) =
       when(c >= VariantOffset, c - VariantOffset).otherwise(c)
-    val crossDoc = phashPairsQuery(spark, dir, tau)
+    val imageDocs = phashPairsQuery(spark, dir, tau)
       .select(docOf(col("id_a")).as("doc_a"), docOf(col("id_b")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
-    val imageDocs = crossDoc.select(col("doc_a").as("doc_id"))
-      .unionByName(crossDoc.select(col("doc_b").as("doc_id")))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
       .withColumn("image_dup", lit(1L))
     textDocs.join(imageDocs, Seq("doc_id"), "full_outer")
