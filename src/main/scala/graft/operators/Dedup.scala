@@ -365,7 +365,17 @@ object Dedup {
     * numPerms min-aggregates → uniform (band, key) self-join. No all-pairs.
     */
   def minhashMd5Pairs(spark: SparkSession, dir: String,
-                      numPerms: Int = 12, bands: Int = 4): DataFrame = {
+                      numPerms: Int = 12, bands: Int = 4): DataFrame =
+    minhashMd5PairsUnsorted(spark, dir, numPerms, bands)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** [[minhashMd5Pairs]] without the presentation sort — the composition
+    * entry point (see Multimodal.phashPairs: a consumer plan that blocks
+    * sort elimination pays the banding join twice through the global
+    * sort's range-bounds sampling pass).
+    */
+  private[graft] def minhashMd5PairsUnsorted(spark: SparkSession, dir: String,
+                                             numPerms: Int = 12, bands: Int = 4): DataFrame = {
     // The corpus band frame is memoized like the shingle pair-counts
     // frame: it feeds both self-join sides here and the funnel/lsh_eval
     // consumers, and is (docs × bands)-sized — tiny next to the md5 +
@@ -378,7 +388,6 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** LSH quality evaluation — precision/recall of the banded MinHash

@@ -486,7 +486,19 @@ object Multimodal {
     * grows at slope ~1.8 over the decade and any complete algorithm
     * pays it.
     */
-  def phashPairsQuery(spark: SparkSession, dir: String, tau: Int = 7): DataFrame = {
+  def phashPairsQuery(spark: SparkSession, dir: String, tau: Int = 7): DataFrame =
+    phashPairs(spark, dir, tau).orderBy(col("id_a"), col("id_b"))
+
+  /** [[phashPairsQuery]] without the presentation sort — the composition
+    * entry point. A consumer that stacks its own operators on the sorted
+    * form can silently pay the pair join TWICE: the global sort's
+    * RangePartitioning runs a range-bounds SAMPLING job over its child,
+    * and when the consumer's plan blocks sort elimination (a Generate
+    * between the sort and the next aggregate, as in [[crossModalQuery]]),
+    * the sampling pass re-executes the whole join (measured 2× at the sf1
+    * decade). Compose from here; sort only at the query surface.
+    */
+  private[graft] def phashPairs(spark: SparkSession, dir: String, tau: Int = 7): DataFrame = {
     require(tau >= 0 && tau < 64, s"tau must be a 64-bit Hamming radius, got $tau")
     val h = phashQuery(spark, dir)
       .select(col("doc_id"), col("phash_lo"), col("phash_hi"))
@@ -526,7 +538,6 @@ object Multimodal {
       .withColumn("n_bands", lit(m.toLong))
       .withColumn("probe_bits", lit(p.toLong))
       .withColumn("n_hashes", lit(n))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Perceptual-hash (dHash) of every image — the image-side near-dup
@@ -566,17 +577,19 @@ object Multimodal {
     * flags and the curation verdict.
     */
   def crossModalQuery(spark: SparkSession, dir: String, tau: Int = 7): DataFrame = {
-    // Each leg's pair join is the expensive subtree, and Catalyst does not
-    // share subtrees — so both sides of a pair explode out of ONE scan of
-    // the join (a union of two selects would execute the band join twice;
-    // measured 2.4× the whole query at the sf1 decade).
-    val textDocs = Dedup.minhashMd5Pairs(spark, dir)
+    // Each leg composes the UNSORTED pair core, and both sides of a pair
+    // explode out of ONE scan of the join: Catalyst does not share
+    // subtrees (a union of two selects executes the band join twice), and
+    // the sorted query surface would add a RangePartitioning sampling
+    // pass that re-executes the join once more under the explode
+    // (measured ≈2× each at the sf1 decade).
+    val textDocs = Dedup.minhashMd5PairsUnsorted(spark, dir)
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
       .withColumn("text_dup", lit(1L))
     def docOf(c: org.apache.spark.sql.Column) =
       when(c >= VariantOffset, c - VariantOffset).otherwise(c)
-    val imageDocs = phashPairsQuery(spark, dir, tau)
+    val imageDocs = phashPairs(spark, dir, tau)
       .select(docOf(col("id_a")).as("doc_a"), docOf(col("id_b")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))

@@ -133,7 +133,7 @@ object ScaleSweep {
     spark.stop()
 
     val lines = new scala.collection.mutable.ArrayBuffer[String]
-    lines += "# SCALING — per-decade time exponents (round 11)"
+    lines += "# SCALING — per-decade time exponents (round 12)"
     lines += ""
     lines += "Generated by `graft.tools.ScaleSweep`: median of 3 timed runs per"
     lines += "(query, sf) after one untimed warm run, serial, one JVM, bench session"
@@ -157,20 +157,22 @@ object ScaleSweep {
       lines += "one the 100 TB claims ride on."
     }
     lines += ""
-    lines += "## Flag attribution (round 11)"
+    lines += "## Flag attribution (round 12)"
     lines += ""
-    lines += "`media_phash_pairs` is the one flagged 0.1→1 slope, and it is the"
-    lines += "DATA, not the plan: the blow-up's replica images are genuine"
-    lines += "near-dups (per-replica id offsets cycle the formulaic image"
+    lines += "`media_phash_pairs` (1.81) and `dedup_crossmodal` (1.74, whose"
+    lines += "dominant leg IS the image pair join) carry the 0.1→1 flags, and the"
+    lines += "cause is the DATA, not the plans: the blow-up's replica images are"
+    lines += "genuine near-dups (per-replica id offsets cycle the formulaic image"
     lines += "generator), so the TRUE within-τ pair set grows 902 → 57,455 over"
-    lines += "the synthetic decade — in-data output slope 1.80, which any"
-    lines += "COMPLETE pair algorithm must pay — and the formulaic images also"
-    lines += "concentrate dHash band values far beyond what photographic corpora"
-    lines += "do. The r11 engine fix (4×16-bit multi-index Hamming with"
-    lines += "single-bit probe expansion, replacing saturated 8-bit bands whose"
-    lines += "fixed 2,048-bucket space went n²/2048) already cut the sf1 run"
-    lines += "1079 s → ~206 s at identical, spec-pinned completeness; the band"
-    lines += "width is the documented capacity dial for anything larger."
+    lines += "the synthetic decade — in-data OUTPUT slope 1.80, which any"
+    lines += "COMPLETE pair algorithm must pay. With the r12 auto-scaled band"
+    lines += "layout (width/probe depth derived from measured corpus statistics"
+    lines += "under τ ≤ m·(p+1)−1) the measured slope now TRACKS that output"
+    lines += "slope (1.81 vs the r11 fixed layout's 2.18): candidates no longer"
+    lines += "outgrow the answer, which is the best any complete algorithm can"
+    lines += "do on this data. History: the fixed 8×8 layout went n²/2048"
+    lines += "(1079 s at sf1); fixed 4×16 probing read 206 s at slope 2.18;"
+    lines += "the derived layout reads ~136 s at slope 1.81."
     lines += ""
     val sf1Head = if (sf1Dir.nonEmpty) " t(sf1) s | slope 0.1→1 |" else ""
     lines += s"| query | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | slope 0.001→0.01 | slope 0.01→0.1 |$sf1Head verdict |"
