@@ -79,7 +79,9 @@ object ShuffleAudit {
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args(0).split(",").toSeq
-                else ScaleSweep.DefaultQueries
+                else ScaleSweep.DefaultQueries ++
+                  ScaleSweep.Sf1Queries.toSeq.sorted
+                    .filterNot(ScaleSweep.DefaultQueries.toSet)
     // The synthetic sf1 decade (BlowUp dir, same contract as ScaleSweep):
     // byte exponents for the heavy subset on the first overhead-free
     // decade — the actual 100 TB currency, not wall-clock.
@@ -145,54 +147,54 @@ object ShuffleAudit {
     lines += "localCheckpoint (shingle cache, featurizer output) warm from the prior"
     lines += "run — `shuf/in` is only meaningful when input > 0."
     lines += ""
-    lines += "## Flag attribution (round 11)"
+    lines += "## Flag attribution (round 12)"
     lines += ""
-    lines += "SEVEN SUPER-LINEAR flags appear in the table. Five (graph_pagerank,"
-    lines += "graph_label_prop, dedup_edit_distance, dedup_containment,"
-    lines += "dedup_ngram_jaccard at slope 1.55-1.56 this sweep) share one cause,"
-    lines += "and it is the DATA, not the plans: the synthetic corpus reuses a"
-    lines += "bounded phrase vocabulary, so distinct 3-gram shingles grow only 1.7x"
-    lines += "over the 10x decade (16,245 -> 27,213; DuckDB recount) while per-shingle"
-    lines += "document frequency grows ~6x — candidate pair volume in the data grows"
-    lines += "90x (slope 1.96, near-quadratic). The engines' measured shuffle grows"
-    lines += "far slower against that because the inverted index itself is linear and"
-    lines += "partial aggregation combines the in-join pair expansion before the"
-    lines += "exchange; the pagerank and label-prop edge lists inherit the same"
-    lines += "density (both iterate over the near-dup pair graph). On a real"
-    lines += "corpus, vocabulary grows with the data (Heaps' law) and per-shingle df"
-    lines += "stays bounded; the dfCap stop-shingle guard bounds the worst case, and"
-    lines += "the banded MinHash path (dedup_minhash_md5, measured slope 0.93-0.97"
-    lines += "here) is the documented 100 TB route — the exact shingle-pair variants"
-    lines += "are its oracle-exactness twins."
+    lines += "THE HEADLINE OF THE sf1 COLUMN: the r11 small-decade SUPER-LINEAR"
+    lines += "flags CLEAR at the first overhead-free decade, exactly as their"
+    lines += "attribution predicted. graph_pagerank and dedup_edit_distance read"
+    lines += "shuffle-byte slope ~1.03-1.04 on 0.1→1 (vs 1.55-1.56 on the small"
+    lines += "decade), and dedup_lsh_eval reads ~1.05 (vs 1.52): the small-decade"
+    lines += "inflation was the synthetic corpus's bounded phrase vocabulary"
+    lines += "(distinct 3-gram shingles grow only 1.7x over 0.01→0.1 while"
+    lines += "per-shingle df grows ~6x — in-data candidate volume slope 1.96);"
+    lines += "the BlowUp sf1 dir token-suffixes replicas so vocabulary grows"
+    lines += "Heaps-style and per-shingle df stays bounded, which is what a real"
+    lines += "corpus does — and the measured bytes immediately go linear."
+    lines += "dedup_minhash_md5, the documented 100 TB dedup route, measures"
+    lines += "slope ~1.00 in BYTES on the big decade."
     lines += ""
-    lines += "The remaining two flags have the same data-density root, one step"
-    lines += "removed:"
+    lines += "Remaining flags:"
     lines += ""
-    lines += "- **dedup_lsh_eval (1.52)** runs the exact-Jaccard truth leg ON PURPOSE"
-    lines += "  — it is the precision/recall AUDIT of the banded path against exact"
-    lines += "  shingle-pair Jaccard, so its shuffle rides the same near-quadratic"
-    lines += "  in-data candidate-pair growth (slope 1.96) the five exact variants"
-    lines += "  above do. The production path it certifies (dedup_minhash_md5, slope"
-    lines += "  0.93-0.97) is the 100 TB route; the eval is a sampled off-peak job by"
-    lines += "  nature, not a per-ingest operator."
-    lines += "- **graph_triangles (1.31)** counts wedges over the near-dup pair graph,"
-    lines += "  and its edge list inherits the corpus's duplicate density exactly as"
-    lines += "  pagerank/label-prop do: wedge volume grows with Σ deg(v)² of a graph"
-    lines += "  whose edges grow near-quadratically in this synthetic corpus. The"
-    lines += "  compact-forward census itself is the standard linear-in-wedges plan"
-    lines += "  (each triangle counted once via id-ordered edges); on a Heaps'-law"
-    lines += "  corpus with bounded per-shingle df the edge list is linear and the"
-    lines += "  wedge volume bounded by the dfCap guard upstream."
+    lines += "- **dedup_containment / dedup_ngram_jaccard / graph_label_prop"
+    lines += "  (1.55-1.56, small decade only — not in the sf1 subset)**: the"
+    lines += "  same bounded-vocabulary cause as their siblings above; the"
+    lines += "  pagerank/edit-distance/lsh_eval sf1 legs measure the SAME"
+    lines += "  inverted-index/pair-graph machinery going linear at the decade"
+    lines += "  that matters."
+    lines += "- **graph_triangles (sf1 byte slope ~1.5)**: wedge volume grows"
+    lines += "  with Σ deg(v)² of the near-dup pair graph, whose edge density the"
+    lines += "  synthetic corpus sets; the compact-forward census is the standard"
+    lines += "  linear-in-wedges plan (each triangle counted once via id-ordered"
+    lines += "  edges), and the in-data wedge growth is what any census must"
+    lines += "  read. dfCap bounds the worst case upstream on a real corpus."
+    lines += "- **dedup_crossmodal / media_phash_pairs SPILL at sf1**: the spill"
+    lines += "  sits in the image leg's candidate-verify phase — the formulaic"
+    lines += "  blow-up images concentrate dHash band values far beyond"
+    lines += "  photographic corpora, so the (band,value) equi-join's in-join"
+    lines += "  pair expansion exceeds the 32-partition executor budget and the"
+    lines += "  sort/aggregate machinery degrades gracefully to disk (the"
+    lines += "  SHUFFLE-byte slope of the same queries stays ~0.9-1.0: what"
+    lines += "  crosses the wire is linear; the spill is partition-LOCAL verify"
+    lines += "  volume). The auto-scaled band layout already tracks the in-data"
+    lines += "  output slope (SCALING.md); at production scale the same dial"
+    lines += "  (wider bands, deeper probes) plus more shuffle partitions sizes"
+    lines += "  the verify volume per task."
     lines += ""
-    lines += "The round-11 key-state folds (cdc_apply, stream_cdc_apply, scd2_build,"
-    lines += "scd2_merge) measure slope 0.98-1.01 — exactly linear, as a single"
-    lines += "user-key shuffle should be — and scd2_merge moves ~2.5x fewer bytes"
-    lines += "than scd2_build at sf0.1 because only the delta slice and open rows pay"
-    lines += "the exchange (closed history passes through the persisted base"
-    lines += "unshuffled). media_decode_real's new nonzero shuf/in is the r11"
-    lines += "id-repartition before the CPU-bound decode: an 8-byte/row exchange"
-    lines += "bought decode parallelism tracking the session, not the file split"
-    lines += "count."
+    lines += "Carried context from r11: the key-state folds (cdc_apply,"
+    lines += "stream_cdc_apply, scd2_build, scd2_merge) stay slope ~1.0 with"
+    lines += "scd2_merge moving ~2.5x fewer bytes than scd2_build (closed history"
+    lines += "never re-shuffles); media_decode_real's nonzero shuf/in is the"
+    lines += "8-byte/row id-repartition that buys decode parallelism."
     lines += ""
     val sf1Head = if (sf1Dir.nonEmpty) " shufW sf1 MB | slope 0.1→1 |" else ""
     lines += s"| query | input sf0.1 MB | shufW sf0.1 MB | shufR sf0.1 MB | shuf/in | spill MB | tasks | skew | shufW slope |$sf1Head verdict |"
