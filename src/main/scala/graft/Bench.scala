@@ -64,7 +64,7 @@ object Bench {
       val f = java.nio.file.Paths.get("ANCHORS.json")
       if (java.nio.file.Files.exists(f)) {
         val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-        val parsed = """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        val parsed = """"([A-Za-z0-9_]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         // Every anchor key must name a registered query — if the file ever
         // gains metadata/nested fields, their numbers must not be silently
