@@ -86,7 +86,8 @@ object Plans {
       "scd2_build" -> "SCD2 interval history: ONE user-key shuffle — lag-change islands, per-island aggregate reusing the window partitioning (subset rule), valid_to lead",
       "events_attribution" -> "last-touch attribution: IGNORE-NULLS last over a preceding-rows frame, never a purchases-to-touches join; tiny per-channel rollup",
       "scd2_merge" -> "incremental SCD2 merge: ONE raw scan (the delta slice), closed history passes through from the persisted base unshuffled, open rows seed the fold",
-      "scd2_pit_lookup" -> "point-in-time feature lookup: user-key equi-join with interval residual predicates — per-key purchases x versions, never a global range join")
+      "scd2_pit_lookup" -> "point-in-time feature lookup: user-key equi-join with interval residual predicates — per-key purchases x versions, never a global range join",
+      "lake_sql_ann" -> "SQL route to ANN: every union arm's naive ORDER BY dot(...) LIMIT k over the lake_vectors view is rewritten at optimization time into the probed form — static cell_id INSET PartitionFilters on each arm's scan")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
