@@ -595,6 +595,11 @@ object SparkEntry {
     */
   private def unigramLmSql(rounds: Int = 3, topWords: Int = 300,
                            topK: Int = 50): String = {
+    // The DP carry width (b0..b3) and substring join legs (q1..q4) below
+    // are generated for exactly this piece length; the engine pins it as a
+    // constant so the two can't silently diverge (ADVICE r12).
+    require(graft.operators.TextAnalysis.UnigramMaxPieceLen == 4,
+      "unigramLmSql's recursive-CTE replay is structurally generated for maxPieceLen=4")
     val big = "1000000000000"
     def dpCte(r: Int): String = {
       val p = s"p${r - 1}"
@@ -2503,14 +2508,20 @@ object SparkEntry {
       val lo = graft.operators.Multimodal.dhashSql("grays", 0, base = 1)
       val hi = graft.operators.Multimodal.dhashSql("grays", 1, base = 1)
       // probes/band per width for the default tau=7 — layout constants,
-      // computed by the same combinatorics the engine uses
-      val pCase = graft.operators.Multimodal.HammingWidths.map { w =>
+      // computed by the same combinatorics the engine uses. Emitted from
+      // the FEASIBILITY-FILTERED set (probesPerBand ≤ 2²⁰, the same cut
+      // chooseHammingLayout applies) so the oracle's argmin draws from
+      // structurally the same candidates as the engine's at any tau
+      // (ADVICE r12 — at tau=7 all of {8,16,32} happen to be feasible).
+      val feas = graft.operators.Multimodal.feasibleWidths(7)
+      val pCase = feas.map { w =>
         val p = graft.operators.Multimodal.probeBitsFor(w, 7)
         s"WHEN $w THEN ${graft.operators.Multimodal.probesPerBand(w, p)}"
       }.mkString(" ")
-      val pbCase = graft.operators.Multimodal.HammingWidths.map { w =>
+      val pbCase = feas.map { w =>
         s"WHEN $w THEN ${graft.operators.Multimodal.probeBitsFor(w, 7)}"
       }.mkString(" ")
+      val feasIn = feas.mkString(", ")
       s"""WITH h AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |                  CAST($lo AS BIGINT) AS lo, CAST($hi AS BIGINT) AS hi
          |           FROM read_parquet('${graft.operators.Multimodal.graysPath(oracleSfDir)}/grays/*.parquet')),
@@ -2539,7 +2550,8 @@ object SparkEntry {
          |         FROM (SELECT w,
          |                      n * (64 // w) * (CASE w $pCase END)
          |                        + (CASE w $pCase END) * coll AS cost
-         |               FROM cm CROSS JOIN nn)
+         |               FROM cm CROSS JOIN nn
+         |               WHERE w IN ($feasIn))
          |         ORDER BY cost, w LIMIT 1),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
          |         FROM b a JOIN b b2 ON a.i = b2.i AND a.bv = b2.bv AND a.doc_id < b2.doc_id),

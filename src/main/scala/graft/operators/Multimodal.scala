@@ -418,14 +418,21 @@ object Multimodal {
     * whose probe fan-out is absurd for the requested τ (> 2²⁰ probes) are
     * infeasible, never chosen.
     */
+  /** Widths whose probe fan-out at `tau` stays sane (≤ 2²⁰ probes/band) —
+    * the candidate set BOTH the engine's argmin and the oracle's pick CTE
+    * draw from (the oracle emits only these widths into its CASE lists, so
+    * the two argmins stay structurally identical at any tau).
+    */
+  private[graft] def feasibleWidths(tau: Int): Seq[Int] =
+    HammingWidths.filter(w => probesPerBand(w, probeBitsFor(w, tau)) <= (1L << 20))
+
   private[graft] def chooseHammingLayout(n: Long, collMass: Map[Int, Long],
                                          tau: Int): (Int, Int) = {
-    val costs = HammingWidths.flatMap { w =>
+    val costs = feasibleWidths(tau).map { w =>
       val p = probeBitsFor(w, tau)
       val pr = probesPerBand(w, p)
-      if (pr > (1L << 20)) None
-      else Some((w, p,
-        BigInt(n) * (64 / w) * pr + BigInt(pr) * BigInt(collMass.getOrElse(w, 0L))))
+      (w, p,
+        BigInt(n) * (64 / w) * pr + BigInt(pr) * BigInt(collMass.getOrElse(w, 0L)))
     }
     require(costs.nonEmpty, s"no feasible band layout for tau=$tau")
     val (w, p, _) = costs.minBy { case (ww, _, c) => (c, BigInt(ww)) }

@@ -886,6 +886,17 @@ object TextAnalysis {
     out
   }
 
+  /** Maximum piece length of the PUBLIC unigram-LM query path. Pinned as a
+    * constant (not a `unigramLm` parameter) because the DuckDB oracle's
+    * recursive-CTE Viterbi replay hardcodes this width structurally — a
+    * 4-slot DP carry (b0..b3) and 4 substring join legs (q1..q4) per round
+    * — so a caller-supplied different length would silently diverge from
+    * the replay. `SparkEntry.unigramLmSql` require()s this value so a
+    * future change fails loudly at query-registration time instead.
+    * The private [[unigramLmFit]] keeps the parameter for specs.
+    */
+  private[graft] val UnigramMaxPieceLen: Int = 4
+
   /** Shared trainer core of [[unigramLm]] — returns the bounded train-type
     * table and the final round's piece-usage census (spec entry point for
     * the conservation and determinism laws).
@@ -947,10 +958,10 @@ object TextAnalysis {
     * Output: the final round's top-`topK` pieces by usage.
     */
   def unigramLm(spark: SparkSession, dir: String, rounds: Int = 3,
-                topWords: Int = 300, maxPieceLen: Int = 4,
+                topWords: Int = 300,
                 topK: Int = 50): DataFrame = {
     import spark.implicits._
-    val (_, usage) = unigramLmFit(spark, dir, rounds, topWords, maxPieceLen)
+    val (_, usage) = unigramLmFit(spark, dir, rounds, topWords, UnigramMaxPieceLen)
     usage.sortBy { case (p, u) => (-u, p) }.take(topK)
       .zipWithIndex
       .map { case ((p, u), i) => (i + 1L, p, p.length.toLong, u) }

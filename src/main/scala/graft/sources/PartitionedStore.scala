@@ -296,14 +296,32 @@ object PartitionedStore {
         .distinct().collect().map(_.getDate(0)) // ≤ |dates| rows
       val current = spark.read.parquet(s"$path/rows")
         .filter(col("event_date").isin(affected.toIndexedSeq: _*))
+      // No broadcast hint on the anti-join: the changeset is data-sized
+      // (three days' worth of keys grows with the lake), so forcing a
+      // broadcast would risk driver/executor OOM at production scale where
+      // degrading to a shuffled join is the correct behavior — AQE picks
+      // broadcast anyway whenever the runtime size is actually small.
       val survivors = current
-        .join(broadcast(changeKeys), Seq("event_id"), "left_anti")
-      survivors.unionByName(upserts.select(survivors.columns.map(col): _*))
+        .join(changeKeys, Seq("event_id"), "left_anti")
+      val merged = survivors
+        .unionByName(upserts.select(survivors.columns.map(col): _*))
         .localCheckpoint() // Spark refuses lazy self-overwrite
-        .write.mode("overwrite")
+      merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date")
         .parquet(s"$path/rows")
+      // Dynamic partition overwrite only rewrites partitions PRESENT in
+      // the output: an affected partition whose every row was deleted
+      // emits no rows, its directory is never rewritten, and the deleted
+      // rows would silently resurface. Unreachable from the built-in mod-7
+      // changeset, but this method documents general MERGE semantics — so
+      // drop any affected directory with zero survivor+upsert rows
+      // (driver-side over the ≤ |dates| checkpointed distinct set).
+      val outDates = merged.select(col("event_date")).distinct()
+        .collect().map(_.getDate(0).toString).toSet
+      affected.iterator.map(_.toString).filterNot(outDates).foreach { d =>
+        graft.streaming.StreamOps.rmTree(new java.io.File(s"$path/rows/event_date=$d"))
+      }
     }
     spark.read.parquet(s"$path/rows")
       .groupBy(col("event_type"))
