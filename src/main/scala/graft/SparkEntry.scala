@@ -312,6 +312,9 @@ object SparkEntry {
     "stream_interval_join" -> ((s, d) => StreamOps.streamIntervalJoin(s, d)),
     "stream_knn" -> ((s, d) => StreamOps.streamKnnSearch(s, d)),
     "stream_dedup_ingest" -> ((s, d) => StreamOps.streamDedupIngest(s, d)),
+    // The reference's incremental Add Data loop: per-micro-batch absorb
+    // into the clustered store, per-batch searchability asserted in-run.
+    "stream_store_absorb" -> ((s, d) => StreamOps.streamStoreAbsorb(s, d)),
     "stream_partitioned_ingest" -> ((s, d) => StreamOps.streamPartitionedIngest(s, d)),
     "stream_bloom_ingest" -> ((s, d) => StreamOps.streamBloomIngest(s, d)),
     "stream_dedup" -> ((s, d) => StreamOps.streamDedupRun(s, d)),
@@ -1271,6 +1274,47 @@ object SparkEntry {
          |FROM q LEFT JOIN n1 ON n1.qid = q.qid
          |WHERE n1.nearest_micro IS NULL OR n1.nearest_micro < 300000
          |ORDER BY vec_id""".stripMargin
+    },
+    // Streaming absorb into the IVF store: the post-stream row set derived
+    // IN SQL as half-store rows ∪ argmin-assigned odd rows over the
+    // exported even-half artifacts (assignment replayed with the RAW
+    // double centroids — the engine's nearest-cell kernel never
+    // float-narrows them, unlike the probe ranking which mirrors the
+    // plan's `.cast("array<float>")`), then the probed search replayed
+    // over that derived set. The hash match proves the wall-clock
+    // streaming run absorbed every odd row into the cell the fixed
+    // centroids dictate AND that the probed search serves them; valid
+    // against the real run because assignment is per-row against FIXED
+    // centroids, so the store content is batch-split-independent
+    // (spec-asserted).
+    "stream_store_absorb" -> {
+      val half = s"${ivfStorePath}_half"
+      s"""WITH cents AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |               FROM read_parquet('$half/centroids/*.parquet')),
+         |hr AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, vec_id, embedding
+         |       FROM read_parquet('$half/rows/*/*.parquet', hive_partitioning=1)),
+         |od AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+         |oa AS (SELECT cell_id, vec_id, embedding FROM (
+         |         SELECT o.vec_id, o.embedding, c.cell_id,
+         |                row_number() OVER (PARTITION BY o.vec_id
+         |                  ORDER BY ${sqDistSql("o.embedding", "c.centroid")}, c.cell_id) AS ar
+         |         FROM od o CROSS JOIN cents c)
+         |       WHERE ar = 1),
+         |r AS (SELECT cell_id, vec_id, embedding FROM hr
+         |      UNION ALL SELECT cell_id, vec_id, embedding FROM oa),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS rows_after FROM r),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+         |      WHERE vec_id % 2 = 1 AND vec_id < 10),
+         |qc AS (SELECT q.qid, q.qvec, c.cell_id, ${sqDistCentroidSql("q.qvec", "c.centroid")} AS d2
+         |       FROM q CROSS JOIN cents c),
+         |pr AS (SELECT qid, qvec, cell_id, row_number() OVER (PARTITION BY qid ORDER BY d2, cell_id) AS cr FROM qc),
+         |probed AS (SELECT qid, qvec, cell_id FROM pr WHERE cr <= 10),
+         |s AS (SELECT p.qid, r.vec_id, ${dotSql("p.qvec", "r.embedding")} AS sim
+         |      FROM r JOIN probed p USING (cell_id) WHERE r.vec_id <> p.qid),
+         |rk AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       ${microSql("sim")} AS sim_micro, n.rows_after
+         |FROM rk CROSS JOIN n WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
     // Tombstone-aware search: same exported-store replay minus the
     // tombstone set — the anti-join sits below the rank window.

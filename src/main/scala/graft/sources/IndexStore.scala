@@ -91,6 +91,16 @@ object IndexStore {
     p
   }
 
+  /** Reset `to` as a byte-for-byte copy of the store at `from` — the
+    * per-run working-copy idiom shared by [[maintain]] and the streaming
+    * absorb run (each invocation acts on a fresh clone so the operation is
+    * idempotent per run and the pristine store keeps serving its oracles).
+    */
+  private[graft] def cloneStore(from: String, to: String): Unit = {
+    graft.streaming.StreamOps.rmTree(new java.io.File(to))
+    copyTree(new java.io.File(from), new java.io.File(to))
+  }
+
   private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
     if (src.isDirectory) {
       dst.mkdirs()
@@ -104,8 +114,7 @@ object IndexStore {
     val maintPath = defaultPath(dir) + "_maint"
     val emb = Tables.embeddings(spark, dir)
     // day-1 reset: file-copy the pristine clustered even half into place
-    graft.streaming.StreamOps.rmTree(new java.io.File(maintPath))
-    copyTree(new java.io.File(ensureMaintDay1(spark, dir)), new java.io.File(maintPath))
+    cloneStore(ensureMaintDay1(spark, dir), maintPath)
     val incoming = emb.filter(col("vec_id") % 2 =!= 0)
     decision match {
       case "absorb" =>

@@ -735,6 +735,99 @@ object StreamOps {
     result.orderBy(col("vec_id"))
   }
 
+  /** Streaming absorb INTO the persisted IVF store — the reference's
+    * incremental Add Data loop (`Milvus/stream1.py:255-283`: read chunk →
+    * embed → `collection.insert` → `flush`, searches see the new rows
+    * immediately) as a REAL AvailableNow run over the clustered lake
+    * layout. The odd-vec_id half of the embeddings table streams in as the
+    * incoming crawl; every micro-batch [[graft.sources.IndexStore.absorb]]s
+    * into a per-run working clone of the pristine even-half store (assign
+    * to nearest CURRENT centroid — the same rule queries probe by — and
+    * append into the matching `rows/cell_id=*` partitions, centroids
+    * fixed), then PROVES per-batch searchability the way the reference's
+    * loop does: the probed search, run immediately after the absorb with
+    * the batch's first vector as a fresh query, must return that absorbed
+    * row as its top-1 (its cell is by construction the rank-1 probed
+    * cell). Batch ≡ stream by construction — assignment is per-row against
+    * FIXED centroids, so the post-stream store content is independent of
+    * the micro-batch split (spec-asserted with two part files +
+    * maxFilesPerTrigger=1), which is what makes the wall-clock run
+    * DuckDB-replayable: the oracle derives the post-stream row set as
+    * half-store rows ∪ argmin-assigned odd rows over the EXPORTED half
+    * artifacts and replays the probed search over it, so the hash match
+    * proves both the absorb's cell assignment and the search result.
+    *
+    * foreachBatch is at-least-once and `absorb` is an append, so each
+    * batch's absorb is guarded by a `_absorbed_batch_<id>` marker in the
+    * working store — a retried micro-batch skips the duplicate append
+    * (marker written after the append; the crash window between the two is
+    * the same one a production lake closes with staged file moves or a
+    * transactional table format, see [[graft.sources.SortedLayout]]'s
+    * absorb).
+    *
+    * Output: the post-stream probed top-k for the first five ODD (i.e.
+    * absorbed) query vectors, plus a `rows_after` audit column — the
+    * post-stream store must hold exactly |even| + |odd| rows, catching a
+    * dropped or double-absorbed batch that the top-k alone might not.
+    */
+  def streamStoreAbsorb(spark: SparkSession, dir: String, k: Int = 5,
+                        nprobe: Int = 10,
+                        options: Map[String, String] = Map.empty): DataFrame = {
+    import graft.sources.IndexStore
+    val half = IndexStore.ensureCorpusHalf(spark, dir)
+    val work = IndexStore.defaultPath(dir) + "_sab"
+    IndexStore.cloneStore(half, work) // per-run reset: idempotent invocation
+    val out = java.nio.file.Files.createTempDirectory("graft-storeabsorb").toString
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val result =
+      try withStreamPartitions(spark) { s =>
+        val src = s.readStream.schema(schema).options(options)
+          .option("basePath", dir)
+          .parquet(s"$dir/embeddings.parquet*")
+          .filter(col("vec_id") % 2 === 1)
+        val q = src.writeStream
+          .option("checkpointLocation", s"$out/chk")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            val ss = batch.sparkSession
+            val marker = new java.io.File(work, s"_absorbed_batch_$batchId")
+            if (!marker.exists()) {
+              val b = batch.toDF().persist()
+              try if (!b.isEmpty) {
+                IndexStore.absorb(ss, work, b)
+                marker.createNewFile()
+                // per-batch searchability: the just-absorbed row must be
+                // findable by the probed search RIGHT NOW (insert → flush →
+                // searchable, the reference's Add Data contract). Fresh
+                // qid = −1 so the search's self-exclusion doesn't hide it;
+                // its cell is the rank-1 probed cell by construction. Top-1
+                // must be the row itself — or, if the corpus happens to
+                // hold a bit-identical twin with a smaller id, any
+                // sim ≈ 1.0 hit (either way the absorbed content serves).
+                val firstId = b.agg(min(col("vec_id"))).head().getLong(0)
+                val probe = b.filter(col("vec_id") === firstId)
+                  .select(lit(-1L).as("qid"), col("embedding").as("qvec"))
+                val top = IndexStore.searchPruned(ss, work, probe, 1, nprobe).collect()
+                require(top.nonEmpty &&
+                  (top(0).getLong(1) == firstId || top(0).getLong(3) >= 999999L),
+                  s"absorbed row $firstId not searchable after batch $batchId")
+              } else { marker.createNewFile(); () }
+              finally b.unpersist(blocking = false)
+            }
+          }
+          .start()
+        q.awaitTermination()
+        val queries = graft.Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 2 === 1 && col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val rowsAfter = s.read.parquet(s"$work/rows").count()
+        IndexStore.searchPruned(s, work, queries, k, nprobe)
+          .withColumn("rows_after", lit(rowsAfter))
+          .localCheckpoint(true)
+      } finally rmTree(new java.io.File(out))
+    result.orderBy(col("qid"), col("rank"))
+  }
+
   /** Streaming ingest INTO the date-partitioned lake layout — the write
     * path that keeps [[graft.sources.PartitionedStore]]'s pruning story
     * true under continuous arrival: every micro-batch derives

@@ -165,6 +165,71 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming store absorb: post-stream store equals the batch absorb, under any split") {
+    import graft.sources.IndexStore
+    // Re-house the embeddings as two part files so maxFilesPerTrigger=1
+    // forces >=2 micro-batches; the absorb assigns against FIXED centroids,
+    // so the post-stream search result (and the store content behind it)
+    // must be identical under any batch split.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-absorbsplit").toString
+    try {
+      val e = Tables.embeddings(spark, sfDir).filter($"vec_id" < 400)
+      e.filter($"vec_id" < 200).coalesce(1).write.parquet(s"$tmp/embeddings.parquet")
+      e.filter($"vec_id" >= 200).coalesce(1).write
+        .mode("append").parquet(s"$tmp/embeddings.parquet")
+      val single = StreamOps.streamStoreAbsorb(spark, tmp)
+      val singleRows = spark.read.parquet(
+        IndexStore.defaultPath(tmp) + "_sab/rows")
+        .select($"vec_id", $"cell_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val multi = StreamOps.streamStoreAbsorb(spark, tmp,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val multiRows = spark.read.parquet(
+        IndexStore.defaultPath(tmp) + "_sab/rows")
+        .select($"vec_id", $"cell_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(single.exceptAll(multi).isEmpty && multi.exceptAll(single).isEmpty,
+        "post-stream search result must be identical under any batch split")
+      assert(singleRows == multiRows,
+        "post-stream store (vec_id, cell_id) content must be split-independent")
+      // batch twin: absorbing the whole odd set at once into a fresh clone
+      // of the half store yields the same (vec_id, cell_id) population
+      val half = IndexStore.corpusHalfPath(tmp)
+      val batchPath = IndexStore.defaultPath(tmp) + "_sab_batch"
+      IndexStore.cloneStore(half, batchPath)
+      IndexStore.absorb(spark, batchPath,
+        Tables.embeddings(spark, tmp).filter($"vec_id" % 2 === 1))
+      val batchRows = spark.read.parquet(s"$batchPath/rows")
+        .select($"vec_id", $"cell_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(batchRows == multiRows, "stream absorb must equal the one-shot batch absorb")
+    } finally {
+      StreamOps.rmTree(new java.io.File(tmp))
+      StreamOps.rmTree(new java.io.File(graft.sources.IndexStore.corpusHalfPath(tmp)))
+      StreamOps.rmTree(new java.io.File(graft.sources.IndexStore.defaultPath(tmp) + "_sab"))
+      StreamOps.rmTree(new java.io.File(graft.sources.IndexStore.defaultPath(tmp) + "_sab_batch"))
+    }
+  }
+
+  test("streaming store absorb: absorbed rows land in the cell the absorb contract dictates") {
+    import graft.sources.IndexStore
+    import graft.operators.VectorSearch
+    // cell agreement against the canonical half-store centroids on the real
+    // sf dir (the registered query ran in the suite or runs here)
+    StreamOps.streamStoreAbsorb(spark, sfDir)
+    val work = IndexStore.defaultPath(sfDir) + "_sab"
+    val centroids = spark.read.parquet(s"${IndexStore.corpusHalfPath(sfDir)}/centroids")
+    val odds = Tables.embeddings(spark, sfDir).filter($"vec_id" % 2 === 1)
+    val expected = VectorSearch.assignCells(odds, centroids)
+      .select($"vec_id", $"cell_id").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val got = spark.read.parquet(s"$work/rows")
+      .filter($"vec_id" % 2 === 1)
+      .select($"vec_id", $"cell_id").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got.size == expected.size, "every odd row absorbed exactly once")
+    assert(got == expected, "absorbed cell assignment must equal assignCells against fixed centroids")
+    // and the even half is untouched by the stream
+    val evenN = spark.read.parquet(s"$work/rows").filter($"vec_id" % 2 === 0).count()
+    val halfN = spark.read.parquet(s"${IndexStore.corpusHalfPath(sfDir)}/rows").count()
+    assert(evenN == halfN, "pristine half rows pass through the clone unchanged")
+  }
+
   test("bloom ingest gate: streaming keep-set equals the batch novel set, under any split") {
     val kept = StreamOps.streamBloomIngest(spark, sfDir)
     val novel = graft.operators.Dedup.bloomIncrementalDedup(spark, sfDir)
