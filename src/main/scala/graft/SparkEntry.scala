@@ -240,6 +240,8 @@ object SparkEntry {
     "lake_sql_hidden" -> ((s, d) => graft.sources.PartitionedStore.sqlHiddenQuery(s, d)),
     "partitioned_backfill" -> ((s, d) => graft.sources.PartitionedStore.backfillQuery(s, d)),
     "partitioned_merge" -> ((s, d) => graft.sources.PartitionedStore.mergeQuery(s, d)),
+    // The MERGE through the SQL DML surface (views + INSERT OVERWRITE).
+    "lake_sql_merge" -> ((s, d) => graft.sources.PartitionedStore.sqlMergeQuery(s, d)),
     "partitioned_hidden" -> ((s, d) => graft.sources.PartitionedStore.hiddenRouteQuery(s, d)),
     "partitioned_layout_stats" -> ((s, d) => graft.sources.PartitionedStore.layoutStats(s, d)),
     "partitioned_retention" -> ((s, d) => graft.sources.PartitionedStore.retentionQuery(s, d)),
@@ -852,6 +854,27 @@ object SparkEntry {
     * streaming execution of the same search). A `def`: [[ivfStorePath]]
     * re-derives from the pinned oracle sf dir on each call.
     */
+  /** Inline replay of the lake MERGE changeset against the raw table —
+    * the hash match proves merge ≡ full recompute. Shared by
+    * `partitioned_merge` (DataFrame copy-on-write route) and
+    * `lake_sql_merge` (the INSERT OVERWRITE DML route over catalog views):
+    * both apply the same raw-derived changeset to their own store clones.
+    */
+  private val partitionedMergeReplaySql: String =
+    """WITH r AS (SELECT event_id, event_type, value, CAST(ts AS DATE) AS d FROM events),
+      |b AS (SELECT min(d) AS lo FROM r),
+      |keep AS (SELECT event_type, value FROM r, b
+      |         WHERE NOT (d = b.lo + 1 AND event_id % 7 = 0)
+      |           AND NOT (d = b.lo + 2 AND event_type = 'click')),
+      |upd AS (SELECT event_type, value * 2 AS value FROM r, b
+      |        WHERE d = b.lo + 2 AND event_type = 'click'),
+      |ins AS (SELECT event_type, value FROM r, b
+      |        WHERE d = b.lo AND event_id % 5 = 0),
+      |m AS (SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def ivfProbedSearchSql(extraRowPred: String = "", k: Int = 5): String =
     s"""WITH cents AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
        |               FROM read_parquet('$ivfStorePath/centroids/*.parquet')),
@@ -3524,20 +3547,10 @@ object SparkEntry {
     // re-derive day-3 click values ×2, insert day-1 keys ≡ 0 mod 5 as
     // fresh day-3 rows) applied inline on the raw table — the hash match
     // proves the copy-on-write merge ≡ a full recompute.
-    "partitioned_merge" ->
-      """WITH r AS (SELECT event_id, event_type, value, CAST(ts AS DATE) AS d FROM events),
-        |b AS (SELECT min(d) AS lo FROM r),
-        |keep AS (SELECT event_type, value FROM r, b
-        |         WHERE NOT (d = b.lo + 1 AND event_id % 7 = 0)
-        |           AND NOT (d = b.lo + 2 AND event_type = 'click')),
-        |upd AS (SELECT event_type, value * 2 AS value FROM r, b
-        |        WHERE d = b.lo + 2 AND event_type = 'click'),
-        |ins AS (SELECT event_type, value FROM r, b
-        |        WHERE d = b.lo AND event_id % 5 = 0),
-        |m AS (SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The SQL DML route applies the SAME changeset on its own clone — one
+    // replay text serves both the DataFrame and the INSERT OVERWRITE path.
+    "lake_sql_merge" -> partitionedMergeReplaySql,
+    "partitioned_merge" -> partitionedMergeReplaySql,
     // Layout audit replayed over the SAME exported store artifact — even
     // the per-partition file attribution is hash-checked.
     "partitioned_layout_stats" ->

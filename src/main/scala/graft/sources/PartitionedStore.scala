@@ -330,6 +330,102 @@ object PartitionedStore {
       .orderBy(col("event_type"))
   }
 
+  /** [[mergeQuery]]'s SQL DML twin — the day-2 lake MERGE reachable
+    * without DataFrame code, completing the `lake_sql_*` surface on the
+    * WRITE side the way `lake_sql_ann`/`lake_sql_pit` closed the read
+    * side. Every step of the changeset apply is SQL text over catalog
+    * views (the view registration itself is engine plumbing, exactly as
+    * in [[ensureSqlViews]]):
+    *
+    *  1. `lake_merge_upserts` / `lake_merge_keys` — the changeset derived
+    *     from the raw log in SQL (same deletes/updates/inserts rule as
+    *     [[mergeQuery]], maxId as an inline scalar subquery);
+    *  2. `INSERT OVERWRITE lake_merge_stage` — survivors of ONLY the
+    *     affected partitions (literal date IN-list → static
+    *     `PartitionFilters` on the view's scan; `NOT EXISTS` anti-join
+    *     drops deleted rows and stale versions) unioned with the upserts.
+    *     The stage hop exists because Spark (correctly) refuses a SQL
+    *     INSERT that reads the path it overwrites — the DataFrame route
+    *     breaks the cycle with localCheckpoint, SQL stages through a
+    *     sibling path;
+    *  3. `INSERT OVERWRITE lake_merge_rows` from the stage under
+    *     `partitionOverwriteMode=dynamic` — only the partitions present
+    *     in the stage (the changeset's dates) are rewritten; every other
+    *     directory keeps its bytes (same mtime spec as the DataFrame
+    *     route).
+    *
+    * Shares [[mergeQuery]]'s caveat: dynamic overwrite only rewrites
+    * partitions PRESENT in the output, so a changeset that empties a
+    * partition needs the explicit directory cleanup the DataFrame route
+    * performs (not reachable from the built-in mod-7 changeset). Runs on
+    * its own clone (`_mgs`) so the DataFrame route's store and oracles
+    * stay untouched; idempotent for the same reason mergeQuery is — the
+    * changeset is re-derived from the raw log each run.
+    */
+  def sqlMergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = defaultPath(dir) + "_mgs"
+    if (!new java.io.File(s"$path/calendar").exists() ||
+        !IndexStore.sourceFpCurrent(path, dir))
+      write(spark, dir, path)
+    val lo = spark.read.parquet(s"$path/calendar")
+      .agg(min(col("event_date"))).head().getDate(0)
+    if (lo == null) return emptyReport(spark)
+    val day1 = lo.toLocalDate
+    val (day2, day3) = (day1.plusDays(1), day1.plusDays(2))
+    Tables.events(spark, dir).createOrReplaceTempView("lake_merge_raw")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_merge_rows " +
+      s"USING parquet OPTIONS (path '$path/rows')")
+    // seed the stage with the rows schema so its view resolves on run 1
+    spark.read.parquet(s"$path/rows").limit(0)
+      .write.mode("overwrite").parquet(s"$path/stage")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_merge_stage " +
+      s"USING parquet OPTIONS (path '$path/stage')")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW lake_merge_upserts AS
+         |SELECT event_id, ts, user_id, event_type, value * 2 AS value, props,
+         |       CAST(ts AS DATE) AS event_date
+         |FROM lake_merge_raw
+         |WHERE CAST(ts AS DATE) = DATE'$day3' AND event_type = 'click'
+         |UNION ALL
+         |SELECT event_id + (SELECT max(event_id) FROM lake_merge_raw) + 1 AS event_id,
+         |       ts + INTERVAL 2 DAYS AS ts, user_id, event_type, value, props,
+         |       CAST(ts + INTERVAL 2 DAYS AS DATE) AS event_date
+         |FROM lake_merge_raw
+         |WHERE CAST(ts AS DATE) = DATE'$day1' AND event_id % 5 = 0""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW lake_merge_keys AS
+         |SELECT event_id FROM lake_merge_raw
+         |WHERE CAST(ts AS DATE) = DATE'$day2' AND event_id % 7 = 0
+         |UNION ALL
+         |SELECT event_id FROM lake_merge_upserts""".stripMargin)
+    spark.sql(
+      s"""INSERT OVERWRITE TABLE lake_merge_stage
+         |SELECT event_id, ts, user_id, event_type, value, props, event_date
+         |FROM (
+         |  SELECT r.event_id, r.ts, r.user_id, r.event_type, r.value, r.props, r.event_date
+         |  FROM lake_merge_rows r
+         |  WHERE r.event_date IN (DATE'$day2', DATE'$day3')
+         |    AND NOT EXISTS (SELECT 1 FROM lake_merge_keys k WHERE k.event_id = r.event_id)
+         |  UNION ALL
+         |  SELECT event_id, ts, user_id, event_type, value, props, event_date
+         |  FROM lake_merge_upserts
+         |)""".stripMargin)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(
+      s"""INSERT OVERWRITE TABLE lake_merge_rows
+         |SELECT event_id, ts, user_id, event_type, value, props, event_date
+         |FROM lake_merge_stage""".stripMargin)
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+        |FROM lake_merge_rows GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** Per-partition layout audit — the small-files report every lake runs
     * before deciding what to compact: rows and distinct files per date
     * directory. One scan with `input_file_name()`; the oracle replays it

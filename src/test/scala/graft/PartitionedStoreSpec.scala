@@ -217,6 +217,38 @@ class PartitionedStoreSpec extends SparkSpec {
         $"event_id" % 5 === 0).count())
   }
 
+  test("SQL merge route: copy-on-write of only the changeset's partitions; idempotent; equals the DataFrame route") {
+    val first = PartitionedStore.sqlMergeQuery(spark, sfDir).collect().toSeq
+    val path = PartitionedStore.defaultPath(sfDir) + "_mgs"
+    val lo = spark.read.parquet(s"$path/calendar")
+      .agg(min($"event_date")).head().getDate(0).toLocalDate
+    val affected = Set(s"event_date=${lo.plusDays(1)}", s"event_date=${lo.plusDays(2)}")
+    def fileStamps(): Map[String, Long] = {
+      val rowsDir = new java.io.File(s"$path/rows")
+      Option(rowsDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified()))
+        .toMap
+    }
+    val before = fileStamps()
+    val second = PartitionedStore.sqlMergeQuery(spark, sfDir).collect().toSeq
+    val after = fileStamps()
+    assert(second == first, "re-applying the changeset through SQL is idempotent")
+    val untouchedBefore = before.filterNot { case (k, _) => affected.exists(k.startsWith) }
+    val untouchedAfter = after.filterNot { case (k, _) => affected.exists(k.startsWith) }
+    assert(untouchedBefore == untouchedAfter,
+      s"untouched partitions changed: ${(untouchedBefore.toSet diff untouchedAfter.toSet).take(3)}")
+    assert(after.keys.exists(k => affected.exists(k.startsWith)),
+      "the changeset's partitions were rewritten")
+    // surface equivalence: the SQL DML route converges to the same state
+    // as the DataFrame copy-on-write route (same report rows)
+    val df = PartitionedStore.mergeQuery(spark, sfDir).collect().toSeq
+    assert(first.map(_.toString) == df.map(_.toString),
+      "SQL and DataFrame merge routes must agree")
+  }
+
   test("stale source fingerprint triggers a rebuild") {
     val path = PartitionedStore.defaultPath(sfDir)
     PartitionedStore.ensure(spark, sfDir)
