@@ -2620,6 +2620,10 @@ object SparkEntry {
          |               FROM cm CROSS JOIN nn
          |               WHERE w IN ($feasIn))
          |         ORDER BY cost, w LIMIT 1),
+         |hot AS (SELECT count(*) AS n_hot
+         |        FROM (SELECT w, i, bv, COUNT(*) AS c FROM allb GROUP BY 1, 2, 3) g
+         |        JOIN pick ON g.w = pick.w
+         |        WHERE g.c > ${graft.operators.Multimodal.HotBucketCap}),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
          |         FROM b a JOIN b b2 ON a.i = b2.i AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
          |v AS (SELECT id_a, id_b,
@@ -2627,8 +2631,9 @@ object SparkEntry {
          |      FROM cand JOIN h ha ON ha.doc_id = id_a JOIN h hb ON hb.doc_id = id_b)
          |SELECT id_a, id_b, hamming,
          |       CAST(pick.w AS BIGINT) AS band_w, CAST(pick.m AS BIGINT) AS n_bands,
-         |       CAST(pick.p AS BIGINT) AS probe_bits, CAST(nn.n AS BIGINT) AS n_hashes
-         |FROM v CROSS JOIN pick CROSS JOIN nn WHERE hamming <= 7
+         |       CAST(pick.p AS BIGINT) AS probe_bits, CAST(nn.n AS BIGINT) AS n_hashes,
+         |       CAST(hot.n_hot AS BIGINT) AS n_hot_buckets
+         |FROM v CROSS JOIN pick CROSS JOIN nn CROSS JOIN hot WHERE hamming <= 7
          |ORDER BY id_a, id_b""".stripMargin
     },
     // Cross-modal curation: the md5 MinHash banding (text leg) and the

@@ -384,6 +384,15 @@ object Multimodal {
     */
   private[graft] val HammingWidths: Seq[Int] = Seq(8, 16, 32)
 
+  /** Occupancy above which a (band, value) bucket of the Hamming pair join
+    * is salted (per-bucket factor ⌈c/cap⌉) so no single task's verify
+    * volume exceeds ~cap·c·P candidate rows. Calibrated from the measured
+    * sf1 decade: the hottest 16-bit bucket holds 1,121 hashes (≈21M pairs
+    * unsalted in one task — the observed spill); at 128 it splits 9 ways
+    * (≈2.4M pairs/task) while a spread corpus (sf0.1 max 120) pays zero.
+    */
+  private[graft] val HotBucketCap: Long = 128L
+
   /** Probe depth the completeness law τ ≤ m·(p+1) − 1 requires of an
     * m-band layout: the smallest p with m·(p+1) > τ (pigeonhole: some
     * band of a within-τ pair differs in ≤ p bits).
@@ -512,6 +521,35 @@ object Multimodal {
     val (n, collMass) = hammingLayoutStats(h)
     val (w, p) = chooseHammingLayout(n, collMass, tau)
     val m = 64 / w
+    val (pairs, nHot) = hammingPairs(h, w, p, tau)
+    pairs
+      .withColumn("band_w", lit(w.toLong))
+      .withColumn("n_bands", lit(m.toLong))
+      .withColumn("probe_bits", lit(p.toLong))
+      .withColumn("n_hashes", lit(n))
+      .withColumn("n_hot_buckets", lit(nHot))
+  }
+
+  /** The multi-index Hamming pair core at a FIXED layout: band both sides,
+    * probe-side ≤p-bit XOR expansion, hot-bucket-salted (band, value)
+    * equi-join, exact Hamming verify. Returns the within-τ pair frame and
+    * the number of salted buckets (the audit scalar). Factored out of
+    * [[phashPairs]] so the salting's exactness is spec-testable on a
+    * crafted hash frame whose occupancy actually engages it.
+    */
+  private[graft] def hammingPairs(h0: DataFrame, w: Int, p: Int, tau: Int,
+                                  hotCap: Long = HotBucketCap): (DataFrame, Long) = {
+    val m = 64 / w
+    // Spread the hash frame over the full task budget BEFORE the probe
+    // explosion: the frame is tiny on disk (16 B/hash — one scan task at
+    // any tested scale), but each row explodes into m·P probe rows and
+    // each probe row fans out through the candidate join, so leaving the
+    // explosion in the scan's partitioning serializes the whole candidate
+    // stream through ONE task — the measured sf1 failure mode (a single
+    // task expanded ~1 MB of hashes into ~9 GB of aggregation spill).
+    // The repartition costs one hash-frame-sized exchange (16 B/row).
+    val np = h0.sparkSession.sessionState.conf.numShufflePartitions
+    val h = h0.repartition(np)
     def bandVal(i: Int): String = bandValSql(w, i)
     val exactCols = (0 until m).map(i =>
       struct(lit(i).as("band"), expr(bandVal(i)).as("bv")))
@@ -527,12 +565,53 @@ object Multimodal {
       .select(col("doc_id"), col("bb.band").as("band"),
         explode(lit(masks)).as("mask"), col("bb.bv0"))
       .select(col("doc_id"), col("band"), expr("bv0 ^ mask").as("bv"))
-    val cand = probes.as("a").join(exact.as("b"),
+    // Hot-bucket SALTING — the dfCap idiom's exactness-preserving sibling
+    // for the Hamming join: a (band, value) bucket holding c hashes makes
+    // ONE join task emit ~c²·P candidate rows (the measured sf1 corpus
+    // concentrates 1,121 hashes on one 16-bit value → ~21M pairs in one
+    // task → disk spill in the verify leg). Buckets whose MEASURED
+    // occupancy exceeds [[HotBucketCap]] get a per-bucket salt factor
+    // s = ⌈c/cap⌉: the home side salts by pmod(xxhash64(doc_id), s), the
+    // probe side replicates over all s values, and the join key gains the
+    // salt — every pair still matches exactly once (at the home row's
+    // salt), so the pair set is UNCHANGED while per-task verify volume is
+    // bounded by ~cap·c·P. Only hot-bucket probe rows pay the replication
+    // (the broadcast hot list is ≤ buckets/cap rows); a spread corpus pays
+    // nothing. The hot-bucket count surfaces as an audit column the oracle
+    // replays from the same measured statistics.
+    val hot = exact.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > hotCap)
+      .select(col("band"), col("bv"),
+        ceil(col("c").cast("double") / hotCap).cast("int").as("s"))
+    val nHot = hot.count() // ≤ buckets/cap rows — bounded driver scalar
+    val exactS = exact.join(broadcast(hot), Seq("band", "bv"), "left")
+      .withColumn("salt",
+        when(col("s").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("doc_id")), col("s")).cast("int")))
+      .select(col("doc_id"), col("band"), col("bv"), col("salt"))
+    val probesS = probes.join(broadcast(hot), Seq("band", "bv"), "left")
+      .select(col("doc_id"), col("band"), col("bv"),
+        explode(sequence(lit(0), coalesce(col("s"), lit(1)) - 1)).as("salt"))
+    // Candidate stream → PIPELINED verify → distinct, in that order: the
+    // candidate multiset (every (probe, home) collision, duplicated across
+    // matching bands/masks/salts) is the one data-sized intermediate in
+    // this query, so it must never hit a blocking operator. De-duplicating
+    // BEFORE the verify looks cheaper on paper but materializes the whole
+    // multiset into a hash aggregate — the measured sf1 spill (the agg's
+    // sort fallback wrote ~9 GB for a ~1 MB input). Instead the stream
+    // flows through the two hash-frame joins (map-side at any scale where
+    // the 16 B/row frame broadcasts; salted SMJ with bounded tasks past
+    // it) and the exact-Hamming popcount filter while still inside
+    // whole-stage codegen — nothing accumulates — and DISTINCT runs on
+    // the verified survivors, a set bounded by true-pair multiplicity
+    // (≤ m·(1+probes) duplicates per real pair, output-sized).
+    val cand = probesS.as("a").join(exactS.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.salt") === col("b.salt") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    cand
+    val pairs = cand
       .join(h.select(col("doc_id").as("id_a"), col("phash_lo").as("lo_a"),
         col("phash_hi").as("hi_a")), Seq("id_a"))
       .join(h.select(col("doc_id").as("id_b"), col("phash_lo").as("lo_b"),
@@ -541,10 +620,8 @@ object Multimodal {
         expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long"))
       .filter(col("hamming") <= tau)
       .select(col("id_a"), col("id_b"), col("hamming"))
-      .withColumn("band_w", lit(w.toLong))
-      .withColumn("n_bands", lit(m.toLong))
-      .withColumn("probe_bits", lit(p.toLong))
-      .withColumn("n_hashes", lit(n))
+      .distinct()
+    (pairs, nHot)
   }
 
   /** Perceptual-hash (dHash) of every image — the image-side near-dup

@@ -79,9 +79,13 @@ object GraphIndex {
     * ≤ [[M]] rows per src, fully deterministic (every window tie-broken by
     * id, every candidate set a distinct equi-join product).
     */
-  def build(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+  def build(spark: SparkSession, dir: String): DataFrame =
+    buildFrom(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
 
+  /** [[build]] over an explicit vector frame — the half-corpus seed of the
+    * day-2 [[absorb]] lifecycle (the IndexStore.writeFrom contract).
+    */
+  private[graft] def buildFrom(base: DataFrame): DataFrame = {
     // Init: two independent sign-LSH bands; per-(band,bucket) hash-ordered
     // cap bounds the self-join at 100 TB (cap² pairs per bucket, like the
     // banded near-dup path). Equi-join on the band key — never a cross.
@@ -149,18 +153,102 @@ object GraphIndex {
     */
   def write(spark: SparkSession, dir: String, path: String): Unit = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val edges = build(spark, dir)
-      .join(base.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")), "dst")
+    writeEdges(buildFrom(base), base, path)
+    // Same `_src_fp_*` marker scheme as every other persisted store —
+    // delegated so the scheme lives in exactly one place (IndexStore).
+    IndexStore.stampSourceFp(path, dir)
+  }
+
+  /** Persist an edge frame with dst payloads in the sorted layout and stamp
+    * a fresh `_build_id` — shared by the full build and [[absorb]].
+    */
+  private[graft] def writeEdges(edges: DataFrame, vectors: DataFrame, path: String): Unit = {
+    edges.select(col("src"), col("dst"), col("sim"))
+      .join(vectors.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")), "dst")
       .select(col("src"), col("dst"), col("sim"), col("dst_emb"))
-    edges.repartitionByRange(col("src"))
+      .repartitionByRange(col("src"))
       .sortWithinPartitions(col("src"), col("dst"))
       .write.mode("overwrite").parquet(s"$path/edges")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$path/_build_id"),
       java.util.UUID.randomUUID().toString)
-    // Same `_src_fp_*` marker scheme as every other persisted store —
-    // delegated so the scheme lives in exactly one place (IndexStore).
-    IndexStore.stampSourceFp(path, dir)
+  }
+
+  /** Day-2 absorb — add a batch of new vectors to an EXISTING persisted
+    * graph without a full NN-Descent rebuild, completing the index
+    * lifecycle symmetry with [[IndexStore.absorb]] (the vector half) and
+    * `Dedup.bandIndexAbsorb` (the sketch half). This is HNSW's insert
+    * algorithm, batched and relational:
+    *
+    *  1. '''Seed''' — the build's banded sign-LSH blocking over
+    *     base ∪ batch, keeping only pairs that TOUCH a new node (the
+    *     corpus self-join never re-runs: per-batch cost is
+    *     O(batch·bucketCap), independent of corpus size);
+    *  2. '''Walk''' — each new vector beam-searches the EXISTING graph
+    *     (HNSW insert finds neighbors by descending the structure it
+    *     inserts into), contributing ≤ batch·k walk candidates;
+    *  3. '''Link''' — new-node out-edges = top-[[M]] of seed ∪ walk
+    *     candidates; back-edges: every existing node named by a new edge
+    *     re-ranks its old out-edges ∪ the reverse proposals to top-M
+    *     (HNSW's bidirectional link step with its degree-bound shrink).
+    *
+    * Only TOUCHED existing nodes change their rows; everything else
+    * passes through. The sorted layout is rewritten here (the sandbox
+    * store is MBs); a production lake would copy-on-write the affected
+    * `src`-range files only, exactly as [[graft.sources.SortedLayout]]'s
+    * zone absorb stages its delta. A fresh `_build_id` is stamped so
+    * dependent artifacts re-derive. The quality contract (spec-measured):
+    * edge recall of the absorbed graph vs the true top-M neighborhood of
+    * the UNION corpus stays within the build's own floor, and a
+    * subsequent rebuild re-converges it — absorb trades a few recall
+    * points for never touching the corpus, the same drift contract as
+    * the IVF absorb.
+    */
+  def absorb(spark: SparkSession, path: String, base: DataFrame,
+             batch: DataFrame): Unit = {
+    val all = base.select(col("vec_id"), col("embedding"))
+      .unionByName(batch.select(col("vec_id"), col("embedding")))
+      .localCheckpoint()
+    val newIds = batch.select(col("vec_id"))
+    // 1. LSH seeds over the union, restricted to pairs touching the batch
+    val bucketed = bandOffsets.zipWithIndex.map { case (off, b) =>
+      all.select(col("vec_id"), lit(b).as("band"),
+        signLshBucketAt(col("embedding"), off, lshBits).as("bucket"))
+    }.reduce(_ unionByName _)
+    val wb = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(xxhash64(col("vec_id"), col("band")), col("vec_id"))
+    val capped = bucketed.withColumn("hr", row_number().over(wb))
+      .filter(col("hr") <= bucketCap)
+      .select(col("vec_id"), col("band"), col("bucket"))
+    val newSide = capped.join(broadcast(newIds), Seq("vec_id"), "left_semi")
+    val seeds = newSide.as("a").join(capped.as("b"), Seq("band", "bucket"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    // 2. walk the existing graph with the batch as queries (entries = the
+    //    existing corpus's stride sample — the graph's own nodes)
+    val entries = base.filter(col("vec_id") % entryStride === 0)
+      .select(col("vec_id"), col("embedding"))
+    val walk = searchFrom(spark, path, entries,
+      batch.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      k = M, beam = 32, hops = 4, maxInlineIds = Tables.MaxInlineIds)
+      .select(col("qid").as("src"), col("vec_id").as("dst"))
+    // 3. link: forward proposals, reverse proposals, old edges of touched
+    //    existing nodes — one top-M re-rank per touched src
+    val forward = seeds.unionByName(walk).distinct()
+    val reverse = forward.select(col("dst").as("src"), col("src").as("dst"))
+    val proposals = forward.unionByName(reverse).distinct()
+    val oldEdges = spark.read.parquet(s"$path/edges")
+      .select(col("src"), col("dst"), col("sim"))
+    val touched = proposals.select(col("src")).distinct()
+    val touchedOld = oldEdges.join(touched, Seq("src"), "left_semi")
+      .select(col("src"), col("dst"))
+    val rescored = topK(
+      scorePairs(proposals.unionByName(touchedOld).distinct(), all), M)
+      .localCheckpoint() // the layout rewrite below reads the path it replaces
+    val untouched = oldEdges.join(touched, Seq("src"), "left_anti")
+      .localCheckpoint()
+    writeEdges(untouched.unionByName(rescored), all, path)
   }
 
   /** Build only if the artifacts don't exist yet or were built from
@@ -195,12 +283,20 @@ object GraphIndex {
     */
   def search(spark: SparkSession, dir: String, path: String, queries: DataFrame,
              k: Int = 5, beam: Int = 32, hops: Int = 4,
-             maxInlineIds: Int = Tables.MaxInlineIds): DataFrame = {
+             maxInlineIds: Int = Tables.MaxInlineIds): DataFrame =
+    searchFrom(spark, path, Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % entryStride === 0)
+        .select(col("vec_id"), col("embedding")),
+      queries, k, beam, hops, maxInlineIds)
+
+  /** [[search]] with an explicit entry frame — [[absorb]]'s walk draws its
+    * entries from the store's own base rather than a data dir.
+    */
+  private[graft] def searchFrom(spark: SparkSession, path: String, entries: DataFrame,
+                                queries: DataFrame, k: Int, beam: Int, hops: Int,
+                                maxInlineIds: Int): DataFrame = {
     import spark.implicits._
     val edges = spark.read.parquet(s"$path/edges")
-    val entries = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % entryStride === 0)
-      .select(col("vec_id"), col("embedding"))
     // nq is bounded (a query batch): collect once, reuse across hops
     // without re-scanning the query side.
     val qLocal = queries.select(col("qid"), col("qvec"))

@@ -84,7 +84,11 @@ object ScaleSweep {
     "cdc_apply", "scd2_build", "scd2_merge",
     // r12: the cross-modal composition of the two band joins (rides the
     // same duplicate-density decade as its two legs)
-    "dedup_crossmodal")
+    "dedup_crossmodal",
+    // r13: measure, don't attribute — the last three small-decade
+    // SUPER-LINEAR flags get their own sf1 byte rows instead of riding
+    // their siblings' measurements
+    "dedup_containment", "dedup_ngram_jaccard", "graph_label_prop")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -46,6 +46,42 @@ class GraphIndexSpec extends SparkSpec {
     assert(recall >= 0.95, f"edge recall@${GraphIndex.M} = $recall%.3f")
   }
 
+  test("day-2 absorb: batch links in at near-build edge quality; canonical store untouched") {
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val p = GraphIndex.defaultPath(sfDir) + "_abs"
+    val canonicalBuildId = { path; java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"${GraphIndex.defaultPath(sfDir)}/_build_id")) }
+    try {
+      GraphIndex.writeEdges(GraphIndex.buildFrom(even), even, p)
+      val idBefore = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$p/_build_id"))
+      GraphIndex.absorb(spark, p, even, odd)
+      val absorbed = spark.read.parquet(s"$p/edges")
+      // structural contract: every union-corpus node keeps a bounded list
+      val deg = absorbed.groupBy($"src").agg(count(lit(1)).as("d"))
+      assert(deg.count() == emb.count(), "every node (old and new) has a neighbor list")
+      assert(deg.agg(max($"d")).as[Long].head() <= GraphIndex.M.toLong)
+      assert(absorbed.filter($"src" === $"dst").isEmpty, "no self-loops")
+      // quality contract: edge recall vs the TRUE top-M of the union corpus
+      // stays within the build's own spec floor — absorb must not degrade
+      // the graph it joins (rebuild = the buildFrom(all) truth)
+      val exact = VectorSearch.knnDeclarative(
+        emb.select($"vec_id".as("qid"), $"embedding".as("qvec")), emb, GraphIndex.M)
+        .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+      val got = absorbed.select($"src", $"dst").as[(Long, Long)].collect().toSet
+      val recall = (exact & got).size.toDouble / exact.size
+      assert(recall >= 0.95, f"absorbed edge recall@${GraphIndex.M} = $recall%.3f")
+      // lifecycle: absorb stamped a fresh build id on ITS store only; the
+      // canonical store (graph_degree_stats' oracle artifact) is untouched
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$p/_build_id")) != idBefore)
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"${GraphIndex.defaultPath(sfDir)}/_build_id")) == canonicalBuildId)
+    } finally graft.streaming.StreamOps.rmTree(new java.io.File(p))
+  }
+
   test("beam search finds the exact top-5 (recall >= 0.9 on the bench corpus)") {
     val exact = VectorSearch.knnExact(spark, sfDir)
       .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet

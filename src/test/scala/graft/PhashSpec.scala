@@ -124,6 +124,40 @@ class PhashSpec extends SparkSpec {
       s"tau=9 banding must be exactly the within-tau set: ${pairs.length} vs ${brute.size}")
   }
 
+  test("hot-bucket salting engages on a concentrated corpus and changes nothing") {
+    // 600 hashes sharing one 16-bit band value (band 0 = 0), tails spread:
+    // bucket occupancy 600 >> hotCap=16, so the salted join splits it ~38
+    // ways; the pair set must still be EXACTLY the brute-force within-tau
+    // set (every pair matches once, at the home row's salt).
+    val rng = new scala.util.Random(7)
+    val hs = (0L until 600L).map { i =>
+      // lo: low 16 bits zero (the hot band), upper 16 random-ish
+      val lo = (rng.nextInt(1 << 16).toLong << 16)
+      val hi = rng.nextLong() & 0xffffffffL
+      (i, lo, hi)
+    }
+    val h = hs.toDF("doc_id", "phash_lo", "phash_hi")
+    val tau = 7
+    val (pairsDf, nHot) = Multimodal.hammingPairs(h, w = 16,
+      p = Multimodal.probeBitsFor(16, tau), tau = tau, hotCap = 16L)
+    assert(nHot >= 1L, "the crafted corpus must actually engage the salting")
+    val pairs = pairsDf.select($"id_a".as[Long], $"id_b".as[Long], $"hamming".as[Long])
+      .collect().toSet
+    val brute = (for {
+      a <- hs; b <- hs if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+      if d <= tau
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(pairs == brute,
+      s"salted banding must be exactly the within-tau set: ${pairs.size} vs ${brute.size}")
+    // and with salting OFF (cap above the corpus) the set is identical too
+    val (plainDf, nHot0) = Multimodal.hammingPairs(h, 16,
+      Multimodal.probeBitsFor(16, tau), tau, hotCap = 10000L)
+    assert(nHot0 == 0L)
+    assert(plainDf.select($"id_a".as[Long], $"id_b".as[Long], $"hamming".as[Long])
+      .collect().toSet == brute)
+  }
+
   test("audit columns surface a lawful layout consistent with the measured stats") {
     val rows = Multimodal.phashPairsQuery(spark, sfDir).collect()
     assert(rows.nonEmpty)
