@@ -579,20 +579,34 @@ object Multimodal {
     // (the broadcast hot list is ≤ buckets/cap rows); a spread corpus pays
     // nothing. The hot-bucket count surfaces as an audit column the oracle
     // replays from the same measured statistics.
-    val hot = exact.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("c"))
+    // One bounded collect (≤ n·m/cap rows by pigeonhole) yields both the
+    // hot list and its count; a spread corpus (every tested sf) takes the
+    // zero-hot fast path — no salt column, no extra joins, the plain
+    // (band, value) equi-join — so the salting machinery costs exactly one
+    // tiny aggregate job until a corpus actually needs it.
+    val hotRows: Array[(Int, Long, Int)] = exact
+      .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("c"))
       .filter(col("c") > hotCap)
       .select(col("band"), col("bv"),
         ceil(col("c").cast("double") / hotCap).cast("int").as("s"))
-    val nHot = hot.count() // ≤ buckets/cap rows — bounded driver scalar
-    val exactS = exact.join(broadcast(hot), Seq("band", "bv"), "left")
-      .withColumn("salt",
-        when(col("s").isNull, lit(0))
-          .otherwise(pmod(xxhash64(col("doc_id")), col("s")).cast("int")))
-      .select(col("doc_id"), col("band"), col("bv"), col("salt"))
-    val probesS = probes.join(broadcast(hot), Seq("band", "bv"), "left")
-      .select(col("doc_id"), col("band"), col("bv"),
-        explode(sequence(lit(0), coalesce(col("s"), lit(1)) - 1)).as("salt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    val nHot = hotRows.length.toLong
+    val (probesS, exactS) =
+      if (nHot == 0)
+        (probes.withColumn("salt", lit(0)),
+          exact.withColumn("salt", lit(0)))
+      else {
+        import h.sparkSession.implicits._
+        val hot = broadcast(hotRows.toSeq.toDF("band", "bv", "s"))
+        (probes.join(hot, Seq("band", "bv"), "left")
+          .select(col("doc_id"), col("band"), col("bv"),
+            explode(sequence(lit(0), coalesce(col("s"), lit(1)) - 1)).as("salt")),
+          exact.join(hot, Seq("band", "bv"), "left")
+            .withColumn("salt",
+              when(col("s").isNull, lit(0))
+                .otherwise(pmod(xxhash64(col("doc_id")), col("s")).cast("int")))
+            .select(col("doc_id"), col("band"), col("bv"), col("salt")))
+      }
     // Candidate stream → PIPELINED verify → distinct, in that order: the
     // candidate multiset (every (probe, home) collision, duplicated across
     // matching bands/masks/salts) is the one data-sized intermediate in

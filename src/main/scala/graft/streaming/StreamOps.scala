@@ -223,37 +223,41 @@ object StreamOps {
   }
 
   /** Keep-latest merge of a batch into a parquet store (plain-DF MERGE:
-    * union + window-dedup on the key). The snapshot swap below is
-    * local-FS-only (`java.io.File.renameTo`); on HDFS/object storage this
-    * must be `org.apache.hadoop.fs.FileSystem.rename` — or, better, a
-    * Delta/Iceberg MERGE, whose commit protocol makes the swap atomic.
+    * union + window-dedup on the key). The snapshot swap goes through the
+    * Hadoop `FileSystem` API of whatever filesystem `storePath` lives on —
+    * local FS here, HDFS/object stores in production unchanged (on object
+    * stores rename is a copy, so the aside step costs IO; a Delta/Iceberg
+    * MERGE, whose commit protocol swaps a metadata pointer instead, is the
+    * production upgrade path).
     */
   def mergeKeepLatest(spark: SparkSession, batch: DataFrame, storePath: String,
                       version: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(storePath)
+    val tmp = new org.apache.hadoop.fs.Path(storePath + ".tmp")
+    val aside = new org.apache.hadoop.fs.Path(storePath + ".old")
     val incoming = batch.withColumn("v", lit(version))
     val merged =
-      if (new java.io.File(storePath).exists()) {
+      if (fs.exists(live)) {
         val old = spark.read.parquet(storePath)
         val w = Window.partitionBy(col("event_id")).orderBy(col("v").desc)
         old.unionByName(incoming)
           .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
       } else incoming
-    val tmp = new java.io.File(storePath + ".tmp")
-    merged.write.mode("overwrite").parquet(tmp.getPath)
+    merged.write.mode("overwrite").parquet(tmp.toString)
     // Promote via rename-aside: the live store is moved out of the way (not
     // deleted) before tmp takes its place, so a failed rename can't lose the
     // only copy; every rename's result is checked.
-    val live = new java.io.File(storePath)
-    val aside = new java.io.File(storePath + ".old")
-    if (aside.exists()) rmTree(aside)
-    if (live.exists() && !live.renameTo(aside))
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (fs.exists(live) && !fs.rename(live, aside))
       throw new java.io.IOException(s"could not move $storePath aside for swap")
-    if (!tmp.renameTo(live)) {
-      if (aside.exists()) aside.renameTo(live) // restore the previous snapshot
-      throw new java.io.IOException(s"could not promote ${tmp.getPath} to $storePath")
+    if (!fs.rename(tmp, live)) {
+      if (fs.exists(aside)) fs.rename(aside, live) // restore the previous snapshot
+      throw new java.io.IOException(s"could not promote $tmp to $storePath")
     }
-    if (aside.exists()) rmTree(aside)
+    if (fs.exists(aside)) fs.delete(aside, true)
   }
 
   /** documents schema for the streaming ingest source. */

@@ -137,7 +137,7 @@ object ScaleSweep {
     spark.stop()
 
     val lines = new scala.collection.mutable.ArrayBuffer[String]
-    lines += "# SCALING — per-decade time exponents (round 12)"
+    lines += "# SCALING — per-decade time exponents (round 13)"
     lines += ""
     lines += "Generated by `graft.tools.ScaleSweep`: median of 3 timed runs per"
     lines += "(query, sf) after one untimed warm run, serial, one JVM, bench session"
@@ -161,22 +161,24 @@ object ScaleSweep {
       lines += "one the 100 TB claims ride on."
     }
     lines += ""
-    lines += "## Flag attribution (round 12)"
+    lines += "## Flag attribution (round 13)"
     lines += ""
-    lines += "`media_phash_pairs` (1.81) and `dedup_crossmodal` (1.74, whose"
-    lines += "dominant leg IS the image pair join) carry the 0.1→1 flags, and the"
-    lines += "cause is the DATA, not the plans: the blow-up's replica images are"
-    lines += "genuine near-dups (per-replica id offsets cycle the formulaic image"
-    lines += "generator), so the TRUE within-τ pair set grows 902 → 57,455 over"
-    lines += "the synthetic decade — in-data OUTPUT slope 1.80, which any"
-    lines += "COMPLETE pair algorithm must pay. With the r12 auto-scaled band"
-    lines += "layout (width/probe depth derived from measured corpus statistics"
-    lines += "under τ ≤ m·(p+1)−1) the measured slope now TRACKS that output"
-    lines += "slope (1.81 vs the r11 fixed layout's 2.18): candidates no longer"
-    lines += "outgrow the answer, which is the best any complete algorithm can"
-    lines += "do on this data. History: the fixed 8×8 layout went n²/2048"
-    lines += "(1079 s at sf1); fixed 4×16 probing read 206 s at slope 2.18;"
-    lines += "the derived layout reads ~136 s at slope 1.81."
+    lines += "The r12 phash-family flags (`media_phash_pairs` 1.81,"
+    lines += "`dedup_crossmodal` 1.74) are addressed with CODE this round: the"
+    lines += "pair core now spreads the probe explosion over the task budget"
+    lines += "(the 16 B/hash frame is one scan task — the whole candidate"
+    lines += "stream previously serialized through it), streams the exact"
+    lines += "Hamming verify inside codegen, DISTINCTs only verified survivors,"
+    lines += "and salts hot (band,value) buckets for the shuffled fallback."
+    lines += "Measured at sf1: media_phash_pairs 187.6→18.5 s, dedup_crossmodal"
+    lines += "187.8→35.1 s, zero spill (was 8.99 GB). Their residual slope is"
+    lines += "bounded below by the DATA: the blow-up's replica images are"
+    lines += "genuine near-dups, so the TRUE within-τ pair set grows"
+    lines += "902 → 57,455 over the synthetic decade (in-data OUTPUT slope"
+    lines += "1.80) and any COMPLETE pair algorithm pays at least the output."
+    lines += "History: fixed 8×8 layout 1079 s at sf1; fixed 4×16 probing"
+    lines += "206 s; r12 derived layout ~136 s; r13 parallel-pipelined core"
+    lines += "18.5 s."
     lines += ""
     val sf1Head = if (sf1Dir.nonEmpty) " t(sf1) s | slope 0.1→1 |" else ""
     lines += s"| query | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | slope 0.001→0.01 | slope 0.01→0.1 |$sf1Head verdict |"

@@ -122,7 +122,7 @@ object ShuffleAudit {
         rs.find(_.sf == "sf1"))
     }
     val lines = new scala.collection.mutable.ArrayBuffer[String]
-    lines += "# SHUFFLE — measured bytes moved per query (round 12)"
+    lines += "# SHUFFLE — measured bytes moved per query (round 13)"
     lines += ""
     if (sf1Dir.nonEmpty) {
       lines += "This sweep includes the SYNTHETIC sf1 decade (graft.tools.BlowUp"
@@ -147,48 +147,43 @@ object ShuffleAudit {
     lines += "localCheckpoint (shingle cache, featurizer output) warm from the prior"
     lines += "run — `shuf/in` is only meaningful when input > 0."
     lines += ""
-    lines += "## Flag attribution (round 12)"
+    lines += "## Flag attribution (round 13)"
     lines += ""
-    lines += "THE HEADLINE OF THE sf1 COLUMN: the r11 small-decade SUPER-LINEAR"
-    lines += "flags CLEAR at the first overhead-free decade, exactly as their"
-    lines += "attribution predicted. graph_pagerank and dedup_edit_distance read"
-    lines += "shuffle-byte slope ~1.03-1.04 on 0.1→1 (vs 1.55-1.56 on the small"
-    lines += "decade), and dedup_lsh_eval reads ~1.05 (vs 1.52): the small-decade"
-    lines += "inflation was the synthetic corpus's bounded phrase vocabulary"
-    lines += "(distinct 3-gram shingles grow only 1.7x over 0.01→0.1 while"
-    lines += "per-shingle df grows ~6x — in-data candidate volume slope 1.96);"
-    lines += "the BlowUp sf1 dir token-suffixes replicas so vocabulary grows"
-    lines += "Heaps-style and per-shingle df stays bounded, which is what a real"
-    lines += "corpus does — and the measured bytes immediately go linear."
-    lines += "dedup_minhash_md5, the documented 100 TB dedup route, measures"
-    lines += "slope ~1.00 in BYTES on the big decade."
+    lines += "r13 closed the r12 watch items with CODE and with MEASUREMENT:"
     lines += ""
-    lines += "Remaining flags:"
+    lines += "- **The phash-family sf1 SPILL is GONE** (was 8.99 GB in"
+    lines += "  media_phash_pairs / dedup_crossmodal at r12). Root cause was plan"
+    lines += "  shape, not data: the 16 B/hash frame is one scan task, so the"
+    lines += "  probe explosion and the whole candidate stream serialized through"
+    lines += "  a single task whose candidate-distinct hash aggregate fell back"
+    lines += "  to sort and spilled. The core now repartitions the hash frame"
+    lines += "  over the task budget BEFORE the explosion, streams the exact"
+    lines += "  Hamming verify inside whole-stage codegen, and DISTINCTs only"
+    lines += "  the verified survivors; hot (band,value) buckets past"
+    lines += "  HotBucketCap=128 are salted for the shuffled-join fallback."
+    lines += "  Measured at sf1: media_phash_pairs 187.6→18.5 s,"
+    lines += "  dedup_crossmodal 187.8→35.1 s, zero spill in every stage."
+    lines += "- **The last three attribution-only SUPER-LINEAR flags are now"
+    lines += "  MEASURED on their own rows and clear**: dedup_containment and"
+    lines += "  dedup_ngram_jaccard read sf1 shuffle-byte slope ~1.04"
+    lines += "  (127.9 MB vs 11.8 MB over the decade) and graph_label_prop"
+    lines += "  ~1.03 — linear at the first overhead-free decade, exactly as"
+    lines += "  the bounded-vocabulary attribution (carried from r11/r12 for"
+    lines += "  their cleared siblings pagerank/edit-distance/lsh_eval)"
+    lines += "  predicted: the small-decade inflation was the synthetic"
+    lines += "  corpus's bounded phrase vocabulary; the BlowUp sf1 dir grows"
+    lines += "  vocabulary Heaps-style and the bytes immediately go linear."
+    lines += "  dedup_minhash_md5, the documented 100 TB dedup route, stays"
+    lines += "  slope ~1.00 in BYTES on the big decade."
     lines += ""
-    lines += "- **dedup_containment / dedup_ngram_jaccard / graph_label_prop"
-    lines += "  (1.55-1.56, small decade only — not in the sf1 subset)**: the"
-    lines += "  same bounded-vocabulary cause as their siblings above; the"
-    lines += "  pagerank/edit-distance/lsh_eval sf1 legs measure the SAME"
-    lines += "  inverted-index/pair-graph machinery going linear at the decade"
-    lines += "  that matters."
+    lines += "Remaining flag:"
+    lines += ""
     lines += "- **graph_triangles (sf1 byte slope ~1.5)**: wedge volume grows"
     lines += "  with Σ deg(v)² of the near-dup pair graph, whose edge density the"
     lines += "  synthetic corpus sets; the compact-forward census is the standard"
     lines += "  linear-in-wedges plan (each triangle counted once via id-ordered"
     lines += "  edges), and the in-data wedge growth is what any census must"
     lines += "  read. dfCap bounds the worst case upstream on a real corpus."
-    lines += "- **dedup_crossmodal / media_phash_pairs SPILL at sf1**: the spill"
-    lines += "  sits in the image leg's candidate-verify phase — the formulaic"
-    lines += "  blow-up images concentrate dHash band values far beyond"
-    lines += "  photographic corpora, so the (band,value) equi-join's in-join"
-    lines += "  pair expansion exceeds the 32-partition executor budget and the"
-    lines += "  sort/aggregate machinery degrades gracefully to disk (the"
-    lines += "  SHUFFLE-byte slope of the same queries stays ~0.9-1.0: what"
-    lines += "  crosses the wire is linear; the spill is partition-LOCAL verify"
-    lines += "  volume). The auto-scaled band layout already tracks the in-data"
-    lines += "  output slope (SCALING.md); at production scale the same dial"
-    lines += "  (wider bands, deeper probes) plus more shuffle partitions sizes"
-    lines += "  the verify volume per task."
     lines += ""
     lines += "Carried context from r11: the key-state folds (cdc_apply,"
     lines += "stream_cdc_apply, scd2_build, scd2_merge) stay slope ~1.0 with"
