@@ -516,8 +516,14 @@ object Multimodal {
     */
   private[graft] def phashPairs(spark: SparkSession, dir: String, tau: Int = 7): DataFrame = {
     require(tau >= 0 && tau < 64, s"tau must be a 64-bit Hamming radius, got $tau")
-    val h = phashQuery(spark, dir)
-      .select(col("doc_id"), col("phash_lo"), col("phash_hi"))
+    // Unsorted hash frame (not phashQuery — its presentation ORDER BY
+    // would cost a RangePartitioning sampling pass under the composition,
+    // the exact double-execution trap the crossmodal docstring documents).
+    val graysPath = ensureGrays(spark, dir)
+    val h = spark.read.parquet(s"$graysPath/grays")
+      .select(col("doc_id"),
+        expr(dhashSql("grays", 0, base = 0)).as("phash_lo"),
+        expr(dhashSql("grays", 1, base = 0)).as("phash_hi"))
     val (n, collMass) = hammingLayoutStats(h)
     val (w, p) = chooseHammingLayout(n, collMass, tau)
     val m = 64 / w
@@ -547,9 +553,14 @@ object Multimodal {
     // explosion in the scan's partitioning serializes the whole candidate
     // stream through ONE task — the measured sf1 failure mode (a single
     // task expanded ~1 MB of hashes into ~9 GB of aggregation spill).
-    // The repartition costs one hash-frame-sized exchange (16 B/row).
+    // The repartition costs one hash-frame-sized exchange (16 B/row),
+    // materialized ONCE by an eager localCheckpoint: the frame feeds five
+    // subtrees (home bands, probe bands, the hot-bucket census, both
+    // verify sides) across two actions, and without the checkpoint each
+    // action re-reads the grays store and re-evaluates the dhash
+    // expression per subtree.
     val np = h0.sparkSession.sessionState.conf.numShufflePartitions
-    val h = h0.repartition(np)
+    val h = h0.repartition(np).localCheckpoint()
     def bandVal(i: Int): String = bandValSql(w, i)
     val exactCols = (0 until m).map(i =>
       struct(lit(i).as("band"), expr(bandVal(i)).as("bv")))
