@@ -514,20 +514,53 @@ object Multimodal {
     * the sampling pass re-executes the whole join (measured 2× at the sf1
     * decade). Compose from here; sort only at the query surface.
     */
+  /** Per-(session, dir CONTENT) memo of the prepared (repartitioned +
+    * checkpointed) hash frame and its measured layout statistics: the
+    * frame feeds two registered queries (`media_phash_pairs` and
+    * `dedup_crossmodal`'s image leg) that would otherwise each re-read
+    * the grays store, re-run the dhash expressions, and re-measure the
+    * same statistics per invocation. Same lifecycle discipline as
+    * Dedup's sketch memo: weak session ref (never pins a stopped
+    * session), soft frame ref (GC reclaims under pressure → recompute),
+    * content fingerprint in the key (regenerated testdata misses).
+    */
+  private val hashMemo = scala.collection.concurrent.TrieMap.empty[
+    (Int, String, Long),
+    (java.lang.ref.WeakReference[SparkSession],
+      java.lang.ref.SoftReference[DataFrame], Long, Map[Int, Long])]
+
+  private def memoHashFrame(spark: SparkSession, dir: String)
+      : (DataFrame, Long, Map[Int, Long]) = {
+    hashMemo.filterInPlace { case (_, (sref, dref, _, _)) =>
+      val s = sref.get
+      s != null && !s.sparkContext.isStopped && dref.get != null
+    }
+    val key = (System.identityHashCode(spark), dir, Tables.dirFingerprint(dir))
+    hashMemo.get(key) match {
+      case Some((sref, dref, n, coll)) if (sref.get eq spark) && dref.get != null =>
+        (dref.get, n, coll)
+      case _ =>
+        val graysPath = ensureGrays(spark, dir)
+        val h = prepareHashFrame(spark.read.parquet(s"$graysPath/grays")
+          .select(col("doc_id"),
+            expr(dhashSql("grays", 0, base = 0)).as("phash_lo"),
+            expr(dhashSql("grays", 1, base = 0)).as("phash_hi")))
+        val (n, coll) = hammingLayoutStats(h)
+        hashMemo.update(key, (new java.lang.ref.WeakReference(spark),
+          new java.lang.ref.SoftReference(h), n, coll))
+        (h, n, coll)
+    }
+  }
+
   private[graft] def phashPairs(spark: SparkSession, dir: String, tau: Int = 7): DataFrame = {
     require(tau >= 0 && tau < 64, s"tau must be a 64-bit Hamming radius, got $tau")
     // Unsorted hash frame (not phashQuery — its presentation ORDER BY
     // would cost a RangePartitioning sampling pass under the composition,
     // the exact double-execution trap the crossmodal docstring documents).
-    val graysPath = ensureGrays(spark, dir)
-    val h = spark.read.parquet(s"$graysPath/grays")
-      .select(col("doc_id"),
-        expr(dhashSql("grays", 0, base = 0)).as("phash_lo"),
-        expr(dhashSql("grays", 1, base = 0)).as("phash_hi"))
-    val (n, collMass) = hammingLayoutStats(h)
+    val (h, n, collMass) = memoHashFrame(spark, dir)
     val (w, p) = chooseHammingLayout(n, collMass, tau)
     val m = 64 / w
-    val (pairs, nHot) = hammingPairs(h, w, p, tau)
+    val (pairs, nHot) = hammingPairsPrepared(h, w, p, tau, HotBucketCap)
     pairs
       .withColumn("band_w", lit(w.toLong))
       .withColumn("n_bands", lit(m.toLong))
@@ -544,23 +577,32 @@ object Multimodal {
     * crafted hash frame whose occupancy actually engages it.
     */
   private[graft] def hammingPairs(h0: DataFrame, w: Int, p: Int, tau: Int,
-                                  hotCap: Long = HotBucketCap): (DataFrame, Long) = {
-    val m = 64 / w
-    // Spread the hash frame over the full task budget BEFORE the probe
-    // explosion: the frame is tiny on disk (16 B/hash — one scan task at
-    // any tested scale), but each row explodes into m·P probe rows and
-    // each probe row fans out through the candidate join, so leaving the
-    // explosion in the scan's partitioning serializes the whole candidate
-    // stream through ONE task — the measured sf1 failure mode (a single
-    // task expanded ~1 MB of hashes into ~9 GB of aggregation spill).
-    // The repartition costs one hash-frame-sized exchange (16 B/row),
-    // materialized ONCE by an eager localCheckpoint: the frame feeds five
-    // subtrees (home bands, probe bands, the hot-bucket census, both
-    // verify sides) across two actions, and without the checkpoint each
-    // action re-reads the grays store and re-evaluates the dhash
-    // expression per subtree.
+                                  hotCap: Long = HotBucketCap): (DataFrame, Long) =
+    hammingPairsPrepared(prepareHashFrame(h0), w, p, tau, hotCap)
+
+  /** Spread the hash frame over the full task budget BEFORE the probe
+    * explosion: the frame is tiny on disk (16 B/hash — one scan task at
+    * any tested scale), but each row explodes into m·P probe rows and
+    * each probe row fans out through the candidate join, so leaving the
+    * explosion in the scan's partitioning serializes the whole candidate
+    * stream through ONE task — the measured sf1 failure mode (a single
+    * task expanded ~1 MB of hashes into ~9 GB of aggregation spill).
+    * The repartition costs one hash-frame-sized exchange (16 B/row),
+    * materialized ONCE by an eager localCheckpoint: the frame feeds five
+    * subtrees (home bands, probe bands, the hot-bucket census, both
+    * verify sides) across two actions, and without the checkpoint each
+    * action re-reads the source and re-evaluates the hash expressions
+    * per subtree.
+    */
+  private def prepareHashFrame(h0: DataFrame): DataFrame = {
     val np = h0.sparkSession.sessionState.conf.numShufflePartitions
-    val h = h0.repartition(np).localCheckpoint()
+    h0.repartition(np).localCheckpoint()
+  }
+
+  /** [[hammingPairs]] over an already [[prepareHashFrame]]'d frame. */
+  private def hammingPairsPrepared(h: DataFrame, w: Int, p: Int, tau: Int,
+                                   hotCap: Long): (DataFrame, Long) = {
+    val m = 64 / w
     def bandVal(i: Int): String = bandValSql(w, i)
     val exactCols = (0 until m).map(i =>
       struct(lit(i).as("band"), expr(bandVal(i)).as("bv")))
