@@ -342,18 +342,27 @@ object GraphIndex {
                                 maxInlineIds: Int): DataFrame = {
     import spark.implicits._
     val edges = spark.read.parquet(s"$path/edges")
-    // nq is bounded (a query batch): collect once, reuse across hops
-    // without re-scanning the query side.
-    val qLocal = queries.select(col("qid"), col("qvec"))
-      .as[(Long, Array[Float])].collect().toSeq
-    val qDF = spark.createDataset(qLocal).toDF("qid", "qvec")
+    // The query side is materialized ONCE (eager localCheckpoint) and
+    // stays DISTRIBUTED: it is reused by every hop, but never collected —
+    // the search batch is bounded in the serve path, while [[absorb]]
+    // walks an INGEST batch through here, and a driver-side collect of a
+    // corpus-scale batch is exactly the anti-pattern the MaxInlineIds
+    // contract exists to prevent. The checkpointed count is the one
+    // driver scalar.
+    val qDF = queries.select(col("qid"), col("qvec")).localCheckpoint()
+    val nq = qDF.count()
     // Bounded-inline-id contract (Tables.MaxInlineIds): the frontier is
     // ≤ nq·beam (qid, src) pairs per hop. When that fits the bound it is
     // collected and inlined so the sorted edge scan prunes row groups via
     // the IN-list; past it (reference batches 30k queries ⇒ ~10⁶ ids) the
-    // frontier stays distributed and the hop is a broadcast equi-join on
-    // src — same rows, no literal explosion in the plan.
-    val inlineFrontier = qLocal.size.toLong * beam <= maxInlineIds
+    // frontier stays distributed and the hop is an equi-join on src —
+    // same rows, no literal explosion in the plan (no broadcast hint:
+    // the frontier is data-sized there, AQE picks the strategy).
+    val inlineFrontier = nq * beam <= maxInlineIds
+    // The query side is hint-broadcast only under the same bounded
+    // contract (serve-path batches); an ingest-scale batch joins unhinted
+    // and AQE picks the strategy.
+    val qJoin = if (inlineFrontier) broadcast(qDF) else qDF
 
     var visited = qDF.crossJoin(broadcast(entries))
       .withColumn("sim", dot(col("qvec"), col("embedding")))
@@ -370,10 +379,10 @@ object GraphIndex {
           val fDF = spark.createDataset(frontier).toDF("qid", "src")
           edges.filter(col("src").isin(fIds: _*)).join(broadcast(fDF), "src")
         } else
-          edges.join(broadcast(
-            frontierDF.withColumnRenamed("vec_id", "src").localCheckpoint(true)), "src")
+          edges.join(
+            frontierDF.withColumnRenamed("vec_id", "src").localCheckpoint(true), "src")
       val scored = joined
-        .join(broadcast(qDF), "qid")
+        .join(qJoin, "qid")
         .withColumn("sim", dot(col("qvec"), col("dst_emb")))
         .select(col("qid"), col("dst").as("vec_id"), col("sim"))
       visited = visited.unionByName(scored)
