@@ -87,7 +87,9 @@ object Plans {
       "events_attribution" -> "last-touch attribution: IGNORE-NULLS last over a preceding-rows frame, never a purchases-to-touches join; tiny per-channel rollup",
       "scd2_merge" -> "incremental SCD2 merge: ONE raw scan (the delta slice), closed history passes through from the persisted base unshuffled, open rows seed the fold",
       "scd2_pit_lookup" -> "point-in-time feature lookup: user-key equi-join with interval residual predicates — per-key purchases x versions, never a global range join",
-      "lake_sql_ann" -> "SQL route to ANN: every union arm's naive ORDER BY dot(...) LIMIT k over the lake_vectors view is rewritten at optimization time into the probed form — static cell_id INSET PartitionFilters on each arm's scan")
+      "lake_sql_ann" -> "SQL route to ANN: every union arm's naive ORDER BY dot(...) LIMIT k over the lake_vectors view is rewritten at optimization time into the probed form — static cell_id INSET PartitionFilters on each arm's scan",
+      "media_phash_pairs" -> "multi-index Hamming pairs (r13 core): hash frame repartitioned BEFORE the probe explosion (the whole candidate stream never serializes through one scan task), exact-Hamming verify streams inside whole-stage codegen, DISTINCT only on verified survivors — the candidate multiset never hits a blocking operator",
+      "lake_sql_merge" -> "lake MERGE through SQL DML: changeset views over the raw log, INSERT OVERWRITE staging (no self-read), dynamic partition overwrite of only the changeset's date directories; this dump shows the post-merge report plan over the rows view")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
