@@ -310,18 +310,9 @@ object PartitionedStore {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date")
         .parquet(s"$path/rows")
-      // Dynamic partition overwrite only rewrites partitions PRESENT in
-      // the output: an affected partition whose every row was deleted
-      // emits no rows, its directory is never rewritten, and the deleted
-      // rows would silently resurface. Unreachable from the built-in mod-7
-      // changeset, but this method documents general MERGE semantics — so
-      // drop any affected directory with zero survivor+upsert rows
-      // (driver-side over the ≤ |dates| checkpointed distinct set).
       val outDates = merged.select(col("event_date")).distinct()
         .collect().map(_.getDate(0).toString).toSet
-      affected.iterator.map(_.toString).filterNot(outDates).foreach { d =>
-        graft.streaming.StreamOps.rmTree(new java.io.File(s"$path/rows/event_date=$d"))
-      }
+      dropEmptiedPartitions(s"$path/rows", affected.iterator.map(_.toString).toSeq, outDates)
     }
     spark.read.parquet(s"$path/rows")
       .groupBy(col("event_type"))
@@ -329,6 +320,21 @@ object PartitionedStore {
         (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
       .orderBy(col("event_type"))
   }
+
+  /** Dynamic partition overwrite only rewrites partitions PRESENT in the
+    * output: an affected partition whose every row was deleted emits no
+    * rows, its directory is never rewritten, and the deleted rows would
+    * silently resurface. Unreachable from [[mergeQuery]]'s built-in mod-7
+    * changeset, but MERGE semantics are general — so after the write,
+    * every affected `event_date=` directory that produced zero
+    * survivor+upsert rows is dropped (driver-side over the ≤ |dates|
+    * sets; unit-testable in isolation since no changeset reaches it).
+    */
+  private[graft] def dropEmptiedPartitions(rowsPath: String, affected: Seq[String],
+                                           outDates: Set[String]): Unit =
+    affected.filterNot(outDates).foreach { d =>
+      graft.streaming.StreamOps.rmTree(new java.io.File(s"$rowsPath/event_date=$d"))
+    }
 
   /** [[mergeQuery]]'s SQL DML twin — the day-2 lake MERGE reachable
     * without DataFrame code, completing the `lake_sql_*` surface on the

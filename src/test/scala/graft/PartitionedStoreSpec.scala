@@ -249,6 +249,36 @@ class PartitionedStoreSpec extends SparkSpec {
       "SQL and DataFrame merge routes must agree")
   }
 
+  test("merge drops an affected partition that emitted zero survivors (full-partition delete)") {
+    // The general-MERGE case the built-in changeset can't reach: dynamic
+    // overwrite leaves a fully-deleted partition's directory in place, so
+    // the cleanup must remove exactly the affected-but-empty directories.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mergedrop").toString
+    try {
+      val rows = s"$tmp/rows"
+      Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L))
+        .toDF("event_date", "event_id")
+        .write.partitionBy("event_date").parquet(rows)
+      def dirs() = new java.io.File(rows).listFiles()
+        .filter(_.getName.startsWith("event_date=")).map(_.getName).toSet
+      assert(dirs() == Set("event_date=2024-01-01", "event_date=2024-01-02",
+        "event_date=2024-01-03"))
+      // changeset touched days 1 and 2; day 1 kept rows, day 2 emptied
+      PartitionedStore.dropEmptiedPartitions(rows,
+        affected = Seq("2024-01-01", "2024-01-02"),
+        outDates = Set("2024-01-01"))
+      assert(dirs() == Set("event_date=2024-01-01", "event_date=2024-01-03"),
+        "exactly the affected-but-empty directory is dropped")
+      // deleted rows must NOT resurface through the reader
+      val got = spark.read.parquet(rows).select($"event_id".as[Long]).collect().toSet
+      assert(got == Set(1L, 3L))
+      // idempotent / no-op when nothing emptied
+      PartitionedStore.dropEmptiedPartitions(rows,
+        Seq("2024-01-01", "2024-01-03"), Set("2024-01-01", "2024-01-03"))
+      assert(dirs() == Set("event_date=2024-01-01", "event_date=2024-01-03"))
+    } finally graft.streaming.StreamOps.rmTree(new java.io.File(tmp))
+  }
+
   test("stale source fingerprint triggers a rebuild") {
     val path = PartitionedStore.defaultPath(sfDir)
     PartitionedStore.ensure(spark, sfDir)
