@@ -124,6 +124,33 @@ object BlowUp {
             (x, j) => when(pmod(hash(col("rep"), j), lit(2)) === 0, x).otherwise(-x))))
       .drop("rep"), "embeddings")
 
+    // Source-generation stamp (the IndexStore `_src_fp_*` scheme): the
+    // driver regenerates the testdata between rounds, and a sweep against
+    // a blow-up of the PREVIOUS generation would silently compare
+    // mismatched corpora — ScaleSweep/ShuffleAudit check this marker and
+    // warn loudly when the sf1 dir is stale.
+    graft.sources.IndexStore.stampSourceFp(out, src)
+
     spark.stop()
+  }
+
+  /** True when the blow-up at `out` was generated from the CURRENT
+    * content of `src` (stamped by [[main]]); pre-stamp dirs report false.
+    */
+  private[graft] def currentFor(out: String, src: String): Boolean =
+    graft.sources.IndexStore.sourceFpCurrent(out, src)
+}
+
+/** One-off stamper for a blow-up dir that predates the `_src_fp` scheme
+  * but is KNOWN to derive from the current source (verified out-of-band —
+  * e.g. both regenerated in the same round). Usage:
+  * `runMain graft.tools.StampSf1 <src> <out>`.
+  */
+object StampSf1 {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/root/repo/data/sf1"
+    graft.sources.IndexStore.stampSourceFp(out, src)
+    println(s"stamped $out from $src")
   }
 }
