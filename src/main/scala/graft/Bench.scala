@@ -30,10 +30,14 @@ object Bench {
     // enumerated ensure list, is deliberate: any future query's artifact is
     // warmed automatically, with no registry to drift. Errors are ignored
     // here — a broken query must surface as an ERROR in the timed loop, not
-    // abort the warm pass for everyone else.
+    // abort the warm pass for everyone else. Only NON-fatal errors, though:
+    // an OutOfMemoryError or InterruptedException swallowed here would let
+    // a possibly-corrupted JVM proceed into the timed loop and report
+    // garbage as measurements.
     val warmT0 = System.nanoTime()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
       spark.catalog.clearCache()
     }
     val warmSec = (System.nanoTime() - warmT0) / 1e9

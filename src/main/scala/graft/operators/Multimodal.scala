@@ -393,6 +393,17 @@ object Multimodal {
     */
   private[graft] val HotBucketCap: Long = 128L
 
+  /** Driver bound on the hot-bucket SALT MAP: only the top-K hottest
+    * over-cap buckets are collected and broadcast as salt factors. The
+    * over-cap census is ≤ n·m/cap by pigeonhole — on a degenerate corpus
+    * (near-constant hashes) that is O(n), which must never ride to the
+    * driver. Buckets past the cap stay unsalted: the pair set is
+    * provably unchanged (salting only rebalances tasks), and the tail is
+    * the least-imbalanced slice of the hot set by construction. 4096
+    * entries × ~20 B ≈ 80 KB broadcast — bounded at any corpus size.
+    */
+  private[graft] val MaxSaltedBuckets: Int = 4096
+
   /** Probe depth the completeness law τ ≤ m·(p+1) − 1 requires of an
     * m-band layout: the smallest p with m·(p+1) > τ (pigeonhole: some
     * band of a within-τ pair differs in ≤ p bits).
@@ -536,10 +547,17 @@ object Multimodal {
       s != null && !s.sparkContext.isStopped && dref.get != null
     }
     val key = (System.identityHashCode(spark), dir, Tables.dirFingerprint(dir))
-    hashMemo.get(key) match {
-      case Some((sref, dref, n, coll)) if (sref.get eq spark) && dref.get != null =>
-        (dref.get, n, coll)
-      case _ =>
+    // Bind the soft referent ONCE: a GC clearing it between a `dref.get !=
+    // null` guard and a second `dref.get` in the body (most likely exactly
+    // under the memory pressure soft refs exist for) would return null and
+    // surface later as an opaque NPE.
+    val hit = hashMemo.get(key).flatMap { case (sref, dref, n, coll) =>
+      val f = dref.get
+      if ((sref.get eq spark) && f != null) Some((f, n, coll)) else None
+    }
+    hit match {
+      case Some(found) => found
+      case None =>
         val graysPath = ensureGrays(spark, dir)
         val h = prepareHashFrame(spark.read.parquet(s"$graysPath/grays")
           .select(col("doc_id"),
@@ -560,7 +578,7 @@ object Multimodal {
     val (h, n, collMass) = memoHashFrame(spark, dir)
     val (w, p) = chooseHammingLayout(n, collMass, tau)
     val m = 64 / w
-    val (pairs, nHot) = hammingPairsPrepared(h, w, p, tau, HotBucketCap)
+    val (pairs, nHot, _) = hammingPairsPrepared(h, w, p, tau, HotBucketCap)
     pairs
       .withColumn("band_w", lit(w.toLong))
       .withColumn("n_bands", lit(m.toLong))
@@ -577,8 +595,10 @@ object Multimodal {
     * crafted hash frame whose occupancy actually engages it.
     */
   private[graft] def hammingPairs(h0: DataFrame, w: Int, p: Int, tau: Int,
-                                  hotCap: Long = HotBucketCap): (DataFrame, Long) =
-    hammingPairsPrepared(prepareHashFrame(h0), w, p, tau, hotCap)
+                                  hotCap: Long = HotBucketCap): (DataFrame, Long) = {
+    val (pairs, nHot, _) = hammingPairsPrepared(prepareHashFrame(h0), w, p, tau, hotCap)
+    (pairs, nHot)
+  }
 
   /** Spread the hash frame over the full task budget BEFORE the probe
     * explosion: the frame is tiny on disk (16 B/hash — one scan task at
@@ -599,9 +619,24 @@ object Multimodal {
     h0.repartition(np).localCheckpoint()
   }
 
+  /** [[hammingPairs]] with the salted-bucket census exposed — the spec
+    * handle for the [[MaxSaltedBuckets]] driver bound. Returns
+    * `(pairs, totalOverCap, salted)`: `totalOverCap` is the surfaced
+    * audit count (every bucket whose occupancy exceeds `hotCap`, the
+    * number the oracle recomputes), `salted ≤ maxSalted` is how many of
+    * those actually received a salt factor.
+    */
+  private[graft] def hammingPairsDetailed(h0: DataFrame, w: Int, p: Int, tau: Int,
+                                          hotCap: Long = HotBucketCap,
+                                          maxSalted: Int = MaxSaltedBuckets)
+      : (DataFrame, Long, Long) =
+    hammingPairsPrepared(prepareHashFrame(h0), w, p, tau, hotCap, maxSalted)
+
   /** [[hammingPairs]] over an already [[prepareHashFrame]]'d frame. */
   private def hammingPairsPrepared(h: DataFrame, w: Int, p: Int, tau: Int,
-                                   hotCap: Long): (DataFrame, Long) = {
+                                   hotCap: Long,
+                                   maxSalted: Int = MaxSaltedBuckets)
+      : (DataFrame, Long, Long) = {
     val m = 64 / w
     def bandVal(i: Int): String = bandValSql(w, i)
     val exactCols = (0 until m).map(i =>
@@ -632,20 +667,34 @@ object Multimodal {
     // (the broadcast hot list is ≤ buckets/cap rows); a spread corpus pays
     // nothing. The hot-bucket count surfaces as an audit column the oracle
     // replays from the same measured statistics.
-    // One bounded collect (≤ n·m/cap rows by pigeonhole) yields both the
-    // hot list and its count; a spread corpus (every tested sf) takes the
-    // zero-hot fast path — no salt column, no extra joins, the plain
-    // (band, value) equi-join — so the salting machinery costs exactly one
-    // tiny aggregate job until a corpus actually needs it.
-    val hotRows: Array[(Int, Long, Int)] = exact
+    // The driver collect is BOUNDED at [[MaxSaltedBuckets]]: over-cap
+    // buckets are ≤ n·m/cap by pigeonhole, which on a degenerate corpus
+    // (near-constant hashes) is still O(n) at the 100 TB design point —
+    // too big to ship to the driver. So only the top-K HOTTEST buckets
+    // get salted (one TakeOrderedAndProject, ≤ K+1 driver rows); the tail
+    // stays unsalted, which cannot change the pair set — salting only
+    // rebalances tasks — and the tail buckets are by construction the
+    // LEAST imbalanced of the hot set. A spread corpus (every tested sf)
+    // takes the zero-hot fast path — no salt column, no extra joins, the
+    // plain (band, value) equi-join — so the salting machinery costs
+    // exactly one tiny aggregate job until a corpus actually needs it.
+    // The surfaced audit count stays the TOTAL over-cap census (what the
+    // oracle recomputes); only past-K truncation pays a second aggregate
+    // pass to count it.
+    val hotAgg = exact
       .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("c"))
       .filter(col("c") > hotCap)
-      .select(col("band"), col("bv"),
+      .select(col("band"), col("bv"), col("c"),
         ceil(col("c").cast("double") / hotCap).cast("int").as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
-    val nHot = hotRows.length.toLong
+    val topHot = hotAgg
+      .orderBy(col("c").desc, col("band"), col("bv"))
+      .limit(maxSalted + 1).collect()
+    val hotRows: Array[(Int, Long, Int)] = topHot.take(maxSalted)
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(3)))
+    val nHot =
+      if (topHot.length <= maxSalted) topHot.length.toLong else hotAgg.count()
     val (probesS, exactS) =
-      if (nHot == 0)
+      if (hotRows.isEmpty)
         (probes.withColumn("salt", lit(0)),
           exact.withColumn("salt", lit(0)))
       else {
@@ -688,7 +737,7 @@ object Multimodal {
       .filter(col("hamming") <= tau)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
-    (pairs, nHot)
+    (pairs, nHot, hotRows.length.toLong)
   }
 
   /** Perceptual-hash (dHash) of every image — the image-side near-dup

@@ -363,8 +363,15 @@ object GraphIndex {
     // contract (serve-path batches); an ingest-scale batch joins unhinted
     // and AQE picks the strategy.
     val qJoin = if (inlineFrontier) broadcast(qDF) else qDF
+    // The entry sample is a 1/stride slice of the CORPUS — it grows
+    // linearly with the data, so it gets the same bounded-contract
+    // treatment as the query side: hint-broadcast only while it actually
+    // fits the inline bound, otherwise leave it unhinted and let AQE pick
+    // (the checkpointed count is the one extra driver scalar).
+    val eDF = entries.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val eJoin = if (eDF.count() <= maxInlineIds) broadcast(eDF) else eDF
 
-    var visited = qDF.crossJoin(broadcast(entries))
+    var visited = qDF.crossJoin(eJoin)
       .withColumn("sim", dot(col("qvec"), col("embedding")))
       .select(col("qid"), col("vec_id"), col("sim"))
       .localCheckpoint()

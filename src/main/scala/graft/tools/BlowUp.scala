@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object BlowUp {
 
+  /** Every table [[main]] writes — the fixed dims pass through unreplicated
+    * (factor 1), the facts all share the replication factor. StampSf1's
+    * sanity check leans on exactly this contract.
+    */
+  private[tools] val Dims = Seq("region", "nation")
+  private[tools] val Facts = Seq("customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
   private def replicate(spark: SparkSession, df: DataFrame, factor: Int): DataFrame =
     df.crossJoin(spark.range(factor).toDF("rep"))
 
@@ -144,12 +152,46 @@ object BlowUp {
 /** One-off stamper for a blow-up dir that predates the `_src_fp` scheme
   * but is KNOWN to derive from the current source (verified out-of-band —
   * e.g. both regenerated in the same round). Usage:
-  * `runMain graft.tools.StampSf1 <src> <out>`.
+  * `runMain graft.tools.StampSf1 <src> <out> [--force]`.
+  *
+  * Guarded: stamping an arbitrary dir as derived-from-current would
+  * permanently defeat the stale-blow-up warning in ScaleSweep /
+  * ShuffleAudit, so before stamping it sanity-checks that `out` plausibly
+  * IS a blow-up of `src` — same table set, same schemas, and each table's
+  * row count an integer multiple (the replication factor) of the source's,
+  * with ONE factor shared across tables. `--force` skips the check for
+  * the genuinely-verified-out-of-band case, and says so on stdout.
   */
 object StampSf1 {
   def main(args: Array[String]): Unit = {
-    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val out = if (args.length > 1) args(1) else "/root/repo/data/sf1"
+    val pos = args.filterNot(_ == "--force")
+    val force = args.contains("--force")
+    val src = if (pos.length > 0) pos(0) else "/root/testdata/sf0.1"
+    val out = if (pos.length > 1) pos(1) else "/root/repo/data/sf1"
+    if (force) println(s"--force: skipping blow-up sanity check for $out")
+    else {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      def factorOf(t: String): Long = {
+        val s = spark.read.parquet(s"$src/$t.parquet")
+        val o = spark.read.parquet(s"$out/$t.parquet")
+        require(o.schema == s.schema,
+          s"$t: schema mismatch between $out and $src — not a blow-up of this source")
+        val (sn, on) = (s.count(), o.count())
+        require(sn > 0 && on % sn == 0,
+          s"$t: $out has $on rows, not an integer multiple of $src's $sn")
+        on / sn
+      }
+      BlowUp.Dims.foreach(t => require(factorOf(t) == 1,
+        s"$t: dims pass through unreplicated — factor != 1 means wrong source"))
+      val factors = BlowUp.Facts.map(t => t -> factorOf(t))
+      require(factors.map(_._2).distinct.size == 1,
+        s"replication factor differs across facts (${factors.mkString(", ")}) — refusing to stamp")
+      println(s"sanity ok: ${factors.head._2}x blow-up across ${factors.size} fact tables")
+      spark.stop()
+    }
     graft.sources.IndexStore.stampSourceFp(out, src)
     println(s"stamped $out from $src")
   }

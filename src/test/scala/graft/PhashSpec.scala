@@ -130,14 +130,28 @@ class PhashSpec extends SparkSpec {
     // ways; the pair set must still be EXACTLY the brute-force within-tau
     // set (every pair matches once, at the home row's salt).
     val rng = new scala.util.Random(7)
-    val hs = (0L until 600L).map { i =>
+    val tau = 7
+    val noise = (0L until 600L).map { i =>
       // lo: low 16 bits zero (the hot band), upper 16 random-ish
       val lo = (rng.nextInt(1 << 16).toLong << 16)
       val hi = rng.nextLong() & 0xffffffffL
       (i, lo, hi)
     }
+    // PLANTED within-tau pairs inside the hot bucket: with 48 random bits
+    // outside the band, the noise rows' true pair set is almost surely
+    // empty, and pairs==brute would then only prove the salted join adds
+    // no FALSE POSITIVES. The salt-match argument's actual claim is that
+    // salting never DROPS a real pair — so plant near-identical twins
+    // (≤ tau differing bits, same hot band value) and demand they survive.
+    val planted = (0 until 10).flatMap { j =>
+      val lo = (rng.nextInt(1 << 16).toLong << 16)
+      val hi = rng.nextLong() & 0xffffffffL
+      val flips = 1 + (j % tau) // twin differs in 1..tau bits of hi
+      val hiTwin = (0 until flips).foldLeft(hi)((h, b) => h ^ (1L << (3 * b)))
+      Seq((1000L + 2 * j, lo, hi), (1001L + 2 * j, lo, hiTwin))
+    }
+    val hs = noise ++ planted
     val h = hs.toDF("doc_id", "phash_lo", "phash_hi")
-    val tau = 7
     val (pairsDf, nHot) = Multimodal.hammingPairs(h, w = 16,
       p = Multimodal.probeBitsFor(16, tau), tau = tau, hotCap = 16L)
     assert(nHot >= 1L, "the crafted corpus must actually engage the salting")
@@ -148,6 +162,9 @@ class PhashSpec extends SparkSpec {
       d = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
       if d <= tau
     } yield (a._1, b._1, d.toLong)).toSet
+    assert(brute.size >= 10, s"planted pairs must make the true set nonempty: ${brute.size}")
+    assert(planted.grouped(2).forall { case Seq(a, b) =>
+      pairs.exists(p => p._1 == a._1 && p._2 == b._1) }, "every planted twin must survive salting")
     assert(pairs == brute,
       s"salted banding must be exactly the within-tau set: ${pairs.size} vs ${brute.size}")
     // and with salting OFF (cap above the corpus) the set is identical too
@@ -155,6 +172,43 @@ class PhashSpec extends SparkSpec {
       Multimodal.probeBitsFor(16, tau), tau, hotCap = 10000L)
     assert(nHot0 == 0L)
     assert(plainDf.select($"id_a".as[Long], $"id_b".as[Long], $"hamming".as[Long])
+      .collect().toSet == brute)
+  }
+
+  test("salt map is driver-bounded: past-cap hot buckets stay unsalted, pair set unchanged") {
+    // 5 hot buckets (40 rows each at cap 16) with a planted within-tau twin
+    // pair per bucket; the salt cap admits only 2 — the census must still
+    // report all 5, only 2 may be salted, and the pair set must be EXACTLY
+    // the brute set either way (unsalted tail = task balance, not recall).
+    val rng = new scala.util.Random(11)
+    val tau = 7
+    val hs = (0 until 5).flatMap { g =>
+      val bucket = (0L until 40L).map { i =>
+        (100L * g + i, (rng.nextInt(1 << 16).toLong << 16) | g.toLong,
+          rng.nextLong() & 0xffffffffL)
+      }
+      val (_, lo, hi) = bucket.head
+      bucket :+ ((100L * g + 99L, lo, hi ^ 0x15L)) // 3-bit twin of the head
+    }
+    val h = hs.toDF("doc_id", "phash_lo", "phash_hi")
+    val brute = (for {
+      a <- hs; b <- hs if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+      if d <= tau
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(brute.size >= 5, "planted twins must make the true set nonempty")
+    val p = Multimodal.probeBitsFor(16, tau)
+    val (pairsDf, nHot, salted) =
+      Multimodal.hammingPairsDetailed(h, 16, p, tau, hotCap = 16L, maxSalted = 2)
+    assert(nHot == 5L, s"audit census must count ALL over-cap buckets, got $nHot")
+    assert(salted == 2L, s"driver salt map must stop at the cap, got $salted")
+    assert(pairsDf.select($"id_a".as[Long], $"id_b".as[Long], $"hamming".as[Long])
+      .collect().toSet == brute, "truncated salting must not change the pair set")
+    // cap above the census: everything salts, same set
+    val (allDf, nHotAll, saltedAll) =
+      Multimodal.hammingPairsDetailed(h, 16, p, tau, hotCap = 16L, maxSalted = 100)
+    assert(nHotAll == 5L && saltedAll == 5L)
+    assert(allDf.select($"id_a".as[Long], $"id_b".as[Long], $"hamming".as[Long])
       .collect().toSet == brute)
   }
 
