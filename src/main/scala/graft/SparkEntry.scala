@@ -56,6 +56,9 @@ object SparkEntry {
     "knn_binary" -> ((s, d) => VectorSearch.knnBinary(s, d)),
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
     "knn_graph" -> ((s, d) => graft.sources.GraphIndex.searchQuery(s, d)),
+    // DELETE on the graph index: walk traverses dead nodes, results
+    // exclude them below the rank window (HNSW tombstoning).
+    "graph_tombstone" -> ((s, d) => graft.sources.GraphIndex.searchTombstonedQuery(s, d)),
     "graph_degree_stats" -> ((s, d) => graft.sources.GraphIndex.degreeStats(s, d)),
     "knn_rewrite" -> ((s, d) => graft.sources.IndexStore.rewriteSearchQuery(s, d)),
     "lake_sql_ann" -> ((s, d) => graft.sources.IndexStore.sqlAnnQuery(s, d)),
@@ -317,6 +320,9 @@ object SparkEntry {
     // The reference's incremental Add Data loop: per-micro-batch absorb
     // into the clustered store, per-batch searchability asserted in-run.
     "stream_store_absorb" -> ((s, d) => StreamOps.streamStoreAbsorb(s, d)),
+    // The same Add Data loop landing in the GRAPH index (the reference's
+    // actual HNSW collection), per-batch beam-searchability asserted in-run.
+    "stream_graph_absorb" -> ((s, d) => StreamOps.streamGraphAbsorb(s, d)),
     "stream_partitioned_ingest" -> ((s, d) => StreamOps.streamPartitionedIngest(s, d)),
     "stream_bloom_ingest" -> ((s, d) => StreamOps.streamBloomIngest(s, d)),
     "stream_dedup" -> ((s, d) => StreamOps.streamDedupRun(s, d)),
@@ -398,8 +404,14 @@ object SparkEntry {
     * beam, hop count, self-exclusion and tie-breaks mirror
     * GraphIndex.search exactly.
     */
-  private def graphBeamSearchSql(beam: Int = 32, hops: Int = 4, k: Int = 5): String = {
+  private def graphBeamSearchSql(beam: Int = 32, hops: Int = 4, k: Int = 5,
+                                 edgesPath: String = null,
+                                 qWhere: String = "vec_id < 5",
+                                 finalWhere: String = "",
+                                 auditSelect: String = "",
+                                 auditFrom: String = ""): String = {
     val stride = graft.sources.GraphIndex.entryStride
+    val ep = if (edgesPath == null) graphStorePath else edgesPath
     val hopCtes = (1 to hops).map { h =>
       s"""f$h AS (SELECT qid, vec_id FROM (
          |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS fr FROM v${h - 1})
@@ -412,17 +424,17 @@ object SparkEntry {
          |        FROM (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM n$h) GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
-       |           FROM read_parquet('$graphStorePath/edges/*.parquet')),
-       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |           FROM read_parquet('$ep/edges/*.parquet')),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE $qWhere),
        |ent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $stride = 0),
        |v0 AS (SELECT q.qid, ent.vec_id, ${dotSql("q.qvec", "ent.embedding")} AS sim
        |       FROM q CROSS JOIN ent),
        |$hopCtes
        |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
-       |       CAST(rank AS BIGINT) AS rank, ${microSql("sim")} AS sim_micro
+       |       CAST(rank AS BIGINT) AS rank, ${microSql("sim")} AS sim_micro$auditSelect
        |FROM (SELECT qid, vec_id, sim,
        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-       |      FROM v$hops WHERE vec_id <> qid)
+       |      FROM v$hops WHERE vec_id <> qid$finalWhere)$auditFrom
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
@@ -1245,6 +1257,19 @@ object SparkEntry {
     // engine-specific; its invariants — degree bound, determinism, recall —
     // are pinned by GraphIndexSpec, and the walk itself is re-derived here).
     "knn_graph" -> graphBeamSearchSql(),
+    // Tombstoned graph search: the SAME unrolled walk (dead nodes still
+    // traversed), minus the tombstone set below the rank window.
+    "graph_tombstone" -> graphBeamSearchSql(finalWhere = " AND vec_id % 17 <> 3"),
+    // Streaming absorb into the graph: the walk replay over the EXPORTED
+    // post-stream edges of the working clone, queried with the first five
+    // ODD (absorbed) vectors; nodes_after recomputed from the SOURCE table
+    // (every corpus node must be an edge src post-stream).
+    "stream_graph_absorb" -> graphBeamSearchSql(
+      edgesPath = graphStorePath + "_gab",
+      qWhere = "vec_id % 2 = 1 AND vec_id < 10",
+      auditSelect = ", n.nodes_after",
+      auditFrom =
+        " CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS nodes_after FROM embeddings) n"),
     // Out-degree histogram over the same exported edges.
     "graph_degree_stats" ->
       s"""SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes

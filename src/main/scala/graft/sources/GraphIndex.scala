@@ -328,18 +328,20 @@ object GraphIndex {
     */
   def search(spark: SparkSession, dir: String, path: String, queries: DataFrame,
              k: Int = 5, beam: Int = 32, hops: Int = 4,
-             maxInlineIds: Int = Tables.MaxInlineIds): DataFrame =
+             maxInlineIds: Int = Tables.MaxInlineIds,
+             tombstones: Option[DataFrame] = None): DataFrame =
     searchFrom(spark, path, Tables.embeddings(spark, dir)
         .filter(col("vec_id") % entryStride === 0)
         .select(col("vec_id"), col("embedding")),
-      queries, k, beam, hops, maxInlineIds)
+      queries, k, beam, hops, maxInlineIds, tombstones)
 
   /** [[search]] with an explicit entry frame — [[absorb]]'s walk draws its
     * entries from the store's own base rather than a data dir.
     */
   private[graft] def searchFrom(spark: SparkSession, path: String, entries: DataFrame,
                                 queries: DataFrame, k: Int, beam: Int, hops: Int,
-                                maxInlineIds: Int): DataFrame = {
+                                maxInlineIds: Int,
+                                tombstones: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val edges = spark.read.parquet(s"$path/edges")
     // The query side is materialized ONCE (eager localCheckpoint) and
@@ -396,7 +398,21 @@ object GraphIndex {
         .groupBy(col("qid"), col("vec_id")).agg(max(col("sim")).as("sim"))
         .localCheckpoint()
     }
-    visited.filter(col("vec_id") =!= col("qid"))
+    // DELETE semantics (HNSW tombstoning, the reference's delete-by-PK on
+    // its HNSW collection, `Milvus/stream1.py:313-315` → search
+    // `:161-162`): the beam WALK above traverses dead nodes unchanged —
+    // deleting a hub must not disconnect its neighborhood, exactly as
+    // HNSW keeps deleted nodes' links navigable — and only the RESULT set
+    // excludes them, with the anti-join BELOW the rank window so k fills
+    // from live rows (never a post-filtered short top-k). Same shape as
+    // IndexStore.searchTombstoned; between compactions the tombstone set
+    // is deletes-sized, so the broadcast is the bounded side.
+    val live = tombstones match {
+      case Some(t) =>
+        visited.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      case None => visited
+    }
+    live.filter(col("vec_id") =!= col("qid"))
       .withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("rank"), micro(col("sim")).as("sim_micro"))
       .orderBy(col("qid"), col("rank"))
@@ -412,6 +428,49 @@ object GraphIndex {
     val path = defaultPath(dir)
     ensure(spark, dir, path)
     search(spark, dir, path, VectorSearch.querySet(spark, dir, 5))
+  }
+
+  /** The named `graph_tombstone` query — DELETE on the graph index,
+    * completing the lifecycle symmetry with [[IndexStore.searchTombstoned]]
+    * (the reference deletes by PK from its HNSW collection and subsequent
+    * searches exclude the victims, `Milvus/stream1.py:313-315` → search
+    * `:161-162`). Tombstones are the same deterministic vec_id % 17 = 3
+    * set as `knn_tombstone`; the beam walk still TRAVERSES dead nodes
+    * (HNSW semantics — connectivity through a deleted hub survives), only
+    * the final top-k excludes them, below the rank window so ranks stay
+    * dense over live rows. Oracle: the unrolled-walk replay over the
+    * exported edges minus the tombstone set.
+    */
+  def searchTombstonedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val tombstones = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 17 === 3).select(col("vec_id"))
+    search(spark, dir, path, VectorSearch.querySet(spark, dir, 5),
+      tombstones = Some(tombstones))
+  }
+
+  /** Where the even-vec_id half graph persists — the day-1 store the
+    * streaming absorb run ([[graft.streaming.StreamOps.streamGraphAbsorb]])
+    * clones per run, mirroring [[IndexStore.ensureCorpusHalf]].
+    */
+  def corpusHalfPath(dir: String): String = defaultPath(dir) + "_half"
+
+  /** Build (once per source generation) the half-corpus graph the
+    * streaming absorb starts from: NN-Descent over even vec_ids only,
+    * stamped with the `_src_fp` staleness marker.
+    */
+  def ensureHalf(spark: SparkSession, dir: String): String = {
+    val path = corpusHalfPath(dir)
+    if (!new java.io.File(s"$path/edges").exists() ||
+        !IndexStore.sourceFpCurrent(path, dir)) {
+      val even = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding"))
+      writeEdges(buildFrom(even), even, path)
+      IndexStore.stampSourceFp(path, dir)
+    }
+    path
   }
 
   /** The `graph_degree_stats` named query: out-degree histogram of the

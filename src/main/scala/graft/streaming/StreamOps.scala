@@ -832,6 +832,110 @@ object StreamOps {
     result.orderBy(col("qid"), col("rank"))
   }
 
+  /** Streaming absorb INTO the persisted kNN-GRAPH index — the reference's
+    * incremental Add Data loop lands in its HNSW collection specifically
+    * (`Milvus/stream1.py:282` insert → `:117` HNSW index, searches at
+    * `:161-162` see the new rows immediately), so the graph index needs
+    * the same streaming write path [[streamStoreAbsorb]] gave the IVF
+    * store. The odd-vec_id half of the embeddings table streams in as the
+    * incoming crawl; every micro-batch [[graft.sources.GraphIndex.absorb]]s
+    * into a per-run working clone of the pristine even-half graph (LSH
+    * seed pairs touching the batch, a beam WALK of the existing graph —
+    * HNSW's insert descent — then batch-restricted NN-Descent rounds and
+    * the bidirectional relink), and then PROVES per-batch searchability
+    * exactly as the reference's loop does: a beam search run immediately
+    * after the absorb with the batch's first vector as a fresh query
+    * (qid = −1 so self-exclusion doesn't hide it) must return that
+    * absorbed row as its top-1 — or, if the corpus holds a bit-identical
+    * twin, any sim ≈ 1.0 hit.
+    *
+    * The multi-batch base contract: [[graft.sources.GraphIndex.absorb]]
+    * scores and payloads edges from `base ∪ batch`, so each batch's base
+    * must include every PREVIOUSLY absorbed row or their edges would drop
+    * out of the rewrite's payload join. The run keeps the absorbed rows
+    * as an append-only `absorbed_rows` sidecar in the working store and
+    * feeds `even ∪ absorbed-so-far` as the base — the store carries its
+    * own corpus, as HNSW carries its vectors.
+    *
+    * foreachBatch is at-least-once; the `_absorbed_batch_<id>` marker
+    * (written after the absorb + sidecar append) makes a retried
+    * micro-batch skip the duplicate work, same contract and same crash
+    * window as [[streamStoreAbsorb]].
+    *
+    * Output: the post-stream beam top-k for the first five ODD (absorbed)
+    * query vectors over the FULL corpus entry sample, plus a
+    * `nodes_after` audit column — every corpus node must appear as an
+    * edge src post-stream (the build's totality property extended through
+    * the absorb), catching a dropped batch or a payload-join row loss
+    * that the top-k alone might not. Oracle: the unrolled-walk replay
+    * over the exported post-stream edges; `nodes_after` is recomputed
+    * from the SOURCE table (count of all vec_ids), so the audit is an
+    * independent cross-check, not an export echo.
+    */
+  def streamGraphAbsorb(spark: SparkSession, dir: String, k: Int = 5,
+                        options: Map[String, String] = Map.empty): DataFrame = {
+    import graft.sources.{GraphIndex, IndexStore}
+    val half = GraphIndex.ensureHalf(spark, dir)
+    val work = GraphIndex.defaultPath(dir) + "_gab"
+    IndexStore.cloneStore(half, work) // per-run reset: idempotent invocation
+    val out = java.nio.file.Files.createTempDirectory("graft-graphabsorb").toString
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val absorbedDir = s"$work/absorbed_rows"
+    val result =
+      try withStreamPartitions(spark) { s =>
+        val src = s.readStream.schema(schema).options(options)
+          .option("basePath", dir)
+          .parquet(s"$dir/embeddings.parquet*")
+          .filter(col("vec_id") % 2 === 1)
+        val q = src.writeStream
+          .option("checkpointLocation", s"$out/chk")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            val ss = batch.sparkSession
+            val marker = new java.io.File(work, s"_absorbed_batch_$batchId")
+            if (!marker.exists()) {
+              val b = batch.toDF().select(col("vec_id"), col("embedding")).persist()
+              try if (!b.isEmpty) {
+                val even = graft.Tables.embeddings(ss, dir)
+                  .filter(col("vec_id") % 2 === 0)
+                  .select(col("vec_id"), col("embedding"))
+                val baseNow =
+                  if (new java.io.File(absorbedDir).exists())
+                    even.unionByName(ss.read.schema(b.schema).parquet(absorbedDir))
+                  else even
+                GraphIndex.absorb(ss, work, baseNow, b)
+                b.write.mode("append").parquet(absorbedDir)
+                marker.createNewFile()
+                // per-batch searchability: insert → flush → searchable.
+                val firstId = b.agg(min(col("vec_id"))).head().getLong(0)
+                val probe = b.filter(col("vec_id") === firstId)
+                  .select(lit(-1L).as("qid"), col("embedding").as("qvec"))
+                val entries = baseNow
+                  .filter(col("vec_id") % GraphIndex.entryStride === 0)
+                val top = GraphIndex.searchFrom(ss, work, entries, probe,
+                  k = 1, beam = 32, hops = 4,
+                  maxInlineIds = graft.Tables.MaxInlineIds).collect()
+                require(top.nonEmpty &&
+                  (top(0).getLong(1) == firstId || top(0).getLong(3) >= 999999L),
+                  s"absorbed row $firstId not beam-searchable after batch $batchId")
+              } else { marker.createNewFile(); () }
+              finally b.unpersist(blocking = false)
+            }
+          }
+          .start()
+        q.awaitTermination()
+        val queries = graft.Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 2 === 1 && col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val nodesAfter = s.read.parquet(s"$work/edges")
+          .select(col("src")).distinct().count()
+        GraphIndex.search(s, dir, work, queries, k = k)
+          .withColumn("nodes_after", lit(nodesAfter))
+          .localCheckpoint(true)
+      } finally rmTree(new java.io.File(out))
+    result.orderBy(col("qid"), col("rank"))
+  }
+
   /** Streaming ingest INTO the date-partitioned lake layout — the write
     * path that keeps [[graft.sources.PartitionedStore]]'s pruning story
     * true under continuous arrival: every micro-batch derives

@@ -82,6 +82,36 @@ class GraphIndexSpec extends SparkSpec {
     } finally graft.streaming.StreamOps.rmTree(new java.io.File(p))
   }
 
+  test("tombstoned search: no dead ids, dense live ranks, beats post-filtering the walk") {
+    val k = 5
+    val out = GraphIndex.searchTombstonedQuery(spark, sfDir).collect()
+    // DELETE semantics: no tombstoned id may surface
+    assert(out.forall(_.getLong(1) % 17 != 3), "dead ids must be excluded from results")
+    // the anti-join sits BELOW the rank window: ranks stay dense 1..k and
+    // k fills from live rows (a post-filtered top-k would come up short)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to k),
+        s"qid $qid: ranks must be dense 1..$k over live rows")
+    }
+    // recall THROUGH tombstoned hubs: the walk still traverses dead nodes,
+    // so excluding-below-the-window must recall at least as much of the
+    // exact live top-k as post-filtering the pre-delete walk's top-k does
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val live = emb.filter($"vec_id" % 17 =!= 3)
+    val exact = VectorSearch.knnDeclarative(
+      VectorSearch.querySet(spark, sfDir, 5), live, k)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val postFiltered = GraphIndex.searchQuery(spark, sfDir)
+      .filter($"vec_id" % 17 =!= 3)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recTomb = (exact & got).size.toDouble / exact.size
+    val recPost = (exact & postFiltered).size.toDouble / exact.size
+    assert(recTomb >= recPost,
+      f"below-window exclusion ($recTomb%.3f) must not lose to post-filtering ($recPost%.3f)")
+    assert(recTomb >= 0.9, f"live recall@$k = $recTomb%.3f")
+  }
+
   test("beam search finds the exact top-5 (recall >= 0.9 on the bench corpus)") {
     val exact = VectorSearch.knnExact(spark, sfDir)
       .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet

@@ -230,6 +230,70 @@ class StreamingSpec extends SparkSpec {
     assert(evenN == halfN, "pristine half rows pass through the clone unchanged")
   }
 
+  test("streaming graph absorb: single-batch stream equals the one-shot batch absorb") {
+    import graft.sources.{GraphIndex, IndexStore}
+    // Default options on the single-file source → ONE micro-batch, so the
+    // post-stream graph must be EDGE-FOR-EDGE the direct GraphIndex.absorb
+    // of the whole odd set into a fresh half-store clone: the streaming
+    // plumbing (clone, markers, sidecar, probes) must add nothing.
+    val out = StreamOps.streamGraphAbsorb(spark, sfDir)
+    assert(out.count() == 25, "5 odd queries x top-5")
+    val work = GraphIndex.defaultPath(sfDir) + "_gab"
+    val streamed = spark.read.parquet(s"$work/edges")
+      .select($"src", $"dst").as[(Long, Long)].collect().toSet
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val batchPath = GraphIndex.defaultPath(sfDir) + "_gab_batch"
+    try {
+      IndexStore.cloneStore(GraphIndex.corpusHalfPath(sfDir), batchPath)
+      GraphIndex.absorb(spark, batchPath,
+        emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1))
+      val direct = spark.read.parquet(s"$batchPath/edges")
+        .select($"src", $"dst").as[(Long, Long)].collect().toSet
+      assert(streamed == direct, "stream absorb must equal the one-shot batch absorb")
+    } finally StreamOps.rmTree(new java.io.File(batchPath))
+    // nodes_after audit: every corpus node is an edge src post-stream
+    assert(out.head.getAs[Long]("nodes_after") == emb.count())
+  }
+
+  test("streaming graph absorb: multi-batch run keeps edge recall >= 0.95 and stays searchable") {
+    import graft.sources.GraphIndex
+    import graft.operators.VectorSearch
+    // Re-house the embeddings as two part files so maxFilesPerTrigger=1
+    // forces >=2 micro-batches. NN-Descent absorb is NOT split-invariant
+    // (later batches link against earlier arrivals), so the contract here
+    // is QUALITY, not equality: the post-stream graph's edge recall vs the
+    // true top-M of the full corpus stays within the build's own floor —
+    // the reference's Add Data loop makes the same trade, inserting into
+    // an HNSW whose structure depends on arrival order.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gabsplit").toString
+    try {
+      val e = Tables.embeddings(spark, sfDir)
+      e.filter($"vec_id" < 250).coalesce(1).write.parquet(s"$tmp/embeddings.parquet")
+      e.filter($"vec_id" >= 250).coalesce(1).write
+        .mode("append").parquet(s"$tmp/embeddings.parquet")
+      val out = StreamOps.streamGraphAbsorb(spark, tmp,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      assert(out.count() == 25)
+      // >=2 batches actually ran (one marker per micro-batch)
+      val work = GraphIndex.defaultPath(tmp) + "_gab"
+      val markers = Option(new java.io.File(work).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("_absorbed_batch_"))
+      assert(markers >= 2, s"two part files + maxFilesPerTrigger=1 must give >=2 batches, got $markers")
+      val emb = Tables.embeddings(spark, tmp).select($"vec_id", $"embedding")
+      val exact = VectorSearch.knnDeclarative(
+        emb.select($"vec_id".as("qid"), $"embedding".as("qvec")), emb, GraphIndex.M)
+        .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+      val got = spark.read.parquet(s"$work/edges")
+        .select($"src", $"dst").as[(Long, Long)].collect().toSet
+      val recall = (exact & got).size.toDouble / exact.size
+      assert(recall >= 0.95, f"post-stream edge recall@${GraphIndex.M} = $recall%.3f")
+    } finally {
+      StreamOps.rmTree(new java.io.File(tmp))
+      StreamOps.rmTree(new java.io.File(GraphIndex.corpusHalfPath(tmp)))
+      StreamOps.rmTree(new java.io.File(GraphIndex.defaultPath(tmp) + "_gab"))
+    }
+  }
+
   test("bloom ingest gate: streaming keep-set equals the batch novel set, under any split") {
     val kept = StreamOps.streamBloomIngest(spark, sfDir)
     val novel = graft.operators.Dedup.bloomIncrementalDedup(spark, sfDir)
