@@ -250,6 +250,9 @@ object SparkEntry {
     "partitioned_retention" -> ((s, d) => graft.sources.PartitionedStore.retentionQuery(s, d)),
     "partitioned_compact" -> ((s, d) => graft.sources.PartitionedStore.compactQuery(s, d)),
     "partitioned_time_travel" -> ((s, d) => graft.sources.PartitionedStore.timeTravelQuery(s, d)),
+    // Snapshot expiry + orphan vacuum: the time-travel mechanism's day-2
+    // half (expire v1, unlink unreferenced files, verdict-checked).
+    "partitioned_vacuum" -> ((s, d) => graft.sources.PartitionedStore.vacuumQuery(s, d)),
     "knn_filtered_adaptive" -> ((s, d) => VectorSearch.knnFilteredAdaptive(s, d)),
     "text_phrase_lift" -> ((s, d) => TextAnalysis.phraseLift(s, d)),
     "text_keyphrases" -> ((s, d) => TextAnalysis.keyphrases(s, d)),
@@ -3617,6 +3620,20 @@ object SparkEntry {
         |       FROM events, lo GROUP BY 2)
         |SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
         |ORDER BY version, event_type""".stripMargin,
+    // Vacuum replay: the post-vacuum current read must equal the corrected
+    // table (the v2 leg of the time-travel replay) — vacuum reclaims only
+    // what no surviving manifest references — and the three verdicts
+    // (current read unchanged, expired version gone, bytes reclaimed) are
+    // engine-computed booleans the oracle pins to 1.
+    "partitioned_vacuum" ->
+      """WITH lo AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(CASE WHEN CAST(ts AS DATE) = lo.d + 1
+        |                          THEN value * 2 ELSE value END AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c,
+        |       CAST(1 AS BIGINT) AS post_equals_pre,
+        |       CAST(1 AS BIGINT) AS expired_gone,
+        |       CAST(1 AS BIGINT) AS files_deleted_gt0
+        |FROM events, lo GROUP BY 1 ORDER BY 1""".stripMargin,
     // Retention replay: partition drop may only remove WHOLE days older
     // than the cutoff — surviving rows equal the raw-table date filter.
     "partitioned_retention" ->

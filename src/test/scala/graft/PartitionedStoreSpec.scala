@@ -174,6 +174,77 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(v1 != v2, "the correction must be visible in v2 at test scale")
   }
 
+  test("vacuum: verdicts hold, re-vacuum reclaims nothing, expired read fails, rows bit-identical") {
+    val out = PartitionedStore.vacuumQuery(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("post_equals_pre") == 1L &&
+      r.getAs[Long]("expired_gone") == 1L && r.getAs[Long]("files_deleted_gt0") == 1L))
+    val path = PartitionedStore.defaultPath(sfDir) + "_vac"
+    // the current snapshot is BIT-identical post-vacuum (full row set, not
+    // just the aggregate the verdict compared)
+    val rowsAfter = PartitionedStore.readVersion(spark, path, 2)
+      .select($"event_type".as[String], $"value".as[Double])
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    val raw = {
+      val lo = Tables.events(spark, sfDir).agg(min(to_date($"ts"))).head().getDate(0)
+      val day2 = java.sql.Date.valueOf(lo.toLocalDate.plusDays(1))
+      Tables.events(spark, sfDir)
+        .select($"event_type".as[String],
+          when(to_date($"ts") === lit(day2), $"value" * 2).otherwise($"value").as[Double])
+        .collect().sortBy(t => (t._1, t._2)).toSeq
+    }
+    assert(rowsAfter == raw, "post-vacuum v2 rows must equal the corrected table exactly")
+    // reading the expired version now FAILS — the snapshot is provably gone
+    intercept[Exception](PartitionedStore.readVersion(spark, path, 1).collect())
+    // idempotence: a second vacuum on the already-clean store reclaims 0
+    val again = PartitionedStore.vacuum(spark, sfDir, path)
+    assert(again.filesDeleted == 0L && again.bytesDeleted == 0L,
+      s"re-vacuum must be a no-op, got $again")
+  }
+
+  test("vacuum refuses a store from another source generation (concurrent-rebuild guard)") {
+    val tt = PartitionedStore.defaultPath(sfDir) + "_tt"
+    PartitionedStore.ensureVersioned(spark, sfDir, tt)
+    val p = PartitionedStore.defaultPath(sfDir) + "_vacguard"
+    try {
+      PartitionedStore.cloneVersioned(tt, p)
+      // simulate a rebuild-in-flight: the store's fingerprint names a
+      // DIFFERENT source generation than the current testdata
+      new java.io.File(p).listFiles()
+        .filter(_.getName.startsWith("_src_fp_"))
+        .foreach(f => f.renameTo(new java.io.File(p, "_src_fp_stale")))
+      val before = PartitionedStore.listParquet(p).toSet
+      intercept[IllegalStateException](PartitionedStore.vacuum(spark, sfDir, p))
+      assert(PartitionedStore.listParquet(p).toSet == before,
+        "a refused vacuum must not have deleted anything")
+      assert(new java.io.File(s"$p/_versions/v1.txt").exists(),
+        "a refused vacuum must not have expired any manifest")
+    } finally graft.streaming.StreamOps.rmTree(new java.io.File(p))
+  }
+
+  test("vacuum grace period spares young orphans, reclaims them once aged") {
+    val tt = PartitionedStore.defaultPath(sfDir) + "_tt"
+    PartitionedStore.ensureVersioned(spark, sfDir, tt)
+    val p = PartitionedStore.defaultPath(sfDir) + "_vacgrace"
+    try {
+      PartitionedStore.cloneVersioned(tt, p)
+      val dayDir = new java.io.File(s"$p/rows").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("event_date="))
+        .minBy(_.getName)
+      val orphan = new java.io.File(dayDir, "orphan-young.parquet")
+      java.nio.file.Files.write(orphan.toPath, "in-flight writer".getBytes("UTF-8"))
+      // a just-written orphan survives a vacuum with a 1-hour grace —
+      // but the EXPIRED version's files are exempt from grace (their
+      // manifest proves no writer owns them) and still go
+      val r1 = PartitionedStore.vacuum(spark, sfDir, p, orphanGraceMs = 3600 * 1000L)
+      assert(orphan.exists(), "young orphan must survive the grace window")
+      assert(r1.filesDeleted > 0, "expired-version files are exempt from grace")
+      // aged out (grace 0): reclaimed
+      PartitionedStore.vacuum(spark, sfDir, p)
+      assert(!orphan.exists(), "aged orphan must be reclaimed")
+    } finally graft.streaming.StreamOps.rmTree(new java.io.File(p))
+  }
+
   test("merge rewrites ONLY the changeset's partitions; re-apply is idempotent") {
     val first = PartitionedStore.mergeQuery(spark, sfDir).collect().toSeq
     val path = PartitionedStore.defaultPath(sfDir) + "_mg"
