@@ -48,8 +48,13 @@ object PqStore {
     * own deterministic k-means over coordinate slices. Returns
     * `(sub INT, code INT, centroid ARRAY<DOUBLE>)` — m·k rows.
     */
-  def train(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  def train(spark: SparkSession, dir: String, dim: Int = 64): DataFrame =
+    trainFrom(Tables.embeddings(spark, dir), dim)
+
+  /** [[train]] over an explicit vector frame — subset stores (the day-2
+    * [[absorb]] lifecycle's half-corpus seed) train with the same rule.
+    */
+  private[graft] def trainFrom(e: DataFrame, dim: Int = 64): DataFrame = {
     val d = dsub(dim)
     (0 until M).map { s =>
       val sliced = e.select(col("vec_id"),
@@ -118,6 +123,53 @@ object PqStore {
     IndexStore.buildId(ivfPath).foreach(id =>
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$path/_ivf_build_id"), id))
+  }
+
+  /** Build a PQ store from an explicit vector frame and cell assignment —
+    * the subset twin of [[write]] (the day-2 [[absorb]] spec's half-corpus
+    * seed builds through here with the same codebook/layout rules).
+    */
+  private[graft] def writeFrom(spark: SparkSession, path: String,
+                               vectors: DataFrame, cellOf: DataFrame,
+                               dim: Int = 64): Unit = {
+    val books = trainFrom(vectors, dim).cache()
+    books.write.mode("overwrite").parquet(s"$path/codebooks")
+    encode(vectors, books, dim)
+      .join(cellOf, "vec_id")
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/codes")
+    books.unpersist(blocking = false)
+  }
+
+  /** Day-2 absorb — encode an incoming batch under the EXISTING codebooks
+    * and append into the clustered code layout, completing the lifecycle
+    * symmetry with [[IndexStore.absorb]] (vector rows), `GraphIndex.absorb`
+    * (edges) and `Dedup.bandIndexAbsorb` (sketches): until now the PQ
+    * store only rebuilt via the `_ivf_build_id` cascade, so every arrival
+    * re-paid train+encode over the whole corpus. This is FAISS's
+    * `IndexIVFPQ.add` — codes for new vectors are computed against the
+    * codebooks trained at build time (quantization error on the batch can
+    * drift until the next retrain; ADC scores stay exact over whatever
+    * codes are stored, so searches are correct, just coarser on drifted
+    * data — the same contract as the IVF absorb's fixed centroids).
+    *
+    * Map-side only: the broadcast-codebook encode annotates the batch (no
+    * corpus read, no shuffle beyond the batch-sized cell append), cells
+    * come from the nearest CURRENT coarse centroid — the same rule
+    * `searchIvfPq` probes by, so absorbed rows are immediately probe-
+    * reachable. Appending into `codes/cell_id=*` accumulates small files
+    * per batch; compaction is the existing offline story
+    * ([[graft.sources.PartitionedStore.compactQuery]]'s shape).
+    */
+  def absorb(spark: SparkSession, path: String, ivfPath: String,
+             batch: DataFrame, dim: Int = 64): Unit = {
+    val books = spark.read.parquet(s"$path/codebooks")
+    val vectors = batch.select(col("vec_id"), col("embedding"))
+    val cellOf = VectorSearch
+      .withCellId(vectors, IndexStore.read(spark, ivfPath)._2, "embedding")
+      .select(col("vec_id"), col("cell_id"))
+    encode(vectors, books, dim)
+      .join(cellOf, "vec_id")
+      .write.mode("append").partitionBy("cell_id").parquet(s"$path/codes")
   }
 
   /** Canonical on-disk location for a data dir (same convention as

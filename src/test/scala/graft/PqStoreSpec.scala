@@ -56,6 +56,62 @@ class PqStoreSpec extends SparkSpec {
     }
   }
 
+  test("day-2 absorb: codes equal rebuild-encode under the same books; fresh rows searchable") {
+    import graft.sources.IndexStore
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val ivfPath = IndexStore.defaultPath(sfDir)
+    IndexStore.ensure(spark, sfDir, ivfPath)
+    val centroids = IndexStore.read(spark, ivfPath)._2
+    val p = path + "_abs"
+    PqStore.ensure(spark, sfDir, path)
+    try {
+      PqStore.writeFrom(spark, p, even,
+        VectorSearch.withCellId(even, centroids, "embedding")
+          .select($"vec_id", $"cell_id"))
+      PqStore.absorb(spark, p, ivfPath, odd)
+      // code-space identity: the absorbed store's (vec_id, sub, code,
+      // cell_id) population equals encoding the UNION corpus under the
+      // half store's EXISTING codebooks — absorb is rebuild-encode for
+      // the batch, with the corpus never re-read
+      val books = spark.read.parquet(s"$p/codebooks")
+      val expect = PqStore.encode(emb, books)
+        .join(VectorSearch.withCellId(emb, centroids, "embedding")
+          .select($"vec_id", $"cell_id"), "vec_id")
+        .select($"vec_id".as[Long], $"sub".as[Int], $"code".as[Int], $"cell_id".as[Int])
+        .collect().toSet
+      val got = spark.read.parquet(s"$p/codes")
+        .select($"vec_id".as[Long], $"sub".as[Int], $"code".as[Int],
+          $"cell_id".cast("int").as[Int])
+        .collect().toSet
+      assert(got == expect, "absorbed codes must equal rebuild-encode under the same books")
+      // fresh rows searchable: a fresh-qid ADC search with an absorbed
+      // vector as the query returns that row among its top-5
+      val probeId = odd.agg(min($"vec_id")).as[Long].head()
+      val probe = odd.filter($"vec_id" === probeId)
+        .select(lit(-1L).as("qid"), $"embedding".as("qvec"))
+      val top = PqStore.search(spark, p, probe, k = 5)
+        .select($"vec_id".as[Long]).collect().toSet
+      assert(top.contains(probeId), s"absorbed row $probeId must be ADC-searchable, got $top")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(p))
+    }
+    // the canonical store (knn_ivfpq's oracle artifact) is untouched: its
+    // ensure() above predates the absorb and its file census still matches
+    val census = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/codes")).map(_.getPath).sorted
+    }
+    assert(census.nonEmpty && census.forall(!_.contains("_abs")),
+      "canonical PQ store must be untouched by the absorb")
+  }
+
   test("ADC score equals the direct sum of micro'd subspace dots") {
     PqStore.ensure(spark, sfDir, path)
     val hits = PqStore.search(spark, path, VectorSearch.querySet(spark, sfDir, 3), k = 3)
