@@ -62,6 +62,9 @@ object SparkEntry {
     "graph_degree_stats" -> ((s, d) => graft.sources.GraphIndex.degreeStats(s, d)),
     "knn_rewrite" -> ((s, d) => graft.sources.IndexStore.rewriteSearchQuery(s, d)),
     "lake_sql_ann" -> ((s, d) => graft.sources.IndexStore.sqlAnnQuery(s, d)),
+    // SQL route to graph search: the unrolled beam walk as ONE SQL text
+    // over the graph_edges/graph_vectors catalog views.
+    "lake_sql_graph" -> ((s, d) => graft.sources.GraphIndex.sqlGraphQuery(s, d)),
     "knn_tombstone" -> ((s, d) => graft.sources.IndexStore.searchTombstoned(s, d)),
     "knn_recall_report" -> ((s, d) => graft.sources.IndexStore.recallReport(s, d)),
     "knn_rank_eval" -> ((s, d) => graft.sources.IndexStore.mrrReport(s, d)),
@@ -1260,6 +1263,9 @@ object SparkEntry {
     // engine-specific; its invariants — degree bound, determinism, recall —
     // are pinned by GraphIndexSpec, and the walk itself is re-derived here).
     "knn_graph" -> graphBeamSearchSql(),
+    // The SQL-text route walks the same persisted edges with the same
+    // unrolled-hop arithmetic — one oracle serves both surfaces.
+    "lake_sql_graph" -> graphBeamSearchSql(),
     // Tombstoned graph search: the SAME unrolled walk (dead nodes still
     // traversed), minus the tombstone set below the rank window.
     "graph_tombstone" -> graphBeamSearchSql(finalWhere = " AND vec_id % 17 <> 3"),

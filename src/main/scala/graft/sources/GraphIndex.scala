@@ -473,6 +473,60 @@ object GraphIndex {
     path
   }
 
+  /** The `lake_sql_graph` named query — the SQL route to graph search,
+    * closing the surface gap `lake_sql_ann` closed for the IVF store: the
+    * persisted edge list and the vector table register as catalog views
+    * (`graph_edges`, `graph_vectors`), and the ENTIRE fixed-hop beam walk
+    * is ONE SQL text — the hops unroll as chained CTEs (frontier window →
+    * edge-expansion join scoring `dot(qvec, dst_emb)` on the SQL-injected
+    * codegen kernel → max-sim dedupe), exactly the shape the DuckDB
+    * oracle already replays, so the oracle is SHARED with `knn_graph`
+    * verbatim. No recursion needed: HNSW's ef-walk was already unrolled
+    * to a deterministic hop count, which is what makes it SQL at all —
+    * that closure note is now a query, not a caveat. Catalyst keeps the
+    * multi-referenced CTEs shared (`WithCTE`/`InlineCTE`), so hop h never
+    * re-executes hops 0..h−1. Query vectors inline as double literals
+    * narrowed to float (bit-exact round-trip), mirroring `lake_sql_ann`.
+    * Row-identical to the DataFrame path: same kernel, same window
+    * tie-breaks, same payload floats.
+    */
+  def sqlGraphQuery(spark: SparkSession, dir: String,
+                    k: Int = 5, beam: Int = 32, hops: Int = 4): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_edges " +
+      s"USING parquet OPTIONS (path '$path/edges')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_vectors " +
+      s"USING parquet OPTIONS (path '$dir/embeddings.parquet')")
+    val qs = VectorSearch.querySet(spark, dir, 5).orderBy(col("qid")).collect()
+    val qRows = qs.map { r =>
+      val vec = r.getSeq[Float](1).map(f => s"${f}D").mkString(", ")
+      s"SELECT CAST(${r.getLong(0)} AS BIGINT) AS qid, " +
+        s"CAST(array($vec) AS ARRAY<FLOAT>) AS qvec"
+    }.mkString("\nUNION ALL\n")
+    val hopCtes = (1 to hops).map { h =>
+      s"""f$h AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS fr FROM v${h - 1})
+         |  WHERE fr <= $beam),
+         |n$h AS (SELECT f$h.qid, e.dst AS vec_id, dot(q.qvec, e.dst_emb) AS sim
+         |        FROM f$h JOIN graph_edges e ON e.src = f$h.vec_id
+         |        JOIN q ON q.qid = f$h.qid),
+         |v$h AS (SELECT qid, vec_id, max(sim) AS sim
+         |        FROM (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM n$h) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    spark.sql(
+      s"""WITH q AS ($qRows),
+         |ent AS (SELECT vec_id, embedding FROM graph_vectors WHERE vec_id % $entryStride = 0),
+         |v0 AS (SELECT q.qid, ent.vec_id, dot(q.qvec, ent.embedding) AS sim
+         |       FROM q CROSS JOIN ent),
+         |$hopCtes
+         |SELECT qid, vec_id, rank, CAST(FLOOR(sim * 1000000.0D) AS BIGINT) AS sim_micro
+         |FROM (SELECT qid, vec_id, sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+         |      FROM v$hops WHERE vec_id <> qid)
+         |WHERE rank <= $k ORDER BY qid, rank""".stripMargin)
+  }
+
   /** The `graph_degree_stats` named query: out-degree histogram of the
     * persisted graph — the index-card the reference prints for its HNSW
     * build. Oracle-checked against the same exported edge list.

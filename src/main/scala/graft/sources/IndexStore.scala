@@ -82,7 +82,7 @@ object IndexStore {
     * generation; [[maintain]] resets its working copy from this by file
     * copy, so the per-invocation reset costs IO, not a k-means train.
     */
-  private def ensureMaintDay1(spark: SparkSession, dir: String): String = {
+  private[graft] def ensureMaintDay1(spark: SparkSession, dir: String): String = {
     val p = defaultPath(dir) + "_maint_day1"
     if (!new java.io.File(s"$p/centroids").exists() || !sourceFpCurrent(p, dir)) {
       writeFrom(Tables.embeddings(spark, dir).filter(col("vec_id") % 2 === 0), p)

@@ -89,7 +89,9 @@ object Plans {
       "scd2_pit_lookup" -> "point-in-time feature lookup: user-key equi-join with interval residual predicates — per-key purchases x versions, never a global range join",
       "lake_sql_ann" -> "SQL route to ANN: every union arm's naive ORDER BY dot(...) LIMIT k over the lake_vectors view is rewritten at optimization time into the probed form — static cell_id INSET PartitionFilters on each arm's scan",
       "media_phash_pairs" -> "multi-index Hamming pairs (r13 core): hash frame repartitioned BEFORE the probe explosion (the whole candidate stream never serializes through one scan task), exact-Hamming verify streams inside whole-stage codegen, DISTINCT only on verified survivors — the candidate multiset never hits a blocking operator",
-      "lake_sql_merge" -> "lake MERGE through SQL DML: changeset views over the raw log, INSERT OVERWRITE staging (no self-read), dynamic partition overwrite of only the changeset's date directories; this dump shows the post-merge report plan over the rows view")
+      "lake_sql_merge" -> "lake MERGE through SQL DML: changeset views over the raw log, INSERT OVERWRITE staging (no self-read), dynamic partition overwrite of only the changeset's date directories; this dump shows the post-merge report plan over the rows view",
+      "graph_tombstone" -> "graph-index DELETE (r14): the beam walk's hops are unchanged (dead nodes still traversed — HNSW connectivity), the tombstone anti-join sits BELOW the final rank window so k fills from live rows; look for BroadcastHashJoin LeftAnti under the last Window",
+      "lake_sql_graph" -> "SQL route to graph search (r14): the whole unrolled beam walk as ONE SQL text over catalog views — chained CTEs stay SHARED (hop h never re-executes hops 0..h-1), dot() on the injected codegen kernel, same row output as the DataFrame walk")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

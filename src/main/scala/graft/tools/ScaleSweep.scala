@@ -88,7 +88,13 @@ object ScaleSweep {
     // r13: measure, don't attribute — the last three small-decade
     // SUPER-LINEAR flags get their own sf1 byte rows instead of riding
     // their siblings' measurements
-    "dedup_containment", "dedup_ngram_jaccard", "graph_label_prop")
+    "dedup_containment", "dedup_ngram_jaccard", "graph_label_prop",
+    // r14: the SQL DML route and the two streaming absorbs (both real
+    // AvailableNow runs — the listener rides the shared SparkContext),
+    // plus the SQL graph walk; partitioned_vacuum stays unswept by
+    // design (pure O(files) metadata, no data-proportional work to slope)
+    "lake_sql_merge", "stream_store_absorb", "stream_graph_absorb",
+    "lake_sql_graph")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -154,6 +154,14 @@ class GraphIndexSpec extends SparkSpec {
       s"probe scan must push the frontier IN-list:\n$scan")
   }
 
+  test("SQL route: the one-text unrolled walk is row-identical to the DataFrame search") {
+    val df = GraphIndex.searchQuery(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    val sql = GraphIndex.sqlGraphQuery(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(sql == df, "lake_sql_graph must equal knn_graph row for row")
+  }
+
   test("degree stats query matches a recount of the persisted edges") {
     val out = GraphIndex.degreeStats(spark, sfDir)
       .as[(Long, Long)].collect().toMap
