@@ -415,7 +415,8 @@ object SparkEntry {
                                  qWhere: String = "vec_id < 5",
                                  finalWhere: String = "",
                                  auditSelect: String = "",
-                                 auditFrom: String = ""): String = {
+                                 auditFrom: String = "",
+                                 entWhere: String = "TRUE"): String = {
     val stride = graft.sources.GraphIndex.entryStride
     val ep = if (edgesPath == null) graphStorePath else edgesPath
     val hopCtes = (1 to hops).map { h =>
@@ -432,7 +433,8 @@ object SparkEntry {
     s"""WITH e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
        |           FROM read_parquet('$ep/edges/*.parquet')),
        |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE $qWhere),
-       |ent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $stride = 0),
+       |ent AS (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % $stride = 0 AND $entWhere),
        |v0 AS (SELECT q.qid, ent.vec_id, ${dotSql("q.qvec", "ent.embedding")} AS sim
        |       FROM q CROSS JOIN ent),
        |$hopCtes
@@ -1271,14 +1273,17 @@ object SparkEntry {
     "graph_tombstone" -> graphBeamSearchSql(finalWhere = " AND vec_id % 17 <> 3"),
     // Streaming absorb into the graph: the walk replay over the EXPORTED
     // post-stream edges of the working clone, queried with the first five
-    // ODD (absorbed) vectors; nodes_after recomputed from the SOURCE table
-    // (every corpus node must be an edge src post-stream).
+    // ABSORBED (crawl-slice) vectors from the STORE corpus's own entry
+    // sample; nodes_after recomputed from the SOURCE table (every store
+    // node — even half ∪ crawl — must be an edge src post-stream).
     "stream_graph_absorb" -> graphBeamSearchSql(
       edgesPath = graphStorePath + "_gab",
-      qWhere = "vec_id % 2 = 1 AND vec_id < 10",
+      qWhere = "vec_id % 10 = 1 AND vec_id < 51",
+      entWhere = "(vec_id % 2 = 0 OR vec_id % 10 = 1)",
       auditSelect = ", n.nodes_after",
       auditFrom =
-        " CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS nodes_after FROM embeddings) n"),
+        " CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS nodes_after FROM embeddings" +
+          " WHERE vec_id % 2 = 0 OR vec_id % 10 = 1) n"),
     // Out-degree histogram over the same exported edges.
     "graph_degree_stats" ->
       s"""SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes

@@ -170,10 +170,21 @@ object GraphIndex {
     * a fresh `_build_id` — shared by the full build and [[absorb]].
     */
   private[graft] def writeEdges(edges: DataFrame, vectors: DataFrame, path: String): Unit = {
-    edges.select(col("src"), col("dst"), col("sim"))
+    val payloaded = edges.select(col("src"), col("dst"), col("sim"))
       .join(vectors.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")), "dst")
       .select(col("src"), col("dst"), col("sim"), col("dst_emb"))
-      .repartitionByRange(col("src"))
+      .localCheckpoint()
+    // Size the range partitioning to the DATA, not the session default:
+    // an edge row is ~290 B (two ids + sim + the 64-float payload), so
+    // ~230k rows ≈ one healthy 64 MB file. The session default (32) turns
+    // a 4 MB test graph into 32 tiny files that every hop's probe scan
+    // re-lists and re-opens — pure per-job overhead here, and exactly the
+    // small-files problem the lake's compaction story exists for at scale.
+    val parts = math.max(1, math.min(
+      edges.sparkSession.sessionState.conf.numShufflePartitions,
+      (payloaded.count() / 230000L).toInt + 1))
+    payloaded
+      .repartitionByRange(parts, col("src"))
       .sortWithinPartitions(col("src"), col("dst"))
       .write.mode("overwrite").parquet(s"$path/edges")
     java.nio.file.Files.writeString(
@@ -213,6 +224,12 @@ object GraphIndex {
     */
   def absorb(spark: SparkSession, path: String, base: DataFrame,
              batch: DataFrame): Unit = {
+    def t[T](n: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      if (sys.env.contains("GRAFT_ABSORB_TIMINGS"))
+        println(f"[absorb] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     val all = base.select(col("vec_id"), col("embedding"))
       .unionByName(batch.select(col("vec_id"), col("embedding")))
       .localCheckpoint()
@@ -229,25 +246,34 @@ object GraphIndex {
       .select(col("vec_id"), col("band"), col("bucket"))
     // no broadcast hint: the batch is data-sized (AQE picks the strategy)
     val newSide = capped.join(newIds, Seq("vec_id"), "left_semi")
-    val seeds = newSide.as("a").join(capped.as("b"), Seq("band", "bucket"))
+    val seeds = t("seeds")(newSide.as("a").join(capped.as("b"), Seq("band", "bucket"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      .distinct()
+      .distinct().localCheckpoint())
     // 2. walk the existing graph with the batch as queries (entries = the
     //    existing corpus's stride sample — the graph's own nodes)
     val entries = base.filter(col("vec_id") % entryStride === 0)
       .select(col("vec_id"), col("embedding"))
-    val walk = searchFrom(spark, path, entries,
+    // Insert walk at HALF the serve depth (hops 2, not 4): the walk only
+    // SEEDS the link stage — the LSH pairs plus the batch-restricted
+    // descent rounds below close whatever neighborhoods a shallow walk
+    // misses (the spec's ≥0.95 edge-recall floor is measured with this
+    // depth), while each saved hop saves a frontier job + an edge-scan
+    // job + a dedupe job per micro-batch.
+    val walk = t("walk")(searchFrom(spark, path, entries,
       batch.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-      k = M, beam = 32, hops = 4, maxInlineIds = Tables.MaxInlineIds)
-      .select(col("qid").as("src"), col("vec_id").as("dst"))
+      k = M, beam = 32, hops = 2, maxInlineIds = Tables.MaxInlineIds)
+      .select(col("qid").as("src"), col("vec_id").as("dst")).localCheckpoint())
     // 3. link: forward proposals, reverse proposals, old edges of touched
-    //    existing nodes — one top-M re-rank per touched src
+    //    existing nodes — one top-M re-rank per touched src. seeds and
+    //    walk are checkpointed above because `forward` feeds BOTH the
+    //    forward and reverse legs — Catalyst does not share subtrees, so
+    //    an unmaterialized walk would execute twice.
     val forward = seeds.unionByName(walk).distinct()
     val reverse = forward.select(col("dst").as("src"), col("src").as("dst"))
     val oldEdges = spark.read.parquet(s"$path/edges")
       .select(col("src"), col("dst"), col("sim"))
-    var edges = relink(oldEdges, forward.unionByName(reverse).distinct(), all)
+    var edges = t("relink0")(relink(oldEdges, forward.unionByName(reverse).distinct(), all))
     // 4. NN-Descent refinement rounds RESTRICTED to batch-touching pairs —
     //    the walk and seeds link new→existing well, but new→new edges can
     //    only meet through a shared neighbor, exactly what a descent
@@ -275,9 +301,9 @@ object GraphIndex {
         .filter(col("ns").isNotNull || col("nd").isNotNull)
         .select(col("src"), col("dst"))
         .distinct()
-      edges = relink(edges, prop, all)
+      edges = t("round")(relink(edges, prop, all))
     }
-    writeEdges(edges, all, path)
+    t("writeEdges")(writeEdges(edges, all, path))
   }
 
   /** Fold a proposal set into an edge list: every proposed src re-ranks its

@@ -837,8 +837,12 @@ object StreamOps {
     * (`Milvus/stream1.py:282` insert → `:117` HNSW index, searches at
     * `:161-162` see the new rows immediately), so the graph index needs
     * the same streaming write path [[streamStoreAbsorb]] gave the IVF
-    * store. The odd-vec_id half of the embeddings table streams in as the
-    * incoming crawl; every micro-batch [[graft.sources.GraphIndex.absorb]]s
+    * store. A 10% crawl slice (vec_id % 10 = 1) streams in as the
+    * incoming data — chunk-sized relative to the corpus, exactly the
+    * reference's Add Data shape (it inserts crawl chunks into an
+    * existing collection, never half the corpus at once; the half+half
+    * stress shape stays in GraphIndexSpec's absorb spec). Every
+    * micro-batch [[graft.sources.GraphIndex.absorb]]s
     * into a per-run working clone of the pristine even-half graph (LSH
     * seed pairs touching the batch, a beam WALK of the existing graph —
     * HNSW's insert descent — then batch-restricted NN-Descent rounds and
@@ -862,15 +866,17 @@ object StreamOps {
     * micro-batch skip the duplicate work, same contract and same crash
     * window as [[streamStoreAbsorb]].
     *
-    * Output: the post-stream beam top-k for the first five ODD (absorbed)
-    * query vectors over the FULL corpus entry sample, plus a
-    * `nodes_after` audit column — every corpus node must appear as an
-    * edge src post-stream (the build's totality property extended through
-    * the absorb), catching a dropped batch or a payload-join row loss
-    * that the top-k alone might not. Oracle: the unrolled-walk replay
-    * over the exported post-stream edges; `nodes_after` is recomputed
-    * from the SOURCE table (count of all vec_ids), so the audit is an
-    * independent cross-check, not an export echo.
+    * Output: the post-stream beam top-k for the first five ABSORBED
+    * query vectors, walked from the STORE corpus's own entry sample
+    * (even ∪ crawl — a full-corpus sample would admit never-inserted
+    * nodes into the result set), plus a `nodes_after` audit column —
+    * every store node must appear as an edge src post-stream (the
+    * build's totality property extended through the absorb), catching a
+    * dropped batch or a payload-join row loss that the top-k alone might
+    * not. Oracle: the unrolled-walk replay over the exported post-stream
+    * edges; `nodes_after` is recomputed from the SOURCE table (count of
+    * even ∪ crawl ids), so the audit is an independent cross-check, not
+    * an export echo.
     */
   def streamGraphAbsorb(spark: SparkSession, dir: String, k: Int = 5,
                         options: Map[String, String] = Map.empty): DataFrame = {
@@ -881,12 +887,19 @@ object StreamOps {
     val out = java.nio.file.Files.createTempDirectory("graft-graphabsorb").toString
     val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
     val absorbedDir = s"$work/absorbed_rows"
+    // Stateless foreachBatch sink → keep the CALLER's parallelism (the
+    // withStreamPartitions docstring's own rule): the real work here is
+    // the absorb's NN-Descent joins and the beam walks, and the 3-wide
+    // streaming-state pin under-parallelizes them ~10× on the bench host
+    // (measured 14.9 s pinned → see BASELINE.md r14). A child session
+    // still isolates the run's conf from concurrently planned queries.
     val result =
-      try withStreamPartitions(spark) { s =>
+      try {
+        val s = spark.newSession()
         val src = s.readStream.schema(schema).options(options)
           .option("basePath", dir)
           .parquet(s"$dir/embeddings.parquet*")
-          .filter(col("vec_id") % 2 === 1)
+          .filter(col("vec_id") % 10 === 1)
         val q = src.writeStream
           .option("checkpointLocation", s"$out/chk")
           .trigger(Trigger.AvailableNow())
@@ -924,12 +937,21 @@ object StreamOps {
           }
           .start()
         q.awaitTermination()
+        val storeRows = graft.Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 2 === 0 || col("vec_id") % 10 === 1)
         val queries = graft.Tables.embeddings(s, dir)
-          .filter(col("vec_id") % 2 === 1 && col("vec_id") < 10)
+          .filter(col("vec_id") % 10 === 1 && col("vec_id") < 51)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val nodesAfter = s.read.parquet(s"$work/edges")
           .select(col("src")).distinct().count()
-        GraphIndex.search(s, dir, work, queries, k = k)
+        // entries from the STORE corpus (even ∪ crawl): a full-corpus
+        // entry sample would put never-inserted nodes into the visited
+        // set — and so into the results
+        GraphIndex.searchFrom(s, work,
+          storeRows.filter(col("vec_id") % GraphIndex.entryStride === 0)
+            .select(col("vec_id"), col("embedding")),
+          queries, k = k, beam = 32, hops = 4,
+          maxInlineIds = graft.Tables.MaxInlineIds)
           .withColumn("nodes_after", lit(nodesAfter))
           .localCheckpoint(true)
       } finally rmTree(new java.io.File(out))

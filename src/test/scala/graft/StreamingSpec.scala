@@ -234,10 +234,10 @@ class StreamingSpec extends SparkSpec {
     import graft.sources.{GraphIndex, IndexStore}
     // Default options on the single-file source → ONE micro-batch, so the
     // post-stream graph must be EDGE-FOR-EDGE the direct GraphIndex.absorb
-    // of the whole odd set into a fresh half-store clone: the streaming
+    // of the whole crawl slice into a fresh half-store clone: the streaming
     // plumbing (clone, markers, sidecar, probes) must add nothing.
     val out = StreamOps.streamGraphAbsorb(spark, sfDir)
-    assert(out.count() == 25, "5 odd queries x top-5")
+    assert(out.count() == 25, "5 crawl queries x top-5")
     val work = GraphIndex.defaultPath(sfDir) + "_gab"
     val streamed = spark.read.parquet(s"$work/edges")
       .select($"src", $"dst").as[(Long, Long)].collect().toSet
@@ -246,13 +246,18 @@ class StreamingSpec extends SparkSpec {
     try {
       IndexStore.cloneStore(GraphIndex.corpusHalfPath(sfDir), batchPath)
       GraphIndex.absorb(spark, batchPath,
-        emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1))
+        emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 10 === 1))
       val direct = spark.read.parquet(s"$batchPath/edges")
         .select($"src", $"dst").as[(Long, Long)].collect().toSet
       assert(streamed == direct, "stream absorb must equal the one-shot batch absorb")
     } finally StreamOps.rmTree(new java.io.File(batchPath))
-    // nodes_after audit: every corpus node is an edge src post-stream
-    assert(out.head.getAs[Long]("nodes_after") == emb.count())
+    // nodes_after audit: every STORE node (even ∪ crawl) is a src post-stream
+    assert(out.head.getAs[Long]("nodes_after") ==
+      emb.filter($"vec_id" % 2 === 0 || $"vec_id" % 10 === 1).count())
+    // no never-inserted node may surface in results (store-corpus entries)
+    assert(out.collect().forall { r =>
+      val id = r.getLong(1); id % 2 == 0 || id % 10 == 1
+    }, "results must come from the store corpus only")
   }
 
   test("streaming graph absorb: multi-batch run keeps edge recall >= 0.95 and stays searchable") {
@@ -279,7 +284,9 @@ class StreamingSpec extends SparkSpec {
       val markers = Option(new java.io.File(work).listFiles()).getOrElse(Array.empty)
         .count(_.getName.startsWith("_absorbed_batch_"))
       assert(markers >= 2, s"two part files + maxFilesPerTrigger=1 must give >=2 batches, got $markers")
+      // quality vs the true top-M of the STORE corpus (even ∪ crawl slice)
       val emb = Tables.embeddings(spark, tmp).select($"vec_id", $"embedding")
+        .filter($"vec_id" % 2 === 0 || $"vec_id" % 10 === 1)
       val exact = VectorSearch.knnDeclarative(
         emb.select($"vec_id".as("qid"), $"embedding".as("qvec")), emb, GraphIndex.M)
         .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
