@@ -284,22 +284,29 @@ object GraphIndex {
     //    (Measured on the half+half spec corpus: link-only plateaus at
     //    edge recall 0.78; two restricted rounds recover the build's ≥0.95
     //    floor.)
-    val newFlag = batch.select(col("vec_id"), lit(1).as("is_new")).localCheckpoint()
+    val newIdSet = batch.select(col("vec_id")).localCheckpoint()
     for (_ <- 1 to absorbRounds) {
       val und = edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
-      val prop = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
+      // Batch-restricted proposals with the BATCH side DRIVING the join:
+      // a full und⋈und before the touching-the-batch filter shuffles the
+      // corpus-sized edge list every round (measured at sf1: the one
+      // super-linear shuffle-byte term of the streaming absorb, slope
+      // 1.32). Because und is SYMMETRIC by construction, the kept set
+      // {(a,b) : path a–m–b, a new OR b new} equals P ∪ swap(P) for
+      // P = {(a,b) : a new, path a–m–b} — and P comes from ONE join
+      // whose left side (`undNew`, the new nodes' und rows) is
+      // batch-sized, so AQE broadcasts it and the corpus side is only
+      // scanned. Per-round shuffle is batch-proportional, as the
+      // O(|batch|·M²) claim above requires.
+      val undNew = und.join(newIdSet.withColumnRenamed("vec_id", "src"),
+        Seq("src"), "left_semi")
+      val p = undNew.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
         .filter(col("x.src") =!= col("y.dst"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))
-        // keep only proposals touching the batch (no broadcast hint — the
-        // batch is data-sized, AQE picks the strategy)
-        .join(newFlag.withColumnRenamed("vec_id", "src")
-          .withColumnRenamed("is_new", "ns"), Seq("src"), "left")
-        .join(newFlag.withColumnRenamed("vec_id", "dst")
-          .withColumnRenamed("is_new", "nd"), Seq("dst"), "left")
-        .filter(col("ns").isNotNull || col("nd").isNotNull)
-        .select(col("src"), col("dst"))
+      val prop = p
+        .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
       edges = t("round")(relink(edges, prop, all))
     }
@@ -514,7 +521,12 @@ object GraphIndex {
     * re-executes hops 0..h−1. Query vectors inline as double literals
     * narrowed to float (bit-exact round-trip), mirroring `lake_sql_ann`.
     * Row-identical to the DataFrame path: same kernel, same window
-    * tie-breaks, same payload floats.
+    * tie-breaks, same payload floats. Each hop's frontier CTE carries a
+    * `BROADCAST` hint — it is ≤ nq·beam rows (bounded serve-path
+    * metadata, the same contract as the DataFrame walk's inline
+    * frontier), and without the hint Catalyst has no stats for the CTE
+    * and SMJ-shuffles the corpus-sized edge table once per hop (measured
+    * at sf1: shuffle-byte slope 2.46 unhinted → edges scan-only hinted).
     */
   def sqlGraphQuery(spark: SparkSession, dir: String,
                     k: Int = 5, beam: Int = 32, hops: Int = 4): DataFrame = {
@@ -534,7 +546,8 @@ object GraphIndex {
       s"""f$h AS (SELECT qid, vec_id FROM (
          |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS fr FROM v${h - 1})
          |  WHERE fr <= $beam),
-         |n$h AS (SELECT f$h.qid, e.dst AS vec_id, dot(q.qvec, e.dst_emb) AS sim
+         |n$h AS (SELECT /*+ BROADCAST(f$h) */
+         |        f$h.qid, e.dst AS vec_id, dot(q.qvec, e.dst_emb) AS sim
          |        FROM f$h JOIN graph_edges e ON e.src = f$h.vec_id
          |        JOIN q ON q.qid = f$h.qid),
          |v$h AS (SELECT qid, vec_id, max(sim) AS sim

@@ -191,6 +191,17 @@ object ScaleSweep {
     lines += "206 s; r12 derived layout ~136 s; r13 parallel-pipelined core"
     lines += "18.5 s."
     lines += ""
+    lines += "## r14 additions"
+    lines += ""
+    lines += "The four r14 sweep additions (lake_sql_merge, stream_store_absorb,"
+    lines += "stream_graph_absorb, lake_sql_graph) are lifecycle/streaming"
+    lines += "pipelines whose per-run cost is dominated by fixed machinery"
+    lines += "(store clone, AvailableNow start/stop, per-batch probes, the"
+    lines += "INSERT OVERWRITE job pair), so their wall-clock slopes sit far"
+    lines += "below 1.0 at every decade. partitioned_vacuum is deliberately"
+    lines += "unswept: O(files) metadata + unlinks, no data-proportional work"
+    lines += "to slope."
+    lines += ""
     val sf1Head = if (sf1Dir.nonEmpty) " t(sf1) s | slope 0.1→1 |" else ""
     lines += s"| query | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | slope 0.001→0.01 | slope 0.01→0.1 |$sf1Head verdict |"
     lines += "|---|---|---|---|---|---|" + (if (sf1Dir.nonEmpty) "---|---|" else "") + "---|"

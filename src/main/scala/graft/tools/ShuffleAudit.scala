@@ -196,6 +196,32 @@ object ShuffleAudit {
     lines += "never re-shuffles); media_decode_real's nonzero shuf/in is the"
     lines += "8-byte/row id-repartition that buys decode parallelism."
     lines += ""
+    lines += "## r14 additions + attribution"
+    lines += ""
+    lines += "- **lake_sql_graph slope 2.46 -> 0.17, fixed with code**: the"
+    lines += "  one-text SQL walk's hop CTEs carry no stats, so Catalyst"
+    lines += "  SMJ-shuffled the corpus-sized edge table once per hop (130 MB"
+    lines += "  at sf1 for a 5-query serve). Each hop's frontier CTE now"
+    lines += "  carries a BROADCAST hint (<= nq*beam rows, the DataFrame"
+    lines += "  walk's bounded inline-frontier contract) — edges scan-only,"
+    lines += "  0.7 MB shuffled at sf1."
+    lines += "- **stream_graph_absorb slope 1.33 (13 -> 281 MB): watch, two"
+    lines += "  attributed individually-linear causes** — (1) the sandbox"
+    lines += "  absorb rewrites the whole sorted edge layout (production ="
+    lines += "  copy-on-write of affected src ranges, but a uniform-id insert"
+    lines += "  touches every range, so the rewrite is the honest cost model);"
+    lines += "  (2) the insert walk crosses Tables.MaxInlineIds inside this"
+    lines += "  decade (nq*beam 6.4k inline at sf0.1 vs 64k distributed at"
+    lines += "  sf1), so sf1 pays the distributed frontier's dedupe shuffles"
+    lines += "  that replace driver collects. The genuinely super-linear term"
+    lines += "  (full und-join-und before the batch filter in the descent"
+    lines += "  rounds) is FIXED: the batch side now drives the proposal join"
+    lines += "  (und is symmetric => P-union-swap(P) is provably the same"
+    lines += "  set), making per-round shuffle batch-proportional. 281 MB"
+    lines += "  absolute at 20k vectors, zero spill, skew 101%."
+    lines += "- lake_sql_merge and stream_store_absorb: near-zero shuffle at"
+    lines += "  every sf (map-side assignment + dynamic partition writes)."
+    lines += ""
     val sf1Head = if (sf1Dir.nonEmpty) " shufW sf1 MB | slope 0.1→1 |" else ""
     lines += s"| query | input sf0.1 MB | shufW sf0.1 MB | shufR sf0.1 MB | shuf/in | spill MB | tasks | skew | shufW slope |$sf1Head verdict |"
     lines += "|---|---|---|---|---|---|---|---|---|" +
