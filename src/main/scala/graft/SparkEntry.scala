@@ -59,6 +59,9 @@ object SparkEntry {
     // DELETE on the graph index: walk traverses dead nodes, results
     // exclude them below the rank window (HNSW tombstoning).
     "graph_tombstone" -> ((s, d) => graft.sources.GraphIndex.searchTombstonedQuery(s, d)),
+    // Offline compaction of the tombstoned graph (HNSW delete-repair):
+    // dead nodes physically gone, their neighborhoods bridge-relinked.
+    "graph_compact" -> ((s, d) => graft.sources.GraphIndex.compactQuery(s, d)),
     "graph_degree_stats" -> ((s, d) => graft.sources.GraphIndex.degreeStats(s, d)),
     "knn_rewrite" -> ((s, d) => graft.sources.IndexStore.rewriteSearchQuery(s, d)),
     "lake_sql_ann" -> ((s, d) => graft.sources.IndexStore.sqlAnnQuery(s, d)),
@@ -1271,6 +1274,17 @@ object SparkEntry {
     // Tombstoned graph search: the SAME unrolled walk (dead nodes still
     // traversed), minus the tombstone set below the rank window.
     "graph_tombstone" -> graphBeamSearchSql(finalWhere = " AND vec_id % 17 <> 3"),
+    // Compacted graph: plain walk over the REPAIRED exported edges (no
+    // tombstone filter — dead nodes physically gone), live entry sample;
+    // n_nodes recomputed from the source table (every live node keeps a
+    // neighbor list through the bridge-relink repair).
+    "graph_compact" -> graphBeamSearchSql(
+      edgesPath = graphStorePath + "_cpt",
+      entWhere = "vec_id % 17 <> 3",
+      auditSelect = ", n.n_nodes",
+      auditFrom =
+        " CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM embeddings" +
+          " WHERE vec_id % 17 <> 3) n"),
     // Streaming absorb into the graph: the walk replay over the EXPORTED
     // post-stream edges of the working clone, queried with the first five
     // ABSORBED (crawl-slice) vectors from the STORE corpus's own entry

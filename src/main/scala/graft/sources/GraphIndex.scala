@@ -483,6 +483,95 @@ object GraphIndex {
       tombstones = Some(tombstones))
   }
 
+  /** Offline compaction of a tombstoned graph — the maintenance half of
+    * [[searchTombstonedQuery]], completing the delete lifecycle the same
+    * way [[IndexStore.rebuild]] completes `knn_tombstone`'s: fold the
+    * tombstones in physically and turn query-time filtering back into a
+    * plain walk. This is HNSW's delete-repair, relational:
+    *
+    *  1. '''Drop''' — every edge whose src OR dst is dead;
+    *  2. '''Bridge''' — for each dead node d, its live IN-neighbors
+    *     propose links to d's live OUT-neighbors (the classic repair:
+    *     removing a hub must not sever the paths that ran through it —
+    *     its neighborhood gets directly reconnected). Bridge volume is
+    *     in(d)·out(d) per dead node, deletes-proportional, never a
+    *     corpus self-join;
+    *  3. '''Relink''' — every bridged src re-ranks old-live ∪ bridge
+    *     candidates to top-[[M]] (the absorb's own [[relink]] fold);
+    *     untouched live nodes pass through byte-identical.
+    *
+    * Writes the repaired graph to `compactPath` with a fresh `_build_id`;
+    * the tombstoned store itself is untouched (offline job, like the IVF
+    * rebuild). `vectors` supplies live embeddings for the re-rank — the
+    * caller's corpus frame, exactly as [[absorb]] takes base ∪ batch.
+    */
+  def compactTombstones(spark: SparkSession, path: String, compactPath: String,
+                        tombstones: DataFrame, vectors: DataFrame): Unit = {
+    val dead = tombstones.select(col("vec_id")).localCheckpoint()
+    val edges = spark.read.parquet(s"$path/edges")
+      .select(col("src"), col("dst"), col("sim"))
+    val live = edges
+      .join(broadcast(dead.withColumnRenamed("vec_id", "src")), Seq("src"), "left_anti")
+      .join(broadcast(dead.withColumnRenamed("vec_id", "dst")), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"), col("sim"))
+      .localCheckpoint()
+    // in-edges of dead nodes from live srcs ⋈ out-edges of dead nodes to
+    // live dsts, on the shared dead middle — deletes-sized both sides
+    val intoDead = edges
+      .join(broadcast(dead.withColumnRenamed("vec_id", "dst")), Seq("dst"), "left_semi")
+      .join(broadcast(dead.withColumnRenamed("vec_id", "src")), Seq("src"), "left_anti")
+      .select(col("src"), col("dst").as("mid"))
+    val outOfDead = edges
+      .join(broadcast(dead.withColumnRenamed("vec_id", "src")), Seq("src"), "left_semi")
+      .join(broadcast(dead.withColumnRenamed("vec_id", "dst")), Seq("dst"), "left_anti")
+      .select(col("src").as("mid"), col("dst"))
+    val bridges = intoDead.join(outOfDead, "mid")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val liveVecs = vectors.select(col("vec_id"), col("embedding"))
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    writeEdges(relink(live, bridges, liveVecs), liveVecs, compactPath)
+  }
+
+  /** The named `graph_compact` query: compact the canonical graph minus
+    * the `graph_tombstone` delete set into a sibling store, then beam-walk
+    * the compacted graph with the standard query batch — no tombstone
+    * filter anywhere, the dead nodes are physically gone. Entries come
+    * from the LIVE corpus sample; the `n_nodes` audit column (every live
+    * node keeps a neighbor list through the repair) is recomputed by the
+    * oracle from the SOURCE table.
+    */
+  def compactQuery(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val cpt = path + "_cpt"
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val tombstones = emb.filter(col("vec_id") % 17 === 3).select(col("vec_id"))
+    // Build-once / search-many (the knn_graph convention; compaction is
+    // deterministic given the source store + delete set): `_built_from`
+    // records WHICH canonical build this compaction folded — a rebuilt
+    // canonical store invalidates it, exactly PqStore's `_ivf_build_id`
+    // cascade. Re-executions pay only the staleness check + the walk.
+    val srcBuild = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/_build_id")).trim
+    val marker = java.nio.file.Paths.get(s"$cpt/_built_from")
+    val current = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker).trim == srcBuild &&
+      new java.io.File(s"$cpt/edges").exists()
+    if (!current) {
+      compactTombstones(spark, path, cpt, tombstones, emb)
+      java.nio.file.Files.writeString(marker, srcBuild)
+    }
+    val liveVecs = emb.filter(col("vec_id") % 17 =!= 3)
+    val nNodes = spark.read.parquet(s"$cpt/edges").select(col("src")).distinct().count()
+    searchFrom(spark, cpt,
+      liveVecs.filter(col("vec_id") % entryStride === 0),
+      VectorSearch.querySet(spark, dir, 5), k, beam = 32, hops = 4,
+      maxInlineIds = Tables.MaxInlineIds)
+      .withColumn("n_nodes", lit(nNodes))
+  }
+
   /** Where the even-vec_id half graph persists — the day-1 store the
     * streaming absorb run ([[graft.streaming.StreamOps.streamGraphAbsorb]])
     * clones per run, mirroring [[IndexStore.ensureCorpusHalf]].

@@ -112,6 +112,40 @@ class GraphIndexSpec extends SparkSpec {
     assert(recTomb >= 0.9, f"live recall@$k = $recTomb%.3f")
   }
 
+  test("compaction repairs the tombstoned graph: dead gone, bridges hold, canonical untouched") {
+    val canonicalBuildId = { path; java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"${GraphIndex.defaultPath(sfDir)}/_build_id")) }
+    val out = GraphIndex.compactQuery(spark, sfDir).collect()
+    val cpt = GraphIndex.defaultPath(sfDir) + "_cpt"
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val liveN = emb.filter($"vec_id" % 17 =!= 3).count()
+    val cedges = spark.read.parquet(s"$cpt/edges")
+    // dead nodes are PHYSICALLY gone — no filter needed at query time
+    assert(cedges.filter($"src" % 17 === 3 || $"dst" % 17 === 3).isEmpty,
+      "no tombstoned node may survive compaction as src or dst")
+    assert(cedges.filter($"src" === $"dst").isEmpty, "no self-loops")
+    val deg = cedges.groupBy($"src").agg(count(lit(1)).as("d"))
+    assert(deg.agg(max($"d")).as[Long].head() <= GraphIndex.M.toLong)
+    // the repair keeps every live node connected (and the audit column
+    // the oracle recomputes from the source table agrees)
+    assert(deg.count() == liveN, "every live node keeps a neighbor list")
+    assert(out.head.getAs[Long]("n_nodes") == liveN)
+    // the plain walk over the repaired graph recalls the live exact top-5
+    val exact = VectorSearch.knnDeclarative(
+      VectorSearch.querySet(spark, sfDir, 5),
+      emb.filter($"vec_id" % 17 =!= 3), 5)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall(_._2 % 17 != 3))
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.9, f"compacted-walk live recall@5 = $recall%.3f")
+    // offline job: fresh build id on the compacted store, canonical intact
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$cpt/_build_id")) != canonicalBuildId)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"${GraphIndex.defaultPath(sfDir)}/_build_id")) == canonicalBuildId)
+  }
+
   test("beam search finds the exact top-5 (recall >= 0.9 on the bench corpus)") {
     val exact = VectorSearch.knnExact(spark, sfDir)
       .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
