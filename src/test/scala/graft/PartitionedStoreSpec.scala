@@ -222,6 +222,43 @@ class PartitionedStoreSpec extends SparkSpec {
     } finally graft.streaming.StreamOps.rmTree(new java.io.File(p))
   }
 
+  test("vacuum with three versions: keepLatest=2 spares v2's files, keepLatest=1 then finishes") {
+    val tt = PartitionedStore.defaultPath(sfDir) + "_tt"
+    PartitionedStore.ensureVersioned(spark, sfDir, tt)
+    val p = PartitionedStore.defaultPath(sfDir) + "_vac3"
+    try {
+      PartitionedStore.cloneVersioned(tt, p)
+      // synthesize a v3: append one more correction file and a manifest
+      // that keeps v2's files minus nothing plus the new file (a pure
+      // append snapshot — v2 stays fully live under keepLatest=2)
+      val lo = Tables.events(spark, sfDir).agg(min(to_date($"ts"))).head().getDate(0)
+      val day3 = java.sql.Date.valueOf(lo.toLocalDate.plusDays(2))
+      val before = PartitionedStore.listParquet(p).toSet
+      Tables.events(spark, sfDir).withColumn("event_date", to_date($"ts"))
+        .filter($"event_date" === lit(day3)).limit(5)
+        .write.mode("append").partitionBy("event_date").parquet(s"$p/rows")
+      val appended = PartitionedStore.listParquet(p).toSet -- before
+      val v2Files = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$p/_versions/v2.txt")), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSet
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$p/_versions/v3.txt"),
+        (v2Files ++ appended).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      // keepLatest=2: v1 expires; v2 ∪ v3 files all survive (v2 ⊂ v3 here)
+      val r1 = PartitionedStore.vacuum(spark, sfDir, p, keepLatest = 2)
+      assert(r1.expired == Seq(1))
+      assert(v2Files.forall(f => new java.io.File(f).exists()),
+        "keepLatest=2 must spare every v2 file")
+      assert(new java.io.File(s"$p/_versions/v2.txt").exists())
+      // then keepLatest=1: v2 expires too, but v2's files are all in v3
+      // (pure append), so nothing else is deleted
+      val r2 = PartitionedStore.vacuum(spark, sfDir, p, keepLatest = 1)
+      assert(r2.expired == Seq(2))
+      assert(r2.filesDeleted == 0L,
+        "v2 files are all referenced by v3 — nothing to reclaim")
+      assert(PartitionedStore.readVersion(spark, p, 3).count() > 0)
+    } finally graft.streaming.StreamOps.rmTree(new java.io.File(p))
+  }
+
   test("vacuum grace period spares young orphans, reclaims them once aged") {
     val tt = PartitionedStore.defaultPath(sfDir) + "_tt"
     PartitionedStore.ensureVersioned(spark, sfDir, tt)
