@@ -62,6 +62,8 @@ object SparkEntry {
     // Offline compaction of the tombstoned graph (HNSW delete-repair):
     // dead nodes physically gone, their neighborhoods bridge-relinked.
     "graph_compact" -> ((s, d) => graft.sources.GraphIndex.compactQuery(s, d)),
+    // The ef dial measured: recall@5 per beam level, one real walk each.
+    "graph_recall_curve" -> ((s, d) => graft.sources.GraphIndex.recallCurve(s, d)),
     "graph_degree_stats" -> ((s, d) => graft.sources.GraphIndex.degreeStats(s, d)),
     "knn_rewrite" -> ((s, d) => graft.sources.IndexStore.rewriteSearchQuery(s, d)),
     "lake_sql_ann" -> ((s, d) => graft.sources.IndexStore.sqlAnnQuery(s, d)),
@@ -447,6 +449,57 @@ object SparkEntry {
        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
        |      FROM v$hops WHERE vec_id <> qid$finalWhere)$auditFrom
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Recall-vs-beam replay for `graph_recall_curve`: one unrolled walk
+    * chain PER beam level over the same exported edges (a narrower beam
+    * walks a different frontier — no membership shortcut exists, unlike
+    * the IVF cell-rank curve), an exact brute-force leg, and a membership
+    * count per level. Every multiply-referenced CTE is MATERIALIZED —
+    * DuckDB inlines CTE plans per reference, and 3 beam chains × 4 hops
+    * of doubly-referenced visited sets would otherwise re-execute the
+    * recursion exponentially (the text_unigram_lm lesson).
+    */
+  private def graphRecallCurveSql(beams: Seq[Int] = Seq(4, 8, 32),
+                                  hops: Int = 4, k: Int = 5): String = {
+    val stride = graft.sources.GraphIndex.entryStride
+    val chains = beams.map { b =>
+      val hopCtes = (1 to hops).map { h =>
+        s"""f${h}_$b AS MATERIALIZED (SELECT qid, vec_id FROM (
+           |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS fr FROM v${h - 1}_$b)
+           |  WHERE fr <= $b),
+           |n${h}_$b AS (SELECT f.qid, e.dst AS vec_id, ${dotSql("q.qvec", "bb.embedding")} AS sim
+           |        FROM f${h}_$b f JOIN e ON e.src = f.vec_id
+           |        JOIN embeddings bb ON bb.vec_id = e.dst
+           |        JOIN q ON q.qid = f.qid),
+           |v${h}_$b AS MATERIALIZED (SELECT qid, vec_id, max(sim) AS sim
+           |        FROM (SELECT * FROM v${h - 1}_$b UNION ALL SELECT * FROM n${h}_$b) GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""v0_$b AS (SELECT * FROM v0),
+         |$hopCtes,
+         |top_$b AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+         |  FROM v${hops}_$b WHERE vec_id <> qid) WHERE rank <= $k),
+         |hit_$b AS (SELECT CAST($b AS BIGINT) AS beam, CAST(count(*) AS BIGINT) AS n_found
+         |  FROM top_$b t JOIN exact x ON x.qid = t.qid AND x.vec_id = t.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val unionHits = beams.map(b => s"SELECT * FROM hit_$b").mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       |           FROM read_parquet('$graphStorePath/edges/*.parquet')),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |ent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $stride = 0),
+       |v0 AS MATERIALIZED (SELECT q.qid, ent.vec_id, ${dotSql("q.qvec", "ent.embedding")} AS sim
+       |       FROM q CROSS JOIN ent),
+       |s AS (SELECT q.qid, b2.vec_id, ${dotSql("q.qvec", "b2.embedding")} AS sim
+       |      FROM embeddings b2 CROSS JOIN q WHERE b2.vec_id <> q.qid),
+       |exact AS MATERIALIZED (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
+       |  WHERE rank <= $k),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+       |$chains
+       |SELECT h.beam, h.n_found, ne.n_exact,
+       |       CAST(h.n_found * 1000000 // ne.n_exact AS BIGINT) AS recall_micro
+       |FROM ($unionHits) h CROSS JOIN ne ORDER BY h.beam""".stripMargin
   }
 
   /** Where graft.operators.Dedup exports the xxhash64 sketch frames — the
@@ -1274,6 +1327,9 @@ object SparkEntry {
     // Tombstoned graph search: the SAME unrolled walk (dead nodes still
     // traversed), minus the tombstone set below the rank window.
     "graph_tombstone" -> graphBeamSearchSql(finalWhere = " AND vec_id % 17 <> 3"),
+    // Recall-vs-beam: per-level walk chains + brute-force leg, MATERIALIZED
+    // CTEs against DuckDB's per-reference inlining.
+    "graph_recall_curve" -> graphRecallCurveSql(),
     // Compacted graph: plain walk over the REPAIRED exported edges (no
     // tombstone filter — dead nodes physically gone), live entry sample;
     // n_nodes recomputed from the source table (every live node keeps a

@@ -483,6 +483,41 @@ object GraphIndex {
       tombstones = Some(tombstones))
   }
 
+  /** Recall-vs-beam curve — the graph index's ef dial measured in-engine,
+    * completing the eval symmetry with [[IndexStore.recallSweep]] (the
+    * IVF nprobe curve): the reference exposes exactly this knob as HNSW's
+    * `ef` (`Milvus/stream1.py:161-162`, ef=128), and tuning it requires a
+    * measured curve, not a hand-set constant. Each level pays one real
+    * beam walk (unlike the IVF curve there is no membership shortcut —
+    * a narrower beam walks a DIFFERENT frontier, not a prefix); the
+    * levels' walks and the exact leg are all bounded nq·k frames, so the
+    * measurement cost is |beams| serve-path searches.
+    */
+  def recallCurve(spark: SparkSession, dir: String, k: Int = 5,
+                  beams: Seq[Int] = Seq(4, 8, 32)): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val q = VectorSearch.querySet(spark, dir, 5)
+    val exact = VectorSearch.knnExact(spark, dir, k, 5)
+      .select(col("qid"), col("vec_id")).localCheckpoint()
+    val nExact = exact.count()
+    val per = beams.map { b =>
+      search(spark, dir, path, q, k = k, beam = b)
+        .select(lit(b.toLong).as("beam"), col("qid"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val found = per.join(exact, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("beam")).agg(count(lit(1)).as("n_found"))
+    // literal level frame so a zero-recall beam still reports its row
+    val levels = spark.range(1).select(
+      explode(lit(beams.map(_.toLong).toArray)).as("beam"))
+    levels.join(found, Seq("beam"), "left")
+      .select(col("beam"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        lit(nExact).as("n_exact"))
+      .withColumn("recall_micro", expr("n_found * 1000000 DIV n_exact"))
+      .orderBy(col("beam"))
+  }
+
   /** Offline compaction of a tombstoned graph — the maintenance half of
     * [[searchTombstonedQuery]], completing the delete lifecycle the same
     * way [[IndexStore.rebuild]] completes `knn_tombstone`'s: fold the

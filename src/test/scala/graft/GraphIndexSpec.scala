@@ -156,6 +156,24 @@ class GraphIndexSpec extends SparkSpec {
     assert(recall >= 0.9, f"search recall@5 = $recall%.3f")
   }
 
+  test("recall curve: well-formed levels, monotone on this corpus, top level matches the serve walk") {
+    val rows = GraphIndex.recallCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 32L))
+    assert(rows.forall { case (_, f, n, micro) =>
+      n == 25L && f <= n && micro == f * 1000000L / n })
+    // the ef dial must not lose recall widening on this corpus (the
+    // serve-path spec's property, here as the measured curve)
+    assert(rows.last._4 >= rows.head._4, "recall(32) >= recall(4)")
+    // the top level IS the serve configuration — its measured recall must
+    // equal recomputing it from the registered knn_graph query directly
+    val exact = VectorSearch.knnExact(spark, sfDir)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val got = GraphIndex.searchQuery(spark, sfDir)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(rows.last._2 == (exact & got).size.toLong)
+  }
+
   test("wider beam never loses recall (the ef dial, monotone by construction)") {
     val q = VectorSearch.querySet(spark, sfDir, 5)
     val exact = VectorSearch.knnExact(spark, sfDir)
