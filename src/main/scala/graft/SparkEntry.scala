@@ -64,6 +64,9 @@ object SparkEntry {
     "graph_compact" -> ((s, d) => graft.sources.GraphIndex.compactQuery(s, d)),
     // The ef dial measured: recall@5 per beam level, one real walk each.
     "graph_recall_curve" -> ((s, d) => graft.sources.GraphIndex.recallCurve(s, d)),
+    // ...and self-tuned: smallest measured beam clearing the target drives
+    // the serve walk (decision cached per build via _tuned_beam marker).
+    "graph_autotune" -> ((s, d) => graft.sources.GraphIndex.autoTuneSearch(s, d)),
     "graph_degree_stats" -> ((s, d) => graft.sources.GraphIndex.degreeStats(s, d)),
     "knn_rewrite" -> ((s, d) => graft.sources.IndexStore.rewriteSearchQuery(s, d)),
     "lake_sql_ann" -> ((s, d) => graft.sources.IndexStore.sqlAnnQuery(s, d)),
@@ -462,6 +465,57 @@ object SparkEntry {
     */
   private def graphRecallCurveSql(beams: Seq[Int] = Seq(4, 8, 32),
                                   hops: Int = 4, k: Int = 5): String = {
+    val unionHits = beams.map(b => s"SELECT * FROM hit_$b").mkString(" UNION ALL ")
+    s"""WITH ${graphCurveCtes(beams, hops, k)}
+       |SELECT h.beam, h.n_found, ne.n_exact,
+       |       CAST(h.n_found * 1000000 // ne.n_exact AS BIGINT) AS recall_micro
+       |FROM ($unionHits) h CROSS JOIN ne ORDER BY h.beam""".stripMargin
+  }
+
+  /** Self-tuned beam search replay for `graph_autotune`: the curve CTEs,
+    * the decision (smallest beam clearing the target, widest as the
+    * infeasible fallback — the graph is approximate at any ef), and one
+    * more walk chain whose per-hop frontier cut is the DECISION as a
+    * scalar subquery, so the replay audits knob derivation AND the
+    * search it drives in one statement (the knn_autotune convention).
+    */
+  private def graphAutotuneSql(beams: Seq[Int] = Seq(4, 8, 32),
+                               hops: Int = 4, k: Int = 5,
+                               targetMicro: Long = 900000L): String = {
+    val unionHits = beams.map(b => s"SELECT * FROM hit_$b").mkString(" UNION ALL ")
+    val hopCtes = (1 to hops).map { h =>
+      s"""f${h}_t AS MATERIALIZED (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS fr FROM v${h - 1}_t)
+         |  WHERE fr <= (SELECT chosen FROM pick)),
+         |n${h}_t AS (SELECT f.qid, e.dst AS vec_id, ${dotSql("q.qvec", "bb.embedding")} AS sim
+         |        FROM f${h}_t f JOIN e ON e.src = f.vec_id
+         |        JOIN embeddings bb ON bb.vec_id = e.dst
+         |        JOIN q ON q.qid = f.qid),
+         |v${h}_t AS MATERIALIZED (SELECT qid, vec_id, max(sim) AS sim
+         |        FROM (SELECT * FROM v${h - 1}_t UNION ALL SELECT * FROM n${h}_t) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graphCurveCtes(beams, hops, k)},
+       |curve AS (SELECT h.beam, CAST(h.n_found * 1000000 // ne.n_exact AS BIGINT) AS recall_micro
+       |          FROM ($unionHits) h CROSS JOIN ne),
+       |pick AS (SELECT COALESCE(
+       |           (SELECT min(beam) FROM curve WHERE recall_micro >= $targetMicro),
+       |           (SELECT max(beam) FROM curve)) AS chosen),
+       |v0_t AS (SELECT * FROM v0),
+       |$hopCtes
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       |       CAST(rank AS BIGINT) AS rank, ${microSql("sim")} AS sim_micro,
+       |       (SELECT chosen FROM pick) AS beam
+       |FROM (SELECT qid, vec_id, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+       |      FROM v${hops}_t WHERE vec_id <> qid)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Shared WITH-body for the graph curve replays: edges, queries, entry
+    * sample, hop-0 scores, the brute-force exact leg, and one unrolled
+    * walk chain + membership count PER beam level.
+    */
+  private def graphCurveCtes(beams: Seq[Int], hops: Int, k: Int): String = {
     val stride = graft.sources.GraphIndex.entryStride
     val chains = beams.map { b =>
       val hopCtes = (1 to hops).map { h =>
@@ -483,8 +537,7 @@ object SparkEntry {
          |hit_$b AS (SELECT CAST($b AS BIGINT) AS beam, CAST(count(*) AS BIGINT) AS n_found
          |  FROM top_$b t JOIN exact x ON x.qid = t.qid AND x.vec_id = t.vec_id)""".stripMargin
     }.mkString(",\n")
-    val unionHits = beams.map(b => s"SELECT * FROM hit_$b").mkString(" UNION ALL ")
-    s"""WITH e AS MATERIALIZED (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+    s"""e AS MATERIALIZED (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
        |           FROM read_parquet('$graphStorePath/edges/*.parquet')),
        |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
        |ent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $stride = 0),
@@ -496,10 +549,7 @@ object SparkEntry {
        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s)
        |  WHERE rank <= $k),
        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
-       |$chains
-       |SELECT h.beam, h.n_found, ne.n_exact,
-       |       CAST(h.n_found * 1000000 // ne.n_exact AS BIGINT) AS recall_micro
-       |FROM ($unionHits) h CROSS JOIN ne ORDER BY h.beam""".stripMargin
+       |$chains""".stripMargin
   }
 
   /** Where graft.operators.Dedup exports the xxhash64 sketch frames — the
@@ -1330,6 +1380,10 @@ object SparkEntry {
     // Recall-vs-beam: per-level walk chains + brute-force leg, MATERIALIZED
     // CTEs against DuckDB's per-reference inlining.
     "graph_recall_curve" -> graphRecallCurveSql(),
+    // Self-tuned walk: the curve, the decision, and the search it drives
+    // in ONE statement — the frontier cut is the decision as a scalar
+    // subquery (the knn_autotune convention).
+    "graph_autotune" -> graphAutotuneSql(),
     // Compacted graph: plain walk over the REPAIRED exported edges (no
     // tombstone filter — dead nodes physically gone), live entry sample;
     // n_nodes recomputed from the source table (every live node keeps a

@@ -518,6 +518,45 @@ object GraphIndex {
       .orderBy(col("beam"))
   }
 
+  /** Self-tuning beam search — [[IndexStore.autoTuneSearch]]'s ef twin:
+    * pick the SMALLEST measured beam whose recall@k clears the target
+    * ([[recallCurve]]); unlike the IVF dial, recall at the widest beam is
+    * NOT 1.0 by construction (the graph is approximate at any ef), so an
+    * infeasible target falls back to the widest measured level — the
+    * honest answer, surfaced in the `beam` audit column the oracle
+    * recomputes. The graph curve costs |beams| real walks, so the
+    * decision is derived ONCE PER BUILD and recorded in a `_tuned_beam`
+    * marker keyed by the store's `_build_id` (the `graph_compact` /
+    * PqStore cascade convention): re-executions pay one marker read plus
+    * the serve walk at the chosen knob.
+    */
+  def autoTuneSearch(spark: SparkSession, dir: String, k: Int = 5,
+                     targetRecallMicro: Long = 900000L,
+                     beams: Seq[Int] = Seq(4, 8, 32)): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val srcBuild = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/_build_id")).trim
+    val marker = java.nio.file.Paths.get(s"$path/_tuned_beam_$targetRecallMicro")
+    val recorded =
+      if (java.nio.file.Files.exists(marker))
+        java.nio.file.Files.readString(marker).trim.split(" ") match {
+          case Array(b, bm) if b == srcBuild => Some(bm.toInt)
+          case _ => None
+        }
+      else None
+    val beam = recorded.getOrElse {
+      val curve = recallCurve(spark, dir, k, beams).collect()
+      val chosen = curve.filter(_.getAs[Long]("recall_micro") >= targetRecallMicro)
+        .map(_.getLong(0)).sorted.headOption
+        .getOrElse(curve.map(_.getLong(0)).max).toInt
+      java.nio.file.Files.writeString(marker, s"$srcBuild $chosen")
+      chosen
+    }
+    search(spark, dir, path, VectorSearch.querySet(spark, dir, 5), k, beam = beam)
+      .withColumn("beam", lit(beam.toLong))
+  }
+
   /** Offline compaction of a tombstoned graph — the maintenance half of
     * [[searchTombstonedQuery]], completing the delete lifecycle the same
     * way [[IndexStore.rebuild]] completes `knn_tombstone`'s: fold the

@@ -174,6 +174,36 @@ class GraphIndexSpec extends SparkSpec {
     assert(rows.last._2 == (exact & got).size.toLong)
   }
 
+  test("autotune picks the smallest curve level clearing the target and caches per build") {
+    val target = 900000L
+    val out = GraphIndex.autoTuneSearch(spark, sfDir).collect()
+    val chosen = out.head.getAs[Long]("beam")
+    assert(out.forall(_.getAs[Long]("beam") == chosen), "one knob per run")
+    // the decision is exactly the curve's smallest clearing level (or the
+    // widest when the target is infeasible — the graph is approximate)
+    val curve = GraphIndex.recallCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("recall_micro")))
+    val expect = curve.filter(_._2 >= target).map(_._1).sorted.headOption
+      .getOrElse(curve.map(_._1).max)
+    assert(chosen == expect, s"chosen $chosen vs curve-derived $expect")
+    // the rows ARE the serve walk at that knob
+    val direct = GraphIndex.search(spark, sfDir, GraphIndex.defaultPath(sfDir),
+      VectorSearch.querySet(spark, sfDir, 5), beam = chosen.toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq == direct)
+    // decision cached per build: the marker exists and a re-run agrees
+    val marker = new java.io.File(
+      s"${GraphIndex.defaultPath(sfDir)}/_tuned_beam_$target")
+    assert(marker.exists(), "decision must be recorded per build")
+    assert(GraphIndex.autoTuneSearch(spark, sfDir)
+      .agg(max($"beam")).as[Long].head() == chosen)
+    // an infeasible target (recall > 1 is impossible) falls back to the
+    // widest measured level instead of failing
+    val fallback = GraphIndex.autoTuneSearch(spark, sfDir,
+      targetRecallMicro = 1000001L).head().getAs[Long]("beam")
+    assert(fallback == curve.map(_._1).max)
+  }
+
   test("wider beam never loses recall (the ef dial, monotone by construction)") {
     val q = VectorSearch.querySet(spark, sfDir, 5)
     val exact = VectorSearch.knnExact(spark, sfDir)
