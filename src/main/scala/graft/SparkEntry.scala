@@ -81,6 +81,14 @@ object SparkEntry {
     "knn_recall_curve" -> ((s, d) => graft.sources.IndexStore.recallSweep(s, d)),
     "knn_autotune" -> ((s, d) => graft.sources.IndexStore.autoTuneSearch(s, d)),
     "knn_pq" -> ((s, d) => graft.sources.PqStore.searchQuery(s, d)),
+    // DELETE on the PQ store: tombstone anti-join below the ADC rank
+    // window — the third leg of the delete matrix (IVF knn_tombstone,
+    // graph graph_tombstone, PQ here), same vec_id % 17 = 3 victim set.
+    "knn_pq_tombstone" -> ((s, d) => graft.sources.PqStore.searchTombstoned(s, d)),
+    // ...and its maintenance half: fold the tombstones into a compacted
+    // sibling store (no retrain — FAISS remove_ids keeps the quantizers),
+    // then plain ADC search with no filter anywhere.
+    "pq_compact" -> ((s, d) => graft.sources.PqStore.compactQuery(s, d)),
     "knn_doc_join" -> ((s, d) => VectorSearch.knnDocJoin(s, d)),
     "vec_normalize" -> ((s, d) => VectorSearch.normalizeQuery(s, d)),
     "vec_quantize" -> ((s, d) => Quantize.quantizeQuery(s, d)),
@@ -1676,6 +1684,42 @@ object SparkEntry {
          |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
          |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
          |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |lut AS (SELECT q.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM q CROSS JOIN books b),
+         |s AS (SELECT l.qid, c.vec_id, sum(l.p_micro) AS adc
+         |      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(adc AS BIGINT) AS adc_micro
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // PQ delete: same ADC replay, tombstoned ids (vec_id % 17 = 3)
+    // excluded below the rank window so k fills from live rows.
+    "knn_pq_tombstone" ->
+      s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
+         |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |lut AS (SELECT q.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM q CROSS JOIN books b),
+         |s AS (SELECT l.qid, c.vec_id, sum(l.p_micro) AS adc
+         |      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         |      WHERE c.vec_id <> l.qid AND c.vec_id % 17 <> 3 GROUP BY 1, 2),
+         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(adc AS BIGINT) AS adc_micro
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Compacted PQ store: plain ADC replay over the COMPACTED export —
+    // no tombstone filter, the dead code rows are physically gone.
+    "pq_compact" ->
+      s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
+         |               FROM read_parquet('${pqStorePath}_cpt/codebooks/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |          FROM read_parquet('${pqStorePath}_cpt/codes/*/*.parquet', hive_partitioning=1)),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          |lut AS (SELECT q.qid, b.sub, b.code,
          |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro

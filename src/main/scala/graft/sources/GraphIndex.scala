@@ -246,10 +246,17 @@ object GraphIndex {
       .select(col("vec_id"), col("band"), col("bucket"))
     // no broadcast hint: the batch is data-sized (AQE picks the strategy)
     val newSide = capped.join(newIds, Seq("vec_id"), "left_semi")
-    val seeds = t("seeds")(newSide.as("a").join(capped.as("b"), Seq("band", "bucket"))
+    // Seeds and walk are INDEPENDENT legs (both read-only over the store
+    // and the union frame) and each is an eager chain of small jobs, so
+    // they run concurrently from driver threads — per-batch wall-clock is
+    // max(seeds, walk) instead of the sum.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val seedsF = Future(t("seeds")(newSide.as("a").join(capped.as("b"), Seq("band", "bucket"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      .distinct().localCheckpoint())
+      .distinct().localCheckpoint()))
     // 2. walk the existing graph with the batch as queries (entries = the
     //    existing corpus's stride sample — the graph's own nodes)
     val entries = base.filter(col("vec_id") % entryStride === 0)
@@ -260,10 +267,12 @@ object GraphIndex {
     // misses (the spec's ≥0.95 edge-recall floor is measured with this
     // depth), while each saved hop saves a frontier job + an edge-scan
     // job + a dedupe job per micro-batch.
-    val walk = t("walk")(searchFrom(spark, path, entries,
+    val walkF = Future(t("walk")(searchFrom(spark, path, entries,
       batch.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
       k = M, beam = 32, hops = 2, maxInlineIds = Tables.MaxInlineIds)
-      .select(col("qid").as("src"), col("vec_id").as("dst")).localCheckpoint())
+      .select(col("qid").as("src"), col("vec_id").as("dst")).localCheckpoint()))
+    val seeds = Await.result(seedsF, Duration.Inf)
+    val walk = Await.result(walkF, Duration.Inf)
     // 3. link: forward proposals, reverse proposals, old edges of touched
     //    existing nodes — one top-M re-rank per touched src. seeds and
     //    walk are checkpointed above because `forward` feeds BOTH the
@@ -491,20 +500,31 @@ object GraphIndex {
     * beam walk (unlike the IVF curve there is no membership shortcut —
     * a narrower beam walks a DIFFERENT frontier, not a prefix); the
     * levels' walks and the exact leg are all bounded nq·k frames, so the
-    * measurement cost is |beams| serve-path searches.
+    * measurement cost is |beams| serve-path searches. The walks are
+    * INDEPENDENT (separate frontiers over a read-only store), and each
+    * one is a chain of small eager hops (per-hop localCheckpoint) that
+    * leaves most of the cluster idle — so the levels and the exact leg
+    * run CONCURRENTLY from driver threads and the scheduler interleaves
+    * their hop jobs: wall-clock ≈ the widest beam's walk, not the sum.
     */
   def recallCurve(spark: SparkSession, dir: String, k: Int = 5,
                   beams: Seq[Int] = Seq(4, 8, 32)): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val path = defaultPath(dir)
     ensure(spark, dir, path)
     val q = VectorSearch.querySet(spark, dir, 5)
-    val exact = VectorSearch.knnExact(spark, dir, k, 5)
-      .select(col("qid"), col("vec_id")).localCheckpoint()
-    val nExact = exact.count()
-    val per = beams.map { b =>
-      search(spark, dir, path, q, k = k, beam = b)
+    val exactF = Future(VectorSearch.knnExact(spark, dir, k, 5)
+      .select(col("qid"), col("vec_id")).localCheckpoint())
+    val perF = beams.map { b =>
+      Future(search(spark, dir, path, q, k = k, beam = b)
         .select(lit(b.toLong).as("beam"), col("qid"), col("vec_id"))
-    }.reduce(_ unionByName _)
+        .localCheckpoint())
+    }
+    val exact = Await.result(exactF, Duration.Inf)
+    val nExact = exact.count()
+    val per = perF.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
     val found = per.join(exact, Seq("qid", "vec_id"), "left_semi")
       .groupBy(col("beam")).agg(count(lit(1)).as("n_found"))
     // literal level frame so a zero-recall beam still reports its row

@@ -214,13 +214,14 @@ object PqStore {
       write(spark, dir, path)
   }
 
-  /** ADC top-k search against the persisted codes. `queries` carries
-    * (qid, qvec); scores are integer ADC similarities (sum of m micro'd
-    * subspace dots — higher is better, matching the inner-product metric
-    * of the exact search).
+  /** The ADC scoring stage shared by [[search]] and [[searchTombstoned]]:
+    * every stored code row reconstructs its similarity to every query as a
+    * sum of m LUT hits — returns `(qid, vec_id, adc_micro)` BEFORE any
+    * rank window, so callers can compose row-level predicates (tombstones)
+    * under the top-k.
     */
-  def search(spark: SparkSession, path: String, queries: DataFrame,
-             k: Int = 5, dim: Int = 64): DataFrame = {
+  private def adcScores(spark: SparkSession, path: String,
+                        queries: DataFrame, dim: Int): DataFrame = {
     val d = dsub(dim)
     val books = spark.read.parquet(s"$path/codebooks")
     val codes = spark.read.parquet(s"$path/codes")
@@ -231,10 +232,47 @@ object PqStore {
       .select(col("qid"), col("sub"), col("code"),
         micro(dot(slice(col("qvec"), col("sub") * d + 1, lit(d)),
           col("centroid").cast("array<float>"))).as("p_micro"))
-    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("p_micro")).as("adc_micro"))
+  }
+
+  /** ADC top-k search against the persisted codes. `queries` carries
+    * (qid, qvec); scores are integer ADC similarities (sum of m micro'd
+    * subspace dots — higher is better, matching the inner-product metric
+    * of the exact search).
+    */
+  def search(spark: SparkSession, path: String, queries: DataFrame,
+             k: Int = 5, dim: Int = 64): DataFrame = {
+    val scored = adcScores(spark, path, queries, dim)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_micro").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), col("adc_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Tombstone-aware ADC search — DELETE on the PQ store without touching
+    * the codes, completing the delete leg of the lifecycle matrix (IVF:
+    * [[IndexStore.searchTombstoned]]; graph: `GraphIndex.searchTombstoned`;
+    * this store had absorb but no delete). FAISS `IndexIVFPQ.remove_ids`
+    * (`FAISS/PlainDemo/pipeline.py:110-112` shows the flat sibling) eagerly
+    * rewrites inverted lists; the lake store instead accumulates deletes in
+    * a (tiny) tombstone set that broadcast anti-joins the scored candidates
+    * BELOW the rank window — k fills from live rows only, never
+    * post-filtering a short top-k. Tombstones here are the deterministic
+    * set vec_id % 17 = 3, shared with the IVF and graph delete queries so
+    * the three stores' delete semantics are directly comparable.
+    */
+  def searchTombstoned(spark: SparkSession, dir: String,
+                       k: Int = 5, dim: Int = 64): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val tombstones = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 17 === 3).select(col("vec_id"))
+    val scored = adcScores(spark, path, VectorSearch.querySet(spark, dir, 5), dim)
+      .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
     val w = Window.partitionBy(col("qid")).orderBy(col("adc_micro").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -250,6 +288,60 @@ object PqStore {
     val path = defaultPath(dir)
     ensure(spark, dir, path)
     search(spark, path, VectorSearch.querySet(spark, dir, 5))
+  }
+
+  /** Offline compaction of a tombstoned PQ store — the maintenance half
+    * of [[searchTombstoned]], completing the compaction leg of the
+    * lifecycle matrix (IVF: [[IndexStore.rebuild]]; graph:
+    * `GraphIndex.compactTombstones`): physically drop the dead code rows
+    * and rewrite the clustered layout, turning query-time tombstone
+    * filtering back into a plain ADC scan. Unlike the IVF rebuild there
+    * is NO retrain — FAISS `remove_ids` on an `IndexIVFPQ` drops inverted-
+    * list entries and keeps both quantizers; dropping rows cannot degrade
+    * the code assignment of survivors (each row's codes depend only on
+    * its own vector), so the codebooks copy over byte-identical and every
+    * surviving ADC score is unchanged. Cost: O(live codes) rewrite, no
+    * k-means, no corpus read.
+    */
+  def compactTombstones(spark: SparkSession, path: String, compactPath: String,
+                        tombstones: DataFrame): Unit = {
+    spark.read.parquet(s"$path/codebooks")
+      .write.mode("overwrite").parquet(s"$compactPath/codebooks")
+    spark.read.parquet(s"$path/codes")
+      .join(broadcast(tombstones.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$compactPath/codes")
+  }
+
+  /** The named `pq_compact` query: compact the canonical PQ store minus
+    * the `knn_pq_tombstone` delete set into a sibling store, then ADC-
+    * search the compacted codes with the standard query batch — no
+    * tombstone filter anywhere, the dead rows are physically gone (and
+    * the result provably equals the tombstone-filtered search, which the
+    * spec pins). Build-once / search-many: `_built_from` records WHICH
+    * IVF build's codes this compaction folded (the `graph_compact` /
+    * `_ivf_build_id` cascade convention), so re-executions pay only the
+    * staleness check + the scan.
+    */
+  def compactQuery(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val cpt = path + "_cpt"
+    val tombstones = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 17 === 3).select(col("vec_id"))
+    val srcP = java.nio.file.Paths.get(s"$path/_ivf_build_id")
+    val srcBuild =
+      if (java.nio.file.Files.exists(srcP))
+        java.nio.file.Files.readString(srcP).trim
+      else ""
+    val marker = java.nio.file.Paths.get(s"$cpt/_built_from")
+    val current = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker).trim == srcBuild &&
+      new java.io.File(s"$cpt/codes").exists()
+    if (!current) {
+      compactTombstones(spark, path, cpt, tombstones)
+      java.nio.file.Files.writeString(marker, srcBuild)
+    }
+    search(spark, cpt, VectorSearch.querySet(spark, dir, 5), k)
   }
 
   /** Two-stage refine search (the `IndexRefineFlat` serving pattern: ANN

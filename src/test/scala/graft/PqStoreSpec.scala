@@ -139,6 +139,58 @@ class PqStoreSpec extends SparkSpec {
     }
   }
 
+  test("tombstoned search: no dead id, dense ranks, k fills from live rows") {
+    val dead = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" % 17 === 3).select($"vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = PqStore.searchTombstoned(spark, sfDir, k = 5).collect()
+    assert(got.nonEmpty)
+    // 1. no tombstoned id ever surfaces
+    assert(got.forall(r => !dead.contains(r.getLong(1))),
+      "a tombstoned vec_id appeared in the result")
+    // 2. ranks are dense 1..5 per query (the anti-join sits BELOW the
+    //    window, so deletes never leave holes in the top-k)
+    got.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(2).toLong).sorted.toSeq == (1L to 5L),
+        s"qid $qid ranks not dense")
+    }
+    // 3. independent derivation through the OTHER code path: post-filter a
+    //    deep full search and re-rank — must agree exactly (top-30 holds
+    //    ≥5 live rows at a 1/17 death rate)
+    val deep = PqStore.search(spark, PqStore.defaultPath(sfDir),
+      VectorSearch.querySet(spark, sfDir, 5), k = 30).collect()
+      .filter(r => !dead.contains(r.getLong(1)))
+      .groupBy(_.getLong(0)).toSeq
+      .flatMap { case (qid, rs) =>
+        rs.sortBy(r => (-r.getLong(3), r.getLong(1))).take(5).zipWithIndex
+          .map { case (r, i) => (qid, r.getLong(1), i + 1L, r.getLong(3)) }
+      }.toSet
+    val gotSet = got.map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3))).toSet
+    assert(gotSet == deep, "below-window anti-join != post-filtered deep search")
+  }
+
+  test("compaction: dead codes gone, codebooks byte-identical, search == tombstoned route") {
+    val got = PqStore.compactQuery(spark, sfDir).collect()
+    val cpt = PqStore.defaultPath(sfDir) + "_cpt"
+    // 1. the delete set is physically gone, survivors all kept
+    val codes = spark.read.parquet(s"$cpt/codes")
+    assert(codes.filter($"vec_id" % 17 === 3).count() == 0,
+      "a tombstoned row survived compaction")
+    val liveN = Tables.embeddings(spark, sfDir).filter($"vec_id" % 17 =!= 3).count()
+    assert(codes.select($"vec_id").distinct().count() == liveN)
+    // 2. no retrain: codebooks copy over byte-identical
+    def books(p: String) = spark.read.parquet(s"$p/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    assert(books(cpt) == books(PqStore.defaultPath(sfDir)))
+    // 3. the plain scan over the compacted store equals the query-time
+    //    tombstone-filter route row-for-row
+    val tomb = PqStore.searchTombstoned(spark, sfDir).collect()
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3))).toSet
+    assert(key(got) == key(tomb), "compacted search != tombstoned search")
+  }
+
   test("PQ top-5 recalls most of the exact top-5 (coarse but not broken)") {
     PqStore.ensure(spark, sfDir, path)
     val nq = 5
