@@ -920,13 +920,22 @@ object StreamOps {
                 b.write.mode("append").parquet(absorbedDir)
                 marker.createNewFile()
                 // per-batch searchability: insert → flush → searchable.
+                // The probe walks one hop SHALLOWER than the serve config
+                // (3, not 4): it asserts reachability of a row whose own
+                // vector is the query — absorb just linked it
+                // bidirectionally into the entry-reachable neighborhood —
+                // and the require below still fires if a short walk can't
+                // reach it (the assert is the safety net, the depth only
+                // probe cost). hops=2/beam=16 measurably DOES trip the
+                // assert on a small multi-batch corpus (StreamingSpec),
+                // so 3/32 is the floor, not a tunable.
                 val firstId = b.agg(min(col("vec_id"))).head().getLong(0)
                 val probe = b.filter(col("vec_id") === firstId)
                   .select(lit(-1L).as("qid"), col("embedding").as("qvec"))
                 val entries = baseNow
                   .filter(col("vec_id") % GraphIndex.entryStride === 0)
                 val top = GraphIndex.searchFrom(ss, work, entries, probe,
-                  k = 1, beam = 32, hops = 4,
+                  k = 1, beam = 32, hops = 3,
                   maxInlineIds = graft.Tables.MaxInlineIds).collect()
                 require(top.nonEmpty &&
                   (top(0).getLong(1) == firstId || top(0).getLong(3) >= 999999L),
@@ -942,17 +951,22 @@ object StreamOps {
         val queries = graft.Tables.embeddings(s, dir)
           .filter(col("vec_id") % 10 === 1 && col("vec_id") < 51)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val nodesAfter = s.read.parquet(s"$work/edges")
-          .select(col("src")).distinct().count()
+        // the audit count runs concurrently with the (eager, multi-hop)
+        // final walk — independent read-only jobs over the store
+        val nodesAfterF = scala.concurrent.Future(
+          s.read.parquet(s"$work/edges").select(col("src")).distinct().count())(
+          scala.concurrent.ExecutionContext.global)
         // entries from the STORE corpus (even ∪ crawl): a full-corpus
         // entry sample would put never-inserted nodes into the visited
         // set — and so into the results
-        GraphIndex.searchFrom(s, work,
+        val walked = GraphIndex.searchFrom(s, work,
           storeRows.filter(col("vec_id") % GraphIndex.entryStride === 0)
             .select(col("vec_id"), col("embedding")),
           queries, k = k, beam = 32, hops = 4,
           maxInlineIds = graft.Tables.MaxInlineIds)
-          .withColumn("nodes_after", lit(nodesAfter))
+        val nodesAfter = scala.concurrent.Await.result(
+          nodesAfterF, scala.concurrent.duration.Duration.Inf)
+        walked.withColumn("nodes_after", lit(nodesAfter))
           .localCheckpoint(true)
       } finally rmTree(new java.io.File(out))
     result.orderBy(col("qid"), col("rank"))
