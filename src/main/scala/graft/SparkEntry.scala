@@ -345,6 +345,9 @@ object SparkEntry {
     // The same Add Data loop landing in the GRAPH index (the reference's
     // actual HNSW collection), per-batch beam-searchability asserted in-run.
     "stream_graph_absorb" -> ((s, d) => StreamOps.streamGraphAbsorb(s, d)),
+    // ...and in the PQ store (FAISS IndexIVFPQ.add): map-side encode under
+    // fixed codebooks, per-batch code presence + bit-exactness asserted.
+    "stream_pq_absorb" -> ((s, d) => StreamOps.streamPqAbsorb(s, d)),
     "stream_partitioned_ingest" -> ((s, d) => StreamOps.streamPartitionedIngest(s, d)),
     "stream_bloom_ingest" -> ((s, d) => StreamOps.streamBloomIngest(s, d)),
     "stream_dedup" -> ((s, d) => StreamOps.streamDedupRun(s, d)),
@@ -1731,6 +1734,27 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       CAST(adc AS BIGINT) AS adc_micro
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Streaming absorb into the PQ store: ADC replay over the EXPORTED
+    // post-stream working store (even half ∪ absorbed odd rows), queried
+    // with the first five ABSORBED vectors; codes_after recomputed from
+    // the SOURCE table (corpus · m code rows — every row encoded once).
+    "stream_pq_absorb" ->
+      s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
+         |               FROM read_parquet('${pqStorePath}_pab/codebooks/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |          FROM read_parquet('${pqStorePath}_pab/codes/*/*.parquet', hive_partitioning=1)),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 10),
+         |lut AS (SELECT q.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM q CROSS JOIN books b),
+         |s AS (SELECT l.qid, c.vec_id, sum(l.p_micro) AS adc
+         |      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(adc AS BIGINT) AS adc_micro, n.codes_after
+         |FROM r CROSS JOIN (SELECT CAST(count(*)*8 AS BIGINT) AS codes_after FROM embeddings) n
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // Two-stage refine: PQ ADC shortlist (rank ≤ 20), exact re-rank of only
     // the shortlist's float vectors.
     "knn_refine" ->

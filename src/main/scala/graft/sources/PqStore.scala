@@ -140,6 +140,36 @@ object PqStore {
     books.unpersist(blocking = false)
   }
 
+  /** Where the even-vec_id half PQ store persists — the day-1 store the
+    * streaming absorb run ([[graft.streaming.StreamOps.streamPqAbsorb]])
+    * clones per run, mirroring [[IndexStore.corpusHalfPath]].
+    */
+  def corpusHalfPath(dir: String): String = defaultPath(dir) + "_half"
+
+  /** Build (once per source generation) the half-corpus PQ store the
+    * streaming absorb starts from: codebooks trained on even vec_ids
+    * only, cells assigned from the even-half IVF store's centroids (the
+    * same coarse quantizer the absorb assigns against — absorbed rows
+    * must land where that store's probes look), stamped with the
+    * `_src_fp` staleness marker.
+    */
+  def ensureCorpusHalf(spark: SparkSession, dir: String): String = {
+    val path = corpusHalfPath(dir)
+    val ivfHalf = IndexStore.ensureCorpusHalf(spark, dir)
+    if (!new java.io.File(s"$path/codebooks").exists() ||
+        !IndexStore.sourceFpCurrent(path, dir)) {
+      val even = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val centroids = IndexStore.read(spark, ivfHalf)._2
+      writeFrom(spark, path, even,
+        VectorSearch.withCellId(even, centroids, "embedding")
+          .select(col("vec_id"), col("cell_id")))
+      IndexStore.stampSourceFp(path, dir)
+    }
+    path
+  }
+
   /** Day-2 absorb — encode an incoming batch under the EXISTING codebooks
     * and append into the clustered code layout, completing the lifecycle
     * symmetry with [[IndexStore.absorb]] (vector rows), `GraphIndex.absorb`

@@ -972,6 +972,89 @@ object StreamOps {
     result.orderBy(col("qid"), col("rank"))
   }
 
+  /** Streaming absorb INTO the persisted PQ store — completing the
+    * streaming write-path symmetry across all three index kinds
+    * ([[streamStoreAbsorb]] = IVF rows, [[streamGraphAbsorb]] = graph
+    * edges, this = compressed codes; FAISS's `IndexIVFPQ.add` is exactly
+    * this loop on a compressed index). The odd-vec_id half streams in as
+    * the incoming crawl; every micro-batch
+    * [[graft.sources.PqStore.absorb]]s into a per-run clone of the
+    * pristine even-half PQ store: one map-side encode pass under the
+    * store's FIXED codebooks, cells from the even-half IVF centroids (the
+    * same rule that store's probes search by), append into the clustered
+    * `codes/cell_id=*` layout. Batch ≡ stream by construction — encoding
+    * is per-row against fixed codebooks — so the post-stream store is
+    * independent of the micro-batch split (spec-asserted), which is what
+    * makes the run DuckDB-replayable over the exported artifacts.
+    *
+    * Per-batch searchability, stated honestly for a LOSSY index: ADC
+    * rank depends on the whole corpus (a compressed neighbor can
+    * out-score the row for its own query), so "insert → flush →
+    * searchable" here asserts what every ADC scan actually reads — the
+    * absorbed row's m codes are present in the clustered layout and
+    * bit-equal to encoding its vector under the store's codebooks. The
+    * same at-least-once `_absorbed_batch_<id>` marker contract as the
+    * other two absorbs.
+    *
+    * Output: the post-stream ADC top-k for the first five ODD (absorbed)
+    * query vectors, plus a `codes_after` audit column — the post-stream
+    * store must hold exactly corpus·M code rows, catching a dropped or
+    * double-absorbed batch the top-k alone might not.
+    */
+  def streamPqAbsorb(spark: SparkSession, dir: String, k: Int = 5,
+                     options: Map[String, String] = Map.empty): DataFrame = {
+    import graft.sources.{IndexStore, PqStore}
+    val half = PqStore.ensureCorpusHalf(spark, dir)
+    val ivfHalf = IndexStore.ensureCorpusHalf(spark, dir)
+    val work = PqStore.defaultPath(dir) + "_pab"
+    IndexStore.cloneStore(half, work) // per-run reset: idempotent invocation
+    val out = java.nio.file.Files.createTempDirectory("graft-pqabsorb").toString
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val result =
+      try withStreamPartitions(spark) { s =>
+        val src = s.readStream.schema(schema).options(options)
+          .option("basePath", dir)
+          .parquet(s"$dir/embeddings.parquet*")
+          .filter(col("vec_id") % 2 === 1)
+        val q = src.writeStream
+          .option("checkpointLocation", s"$out/chk")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            val ss = batch.sparkSession
+            val marker = new java.io.File(work, s"_absorbed_batch_$batchId")
+            if (!marker.exists()) {
+              val b = batch.toDF().select(col("vec_id"), col("embedding")).persist()
+              try if (!b.isEmpty) {
+                PqStore.absorb(ss, work, ivfHalf, b)
+                marker.createNewFile()
+                val firstId = b.agg(min(col("vec_id"))).head().getLong(0)
+                val books = ss.read.parquet(s"$work/codebooks")
+                val expect = PqStore.encode(b.filter(col("vec_id") === firstId), books)
+                  .select(col("sub"), col("code")).collect()
+                  .map(r => (r.getInt(0), r.getInt(1))).toSet
+                val got = ss.read.parquet(s"$work/codes")
+                  .filter(col("vec_id") === firstId)
+                  .select(col("sub"), col("code")).collect()
+                  .map(r => (r.getInt(0), r.getInt(1))).toSet
+                require(got.size == PqStore.M && got == expect,
+                  s"absorbed row $firstId codes absent or drifted after batch $batchId")
+              } else { marker.createNewFile(); () }
+              finally b.unpersist(blocking = false)
+            }
+          }
+          .start()
+        q.awaitTermination()
+        val queries = graft.Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 2 === 1 && col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val codesAfter = s.read.parquet(s"$work/codes").count()
+        PqStore.search(s, work, queries, k)
+          .withColumn("codes_after", lit(codesAfter))
+          .localCheckpoint(true)
+      } finally rmTree(new java.io.File(out))
+    result.orderBy(col("qid"), col("rank"))
+  }
+
   /** Streaming ingest INTO the date-partitioned lake layout — the write
     * path that keeps [[graft.sources.PartitionedStore]]'s pruning story
     * true under continuous arrival: every micro-batch derives

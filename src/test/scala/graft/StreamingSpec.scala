@@ -208,6 +208,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming PQ absorb: post-stream codes equal the one-shot batch absorb, under any split") {
+    import graft.sources.{IndexStore, PqStore}
+    // Encoding is per-row against FIXED codebooks and fixed coarse
+    // centroids, so the post-stream code population must be independent
+    // of the micro-batch split and equal the one-shot batch absorb.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqsplit").toString
+    try {
+      val e = Tables.embeddings(spark, sfDir).filter($"vec_id" < 400)
+      e.filter($"vec_id" < 200).coalesce(1).write.parquet(s"$tmp/embeddings.parquet")
+      e.filter($"vec_id" >= 200).coalesce(1).write
+        .mode("append").parquet(s"$tmp/embeddings.parquet")
+      val work = PqStore.defaultPath(tmp) + "_pab"
+      def codesOf(p: String) = spark.read.parquet(s"$p/codes")
+        .select($"vec_id", $"sub", $"code", $"cell_id".cast("int").as("cell_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      val single = StreamOps.streamPqAbsorb(spark, tmp)
+      val singleCodes = codesOf(work)
+      val multi = StreamOps.streamPqAbsorb(spark, tmp,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val multiCodes = codesOf(work)
+      assert(single.exceptAll(multi).isEmpty && multi.exceptAll(single).isEmpty,
+        "post-stream ADC search result must be identical under any batch split")
+      assert(singleCodes == multiCodes,
+        "post-stream code population must be split-independent")
+      // batch twin: absorbing the whole odd set at once into a fresh
+      // clone of the half store yields the same code population
+      val batchPath = PqStore.defaultPath(tmp) + "_pab_batch"
+      IndexStore.cloneStore(PqStore.corpusHalfPath(tmp), batchPath)
+      PqStore.absorb(spark, batchPath, IndexStore.corpusHalfPath(tmp),
+        Tables.embeddings(spark, tmp).filter($"vec_id" % 2 === 1))
+      assert(codesOf(batchPath) == multiCodes,
+        "stream absorb must equal the one-shot batch absorb")
+    } finally {
+      StreamOps.rmTree(new java.io.File(tmp))
+      StreamOps.rmTree(new java.io.File(graft.sources.PqStore.corpusHalfPath(tmp)))
+      StreamOps.rmTree(new java.io.File(graft.sources.PqStore.defaultPath(tmp) + "_pab"))
+      StreamOps.rmTree(new java.io.File(graft.sources.PqStore.defaultPath(tmp) + "_pab_batch"))
+      StreamOps.rmTree(new java.io.File(graft.sources.IndexStore.corpusHalfPath(tmp)))
+    }
+  }
+
   test("streaming store absorb: absorbed rows land in the cell the absorb contract dictates") {
     import graft.sources.IndexStore
     import graft.operators.VectorSearch
