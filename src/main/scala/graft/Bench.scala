@@ -59,6 +59,7 @@ object Bench {
       "graph_half" -> (() => { graft.sources.GraphIndex.ensureHalf(spark, sfDir); () }),
       "pq_store" -> (() => graft.sources.PqStore.ensure(
         spark, sfDir, graft.sources.PqStore.defaultPath(sfDir))),
+      "pq_half" -> (() => { graft.sources.PqStore.ensureCorpusHalf(spark, sfDir); () }),
       "band_index" -> (() => { graft.operators.Dedup.ensureBandIndex(spark, sfDir, 12, 4); () }),
       "partitioned_store" -> (() => { graft.sources.PartitionedStore.ensure(spark, sfDir); () }),
       "versioned_store" -> (() => graft.sources.PartitionedStore.ensureVersioned(

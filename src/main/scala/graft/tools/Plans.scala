@@ -91,7 +91,9 @@ object Plans {
       "media_phash_pairs" -> "multi-index Hamming pairs (r13 core): hash frame repartitioned BEFORE the probe explosion (the whole candidate stream never serializes through one scan task), exact-Hamming verify streams inside whole-stage codegen, DISTINCT only on verified survivors — the candidate multiset never hits a blocking operator",
       "lake_sql_merge" -> "lake MERGE through SQL DML: changeset views over the raw log, INSERT OVERWRITE staging (no self-read), dynamic partition overwrite of only the changeset's date directories; this dump shows the post-merge report plan over the rows view",
       "graph_tombstone" -> "graph-index DELETE (r14): the beam walk's hops are unchanged (dead nodes still traversed — HNSW connectivity), the tombstone anti-join sits BELOW the final rank window so k fills from live rows; look for BroadcastHashJoin LeftAnti under the last Window",
-      "lake_sql_graph" -> "SQL route to graph search (r14): the whole unrolled beam walk as ONE SQL text over catalog views — chained CTEs stay SHARED (hop h never re-executes hops 0..h-1), dot() on the injected codegen kernel, same row output as the DataFrame walk")
+      "lake_sql_graph" -> "SQL route to graph search (r14): the whole unrolled beam walk as ONE SQL text over catalog views — chained CTEs stay SHARED (hop h never re-executes hops 0..h-1), dot() on the injected codegen kernel, same row output as the DataFrame walk",
+      "knn_pq_tombstone" -> "PQ-store DELETE (r14): the ADC scan and LUT join are unchanged, the tombstone anti-join sits BELOW the final rank window so k fills from live rows — look for BroadcastHashJoin LeftAnti between the ADC aggregate and the last Window",
+      "pq_compact" -> "compacted PQ store (r14): plain ADC scan over the compacted codes — NO tombstone filter anywhere in the plan, the dead code rows are physically gone; codebooks broadcast as the LUT side exactly as knn_pq")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

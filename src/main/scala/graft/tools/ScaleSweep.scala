@@ -94,7 +94,13 @@ object ScaleSweep {
     // plus the SQL graph walk; partitioned_vacuum stays unswept by
     // design (pure O(files) metadata, no data-proportional work to slope)
     "lake_sql_merge", "stream_store_absorb", "stream_graph_absorb",
-    "lake_sql_graph")
+    "lake_sql_graph",
+    // r14b: the PQ lifecycle completions — the compaction rewrite is
+    // O(live codes) (data-proportional) and the streaming absorb is the
+    // third real AvailableNow run; knn_pq_tombstone rides knn_pq's
+    // measured ADC scan (same plan + one broadcast anti-join) and stays
+    // unswept like its IVF/graph siblings
+    "pq_compact", "stream_pq_absorb")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

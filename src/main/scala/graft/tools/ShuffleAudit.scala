@@ -256,7 +256,11 @@ object ShuffleAudit {
     }
     lines += ""
     val out = lines.mkString("\n") + "\n"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("SHUFFLE.md"), out)
+    // A targeted run (explicit query args) prints but never clobbers the
+    // full-sweep SHUFFLE.md — the same guard ScaleSweep has (a 2-query
+    // run once overwrote the 55-row table; rows are appended by hand).
+    if (args.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("SHUFFLE.md"), out)
     println(out)
   }
 }

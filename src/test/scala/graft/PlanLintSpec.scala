@@ -33,6 +33,10 @@ class PlanLintSpec extends SparkSpec {
     "knn_maxsim",         // broadcast nqd·tokensPerDoc query-token batch × token scan
     "knn_matryoshka",     // broadcast query batch × prefix scan (stage 1)
     "knn_ivf", "knn_ivfpq", "knn_pq", "knn_quantized",
+    "knn_pq_tombstone", "pq_compact", // knn_pq's bounded LUT cross (5-query
+                                      // batch × m·k codebook rows); tombstone
+                                      // adds only a broadcast ANTI join,
+                                      // compact changes only the scanned path
     "knn_tombstone",      // same bounded centroid cross as knn_ivf
     "knn_recall_report",  // exact leg: broadcast query batch; approx leg: centroid cross
     "knn_recall_curve",   // same two bounded crosses, one conditional agg
