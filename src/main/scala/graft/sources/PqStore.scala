@@ -359,17 +359,21 @@ object PqStore {
     val tombstones = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 17 === 3).select(col("vec_id"))
     val srcP = java.nio.file.Paths.get(s"$path/_ivf_build_id")
+    // A source store with NO recorded build id is treated as STALE (the
+    // GraphIndex.compactQuery convention reads its marker unconditionally
+    // and throws if absent): an empty-string fallback would make "" match
+    // "" forever and a marker-less store permanently current.
     val srcBuild =
       if (java.nio.file.Files.exists(srcP))
-        java.nio.file.Files.readString(srcP).trim
-      else ""
+        Some(java.nio.file.Files.readString(srcP).trim)
+      else None
     val marker = java.nio.file.Paths.get(s"$cpt/_built_from")
-    val current = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker).trim == srcBuild &&
+    val current = srcBuild.nonEmpty && java.nio.file.Files.exists(marker) &&
+      srcBuild.contains(java.nio.file.Files.readString(marker).trim) &&
       new java.io.File(s"$cpt/codes").exists()
     if (!current) {
       compactTombstones(spark, path, cpt, tombstones)
-      java.nio.file.Files.writeString(marker, srcBuild)
+      java.nio.file.Files.writeString(marker, srcBuild.getOrElse("_no_src_build"))
     }
     search(spark, cpt, VectorSearch.querySet(spark, dir, 5), k)
   }

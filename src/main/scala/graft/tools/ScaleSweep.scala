@@ -208,6 +208,16 @@ object ScaleSweep {
     lines += "unswept: O(files) metadata + unlinks, no data-proportional work"
     lines += "to slope."
     lines += ""
+    lines += "## r14 PQ-lifecycle rows"
+    lines += ""
+    lines += "pq_compact's timed path is the build-once/search-many ADC scan over"
+    lines += "the compacted store (the compaction rewrite lands in the untimed"
+    lines += "warm run — the graph_compact convention), flat across every decade."
+    lines += "stream_pq_absorb is the third real AvailableNow run: fixed machinery"
+    lines += "(store clone, stream start/stop, per-batch code-presence probes)"
+    lines += "dominates. knn_pq_tombstone is deliberately unswept: the measured"
+    lines += "knn_pq ADC scan plus one broadcast anti-join of a deletes-sized set."
+    lines += ""
     val sf1Head = if (sf1Dir.nonEmpty) " t(sf1) s | slope 0.1→1 |" else ""
     lines += s"| query | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | slope 0.001→0.01 | slope 0.01→0.1 |$sf1Head verdict |"
     lines += "|---|---|---|---|---|---|" + (if (sf1Dir.nonEmpty) "---|---|" else "") + "---|"

@@ -221,6 +221,10 @@ object ShuffleAudit {
     lines += "  absolute at 20k vectors, zero spill, skew 101%."
     lines += "- lake_sql_merge and stream_store_absorb: near-zero shuffle at"
     lines += "  every sf (map-side assignment + dynamic partition writes)."
+    lines += "- pq_compact / stream_pq_absorb (r14): broadcast-LUT ADC scan and"
+    lines += "  map-side encode + clustered append — near-zero shuffle at every"
+    lines += "  sf, zero spill; knn_pq_tombstone unswept (knn_pq's measured scan"
+    lines += "  plus one broadcast anti-join of a deletes-sized set)."
     lines += ""
     val sf1Head = if (sf1Dir.nonEmpty) " shufW sf1 MB | slope 0.1→1 |" else ""
     lines += s"| query | input sf0.1 MB | shufW sf0.1 MB | shufR sf0.1 MB | shuf/in | spill MB | tasks | skew | shufW slope |$sf1Head verdict |"
