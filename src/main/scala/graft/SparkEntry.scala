@@ -73,6 +73,9 @@ object SparkEntry {
     // SQL route to graph search: the unrolled beam walk as ONE SQL text
     // over the graph_edges/graph_vectors catalog views.
     "lake_sql_graph" -> ((s, d) => graft.sources.GraphIndex.sqlGraphQuery(s, d)),
+    // SQL route to compressed ADC search: LUT cross + code join + rank
+    // window as ONE SQL text over the pq_codes/pq_codebooks views.
+    "lake_sql_pq" -> ((s, d) => graft.sources.PqStore.sqlPqQuery(s, d)),
     "knn_tombstone" -> ((s, d) => graft.sources.IndexStore.searchTombstoned(s, d)),
     "knn_recall_report" -> ((s, d) => graft.sources.IndexStore.recallReport(s, d)),
     "knn_rank_eval" -> ((s, d) => graft.sources.IndexStore.mrrReport(s, d)),
@@ -1683,6 +1686,25 @@ object SparkEntry {
          |       CAST(sum(${microSql(s"sqrt(${dotSql("embedding", "embedding")})")}) // count(*) AS BIGINT) AS mean_norm_micro
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "knn_pq" ->
+      s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
+         |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |lut AS (SELECT q.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM q CROSS JOIN books b),
+         |s AS (SELECT l.qid, c.vec_id, sum(l.p_micro) AS adc
+         |      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(adc AS BIGINT) AS adc_micro
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // SQL route to PQ search: row-identical to knn_pq by construction
+    // (same kernel, same micro-before-sum, same tie-breaks), so the same
+    // ADC replay serves verbatim.
+    "lake_sql_pq" ->
       s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
          |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
          |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code

@@ -378,6 +378,49 @@ object PqStore {
     search(spark, cpt, VectorSearch.querySet(spark, dir, 5), k)
   }
 
+  /** The `lake_sql_pq` named query — the SQL route to compressed ADC
+    * search, closing the last SQL-surface cell of the index-lifecycle
+    * matrix (`lake_sql_ann` = IVF, `lake_sql_graph` = graph, this = PQ):
+    * the persisted codes and codebooks register as catalog views and the
+    * ENTIRE ADC search is ONE SQL text — the per-query LUT is a
+    * CROSS JOIN of the inlined query vectors against the codebook view
+    * (nq·m·k bounded rows, BROADCAST-hinted — without stats Catalyst
+    * would SMJ-shuffle the corpus-sized code table), the score is
+    * `sum(p_micro)` grouped per candidate, the top-k a rank window.
+    * Same expressions as the DataFrame route (`dot` SQL kernel, `slice`,
+    * float-narrowed centroids, micro projection BEFORE the sum), so the
+    * result is row-identical and `knn_pq`'s DuckDB oracle serves
+    * verbatim.
+    */
+  def sqlPqQuery(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_codes " +
+      s"USING parquet OPTIONS (path '$path/codes')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_codebooks " +
+      s"USING parquet OPTIONS (path '$path/codebooks')")
+    val qs = VectorSearch.querySet(spark, dir, 5).orderBy(col("qid")).collect()
+    val qRows = qs.map { r =>
+      val vec = r.getSeq[Float](1).map(f => s"${f}D").mkString(", ")
+      s"SELECT CAST(${r.getLong(0)} AS BIGINT) AS qid, " +
+        s"CAST(array($vec) AS ARRAY<FLOAT>) AS qvec"
+    }.mkString("\nUNION ALL\n")
+    spark.sql(
+      s"""WITH q AS ($qRows),
+         |lut AS (SELECT q.qid, b.sub, b.code,
+         |          CAST(FLOOR(dot(slice(q.qvec, b.sub * 8 + 1, 8),
+         |                         CAST(b.centroid AS ARRAY<FLOAT>)) * 1000000.0D) AS BIGINT) AS p_micro
+         |        FROM q CROSS JOIN pq_codebooks b),
+         |s AS (SELECT /*+ BROADCAST(lut) */ l.qid, c.vec_id, sum(l.p_micro) AS adc_micro
+         |      FROM pq_codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         |      WHERE c.vec_id <> l.qid GROUP BY l.qid, c.vec_id)
+         |SELECT qid, vec_id, rank, adc_micro
+         |FROM (SELECT qid, vec_id, adc_micro,
+         |        row_number() OVER (PARTITION BY qid ORDER BY adc_micro DESC, vec_id) AS rank
+         |      FROM s)
+         |WHERE rank <= $k ORDER BY qid, rank""".stripMargin)
+  }
+
   /** Two-stage refine search (the `IndexRefineFlat` serving pattern: ANN
     * shortlist, exact re-rank): PQ ADC shortlists `shortlist` candidates
     * per query from the 4-byte codes alone, then ONLY those candidates'

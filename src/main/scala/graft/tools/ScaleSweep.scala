@@ -216,7 +216,9 @@ object ScaleSweep {
     lines += "stream_pq_absorb is the third real AvailableNow run: fixed machinery"
     lines += "(store clone, stream start/stop, per-batch code-presence probes)"
     lines += "dominates. knn_pq_tombstone is deliberately unswept: the measured"
-    lines += "knn_pq ADC scan plus one broadcast anti-join of a deletes-sized set."
+    lines += "knn_pq ADC scan plus one broadcast anti-join of a deletes-sized set;"
+    lines += "lake_sql_pq likewise — row-identical to knn_pq by construction"
+    lines += "(one-text SQL route over the same artifacts, spec-pinned)."
     lines += ""
     val sf1Head = if (sf1Dir.nonEmpty) " t(sf1) s | slope 0.1→1 |" else ""
     lines += s"| query | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | slope 0.001→0.01 | slope 0.01→0.1 |$sf1Head verdict |"

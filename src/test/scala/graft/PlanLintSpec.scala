@@ -37,6 +37,9 @@ class PlanLintSpec extends SparkSpec {
                                       // batch × m·k codebook rows); tombstone
                                       // adds only a broadcast ANTI join,
                                       // compact changes only the scanned path
+    "lake_sql_pq",                    // the same bounded LUT cross through
+                                      // the one-text SQL route (inline query
+                                      // literals × codebook view)
     "knn_tombstone",      // same bounded centroid cross as knn_ivf
     "knn_recall_report",  // exact leg: broadcast query batch; approx leg: centroid cross
     "knn_recall_curve",   // same two bounded crosses, one conditional agg

@@ -191,6 +191,14 @@ class PqStoreSpec extends SparkSpec {
     assert(key(got) == key(tomb), "compacted search != tombstoned search")
   }
 
+  test("SQL route: the one-text ADC search is row-identical to the DataFrame search") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows(PqStore.sqlPqQuery(spark, sfDir)) ==
+      rows(PqStore.searchQuery(spark, sfDir)),
+      "lake_sql_pq must be row-identical to knn_pq")
+  }
+
   test("PQ top-5 recalls most of the exact top-5 (coarse but not broken)") {
     PqStore.ensure(spark, sfDir, path)
     val nq = 5
