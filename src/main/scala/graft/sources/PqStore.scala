@@ -391,10 +391,19 @@ object PqStore {
     * float-narrowed centroids, micro projection BEFORE the sum), so the
     * result is row-identical and `knn_pq`'s DuckDB oracle serves
     * verbatim.
+    *
+    * The hinted CTE is referenced UNALIASED (`JOIN lut ON lut.sub = …`) —
+    * the hint name must match the reference name, and an alias silently
+    * unbinds it: `BROADCAST(lut) … JOIN lut l` matches nothing, Catalyst
+    * picks the locally smaller side, and the plan inverts to broadcasting
+    * the CORPUS-SIZED code table (the exact failure the scale contract
+    * forbids — PqStoreSpec pins the build side so it cannot regress).
+    * Same convention as `GraphIndex.sqlGraphQuery`'s unaliased `f$h`.
     */
-  def sqlPqQuery(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def sqlPqQuery(spark: SparkSession, dir: String, k: Int = 5, dim: Int = 64): DataFrame = {
     val path = defaultPath(dir)
     ensure(spark, dir, path)
+    val d = dsub(dim)
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_codes " +
       s"USING parquet OPTIONS (path '$path/codes')")
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_codebooks " +
@@ -408,12 +417,12 @@ object PqStore {
     spark.sql(
       s"""WITH q AS ($qRows),
          |lut AS (SELECT q.qid, b.sub, b.code,
-         |          CAST(FLOOR(dot(slice(q.qvec, b.sub * 8 + 1, 8),
+         |          CAST(FLOOR(dot(slice(q.qvec, b.sub * $d + 1, $d),
          |                         CAST(b.centroid AS ARRAY<FLOAT>)) * 1000000.0D) AS BIGINT) AS p_micro
          |        FROM q CROSS JOIN pq_codebooks b),
-         |s AS (SELECT /*+ BROADCAST(lut) */ l.qid, c.vec_id, sum(l.p_micro) AS adc_micro
-         |      FROM pq_codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
-         |      WHERE c.vec_id <> l.qid GROUP BY l.qid, c.vec_id)
+         |s AS (SELECT /*+ BROADCAST(lut) */ lut.qid, c.vec_id, sum(lut.p_micro) AS adc_micro
+         |      FROM pq_codes c JOIN lut ON lut.sub = c.sub AND lut.code = c.code
+         |      WHERE c.vec_id <> lut.qid GROUP BY lut.qid, c.vec_id)
          |SELECT qid, vec_id, rank, adc_micro
          |FROM (SELECT qid, vec_id, adc_micro,
          |        row_number() OVER (PARTITION BY qid ORDER BY adc_micro DESC, vec_id) AS rank

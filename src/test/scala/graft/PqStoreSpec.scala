@@ -199,6 +199,32 @@ class PqStoreSpec extends SparkSpec {
       "lake_sql_pq must be row-identical to knn_pq")
   }
 
+  test("SQL route plan: the bounded LUT is the build side; the code table is NEVER broadcast") {
+    // The scale contract of the one-text route: the per-query LUT
+    // (nq·m·k bounded rows) broadcasts, the corpus-sized code table stays
+    // scan-only on the streamed side. A silently-unbound hint inverts this
+    // (Catalyst then broadcasts whichever side is locally smaller — at
+    // 100 TB that degrades to shuffling the corpus). Pin the build side of
+    // every hash join that touches the codes scan.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    PqStore.ensure(spark, sfDir, PqStore.defaultPath(sfDir))
+    val plan = PqStore.sqlPqQuery(spark, sfDir).queryExecution.sparkPlan
+    val codeJoins = plan.collect {
+      case j: BroadcastHashJoinExec if j.toString.contains("/codes") =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        build.toString
+    }
+    assert(codeJoins.nonEmpty, "expected a broadcast hash join over the code scan")
+    codeJoins.foreach { build =>
+      assert(!build.contains("/codes"),
+        s"the corpus-sized code table landed on the BUILD side:\n$build")
+    }
+  }
+
   test("PQ top-5 recalls most of the exact top-5 (coarse but not broken)") {
     PqStore.ensure(spark, sfDir, path)
     val nq = 5
