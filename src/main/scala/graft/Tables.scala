@@ -86,6 +86,27 @@ object Tables {
     */
   private[graft] val MaxInlineIds: Int = 10000
 
+  /** Hint-broadcast a frame only while its COUNTED size fits the bound —
+    * the conditional twin of the [[MaxInlineIds]] inline contract, for
+    * join sides that are "usually tiny" but corpus-proportional in the
+    * worst case (tombstone/dead sets: real deletes are a sliver, a bulk
+    * delete can tombstone a corpus-scale slice). An unconditional
+    * `broadcast()` hint overrides AQE and forces a driver-side hash
+    * relation of whatever the set happens to be; this helper
+    * localCheckpoints the frame (every caller consumes it at least once
+    * more, so the materialization is shared, and checkpointing erases
+    * the naive size estimate that would otherwise let the static planner
+    * re-broadcast it), counts it, and hints only within the bound. Past
+    * the bound the frame stays distributed and the join degrades to a
+    * shuffled anti-join — correct at any delete volume, with AQE free to
+    * re-pick from true runtime sizes.
+    */
+  private[graft] def boundedBroadcast(df: DataFrame,
+                                      bound: Long = MaxInlineIds.toLong): DataFrame = {
+    val d = df.localCheckpoint()
+    if (d.count() <= bound) org.apache.spark.sql.functions.broadcast(d) else d
+  }
+
   /** Last 8 bytes of the file as one long — for parquet that is the 4-byte
     * footer length plus the "PAR1" magic, and the footer length moves with
     * any row-group/statistics change, making this a content token at the

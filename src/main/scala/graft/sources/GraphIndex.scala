@@ -448,10 +448,14 @@ object GraphIndex {
     // excludes them, with the anti-join BELOW the rank window so k fills
     // from live rows (never a post-filtered short top-k). Same shape as
     // IndexStore.searchTombstoned; between compactions the tombstone set
-    // is deletes-sized, so the broadcast is the bounded side.
+    // is deletes-sized — and the broadcast is COUNTED, not assumed
+    // (Tables.boundedBroadcast): a bulk delete past the inline bound
+    // degrades to a shuffled anti-join instead of forcing a driver-side
+    // multi-GB hash build.
     val live = tombstones match {
       case Some(t) =>
-        visited.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+        visited.join(graft.Tables.boundedBroadcast(t.select(col("vec_id"))),
+          Seq("vec_id"), "left_anti")
       case None => visited
     }
     live.filter(col("vec_id") =!= col("qid"))
@@ -601,29 +605,34 @@ object GraphIndex {
     */
   def compactTombstones(spark: SparkSession, path: String, compactPath: String,
                         tombstones: DataFrame, vectors: DataFrame): Unit = {
-    val dead = tombstones.select(col("vec_id")).localCheckpoint()
+    // The dead set is COUNTED once and hint-broadcast only within the
+    // inline bound (Tables.boundedBroadcast — one localCheckpoint shared
+    // by all six joins below): a corpus-proportional bulk delete degrades
+    // every leg to a shuffled join instead of forcing a driver-side
+    // multi-GB hash relation.
+    val dead = graft.Tables.boundedBroadcast(tombstones.select(col("vec_id")))
     val edges = spark.read.parquet(s"$path/edges")
       .select(col("src"), col("dst"), col("sim"))
     val live = edges
-      .join(broadcast(dead.withColumnRenamed("vec_id", "src")), Seq("src"), "left_anti")
-      .join(broadcast(dead.withColumnRenamed("vec_id", "dst")), Seq("dst"), "left_anti")
+      .join(dead.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+      .join(dead.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_anti")
       .select(col("src"), col("dst"), col("sim"))
       .localCheckpoint()
     // in-edges of dead nodes from live srcs ⋈ out-edges of dead nodes to
     // live dsts, on the shared dead middle — deletes-sized both sides
     val intoDead = edges
-      .join(broadcast(dead.withColumnRenamed("vec_id", "dst")), Seq("dst"), "left_semi")
-      .join(broadcast(dead.withColumnRenamed("vec_id", "src")), Seq("src"), "left_anti")
+      .join(dead.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+      .join(dead.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
       .select(col("src"), col("dst").as("mid"))
     val outOfDead = edges
-      .join(broadcast(dead.withColumnRenamed("vec_id", "src")), Seq("src"), "left_semi")
-      .join(broadcast(dead.withColumnRenamed("vec_id", "dst")), Seq("dst"), "left_anti")
+      .join(dead.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi")
+      .join(dead.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_anti")
       .select(col("src").as("mid"), col("dst"))
     val bridges = intoDead.join(outOfDead, "mid")
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
     val liveVecs = vectors.select(col("vec_id"), col("embedding"))
-      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      .join(dead, Seq("vec_id"), "left_anti")
       .localCheckpoint()
     writeEdges(relink(live, bridges, liveVecs), liveVecs, compactPath)
   }

@@ -318,8 +318,11 @@ object IndexStore {
     ensure(spark, dir, path)
     val tombstones = graft.Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 17 === 3).select(col("vec_id"))
+    // Counted, not assumed (graft.Tables.boundedBroadcast): past the
+    // inline bound the anti-join degrades to a shuffle instead of forcing
+    // a driver-side multi-GB hash build on a bulk delete.
     val scored = scoreProbed(spark, path, VectorSearch.querySet(spark, dir, 5), nprobe)
-      .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+      .join(graft.Tables.boundedBroadcast(tombstones), Seq("vec_id"), "left_anti")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -499,7 +502,8 @@ object IndexStore {
               tombstones: DataFrame): Unit = {
     val (rows, _) = read(spark, path)
     val live = rows.drop("cell_id")
-      .join(broadcast(tombstones.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      .join(graft.Tables.boundedBroadcast(tombstones.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
     val n = live.count()
     val nlist = math.max(1, math.min(100, math.sqrt(n.toDouble).toInt))
     // Cached for the two consumers (assignment + write); unpersisted in a

@@ -301,8 +301,11 @@ object PqStore {
     ensure(spark, dir, path)
     val tombstones = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 17 === 3).select(col("vec_id"))
+    // Counted, not assumed (graft.Tables.boundedBroadcast): past the
+    // inline bound the anti-join degrades to a shuffle instead of forcing
+    // a driver-side multi-GB hash build on a bulk delete.
     val scored = adcScores(spark, path, VectorSearch.querySet(spark, dir, 5), dim)
-      .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+      .join(graft.Tables.boundedBroadcast(tombstones), Seq("vec_id"), "left_anti")
     val w = Window.partitionBy(col("qid")).orderBy(col("adc_micro").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -338,7 +341,8 @@ object PqStore {
     spark.read.parquet(s"$path/codebooks")
       .write.mode("overwrite").parquet(s"$compactPath/codebooks")
     spark.read.parquet(s"$path/codes")
-      .join(broadcast(tombstones.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      .join(graft.Tables.boundedBroadcast(tombstones.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
       .write.mode("overwrite").partitionBy("cell_id").parquet(s"$compactPath/codes")
   }
 

@@ -294,4 +294,38 @@ class IndexStoreSpec extends SparkSpec {
         "rebuilt store must index the NEW corpus")
     } finally graft.streaming.StreamOps.rmTree(new java.io.File(tmp))
   }
+
+  test("bounded tombstone broadcast: hinted within the bound, shuffled past it, rows identical") {
+    // Every tombstone anti-join in the engine routes through
+    // Tables.boundedBroadcast: real deletes (a sliver) get the broadcast
+    // hint; a corpus-proportional bulk delete must NOT force a driver-side
+    // hash relation — the plan degrades to a shuffled anti-join and the
+    // result is unchanged.
+    // Auto-broadcast is disabled inside this test so the plan reflects the
+    // HINT alone: a 10k-row synthetic set is still under the size threshold
+    // and the planner would (correctly) volunteer a broadcast from real
+    // stats — the contract under test is only that boundedBroadcast stops
+    // FORCING one past the bound, leaving the choice to the planner/AQE.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val emb = Tables.embeddings(spark, sfDir).select($"vec_id")
+      // starts mid-corpus so the anti-join keeps a non-empty survivor set
+      val bulk = spark.range(250, Tables.MaxInlineIds + 750L).toDF("vec_id")
+      val hinted = emb.join(Tables.boundedBroadcast(bulk, bound = Long.MaxValue),
+        Seq("vec_id"), "left_anti")
+      val degraded = emb.join(Tables.boundedBroadcast(bulk), Seq("vec_id"), "left_anti")
+      val hintedPlan = hinted.queryExecution.executedPlan.toString
+      val degradedPlan = degraded.queryExecution.executedPlan.toString
+      assert(hintedPlan.contains("BroadcastHashJoin"),
+        s"within-bound set must carry the broadcast hint:\n${hintedPlan.take(1500)}")
+      assert(!degradedPlan.contains("BroadcastHashJoin"),
+        s"past-bound set must not be forced into a broadcast:\n${degradedPlan.take(1500)}")
+      assert(degradedPlan.contains("SortMergeJoin") || degradedPlan.contains("ShuffledHashJoin"),
+        s"past-bound set must shuffle:\n${degradedPlan.take(1500)}")
+      val a = hinted.collect().map(_.getLong(0)).sorted.toSeq
+      val b = degraded.collect().map(_.getLong(0)).sorted.toSeq
+      assert(a == b && a.nonEmpty, "join strategy must never change the result")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }
