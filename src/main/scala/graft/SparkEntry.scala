@@ -1685,38 +1685,53 @@ object SparkEntry {
          |       CAST(max(vec_id) AS BIGINT) AS max_vec_id,
          |       CAST(sum(${microSql(s"sqrt(${dotSql("embedding", "embedding")})")}) // count(*) AS BIGINT) AS mean_norm_micro
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Residual ADC replay (IndexIVFPQ semantics): score = micro'd
+    // dot(q, coarse_cell) + Σ micro'd residual LUT hits — coarse centroids
+    // and residual codebooks both read from the exported store.
     "knn_pq" ->
       s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
          |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
-         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |coarse AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |           FROM read_parquet('$pqStorePath/coarse/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          |lut AS (SELECT q.qid, b.sub, b.code,
          |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
          |        FROM q CROSS JOIN books b),
-         |s AS (SELECT l.qid, c.vec_id, sum(l.p_micro) AS adc
+         |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
+         |         FROM q CROSS JOIN coarse g),
+         |s AS (SELECT l.qid, c.vec_id, c.cell_id, sum(l.p_micro) AS r_micro
          |      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
-         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2),
-         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM s)
+         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2, 3),
+         |t AS (SELECT s.qid, s.vec_id, s.r_micro + cl.c_micro AS adc
+         |      FROM s JOIN clut cl ON cl.qid = s.qid AND cl.cell_id = s.cell_id),
+         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM t)
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       CAST(adc AS BIGINT) AS adc_micro
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // SQL route to PQ search: row-identical to knn_pq by construction
     // (same kernel, same micro-before-sum, same tie-breaks), so the same
-    // ADC replay serves verbatim.
+    // residual ADC replay serves verbatim.
     "lake_sql_pq" ->
       s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
          |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
-         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |coarse AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |           FROM read_parquet('$pqStorePath/coarse/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          |lut AS (SELECT q.qid, b.sub, b.code,
          |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
          |        FROM q CROSS JOIN books b),
-         |s AS (SELECT l.qid, c.vec_id, sum(l.p_micro) AS adc
+         |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
+         |         FROM q CROSS JOIN coarse g),
+         |s AS (SELECT l.qid, c.vec_id, c.cell_id, sum(l.p_micro) AS r_micro
          |      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
-         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2),
-         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM s)
+         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2, 3),
+         |t AS (SELECT s.qid, s.vec_id, s.r_micro + cl.c_micro AS adc
+         |      FROM s JOIN clut cl ON cl.qid = s.qid AND cl.cell_id = s.cell_id),
+         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM t)
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       CAST(adc AS BIGINT) AS adc_micro
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
@@ -1725,16 +1740,22 @@ object SparkEntry {
     "knn_pq_tombstone" ->
       s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
          |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
-         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |coarse AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |           FROM read_parquet('$pqStorePath/coarse/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          |lut AS (SELECT q.qid, b.sub, b.code,
          |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
          |        FROM q CROSS JOIN books b),
-         |s AS (SELECT l.qid, c.vec_id, sum(l.p_micro) AS adc
+         |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
+         |         FROM q CROSS JOIN coarse g),
+         |s AS (SELECT l.qid, c.vec_id, c.cell_id, sum(l.p_micro) AS r_micro
          |      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
-         |      WHERE c.vec_id <> l.qid AND c.vec_id % 17 <> 3 GROUP BY 1, 2),
-         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM s)
+         |      WHERE c.vec_id <> l.qid AND c.vec_id % 17 <> 3 GROUP BY 1, 2, 3),
+         |t AS (SELECT s.qid, s.vec_id, s.r_micro + cl.c_micro AS adc
+         |      FROM s JOIN clut cl ON cl.qid = s.qid AND cl.cell_id = s.cell_id),
+         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM t)
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       CAST(adc AS BIGINT) AS adc_micro
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
@@ -1743,16 +1764,22 @@ object SparkEntry {
     "pq_compact" ->
       s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
          |               FROM read_parquet('${pqStorePath}_cpt/codebooks/*.parquet')),
-         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |coarse AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |           FROM read_parquet('${pqStorePath}_cpt/coarse/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('${pqStorePath}_cpt/codes/*/*.parquet', hive_partitioning=1)),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          |lut AS (SELECT q.qid, b.sub, b.code,
          |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
          |        FROM q CROSS JOIN books b),
-         |s AS (SELECT l.qid, c.vec_id, sum(l.p_micro) AS adc
+         |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
+         |         FROM q CROSS JOIN coarse g),
+         |s AS (SELECT l.qid, c.vec_id, c.cell_id, sum(l.p_micro) AS r_micro
          |      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
-         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2),
-         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM s)
+         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2, 3),
+         |t AS (SELECT s.qid, s.vec_id, s.r_micro + cl.c_micro AS adc
+         |      FROM s JOIN clut cl ON cl.qid = s.qid AND cl.cell_id = s.cell_id),
+         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM t)
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       CAST(adc AS BIGINT) AS adc_micro
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
@@ -1763,16 +1790,22 @@ object SparkEntry {
     "stream_pq_absorb" ->
       s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
          |               FROM read_parquet('${pqStorePath}_pab/codebooks/*.parquet')),
-         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |coarse AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |           FROM read_parquet('${pqStorePath}_pab/coarse/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('${pqStorePath}_pab/codes/*/*.parquet', hive_partitioning=1)),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 10),
          |lut AS (SELECT q.qid, b.sub, b.code,
          |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
          |        FROM q CROSS JOIN books b),
-         |s AS (SELECT l.qid, c.vec_id, sum(l.p_micro) AS adc
+         |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
+         |         FROM q CROSS JOIN coarse g),
+         |s AS (SELECT l.qid, c.vec_id, c.cell_id, sum(l.p_micro) AS r_micro
          |      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
-         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2),
-         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM s)
+         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2, 3),
+         |t AS (SELECT s.qid, s.vec_id, s.r_micro + cl.c_micro AS adc
+         |      FROM s JOIN clut cl ON cl.qid = s.qid AND cl.cell_id = s.cell_id),
+         |r AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM t)
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       CAST(adc AS BIGINT) AS adc_micro, n.codes_after
          |FROM r CROSS JOIN (SELECT CAST(count(*)*8 AS BIGINT) AS codes_after FROM embeddings) n
@@ -1782,15 +1815,21 @@ object SparkEntry {
     "knn_refine" ->
       s"""WITH books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
          |               FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
-         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |coarse AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |           FROM read_parquet('$pqStorePath/coarse/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          |lut AS (SELECT q.qid, b.sub, b.code,
          |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
          |        FROM q CROSS JOIN books b),
-         |s AS (SELECT l.qid, c.vec_id, sum(l.p_micro) AS adc
-         |      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
-         |      WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+         |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
+         |         FROM q CROSS JOIN coarse g),
+         |s0 AS (SELECT l.qid, c.vec_id, c.cell_id, sum(l.p_micro) AS r_micro
+         |       FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         |       WHERE c.vec_id <> l.qid GROUP BY 1, 2, 3),
+         |s AS (SELECT s0.qid, s0.vec_id, s0.r_micro + cl.c_micro AS adc
+         |      FROM s0 JOIN clut cl ON cl.qid = s0.qid AND cl.cell_id = s0.cell_id),
          |sl AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS r FROM s),
          |short AS (SELECT qid, vec_id FROM sl WHERE r <= 20),
          |x AS (SELECT sh.qid, sh.vec_id, ${dotSql("q.qvec", "e.embedding")} AS sim
@@ -1814,16 +1853,22 @@ object SparkEntry {
          |cand AS (SELECT p.qid, r.vec_id FROM r JOIN probed p USING (cell_id) WHERE r.vec_id <> p.qid),
          |books AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, centroid
          |          FROM read_parquet('$pqStorePath/codebooks/*.parquet')),
-         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |coarse AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, centroid
+         |           FROM read_parquet('$pqStorePath/coarse/*.parquet')),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
          |lut AS (SELECT q.qid, b.sub, b.code,
          |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
          |        FROM q CROSS JOIN books b),
-         |s AS (SELECT c.qid, c.vec_id, sum(l.p_micro) AS adc
+         |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
+         |         FROM q CROSS JOIN coarse g),
+         |s AS (SELECT c.qid, c.vec_id, k.cell_id, sum(l.p_micro) AS r_micro
          |      FROM cand c JOIN codes k ON k.vec_id = c.vec_id
          |                  JOIN lut l ON l.qid = c.qid AND l.sub = k.sub AND l.code = k.code
-         |      GROUP BY 1, 2),
-         |rk AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM s)
+         |      GROUP BY 1, 2, 3),
+         |t AS (SELECT s.qid, s.vec_id, s.r_micro + cl.c_micro AS adc
+         |      FROM s JOIN clut cl ON cl.qid = s.qid AND cl.cell_id = s.cell_id),
+         |rk AS (SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM t)
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       CAST(adc AS BIGINT) AS adc_micro
          |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,

@@ -11,75 +11,108 @@ import graft.functions.VectorFunctions._
   * Neighbor Search", TPAMI 2011) — the compression layer of FAISS's
   * `IndexIVFPQ` family (the reference trains flat/IVF indexes,
   * `FAISS/PlainDemo/pipeline.py:315-321`; PQ is how the same library scales
-  * past RAM), re-expressed lake-first:
+  * past RAM), re-expressed lake-first and RESIDUAL-encoded, exactly as
+  * `IndexIVFPQ` does it: what gets quantized is v − coarse_centroid(cell(v)),
+  * not the raw vector — at a fixed bit budget the codebooks only have to
+  * span the (much smaller) within-cell residual ball, which is most of
+  * IVFPQ's accuracy (measured here at the same 48-bit budget, recall@5
+  * over 20 queries: 0.32 raw → 0.55 residual at sf0.01, 0.26 → 0.39 at
+  * sf0.1 — `graft.tools.RecallProbe`; PqStoreSpec pins residual ≥ raw).
   *
-  *  - TRAIN: the dim-D space is split into `m` subspaces of D/m coordinates;
-  *    an independent k-means (k=`nCodes`) runs per subspace → a codebook
-  *    table `(sub, code, centroid)` of m·k tiny rows.
-  *  - ENCODE: one map-side pass (broadcast codebooks, no shuffle) replaces
-  *    each vector with m one-byte codes — a 64-float embedding becomes
-  *    4 bytes: 64× less I/O for the candidate-generation scan.
-  *  - SEARCH (ADC, asymmetric distance computation): the query builds a
-  *    (sub, code) → partial-similarity lookup table of m·k entries —
-  *    driver-free, just a crossJoin with the broadcast codebook — and the
-  *    scan reconstructs every candidate's score as a sum of m table hits:
-  *    an equi-join on (sub, code) + a map-combined groupBy(qid, vec_id).
-  *    No float vector is ever read at search time.
+  *  - TRAIN: residuals are split into `m` subspaces of D/m coordinates; an
+  *    independent k-means (k=`nCodes`) runs per subspace → a codebook table
+  *    `(sub, code, centroid)` of m·k tiny rows. The coarse centroids the
+  *    residuals were taken against persist alongside (`coarse/`), making
+  *    every store self-contained for search, compaction and the oracle.
+  *  - ENCODE: one map-side pass — nearest-cell assignment (broadcast coarse
+  *    centroids), residual subtraction (`zip_with`), and a broadcast-
+  *    codebook argmin UDF; no shuffle — replaces each vector with m
+  *    one-byte codes: a 64-float embedding becomes 4 bytes plus its cell.
+  *  - SEARCH (ADC, asymmetric distance computation): inner product
+  *    decomposes exactly as dot(q, v) ≈ dot(q, coarse_cell) + Σ_s
+  *    dot(q_s, r_s(code)). The query builds a (sub, code) residual LUT of
+  *    m·k entries plus a (cell) coarse LUT of nlist entries — both
+  *    driver-free broadcast crosses — and the scan reconstructs every
+  *    candidate's score as m+1 table hits: an equi-join on (sub, code), a
+  *    map-combined groupBy(qid, vec_id, cell_id), one broadcast join on
+  *    the cell term. No float vector is ever read at search time; the
+  *    coarse term costs nothing extra because the codes are already
+  *    clustered by cell.
   *
   * Partial similarities are fixed-point-projected to micros BEFORE the sum,
   * so the ADC score is pure BIGINT — fold-order-free, hence identical under
   * any partitioning and replayable by the DuckDB oracle over the exported
-  * codebook/code tables.
+  * coarse/codebook/code tables.
   */
 object PqStore {
 
   /** Subspace count and codes per subspace. dim 64 → 8 subspaces × 8 dims,
     * 64 codes each ⇒ 48-bit codes: ~42× compression of the 256-byte float32
     * embedding. (Synthetic near-uniform embeddings are PQ's hardest case —
-    * fewer bits measurably drop recall@5 below usable: 16-bit codes → 0.16,
-    * 32-bit → 0.28, 48-bit → ≥0.4 on this corpus.)
+    * fewer bits measurably drop recall@5 below usable: raw 48-bit encoding
+    * reached only 0.32 at sf0.01 / 0.26 at sf0.1; residual encoding lifts
+    * the same budget to 0.55 / 0.39, and the exact re-rank path
+    * ([[searchRefined]]) recovers the rest where serving needs it.)
     */
   val M = 8
   val NCodes = 64
 
   private def dsub(dim: Int): Int = dim / M
 
-  /** Train the m per-subspace codebooks: m independent runs of the engine's
-    * own deterministic k-means over coordinate slices. Returns
+  /** Residualize a vector frame against coarse centroids, MAP-SIDE ONLY:
+    * nearest-cell assignment via the broadcast-argmin UDF (the same rule
+    * `searchIvfPq` probes by, so encoded rows land where probes look),
+    * then a `zip_with` subtraction against the broadcast (≤ nlist rows)
+    * centroid table. At 100 TB the base table is never shuffled to be
+    * encoded — it is annotated and re-written clustered. Returns
+    * `(vec_id, cell_id, residual ARRAY<FLOAT>)`; the float narrowing of
+    * the stored double centroid mirrors the search-time cast, so the
+    * residual is computed against exactly the value ADC adds back.
+    */
+  private[graft] def residualized(vectors: DataFrame, coarse: DataFrame): DataFrame =
+    VectorSearch.withCellId(vectors.select(col("vec_id"), col("embedding")), coarse, "embedding")
+      .join(broadcast(coarse.select(col("cell_id"),
+        col("centroid").cast("array<float>").as("_cent"))), "cell_id")
+      .select(col("vec_id"), col("cell_id"),
+        zip_with(col("embedding"), col("_cent"), (x, y) => x - y).as("residual"))
+
+  /** Train the m per-subspace codebooks over RESIDUALS (`IndexIVFPQ`
+    * semantics — the codebooks span the within-cell residual ball, not the
+    * whole space): m independent runs of the engine's own deterministic
+    * k-means over residual coordinate slices. Returns
     * `(sub INT, code INT, centroid ARRAY<DOUBLE>)` — m·k rows.
     */
-  def train(spark: SparkSession, dir: String, dim: Int = 64): DataFrame =
-    trainFrom(Tables.embeddings(spark, dir), dim)
-
-  /** [[train]] over an explicit vector frame — subset stores (the day-2
-    * [[absorb]] lifecycle's half-corpus seed) train with the same rule.
-    */
-  private[graft] def trainFrom(e: DataFrame, dim: Int = 64): DataFrame = {
+  private[graft] def trainFrom(residuals: DataFrame, dim: Int = 64): DataFrame = {
     val d = dsub(dim)
     (0 until M).map { s =>
-      val sliced = e.select(col("vec_id"),
-        slice(col("embedding"), s * d + 1, d).as("embedding"))
+      val sliced = residuals.select(col("vec_id"),
+        slice(col("residual"), s * d + 1, d).as("embedding"))
       VectorSearch.kmeansFit(sliced, NCodes)
         .select(lit(s).as("sub"), col("cell_id").as("code"), col("centroid"))
     }.reduce(_ unionByName _)
   }
 
-  /** Encode every vector as m codes in ONE scan: a broadcast-codebook UDF
-    * computes all m argmins per row (the same map-side-only boundary as
-    * VectorSearch's cell assigner — at 100 TB the base table is never
-    * shuffled to be encoded), exploded to the long form
-    * `(vec_id, sub, code)` the ADC join wants.
+  /** Encode every vector as its cell plus m residual codes in ONE scan:
+    * [[residualized]] assignment/subtraction and a broadcast-codebook UDF
+    * computing all m argmins per row — map-side end to end, exploded to
+    * the long form `(vec_id, cell_id, sub, code)` the ADC join wants.
     */
-  def encode(vectors: DataFrame, codebooks: DataFrame, dim: Int = 64): DataFrame = {
-    val d = dsub(dim)
+  def encode(vectors: DataFrame, codebooks: DataFrame, coarse: DataFrame,
+             dim: Int = 64): DataFrame =
+    encodeResiduals(residualized(vectors, coarse), codebooks)
+
+  /** [[encode]] over an already-residualized frame — [[writeFrom]] shares
+    * one checkpointed residual pass between train and encode.
+    */
+  private def encodeResiduals(residuals: DataFrame, codebooks: DataFrame): DataFrame = {
     // m × k × d dense codebook matrix, ordered by (sub, code)
     val books: Array[Array[Array[Double]]] =
       codebooks.orderBy(col("sub"), col("code")).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
         .groupBy(_._1).toArray.sortBy(_._1)
         .map(_._2.sortBy(_._2).map(_._3))
-    val bc = vectors.sparkSession.sparkContext.broadcast(books)
-    val encodeUdf = udf((emb: Seq[Float]) => {
+    val bc = residuals.sparkSession.sparkContext.broadcast(books)
+    val encodeUdf = udf((res: Seq[Float]) => {
       val bs = bc.value
       Array.tabulate(bs.length) { s =>
         val cents = bs(s)
@@ -89,7 +122,7 @@ object PqStore {
           val cent = cents(c)
           var dist = 0.0; var i = 0
           while (i < cent.length) {
-            val t = emb(s * cent.length + i) - cent(i); dist += t * t; i += 1
+            val t = res(s * cent.length + i) - cent(i); dist += t * t; i += 1
           }
           if (dist < bestD) { bestD = dist; best = c }
           c += 1
@@ -97,7 +130,8 @@ object PqStore {
         best
       }.toSeq
     })
-    vectors.select(col("vec_id"), posexplode(encodeUdf(col("embedding"))).as(Seq("sub", "code")))
+    residuals.select(col("vec_id"), col("cell_id"),
+      posexplode(encodeUdf(col("residual"))).as(Seq("sub", "code")))
   }
 
   /** Build and persist: codebooks under `path/codebooks`, long-form codes
@@ -111,31 +145,35 @@ object PqStore {
   def write(spark: SparkSession, dir: String, path: String): Unit = {
     val ivfPath = IndexStore.defaultPath(dir)
     IndexStore.ensure(spark, dir, ivfPath)
-    val cellOf = IndexStore.read(spark, ivfPath)._1.select(col("vec_id"), col("cell_id"))
-    val books = train(spark, dir).cache()
-    books.write.mode("overwrite").parquet(s"$path/codebooks")
-    encode(Tables.embeddings(spark, dir), books)
-      .join(cellOf, "vec_id")
-      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/codes")
-    books.unpersist(blocking = false)
-    // Record WHICH IVF build the baked-in cell assignment came from —
-    // ensure() compares marker content, not directory mtimes.
+    writeFrom(spark, path,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      IndexStore.read(spark, ivfPath)._2)
+    // Record WHICH IVF build the coarse quantizer came from — ensure()
+    // compares marker content, not directory mtimes.
     IndexStore.buildId(ivfPath).foreach(id =>
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$path/_ivf_build_id"), id))
   }
 
-  /** Build a PQ store from an explicit vector frame and cell assignment —
-    * the subset twin of [[write]] (the day-2 [[absorb]] spec's half-corpus
-    * seed builds through here with the same codebook/layout rules).
+  /** Build a PQ store from an explicit vector frame against an explicit
+    * coarse quantizer — the subset twin of [[write]] (the day-2 [[absorb]]
+    * spec's half-corpus seed builds through here with the same rules).
+    * Persists the coarse centroids (`coarse/`), the residual codebooks
+    * (`codebooks/`) and the clustered codes (`codes/cell_id=*`) — the
+    * store is self-contained: search, absorb, compaction and the DuckDB
+    * oracle all read residual context from the store itself, never from
+    * the (possibly later-rebuilt) IVF store.
     */
   private[graft] def writeFrom(spark: SparkSession, path: String,
-                               vectors: DataFrame, cellOf: DataFrame,
+                               vectors: DataFrame, coarse: DataFrame,
                                dim: Int = 64): Unit = {
-    val books = trainFrom(vectors, dim).cache()
+    coarse.select(col("cell_id"), col("centroid"))
+      .write.mode("overwrite").parquet(s"$path/coarse")
+    val coarseBack = spark.read.parquet(s"$path/coarse")
+    val res = residualized(vectors, coarseBack).localCheckpoint()
+    val books = trainFrom(res, dim).cache()
     books.write.mode("overwrite").parquet(s"$path/codebooks")
-    encode(vectors, books, dim)
-      .join(cellOf, "vec_id")
+    encodeResiduals(res, books)
       .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/codes")
     books.unpersist(blocking = false)
   }
@@ -157,14 +195,12 @@ object PqStore {
     val path = corpusHalfPath(dir)
     val ivfHalf = IndexStore.ensureCorpusHalf(spark, dir)
     if (!new java.io.File(s"$path/codebooks").exists() ||
+        !new java.io.File(s"$path/coarse").exists() ||
         !IndexStore.sourceFpCurrent(path, dir)) {
       val even = Tables.embeddings(spark, dir)
         .filter(col("vec_id") % 2 === 0)
         .select(col("vec_id"), col("embedding"))
-      val centroids = IndexStore.read(spark, ivfHalf)._2
-      writeFrom(spark, path, even,
-        VectorSearch.withCellId(even, centroids, "embedding")
-          .select(col("vec_id"), col("cell_id")))
+      writeFrom(spark, path, even, IndexStore.read(spark, ivfHalf)._2)
       IndexStore.stampSourceFp(path, dir)
     }
     path
@@ -184,21 +220,19 @@ object PqStore {
     *
     * Map-side only: the broadcast-codebook encode annotates the batch (no
     * corpus read, no shuffle beyond the batch-sized cell append), cells
-    * come from the nearest CURRENT coarse centroid — the same rule
-    * `searchIvfPq` probes by, so absorbed rows are immediately probe-
-    * reachable. Appending into `codes/cell_id=*` accumulates small files
-    * per batch; compaction is the existing offline story
+    * and residuals come from the STORE'S OWN persisted coarse quantizer
+    * (`coarse/` — the same centroids `searchIvfPq` probes by and ADC adds
+    * back, so absorbed rows are immediately probe-reachable and their
+    * scores exact over their stored codes). Appending into
+    * `codes/cell_id=*` accumulates small files per batch; compaction is
+    * the existing offline story
     * ([[graft.sources.PartitionedStore.compactQuery]]'s shape).
     */
-  def absorb(spark: SparkSession, path: String, ivfPath: String,
+  def absorb(spark: SparkSession, path: String,
              batch: DataFrame, dim: Int = 64): Unit = {
     val books = spark.read.parquet(s"$path/codebooks")
-    val vectors = batch.select(col("vec_id"), col("embedding"))
-    val cellOf = VectorSearch
-      .withCellId(vectors, IndexStore.read(spark, ivfPath)._2, "embedding")
-      .select(col("vec_id"), col("cell_id"))
-    encode(vectors, books, dim)
-      .join(cellOf, "vec_id")
+    val coarse = spark.read.parquet(s"$path/coarse")
+    encode(batch.select(col("vec_id"), col("embedding")), books, coarse, dim)
       .write.mode("append").partitionBy("cell_id").parquet(s"$path/codes")
   }
 
@@ -222,6 +256,9 @@ object PqStore {
     */
   def ensure(spark: SparkSession, dir: String, path: String): Unit = {
     val books = new java.io.File(s"$path/codebooks")
+    // a store without persisted coarse centroids predates residual
+    // encoding — rebuild once into the self-contained layout
+    val hasCoarse = new java.io.File(s"$path/coarse").exists()
     val clustered = Option(new java.io.File(s"$path/codes").listFiles())
       .exists(_.exists(_.getName.startsWith("cell_id=")))
     val ivfPath = IndexStore.defaultPath(dir)
@@ -240,7 +277,7 @@ object PqStore {
     }
     val staleVsIvf = new java.io.File(s"$ivfPath/centroids").exists() &&
       (recorded.isEmpty || recorded != IndexStore.buildId(ivfPath))
-    if (!books.exists() || !clustered || staleVsIvf)
+    if (!books.exists() || !hasCoarse || !clustered || staleVsIvf)
       write(spark, dir, path)
   }
 
@@ -254,18 +291,29 @@ object PqStore {
                         queries: DataFrame, dim: Int): DataFrame = {
     val d = dsub(dim)
     val books = spark.read.parquet(s"$path/codebooks")
+    val coarse = spark.read.parquet(s"$path/coarse")
     val codes = spark.read.parquet(s"$path/codes")
-    // m·k-entry LUT per query: partial similarity of the query's s-th slice
-    // against codebook centroid (sub, code). The double→float round-trip on
-    // the stored centroid mirrors what the oracle can express exactly.
+    // m·k-entry residual LUT per query: partial similarity of the query's
+    // s-th slice against residual codebook centroid (sub, code), plus an
+    // nlist-entry coarse LUT: the EXACT dot of the whole query against the
+    // cell centroid the stored residual was taken from. The double→float
+    // round-trip on the stored centroids mirrors what the oracle can
+    // express exactly; both terms micro BEFORE the sum so the score stays
+    // fold-order-free BIGINT.
     val lut = queries.crossJoin(broadcast(books))
       .select(col("qid"), col("sub"), col("code"),
         micro(dot(slice(col("qvec"), col("sub") * d + 1, lit(d)),
           col("centroid").cast("array<float>"))).as("p_micro"))
+    val cellLut = queries.crossJoin(broadcast(coarse))
+      .select(col("qid"), col("cell_id"),
+        micro(dot(col("qvec"), col("centroid").cast("array<float>"))).as("c_micro"))
     codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("p_micro")).as("adc_micro"))
+      .groupBy(col("qid"), col("vec_id"), col("cell_id"))
+      .agg(sum(col("p_micro")).as("r_micro"))
+      .join(broadcast(cellLut), Seq("qid", "cell_id"))
+      .select(col("qid"), col("vec_id"),
+        (col("r_micro") + col("c_micro")).as("adc_micro"))
   }
 
   /** ADC top-k search against the persisted codes. `queries` carries
@@ -340,6 +388,8 @@ object PqStore {
                         tombstones: DataFrame): Unit = {
     spark.read.parquet(s"$path/codebooks")
       .write.mode("overwrite").parquet(s"$compactPath/codebooks")
+    spark.read.parquet(s"$path/coarse")
+      .write.mode("overwrite").parquet(s"$compactPath/coarse")
     spark.read.parquet(s"$path/codes")
       .join(graft.Tables.boundedBroadcast(tombstones.select(col("vec_id"))),
         Seq("vec_id"), "left_anti")
@@ -374,7 +424,8 @@ object PqStore {
     val marker = java.nio.file.Paths.get(s"$cpt/_built_from")
     val current = srcBuild.nonEmpty && java.nio.file.Files.exists(marker) &&
       srcBuild.contains(java.nio.file.Files.readString(marker).trim) &&
-      new java.io.File(s"$cpt/codes").exists()
+      new java.io.File(s"$cpt/codes").exists() &&
+      new java.io.File(s"$cpt/coarse").exists()
     if (!current) {
       compactTombstones(spark, path, cpt, tombstones)
       java.nio.file.Files.writeString(marker, srcBuild.getOrElse("_no_src_build"))
@@ -412,6 +463,8 @@ object PqStore {
       s"USING parquet OPTIONS (path '$path/codes')")
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_codebooks " +
       s"USING parquet OPTIONS (path '$path/codebooks')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_coarse " +
+      s"USING parquet OPTIONS (path '$path/coarse')")
     val qs = VectorSearch.querySet(spark, dir, 5).orderBy(col("qid")).collect()
     val qRows = qs.map { r =>
       val vec = r.getSeq[Float](1).map(f => s"${f}D").mkString(", ")
@@ -424,13 +477,18 @@ object PqStore {
          |          CAST(FLOOR(dot(slice(q.qvec, b.sub * $d + 1, $d),
          |                         CAST(b.centroid AS ARRAY<FLOAT>)) * 1000000.0D) AS BIGINT) AS p_micro
          |        FROM q CROSS JOIN pq_codebooks b),
-         |s AS (SELECT /*+ BROADCAST(lut) */ lut.qid, c.vec_id, sum(lut.p_micro) AS adc_micro
+         |clut AS (SELECT q.qid, g.cell_id,
+         |           CAST(FLOOR(dot(q.qvec, CAST(g.centroid AS ARRAY<FLOAT>)) * 1000000.0D) AS BIGINT) AS c_micro
+         |         FROM q CROSS JOIN pq_coarse g),
+         |s AS (SELECT /*+ BROADCAST(lut) */ lut.qid, c.vec_id, c.cell_id, sum(lut.p_micro) AS r_micro
          |      FROM pq_codes c JOIN lut ON lut.sub = c.sub AND lut.code = c.code
-         |      WHERE c.vec_id <> lut.qid GROUP BY lut.qid, c.vec_id)
+         |      WHERE c.vec_id <> lut.qid GROUP BY lut.qid, c.vec_id, c.cell_id),
+         |t AS (SELECT /*+ BROADCAST(clut) */ s.qid, s.vec_id, s.r_micro + clut.c_micro AS adc_micro
+         |      FROM s JOIN clut ON clut.qid = s.qid AND clut.cell_id = s.cell_id)
          |SELECT qid, vec_id, rank, adc_micro
          |FROM (SELECT qid, vec_id, adc_micro,
          |        row_number() OVER (PARTITION BY qid ORDER BY adc_micro DESC, vec_id) AS rank
-         |      FROM s)
+         |      FROM t)
          |WHERE rank <= $k ORDER BY qid, rank""".stripMargin)
   }
 
@@ -495,17 +553,26 @@ object PqStore {
     // table is never touched.
     val cells = probed.select(col("cell_id")).distinct().collect().map(_.get(0))
     val books = spark.read.parquet(s"$pqPath/codebooks")
+    val coarse = spark.read.parquet(s"$pqPath/coarse")
     val codes = spark.read.parquet(s"$pqPath/codes")
     val lut = queries.crossJoin(broadcast(books))
       .select(col("qid"), col("sub"), col("code"),
         micro(dot(slice(col("qvec"), col("sub") * d + 1, lit(d)),
           col("centroid").cast("array<float>"))).as("p_micro"))
+    // nlist-entry coarse LUT: the exact query·cell-centroid term the
+    // residual codes were taken against (same as adcScores)
+    val cellLut = queries.crossJoin(broadcast(coarse))
+      .select(col("qid"), col("cell_id"),
+        micro(dot(col("qvec"), col("centroid").cast("array<float>"))).as("c_micro"))
     val scored = codes.filter(col("cell_id").isin(cells: _*))
       .join(broadcast(probed), "cell_id")
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(lut), Seq("qid", "sub", "code"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("p_micro")).as("adc_micro"))
+      .groupBy(col("qid"), col("vec_id"), col("cell_id"))
+      .agg(sum(col("p_micro")).as("r_micro"))
+      .join(broadcast(cellLut), Seq("qid", "cell_id"))
+      .select(col("qid"), col("vec_id"),
+        (col("r_micro") + col("c_micro")).as("adc_micro"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc_micro").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1008,7 +1008,6 @@ object StreamOps {
                      options: Map[String, String] = Map.empty): DataFrame = {
     import graft.sources.{IndexStore, PqStore}
     val half = PqStore.ensureCorpusHalf(spark, dir)
-    val ivfHalf = IndexStore.ensureCorpusHalf(spark, dir)
     val work = PqStore.defaultPath(dir) + "_pab"
     IndexStore.cloneStore(half, work) // per-run reset: idempotent invocation
     val out = java.nio.file.Files.createTempDirectory("graft-pqabsorb").toString
@@ -1028,19 +1027,27 @@ object StreamOps {
             if (!marker.exists()) {
               val b = batch.toDF().select(col("vec_id"), col("embedding")).persist()
               try if (!b.isEmpty) {
-                PqStore.absorb(ss, work, ivfHalf, b)
+                PqStore.absorb(ss, work, b)
                 marker.createNewFile()
                 val firstId = b.agg(min(col("vec_id"))).head().getLong(0)
                 val books = ss.read.parquet(s"$work/codebooks")
-                val expect = PqStore.encode(b.filter(col("vec_id") === firstId), books)
+                val coarse = ss.read.parquet(s"$work/coarse")
+                val expect = PqStore.encode(b.filter(col("vec_id") === firstId),
+                    books, coarse)
                   .select(col("sub"), col("code")).collect()
                   .map(r => (r.getInt(0), r.getInt(1))).toSet
                 val got = ss.read.parquet(s"$work/codes")
                   .filter(col("vec_id") === firstId)
                   .select(col("sub"), col("code")).collect()
-                  .map(r => (r.getInt(0), r.getInt(1))).toSet
-                require(got.size == PqStore.M && got == expect,
-                  s"absorbed row $firstId codes absent or drifted after batch $batchId")
+                  .map(r => (r.getInt(0), r.getInt(1)))
+                // per-row COUNT, not just the distinct set: a retry that
+                // slips between the append and the marker write duplicates
+                // the batch's code rows, and set equality would mask it
+                // until the final codes_after census — fail at the batch
+                // that caused it instead
+                require(got.length == PqStore.M && got.toSet == expect,
+                  s"absorbed row $firstId codes absent, duplicated or drifted " +
+                    s"after batch $batchId (${got.length} rows)")
               } else { marker.createNewFile(); () }
               finally b.unpersist(blocking = false)
             }

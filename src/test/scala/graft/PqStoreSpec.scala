@@ -67,18 +67,15 @@ class PqStoreSpec extends SparkSpec {
     val p = path + "_abs"
     PqStore.ensure(spark, sfDir, path)
     try {
-      PqStore.writeFrom(spark, p, even,
-        VectorSearch.withCellId(even, centroids, "embedding")
-          .select($"vec_id", $"cell_id"))
-      PqStore.absorb(spark, p, ivfPath, odd)
+      PqStore.writeFrom(spark, p, even, centroids)
+      PqStore.absorb(spark, p, odd)
       // code-space identity: the absorbed store's (vec_id, sub, code,
       // cell_id) population equals encoding the UNION corpus under the
-      // half store's EXISTING codebooks — absorb is rebuild-encode for
-      // the batch, with the corpus never re-read
+      // half store's EXISTING codebooks and coarse quantizer — absorb is
+      // rebuild-encode for the batch, with the corpus never re-read
       val books = spark.read.parquet(s"$p/codebooks")
-      val expect = PqStore.encode(emb, books)
-        .join(VectorSearch.withCellId(emb, centroids, "embedding")
-          .select($"vec_id", $"cell_id"), "vec_id")
+      val coarse = spark.read.parquet(s"$p/coarse")
+      val expect = PqStore.encode(emb, books, coarse)
         .select($"vec_id".as[Long], $"sub".as[Int], $"code".as[Int], $"cell_id".as[Int])
         .collect().toSet
       val got = spark.read.parquet(s"$p/codes")
@@ -112,16 +109,23 @@ class PqStoreSpec extends SparkSpec {
       "canonical PQ store must be untouched by the absorb")
   }
 
-  test("ADC score equals the direct sum of micro'd subspace dots") {
+  test("ADC score equals coarse term plus the direct sum of micro'd residual subspace dots") {
     PqStore.ensure(spark, sfDir, path)
     val hits = PqStore.search(spark, path, VectorSearch.querySet(spark, sfDir, 3), k = 3)
       .collect()
-    // replay driver-side: reconstruct each hit's score from raw artifacts
+    // replay driver-side: reconstruct each hit's score from raw artifacts —
+    // dot(q, coarse_cell) micro'd, plus the m micro'd residual LUT hits
     val books = spark.read.parquet(s"$path/codebooks").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
-    val codes = spark.read.parquet(s"$path/codes").collect()
+    val coarse = spark.read.parquet(s"$path/coarse").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val codes = spark.read.parquet(s"$path/codes")
+      .select($"vec_id", $"sub", $"code", $"cell_id".cast("int").as("cell_id"))
+      .collect()
       .groupBy(_.getLong(0))
-      .map { case (v, rs) => v -> rs.map(r => r.getInt(1) -> r.getInt(2)).toMap }
+      .map { case (v, rs) =>
+        v -> (rs.head.getInt(3), rs.map(r => r.getInt(1) -> r.getInt(2)).toMap)
+      }
     val qs = Tables.embeddings(spark, sfDir).filter($"vec_id" < 3)
       .select($"vec_id", $"embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -129,8 +133,12 @@ class PqStoreSpec extends SparkSpec {
     hits.foreach { h =>
       val (qid, vid, adc) = (h.getLong(0), h.getLong(1), h.getLong(3))
       val q = qs(qid)
-      val expect = (0 until PqStore.M).map { s =>
-        val cent = books((s, codes(vid)(s)))
+      val (cell, subCodes) = codes(vid)
+      val cellCent = coarse(cell)
+      var cacc = 0.0
+      (0 until q.length).foreach(i => cacc += q(i).toDouble * cellCent(i).toFloat.toDouble)
+      val expect = math.floor(cacc * 1e6).toLong + (0 until PqStore.M).map { s =>
+        val cent = books((s, subCodes(s)))
         var acc = 0.0; var i = 0
         while (i < d) { acc += q(s * d + i).toDouble * cent(i).toFloat.toDouble; i += 1 }
         math.floor(acc * 1e6).toLong
@@ -225,7 +233,7 @@ class PqStoreSpec extends SparkSpec {
     }
   }
 
-  test("PQ top-5 recalls most of the exact top-5 (coarse but not broken)") {
+  test("residual encoding beats raw at the same bit budget, and clears the usability floor") {
     PqStore.ensure(spark, sfDir, path)
     val nq = 5
     val exact = VectorSearch.knnExact(spark, sfDir, k = 5, nq = nq).collect()
@@ -233,7 +241,29 @@ class PqStoreSpec extends SparkSpec {
     val pq = PqStore.search(spark, path, VectorSearch.querySet(spark, sfDir, nq), k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect pq).size.toDouble / exact.size
-    assert(recall >= 0.4, s"recall@5 = $recall — 48-bit ADC should catch ≥40%")
+    assert(recall >= 0.4, s"recall@5 = $recall — 48-bit residual ADC should catch ≥40%")
+    // head-to-head vs RAW encoding at the identical 48-bit budget: a single
+    // zero coarse centroid makes residual = v − 0 = v and cell term = 0 —
+    // exactly the pre-residual scheme — so the comparison isolates the
+    // encoding change (IndexIVFPQ's accuracy claim, measured in-engine)
+    val rawPath = path + "_raw"
+    try {
+      val zero = spark.range(1).select(lit(0).cast("int").as("cell_id"),
+        lit((0 until 64).map(_ => 0.0).toArray).as("centroid"))
+      PqStore.writeFrom(spark, rawPath,
+        Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding"), zero)
+      val raw = PqStore.search(spark, rawPath, VectorSearch.querySet(spark, sfDir, nq), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rawRecall = (exact intersect raw).size.toDouble / exact.size
+      assert(recall >= rawRecall,
+        s"residual recall $recall must not drop below raw recall $rawRecall at the same bit budget")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(rawPath))
+    }
   }
 
   test("refine: exact re-rank of the PQ shortlist, bit-identical sims, recall >= PQ") {

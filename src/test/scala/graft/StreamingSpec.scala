@@ -236,7 +236,7 @@ class StreamingSpec extends SparkSpec {
       // clone of the half store yields the same code population
       val batchPath = PqStore.defaultPath(tmp) + "_pab_batch"
       IndexStore.cloneStore(PqStore.corpusHalfPath(tmp), batchPath)
-      PqStore.absorb(spark, batchPath, IndexStore.corpusHalfPath(tmp),
+      PqStore.absorb(spark, batchPath,
         Tables.embeddings(spark, tmp).filter($"vec_id" % 2 === 1))
       assert(codesOf(batchPath) == multiCodes,
         "stream absorb must equal the one-shot batch absorb")
