@@ -56,6 +56,9 @@ object SparkEntry {
     "knn_binary" -> ((s, d) => VectorSearch.knnBinary(s, d)),
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
     "knn_graph" -> ((s, d) => graft.sources.GraphIndex.searchQuery(s, d)),
+    // The two-level (HNSW upper-layer) entry descent, forced on at every
+    // sf: coarse cross → level-1 walk over edges_l1 → level-0 walk.
+    "knn_graph_hier" -> ((s, d) => graft.sources.GraphIndex.searchHierQuery(s, d)),
     // DELETE on the graph index: walk traverses dead nodes, results
     // exclude them below the rank window (HNSW tombstoning).
     "graph_tombstone" -> ((s, d) => graft.sources.GraphIndex.searchTombstonedQuery(s, d)),
@@ -465,6 +468,47 @@ object SparkEntry {
        |FROM (SELECT qid, vec_id, sim,
        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
        |      FROM v$hops WHERE vec_id <> qid$finalWhere)$auditFrom
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Two-level walk replay for `knn_graph_hier`: v0 is the COARSE sample
+    * cross (every (stride·l1Factor)-th vec_id — HNSW's top layer), hops
+    * 1..l1Hops expand over the exported LEVEL-1 edges (`edges_l1`, the
+    * stride-node graph GraphIndex.ensureL1 derives once per build), and
+    * the remaining hops walk the level-0 edges — same window tie-breaks,
+    * same max-sim dedupe, so the replay is row-identical to the forced
+    * hierarchical DataFrame walk.
+    */
+  private def graphHierSearchSql(beam: Int = 32, hops: Int = 4, k: Int = 5): String = {
+    val stride = graft.sources.GraphIndex.entryStride
+    val coarseStride = stride.toLong * graft.sources.GraphIndex.l1Factor
+    val l1Hops = graft.sources.GraphIndex.l1Hops
+    val hopCtes = (1 to (l1Hops + hops)).map { h =>
+      val edgeCte = if (h <= l1Hops) "el" else "e"
+      s"""f$h AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS fr FROM v${h - 1})
+         |  WHERE fr <= $beam),
+         |n$h AS (SELECT f$h.qid, x.dst AS vec_id, ${dotSql("q.qvec", "b.embedding")} AS sim
+         |        FROM f$h JOIN $edgeCte x ON x.src = f$h.vec_id
+         |        JOIN embeddings b ON b.vec_id = x.dst
+         |        JOIN q ON q.qid = f$h.qid),
+         |v$h AS (SELECT qid, vec_id, max(sim) AS sim
+         |        FROM (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM n$h) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       |           FROM read_parquet('$graphStorePath/edges/*.parquet')),
+       |el AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       |       FROM read_parquet('$graphStorePath/edges_l1/*.parquet')),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $coarseStride = 0),
+       |v0 AS (SELECT q.qid, c.vec_id, ${dotSql("q.qvec", "c.embedding")} AS sim
+       |       FROM q CROSS JOIN c),
+       |$hopCtes
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       |       CAST(rank AS BIGINT) AS rank, ${microSql("sim")} AS sim_micro
+       |FROM (SELECT qid, vec_id, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+       |      FROM v${l1Hops + hops} WHERE vec_id <> qid)
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
@@ -1385,6 +1429,9 @@ object SparkEntry {
     // engine-specific; its invariants — degree bound, determinism, recall —
     // are pinned by GraphIndexSpec, and the walk itself is re-derived here).
     "knn_graph" -> graphBeamSearchSql(),
+    // Forced two-level entry descent: coarse cross, level-1 hops over the
+    // exported edges_l1, then the level-0 walk — one replay, two layers.
+    "knn_graph_hier" -> graphHierSearchSql(),
     // The SQL-text route walks the same persisted edges with the same
     // unrolled-hop arithmetic — one oracle serves both surfaces.
     "lake_sql_graph" -> graphBeamSearchSql(),

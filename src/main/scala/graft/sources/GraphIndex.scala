@@ -81,6 +81,32 @@ object GraphIndex {
     */
   val entryStride = 97
 
+  /** Second entry level: every (entryStride·l1Factor)-th vec_id — HNSW's
+    * top layer as a sample-of-the-sample. The flat entry cross scores
+    * nq · N/97 candidates, which grows linearly with the corpus; past
+    * [[HierFlatBound]] entries the walk instead descends hierarchically —
+    * cross the (32× smaller) coarse sample, walk [[l1Hops]] hops over a
+    * persisted level-1 graph among the stride nodes ([[ensureL1]]), and
+    * seed the level-0 walk from the beam best of that. v0 cost drops from
+    * nq·N/97 to nq·N/3104 + two bounded (nq·beam·M) level-1 expansions.
+    */
+  val l1Factor = 32
+
+  /** Level-1 walk depth — two hops over the stride-node graph reach
+    * M + M² ≈ 270 sample nodes from each coarse seed, enough to land the
+    * level-0 walk in the right neighborhood (the only job HNSW gives its
+    * upper layers).
+    */
+  val l1Hops = 2
+
+  /** Entry-count threshold where the hierarchical descent engages. Below
+    * it the flat cross is both cheaper and exhaustive (every serve-path
+    * corpus through the sf1 decade stays flat, keeping those walks — and
+    * their oracle replays — byte-identical); `knn_graph_hier` forces 0 to
+    * exercise and oracle-check the hierarchical path at every sf.
+    */
+  val HierFlatBound = 4096
+
   /** Build the kNN graph: banded sign-LSH init, then [[descentRounds]] of
     * neighbor-of-neighbor refinement. Returns `(src, dst, sim)` with
     * ≤ [[M]] rows per src, fully deterministic (every window tie-broken by
@@ -192,6 +218,60 @@ object GraphIndex {
       java.util.UUID.randomUUID().toString)
   }
 
+  /** Derive (once per build, `_l1_from` marker keyed by `_build_id`) the
+    * LEVEL-1 graph for the hierarchical entry descent: edges between
+    * ENTRY-SAMPLE nodes, proposed from the persisted level-0 graph's
+    * 1- and 2-hop reachability (a stride node's nearest stride peers are
+    * almost always within two hops of it in a converged kNN graph — no
+    * NN-Descent re-run, just two equi-joins over the edge list), rescored
+    * with the exact dot and trimmed to top-[[M]] per src. Persisted sorted
+    * by src with dst payloads, exactly like the level-0 layout, so the
+    * level-1 hops prune row groups the same way. Cost: O(edges) semi-joins
+    * once per build — never at query time; the derivation is deterministic
+    * given the edges and the entry frame, so the DuckDB oracle replays the
+    * level-1 walk over the exported `edges_l1` verbatim.
+    */
+  private[graft] def ensureL1(spark: SparkSession, path: String,
+                              entries: DataFrame): DataFrame = {
+    val buildId = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/_build_id")).trim
+    val marker = java.nio.file.Paths.get(s"$path/_l1_from")
+    val current = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker).trim == buildId &&
+      new java.io.File(s"$path/edges_l1").exists()
+    if (!current) {
+      val ids = entries.select(col("vec_id"))
+      val edges = spark.read.parquet(s"$path/edges").select(col("src"), col("dst"))
+      val fromEntry = edges
+        .join(ids.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi")
+      val toEntry = edges
+        .join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+      val direct = fromEntry
+        .join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+      // 2-hop: entry → any mid → entry; volume N·M²/stride² — sublinear
+      val twoHop = fromEntry.select(col("src"), col("dst").as("mid"))
+        .join(toEntry.select(col("src").as("mid"), col("dst")), "mid")
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      val scored = topK(
+        scorePairs(direct.unionByName(twoHop).distinct(), entries), M)
+      val payloaded = scored
+        .join(entries.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")), "dst")
+        .select(col("src"), col("dst"), col("sim"), col("dst_emb"))
+        .localCheckpoint()
+      val parts = math.max(1, math.min(
+        spark.sessionState.conf.numShufflePartitions,
+        (payloaded.count() / 230000L).toInt + 1))
+      payloaded
+        .repartitionByRange(parts, col("src"))
+        .sortWithinPartitions(col("src"), col("dst"))
+        .write.mode("overwrite").parquet(s"$path/edges_l1")
+      java.nio.file.Files.writeString(marker, buildId)
+    }
+    spark.read.parquet(s"$path/edges_l1")
+  }
+
   /** Day-2 absorb — add a batch of new vectors to an EXISTING persisted
     * graph without a full NN-Descent rebuild, completing the index
     * lifecycle symmetry with [[IndexStore.absorb]] (the vector half) and
@@ -250,13 +330,18 @@ object GraphIndex {
     // and the union frame) and each is an eager chain of small jobs, so
     // they run concurrently from driver threads — per-batch wall-clock is
     // max(seeds, walk) instead of the sum.
-    import scala.concurrent.{Await, Future}
+    // blocking{} — these futures BLOCK on Spark job chains; the global
+    // pool is CPU-count-sized, so unmarked long-blocking tasks from
+    // overlapping legs (these two plus callers' audit futures) could
+    // starve it and serialize the supposedly concurrent work. blocking{}
+    // lets the pool grow past the starvation.
+    import scala.concurrent.{blocking, Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val seedsF = Future(t("seeds")(newSide.as("a").join(capped.as("b"), Seq("band", "bucket"))
+    val seedsF = Future(blocking(t("seeds")(newSide.as("a").join(capped.as("b"), Seq("band", "bucket"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      .distinct().localCheckpoint()))
+      .distinct().localCheckpoint())))
     // 2. walk the existing graph with the batch as queries (entries = the
     //    existing corpus's stride sample — the graph's own nodes)
     val entries = base.filter(col("vec_id") % entryStride === 0)
@@ -267,10 +352,10 @@ object GraphIndex {
     // misses (the spec's ≥0.95 edge-recall floor is measured with this
     // depth), while each saved hop saves a frontier job + an edge-scan
     // job + a dedupe job per micro-batch.
-    val walkF = Future(t("walk")(searchFrom(spark, path, entries,
+    val walkF = Future(blocking(t("walk")(searchFrom(spark, path, entries,
       batch.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
       k = M, beam = 32, hops = 2, maxInlineIds = Tables.MaxInlineIds)
-      .select(col("qid").as("src"), col("vec_id").as("dst")).localCheckpoint()))
+      .select(col("qid").as("src"), col("vec_id").as("dst")).localCheckpoint())))
     val seeds = Await.result(seedsF, Duration.Inf)
     val walk = Await.result(walkF, Duration.Inf)
     // 3. link: forward proposals, reverse proposals, old edges of touched
@@ -371,11 +456,12 @@ object GraphIndex {
   def search(spark: SparkSession, dir: String, path: String, queries: DataFrame,
              k: Int = 5, beam: Int = 32, hops: Int = 4,
              maxInlineIds: Int = Tables.MaxInlineIds,
-             tombstones: Option[DataFrame] = None): DataFrame =
+             tombstones: Option[DataFrame] = None,
+             maxFlatEntries: Long = HierFlatBound): DataFrame =
     searchFrom(spark, path, Tables.embeddings(spark, dir)
         .filter(col("vec_id") % entryStride === 0)
         .select(col("vec_id"), col("embedding")),
-      queries, k, beam, hops, maxInlineIds, tombstones)
+      queries, k, beam, hops, maxInlineIds, tombstones, maxFlatEntries)
 
   /** [[search]] with an explicit entry frame — [[absorb]]'s walk draws its
     * entries from the store's own base rather than a data dir.
@@ -383,7 +469,8 @@ object GraphIndex {
   private[graft] def searchFrom(spark: SparkSession, path: String, entries: DataFrame,
                                 queries: DataFrame, k: Int, beam: Int, hops: Int,
                                 maxInlineIds: Int,
-                                tombstones: Option[DataFrame] = None): DataFrame = {
+                                tombstones: Option[DataFrame] = None,
+                                maxFlatEntries: Long = HierFlatBound): DataFrame = {
     import spark.implicits._
     val edges = spark.read.parquet(s"$path/edges")
     // The query side is materialized ONCE (eager localCheckpoint) and
@@ -413,33 +500,57 @@ object GraphIndex {
     // fits the inline bound, otherwise leave it unhinted and let AQE pick
     // (the checkpointed count is the one extra driver scalar).
     val eDF = entries.select(col("vec_id"), col("embedding")).localCheckpoint()
-    val eJoin = if (eDF.count() <= maxInlineIds) broadcast(eDF) else eDF
+    val eCount = eDF.count()
 
-    var visited = qDF.crossJoin(eJoin)
-      .withColumn("sim", dot(col("qvec"), col("embedding")))
-      .select(col("qid"), col("vec_id"), col("sim"))
-      .localCheckpoint()
     val wf = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    for (_ <- 1 to hops) {
-      val frontierDF = visited.withColumn("fr", row_number().over(wf))
+    // One beam-expansion hop over an arbitrary edge frame — shared by the
+    // level-1 descent and the level-0 walk (identical frontier/inline/join
+    // mechanics at both levels).
+    def hop(edgeFrame: DataFrame, visited0: DataFrame): DataFrame = {
+      val frontierDF = visited0.withColumn("fr", row_number().over(wf))
         .filter(col("fr") <= beam).select(col("qid"), col("vec_id"))
       val joined =
         if (inlineFrontier) {
           val frontier = frontierDF.as[(Long, Long)].collect().toSeq
           val fIds = frontier.map(_._2).distinct.sorted
           val fDF = spark.createDataset(frontier).toDF("qid", "src")
-          edges.filter(col("src").isin(fIds: _*)).join(broadcast(fDF), "src")
+          edgeFrame.filter(col("src").isin(fIds: _*)).join(broadcast(fDF), "src")
         } else
-          edges.join(
+          edgeFrame.join(
             frontierDF.withColumnRenamed("vec_id", "src").localCheckpoint(true), "src")
       val scored = joined
         .join(qJoin, "qid")
         .withColumn("sim", dot(col("qvec"), col("dst_emb")))
         .select(col("qid"), col("dst").as("vec_id"), col("sim"))
-      visited = visited.unionByName(scored)
+      visited0.unionByName(scored)
         .groupBy(col("qid"), col("vec_id")).agg(max(col("sim")).as("sim"))
         .localCheckpoint()
     }
+    def entryCross(e: DataFrame, bounded: Boolean): DataFrame =
+      qDF.crossJoin(if (bounded) broadcast(e) else e)
+        .withColumn("sim", dot(col("qvec"), col("embedding")))
+        .select(col("qid"), col("vec_id"), col("sim"))
+        .localCheckpoint()
+
+    // v0: flat below the bound (the cross is exhaustive AND cheaper there);
+    // hierarchical descent past it — cross the l1Factor× smaller coarse
+    // sample, walk the persisted level-1 graph among the stride nodes, and
+    // let the beam best of that seed the level-0 walk (HNSW's upper-layer
+    // descent, `stream1.py:117`'s structure).
+    val coarse =
+      if (eCount > maxFlatEntries)
+        eDF.filter(col("vec_id") % (entryStride.toLong * l1Factor) === 0)
+          .localCheckpoint()
+      else eDF
+    val coarseCount = if (coarse eq eDF) eCount else coarse.count()
+    var visited =
+      if (eCount > maxFlatEntries && coarseCount > 0) {
+        val l1 = ensureL1(spark, path, eDF)
+        var v = entryCross(coarse, coarseCount <= maxInlineIds)
+        for (_ <- 1 to l1Hops) v = hop(l1, v)
+        v
+      } else entryCross(eDF, eCount <= maxInlineIds)
+    for (_ <- 1 to hops) visited = hop(edges, visited)
     // DELETE semantics (HNSW tombstoning, the reference's delete-by-PK on
     // its HNSW collection, `Milvus/stream1.py:313-315` → search
     // `:161-162`): the beam WALK above traverses dead nodes unchanged —
@@ -474,6 +585,21 @@ object GraphIndex {
     val path = defaultPath(dir)
     ensure(spark, dir, path)
     search(spark, dir, path, VectorSearch.querySet(spark, dir, 5))
+  }
+
+  /** The named `knn_graph_hier` query: the beam walk with the hierarchical
+    * entry descent FORCED (maxFlatEntries = 0), so the two-level path —
+    * coarse cross → [[l1Hops]] hops over the persisted level-1 graph →
+    * level-0 walk — is exercised and oracle-checked at every sf, not just
+    * past [[HierFlatBound]] where the serve path engages it on its own.
+    * The DuckDB oracle replays the identical unrolled two-level walk over
+    * the exported `edges_l1` + `edges`.
+    */
+  def searchHierQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    search(spark, dir, path, VectorSearch.querySet(spark, dir, 5),
+      maxFlatEntries = 0L)
   }
 
   /** The named `graph_tombstone` query — DELETE on the graph index,
@@ -513,18 +639,20 @@ object GraphIndex {
     */
   def recallCurve(spark: SparkSession, dir: String, k: Int = 5,
                   beams: Seq[Int] = Seq(4, 8, 32)): DataFrame = {
-    import scala.concurrent.{Await, Future}
+    // blocking{}: each leg blocks on an eager Spark job chain — see the
+    // absorb futures' starvation note.
+    import scala.concurrent.{blocking, Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val path = defaultPath(dir)
     ensure(spark, dir, path)
     val q = VectorSearch.querySet(spark, dir, 5)
-    val exactF = Future(VectorSearch.knnExact(spark, dir, k, 5)
-      .select(col("qid"), col("vec_id")).localCheckpoint())
+    val exactF = Future(blocking(VectorSearch.knnExact(spark, dir, k, 5)
+      .select(col("qid"), col("vec_id")).localCheckpoint()))
     val perF = beams.map { b =>
-      Future(search(spark, dir, path, q, k = k, beam = b)
+      Future(blocking(search(spark, dir, path, q, k = k, beam = b)
         .select(lit(b.toLong).as("beam"), col("qid"), col("vec_id"))
-        .localCheckpoint())
+        .localCheckpoint()))
     }
     val exact = Await.result(exactF, Duration.Inf)
     val nExact = exact.count()

@@ -956,8 +956,10 @@ object StreamOps {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         // the audit count runs concurrently with the (eager, multi-hop)
         // final walk — independent read-only jobs over the store
-        val nodesAfterF = scala.concurrent.Future(
-          s.read.parquet(s"$work/edges").select(col("src")).distinct().count())(
+        // blocking{}: the count blocks on a Spark job from the shared
+        // CPU-sized global pool (see GraphIndex.absorb's starvation note)
+        val nodesAfterF = scala.concurrent.Future(scala.concurrent.blocking(
+          s.read.parquet(s"$work/edges").select(col("src")).distinct().count()))(
           scala.concurrent.ExecutionContext.global)
         // entries from the STORE corpus (even ∪ crawl): a full-corpus
         // entry sample would put never-inserted nodes into the visited

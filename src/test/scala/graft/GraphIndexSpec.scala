@@ -244,6 +244,36 @@ class GraphIndexSpec extends SparkSpec {
     assert(sql == df, "lake_sql_graph must equal knn_graph row for row")
   }
 
+  test("hierarchical entry: l1 edges live on the entry sample, recall holds, derivation is build-keyed") {
+    val q = VectorSearch.querySet(spark, sfDir, 5)
+    val exact = VectorSearch.knnExact(spark, sfDir, k = 5, nq = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]) =
+      (exact intersect rows.map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / exact.size
+    val flat = recallOf(GraphIndex.search(spark, sfDir, path, q).collect())
+    val hier = recallOf(GraphIndex.search(spark, sfDir, path, q, maxFlatEntries = 0L).collect())
+    assert(hier >= flat,
+      s"hierarchical entry recall $hier dropped below flat $flat at equal beam")
+    // the level-1 graph is confined to the entry sample, degree-bounded,
+    // and its v0 cross is strictly smaller than the flat entry cross
+    val l1 = spark.read.parquet(s"$path/edges_l1")
+    val stride = GraphIndex.entryStride.toLong
+    assert(l1.filter($"src" % stride =!= 0 || $"dst" % stride =!= 0).isEmpty,
+      "level-1 edges must connect entry-sample nodes only")
+    assert(l1.groupBy($"src").agg(count(lit(1)).as("d"))
+      .agg(max($"d")).as[Long].head() <= GraphIndex.M.toLong)
+    val entries = Tables.embeddings(spark, sfDir).filter($"vec_id" % stride === 0)
+    val coarse = entries.filter($"vec_id" % (stride * GraphIndex.l1Factor) === 0)
+    assert(coarse.count() > 0 && coarse.count() < entries.count(),
+      "the coarse sample must be a strict, non-empty subset of the entries")
+    // derivation is keyed to the build: a fresh _build_id invalidates _l1_from
+    val marker = java.nio.file.Paths.get(s"$path/_l1_from")
+    val before = java.nio.file.Files.readString(marker).trim
+    assert(before == java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/_build_id")).trim,
+      "_l1_from must record the build it derives from")
+  }
+
   test("degree stats query matches a recount of the persisted edges") {
     val out = GraphIndex.degreeStats(spark, sfDir)
       .as[(Long, Long)].collect().toMap
