@@ -48,11 +48,17 @@ object PqStore {
 
   /** Subspace count and codes per subspace. dim 64 → 8 subspaces × 8 dims,
     * 64 codes each ⇒ 48-bit codes: ~42× compression of the 256-byte float32
-    * embedding. (Synthetic near-uniform embeddings are PQ's hardest case —
-    * fewer bits measurably drop recall@5 below usable: raw 48-bit encoding
-    * reached only 0.32 at sf0.01 / 0.26 at sf0.1; residual encoding lifts
-    * the same budget to 0.55 / 0.39, and the exact re-rank path
-    * ([[searchRefined]]) recovers the rest where serving needs it.)
+    * embedding. Recall-vs-bits, measured (`graft.tools.RecallProbe`,
+    * recall@5 over 20 queries; 16/32/48-bit = nCodes 4/16/64):
+    *
+    *   residual: 0.34 / 0.36 / 0.55 at sf0.01 — 0.21 / 0.30 / 0.39 at sf0.1
+    *   raw 48-bit baseline:   0.32 at sf0.01 — 0.26 at sf0.1
+    *
+    * Synthetic near-uniform embeddings are PQ's hardest case; residual
+    * encoding beats the raw scheme at EVERY bit budget (16-bit residual
+    * already matches 48-bit raw at sf0.01 — the exact coarse term carries
+    * it), and the exact re-rank path ([[searchRefined]]) recovers the rest
+    * where serving needs it.
     */
   val M = 8
   val NCodes = 64
@@ -82,12 +88,13 @@ object PqStore {
     * k-means over residual coordinate slices. Returns
     * `(sub INT, code INT, centroid ARRAY<DOUBLE>)` — m·k rows.
     */
-  private[graft] def trainFrom(residuals: DataFrame, dim: Int = 64): DataFrame = {
+  private[graft] def trainFrom(residuals: DataFrame, dim: Int = 64,
+                               nCodes: Int = NCodes): DataFrame = {
     val d = dsub(dim)
     (0 until M).map { s =>
       val sliced = residuals.select(col("vec_id"),
         slice(col("residual"), s * d + 1, d).as("embedding"))
-      VectorSearch.kmeansFit(sliced, NCodes)
+      VectorSearch.kmeansFit(sliced, nCodes)
         .select(lit(s).as("sub"), col("cell_id").as("code"), col("centroid"))
     }.reduce(_ unionByName _)
   }
@@ -166,12 +173,12 @@ object PqStore {
     */
   private[graft] def writeFrom(spark: SparkSession, path: String,
                                vectors: DataFrame, coarse: DataFrame,
-                               dim: Int = 64): Unit = {
+                               dim: Int = 64, nCodes: Int = NCodes): Unit = {
     coarse.select(col("cell_id"), col("centroid"))
       .write.mode("overwrite").parquet(s"$path/coarse")
     val coarseBack = spark.read.parquet(s"$path/coarse")
     val res = residualized(vectors, coarseBack).localCheckpoint()
-    val books = trainFrom(res, dim).cache()
+    val books = trainFrom(res, dim, nCodes).cache()
     books.write.mode("overwrite").parquet(s"$path/codebooks")
     encodeResiduals(res, books)
       .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/codes")
