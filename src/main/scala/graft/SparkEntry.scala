@@ -56,8 +56,9 @@ object SparkEntry {
     "knn_binary" -> ((s, d) => VectorSearch.knnBinary(s, d)),
     "knn_ivf" -> ((s, d) => graft.sources.IndexStore.searchQuery(s, d)),
     "knn_graph" -> ((s, d) => graft.sources.GraphIndex.searchQuery(s, d)),
-    // The two-level (HNSW upper-layer) entry descent, forced on at every
-    // sf: coarse cross → level-1 walk over edges_l1 → level-0 walk.
+    // The three-level (HNSW upper-layer) entry descent, forced on at every
+    // sf: top cross → level-2 walk over edges_l2 → level-1 walk over
+    // edges_l1 → level-0 walk.
     "knn_graph_hier" -> ((s, d) => graft.sources.GraphIndex.searchHierQuery(s, d)),
     // DELETE on the graph index: walk traverses dead nodes, results
     // exclude them below the rank window (HNSW tombstoning).
@@ -95,6 +96,13 @@ object SparkEntry {
     // sibling store (no retrain — FAISS remove_ids keeps the quantizers),
     // then plain ADC search with no filter anywhere.
     "pq_compact" -> ((s, d) => graft.sources.PqStore.compactQuery(s, d)),
+    // Drift-driven PQ maintenance (embed_maintain's PQ twin): code-usage
+    // census TV per subspace decides absorb vs retrain; the decision and
+    // the acted-on store's conservation census are the result.
+    "pq_maintain" -> ((s, d) => graft.sources.PqStore.maintainQuery(s, d)),
+    // Small-files hygiene on the absorb append path: fragment, audit
+    // files-per-cell, compact cells above target, return the audit.
+    "pq_layout_compact" -> ((s, d) => graft.sources.PqStore.layoutCompactQuery(s, d)),
     "knn_doc_join" -> ((s, d) => VectorSearch.knnDocJoin(s, d)),
     "vec_normalize" -> ((s, d) => VectorSearch.normalizeQuery(s, d)),
     "vec_quantize" -> ((s, d) => Quantize.quantizeQuery(s, d)),
@@ -471,20 +479,22 @@ object SparkEntry {
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
-  /** Two-level walk replay for `knn_graph_hier`: v0 is the COARSE sample
-    * cross (every (stride·l1Factor)-th vec_id — HNSW's top layer), hops
-    * 1..l1Hops expand over the exported LEVEL-1 edges (`edges_l1`, the
-    * stride-node graph GraphIndex.ensureL1 derives once per build), and
-    * the remaining hops walk the level-0 edges — same window tie-breaks,
-    * same max-sim dedupe, so the replay is row-identical to the forced
-    * hierarchical DataFrame walk.
+  /** Three-level walk replay for `knn_graph_hier`: v0 is the LEVEL-2 sample
+    * cross (every (stride·l1Factor²)-th vec_id — HNSW's top layer), hops
+    * 1..l1Hops expand over the exported LEVEL-2 edges (`edges_l2`, the
+    * coarse-node graph GraphIndex.ensureLevel derives once per build), the
+    * next l1Hops over the LEVEL-1 edges (`edges_l1`, the stride-node
+    * graph), and the remaining hops walk the level-0 edges — same window
+    * tie-breaks, same max-sim dedupe, so the replay is row-identical to
+    * the forced hierarchical DataFrame walk.
     */
   private def graphHierSearchSql(beam: Int = 32, hops: Int = 4, k: Int = 5): String = {
     val stride = graft.sources.GraphIndex.entryStride
-    val coarseStride = stride.toLong * graft.sources.GraphIndex.l1Factor
+    val l1Factor = graft.sources.GraphIndex.l1Factor
+    val coarseStride = stride.toLong * l1Factor * l1Factor
     val l1Hops = graft.sources.GraphIndex.l1Hops
-    val hopCtes = (1 to (l1Hops + hops)).map { h =>
-      val edgeCte = if (h <= l1Hops) "el" else "e"
+    val hopCtes = (1 to (2 * l1Hops + hops)).map { h =>
+      val edgeCte = if (h <= l1Hops) "el2" else if (h <= 2 * l1Hops) "el" else "e"
       s"""f$h AS (SELECT qid, vec_id FROM (
          |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS fr FROM v${h - 1})
          |  WHERE fr <= $beam),
@@ -499,6 +509,8 @@ object SparkEntry {
        |           FROM read_parquet('$graphStorePath/edges/*.parquet')),
        |el AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
        |       FROM read_parquet('$graphStorePath/edges_l1/*.parquet')),
+       |el2 AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       |        FROM read_parquet('$graphStorePath/edges_l2/*.parquet')),
        |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $coarseStride = 0),
        |v0 AS (SELECT q.qid, c.vec_id, ${dotSql("q.qvec", "c.embedding")} AS sim
@@ -508,7 +520,7 @@ object SparkEntry {
        |       CAST(rank AS BIGINT) AS rank, ${microSql("sim")} AS sim_micro
        |FROM (SELECT qid, vec_id, sim,
        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-       |      FROM v${l1Hops + hops} WHERE vec_id <> qid)
+       |      FROM v${2 * l1Hops + hops} WHERE vec_id <> qid)
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
@@ -1429,8 +1441,9 @@ object SparkEntry {
     // engine-specific; its invariants — degree bound, determinism, recall —
     // are pinned by GraphIndexSpec, and the walk itself is re-derived here).
     "knn_graph" -> graphBeamSearchSql(),
-    // Forced two-level entry descent: coarse cross, level-1 hops over the
-    // exported edges_l1, then the level-0 walk — one replay, two layers.
+    // Forced three-level entry descent: top cross, level-2 hops over the
+    // exported edges_l2, level-1 hops over edges_l1, then the level-0
+    // walk — one replay, three layers.
     "knn_graph_hier" -> graphHierSearchSql(),
     // The SQL-text route walks the same persisted edges with the same
     // unrolled-hop arithmetic — one oracle serves both surfaces.
@@ -1742,10 +1755,13 @@ object SparkEntry {
          |           FROM read_parquet('$pqStorePath/coarse/*.parquet')),
          |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
+         |rot AS (SELECT CAST(i AS BIGINT) AS i, row FROM read_parquet('$pqStorePath/rotation/*.parquet')),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
-         |lut AS (SELECT q.qid, b.sub, b.code,
-         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
-         |        FROM q CROSS JOIN books b),
+         |rq AS (SELECT q.qid, list(CAST(${dotCentroidSql("q.qvec", "r.row")} AS FLOAT) ORDER BY r.i) AS rqvec
+         |       FROM q CROSS JOIN rot r GROUP BY q.qid),
+         |lut AS (SELECT rq.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(rq.rqvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM rq CROSS JOIN books b),
          |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
          |         FROM q CROSS JOIN coarse g),
          |s AS (SELECT l.qid, c.vec_id, c.cell_id, sum(l.p_micro) AS r_micro
@@ -1767,10 +1783,13 @@ object SparkEntry {
          |           FROM read_parquet('$pqStorePath/coarse/*.parquet')),
          |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
+         |rot AS (SELECT CAST(i AS BIGINT) AS i, row FROM read_parquet('$pqStorePath/rotation/*.parquet')),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
-         |lut AS (SELECT q.qid, b.sub, b.code,
-         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
-         |        FROM q CROSS JOIN books b),
+         |rq AS (SELECT q.qid, list(CAST(${dotCentroidSql("q.qvec", "r.row")} AS FLOAT) ORDER BY r.i) AS rqvec
+         |       FROM q CROSS JOIN rot r GROUP BY q.qid),
+         |lut AS (SELECT rq.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(rq.rqvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM rq CROSS JOIN books b),
          |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
          |         FROM q CROSS JOIN coarse g),
          |s AS (SELECT l.qid, c.vec_id, c.cell_id, sum(l.p_micro) AS r_micro
@@ -1791,10 +1810,13 @@ object SparkEntry {
          |           FROM read_parquet('$pqStorePath/coarse/*.parquet')),
          |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
+         |rot AS (SELECT CAST(i AS BIGINT) AS i, row FROM read_parquet('$pqStorePath/rotation/*.parquet')),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
-         |lut AS (SELECT q.qid, b.sub, b.code,
-         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
-         |        FROM q CROSS JOIN books b),
+         |rq AS (SELECT q.qid, list(CAST(${dotCentroidSql("q.qvec", "r.row")} AS FLOAT) ORDER BY r.i) AS rqvec
+         |       FROM q CROSS JOIN rot r GROUP BY q.qid),
+         |lut AS (SELECT rq.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(rq.rqvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM rq CROSS JOIN books b),
          |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
          |         FROM q CROSS JOIN coarse g),
          |s AS (SELECT l.qid, c.vec_id, c.cell_id, sum(l.p_micro) AS r_micro
@@ -1815,10 +1837,13 @@ object SparkEntry {
          |           FROM read_parquet('${pqStorePath}_cpt/coarse/*.parquet')),
          |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('${pqStorePath}_cpt/codes/*/*.parquet', hive_partitioning=1)),
+         |rot AS (SELECT CAST(i AS BIGINT) AS i, row FROM read_parquet('${pqStorePath}_cpt/rotation/*.parquet')),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
-         |lut AS (SELECT q.qid, b.sub, b.code,
-         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
-         |        FROM q CROSS JOIN books b),
+         |rq AS (SELECT q.qid, list(CAST(${dotCentroidSql("q.qvec", "r.row")} AS FLOAT) ORDER BY r.i) AS rqvec
+         |       FROM q CROSS JOIN rot r GROUP BY q.qid),
+         |lut AS (SELECT rq.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(rq.rqvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM rq CROSS JOIN books b),
          |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
          |         FROM q CROSS JOIN coarse g),
          |s AS (SELECT l.qid, c.vec_id, c.cell_id, sum(l.p_micro) AS r_micro
@@ -1830,6 +1855,43 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank,
          |       CAST(adc AS BIGINT) AS adc_micro
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Drift-driven PQ maintenance: the census TV, threshold, decision and
+    // conservation count all recomputed from the EXPORTED maintenance +
+    // half stores and the source table (the absorb branch; retrain
+    // re-runs k-means and is spec-pinned, the embed_maintain split).
+    "pq_maintain" ->
+      s"""WITH mb AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(vec_id AS BIGINT) AS vec_id
+         |            FROM read_parquet('${pqStorePath}_maint/codes/*/*.parquet', hive_partitioning=1)),
+         |hbc AS (SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |        FROM read_parquet('${pqStorePath}_half/codes/*/*.parquet', hive_partitioning=1)),
+         |bat AS (SELECT sub, code FROM mb WHERE vec_id % 2 = 1),
+         |ub AS (SELECT sub, code, CAST(count(*) AS BIGINT) AS n FROM bat GROUP BY 1, 2),
+         |ubt AS (SELECT sub, CAST(sum(n) AS BIGINT) AS t FROM ub GROUP BY 1),
+         |pbb AS (SELECT ub.sub, ub.code, ub.n * 1000000 // ubt.t AS pb FROM ub JOIN ubt USING (sub)),
+         |uc AS (SELECT sub, code, CAST(count(*) AS BIGINT) AS n FROM hbc GROUP BY 1, 2),
+         |uct AS (SELECT sub, CAST(sum(n) AS BIGINT) AS t FROM uc GROUP BY 1),
+         |pcc AS (SELECT uc.sub, uc.code, uc.n * 1000000 // uct.t AS pc FROM uc JOIN uct USING (sub)),
+         |tv AS (SELECT sub, abs(COALESCE(pb, 0) - COALESCE(pc, 0)) AS diff
+         |       FROM pbb FULL OUTER JOIN pcc USING (sub, code)),
+         |tvs AS (SELECT sub, CAST(sum(diff) AS BIGINT) // 2 AS tv_micro FROM tv GROUP BY 1),
+         |nb AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 2 = 1),
+         |tau AS (SELECT CAST(250000 + least(500000, floor(800000 * sqrt(64.0 / n))) AS BIGINT) AS t FROM nb),
+         |dec AS (SELECT CASE WHEN (SELECT max(tv_micro) FROM tvs) >= (SELECT t FROM tau)
+         |                    THEN 'retrain' ELSE 'absorb' END AS d)
+         |SELECT tvs.sub, tvs.tv_micro, dec.d AS decision, tau.t AS threshold_micro,
+         |       (SELECT CAST(count(*) * 8 AS BIGINT) FROM embeddings) AS codes_after
+         |FROM tvs CROSS JOIN dec CROSS JOIN tau ORDER BY sub""".stripMargin,
+    // Small-files audit over the EXPORTED compacted store: files-per-cell
+    // from the parquet filenames themselves, conservation from the source.
+    "pq_layout_compact" ->
+      s"""WITH c AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, filename
+         |           FROM read_parquet('${pqStorePath}_plc/codes/*/*.parquet', hive_partitioning=1, filename=1)),
+         |a AS (SELECT cell_id, CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+         |             CAST(count(*) AS BIGINT) AS n_rows
+         |      FROM c GROUP BY 1)
+         |SELECT cell_id, n_files, n_rows, n_rows // n_files AS rows_per_file,
+         |       (SELECT CAST(count(*) * 8 AS BIGINT) FROM embeddings) AS corpus_codes
+         |FROM a ORDER BY cell_id""".stripMargin,
     // Streaming absorb into the PQ store: ADC replay over the EXPORTED
     // post-stream working store (even half ∪ absorbed odd rows), queried
     // with the first five ABSORBED vectors; codes_after recomputed from
@@ -1841,10 +1903,13 @@ object SparkEntry {
          |           FROM read_parquet('${pqStorePath}_pab/coarse/*.parquet')),
          |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('${pqStorePath}_pab/codes/*/*.parquet', hive_partitioning=1)),
+         |rot AS (SELECT CAST(i AS BIGINT) AS i, row FROM read_parquet('${pqStorePath}_pab/rotation/*.parquet')),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 10),
-         |lut AS (SELECT q.qid, b.sub, b.code,
-         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
-         |        FROM q CROSS JOIN books b),
+         |rq AS (SELECT q.qid, list(CAST(${dotCentroidSql("q.qvec", "r.row")} AS FLOAT) ORDER BY r.i) AS rqvec
+         |       FROM q CROSS JOIN rot r GROUP BY q.qid),
+         |lut AS (SELECT rq.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(rq.rqvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM rq CROSS JOIN books b),
          |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
          |         FROM q CROSS JOIN coarse g),
          |s AS (SELECT l.qid, c.vec_id, c.cell_id, sum(l.p_micro) AS r_micro
@@ -1866,10 +1931,13 @@ object SparkEntry {
          |           FROM read_parquet('$pqStorePath/coarse/*.parquet')),
          |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
+         |rot AS (SELECT CAST(i AS BIGINT) AS i, row FROM read_parquet('$pqStorePath/rotation/*.parquet')),
          |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
-         |lut AS (SELECT q.qid, b.sub, b.code,
-         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
-         |        FROM q CROSS JOIN books b),
+         |rq AS (SELECT q.qid, list(CAST(${dotCentroidSql("q.qvec", "r.row")} AS FLOAT) ORDER BY r.i) AS rqvec
+         |       FROM q CROSS JOIN rot r GROUP BY q.qid),
+         |lut AS (SELECT rq.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(rq.rqvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM rq CROSS JOIN books b),
          |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
          |         FROM q CROSS JOIN coarse g),
          |s0 AS (SELECT l.qid, c.vec_id, c.cell_id, sum(l.p_micro) AS r_micro
@@ -1904,9 +1972,12 @@ object SparkEntry {
          |           FROM read_parquet('$pqStorePath/coarse/*.parquet')),
          |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(cell_id AS BIGINT) AS cell_id
          |          FROM read_parquet('$pqStorePath/codes/*/*.parquet', hive_partitioning=1)),
-         |lut AS (SELECT q.qid, b.sub, b.code,
-         |          ${microSql(dotCentroidSql("list_slice(q.qvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
-         |        FROM q CROSS JOIN books b),
+         |rot AS (SELECT CAST(i AS BIGINT) AS i, row FROM read_parquet('$pqStorePath/rotation/*.parquet')),
+         |rq AS (SELECT q.qid, list(CAST(${dotCentroidSql("q.qvec", "r.row")} AS FLOAT) ORDER BY r.i) AS rqvec
+         |       FROM q CROSS JOIN rot r GROUP BY q.qid),
+         |lut AS (SELECT rq.qid, b.sub, b.code,
+         |          ${microSql(dotCentroidSql("list_slice(rq.rqvec, b.sub*8+1, b.sub*8+8)", "b.centroid"))} AS p_micro
+         |        FROM rq CROSS JOIN books b),
          |clut AS (SELECT q.qid, g.cell_id, ${microSql(dotCentroidSql("q.qvec", "g.centroid"))} AS c_micro
          |         FROM q CROSS JOIN coarse g),
          |s AS (SELECT c.qid, c.vec_id, k.cell_id, sum(l.p_micro) AS r_micro

@@ -81,14 +81,17 @@ object GraphIndex {
     */
   val entryStride = 97
 
-  /** Second entry level: every (entryStride·l1Factor)-th vec_id — HNSW's
-    * top layer as a sample-of-the-sample. The flat entry cross scores
-    * nq · N/97 candidates, which grows linearly with the corpus; past
+  /** Geometric level factor: level n samples every
+    * (entryStride·l1Factor^n)-th vec_id — HNSW's layer stack as recursive
+    * samples-of-the-sample. The flat entry cross scores nq · N/97
+    * candidates, which grows linearly with the corpus; past
     * [[HierFlatBound]] entries the walk instead descends hierarchically —
-    * cross the (32× smaller) coarse sample, walk [[l1Hops]] hops over a
-    * persisted level-1 graph among the stride nodes ([[ensureL1]]), and
-    * seed the level-0 walk from the beam best of that. v0 cost drops from
-    * nq·N/97 to nq·N/3104 + two bounded (nq·beam·M) level-1 expansions.
+    * cross the topmost sample, walk [[l1Hops]] hops over each persisted
+    * level graph ([[ensureLevel]] derives `edges_l1` among the stride
+    * nodes and `edges_l2` among the coarse nodes), and seed the next level
+    * down from the beam best of that. With the current two upper levels
+    * v0 cost drops from nq·N/97 to nq·N/99328 plus four bounded
+    * (nq·beam·M) level expansions — no serve term stays corpus-linear.
     */
   val l1Factor = 32
 
@@ -106,6 +109,30 @@ object GraphIndex {
     * exercise and oracle-check the hierarchical path at every sf.
     */
   val HierFlatBound = 4096
+
+  /** `maxFlatEntries` pin for the NAMED oracle-checked queries whose DuckDB
+    * replay is the FLAT entry cross (`knn_graph`, `graph_tombstone`,
+    * `graph_recall_curve`, `graph_autotune`, `graph_compact`,
+    * `lake_sql_graph`'s row-identity twin, the streaming absorb walks):
+    * their CONTRACT is the flat walk — the oracle text defines the
+    * semantics — so the adaptive hierarchy must never silently switch them
+    * past [[HierFlatBound]] (the oracle compare and the
+    * knn_graph == lake_sql_graph identity would both break at the first
+    * corpus past the bound). The hierarchical path has its own named query
+    * with its own unrolled replay (`knn_graph_hier`, forced via
+    * maxFlatEntries = 0); ENGINE callers of [[search]] keep the adaptive
+    * default.
+    */
+  val FlatPinned = Long.MaxValue
+
+  /** Below this entry count a level graph is derived from EXACT all-pairs
+    * scoring among the level's nodes (≤ 2²⁰ bounded pairs) instead of
+    * 1-/2-hop reachability in the finer level — small samples (the top of
+    * the hierarchy) are too sparse for reachability to connect, and exact
+    * construction there is both cheaper and complete. Past the bound the
+    * reachability derivation takes over (O(edges), never all-pairs).
+    */
+  val LevelAllPairsBound = 1024L
 
   /** Build the kNN graph: banded sign-LSH init, then [[descentRounds]] of
     * neighbor-of-neighbor refinement. Returns `(src, dst, sim)` with
@@ -218,58 +245,95 @@ object GraphIndex {
       java.util.UUID.randomUUID().toString)
   }
 
-  /** Derive (once per build, `_l1_from` marker keyed by `_build_id`) the
-    * LEVEL-1 graph for the hierarchical entry descent: edges between
-    * ENTRY-SAMPLE nodes, proposed from the persisted level-0 graph's
-    * 1- and 2-hop reachability (a stride node's nearest stride peers are
-    * almost always within two hops of it in a converged kNN graph — no
-    * NN-Descent re-run, just two equi-joins over the edge list), rescored
-    * with the exact dot and trimmed to top-[[M]] per src. Persisted sorted
-    * by src with dst payloads, exactly like the level-0 layout, so the
-    * level-1 hops prune row groups the same way. Cost: O(edges) semi-joins
-    * once per build — never at query time; the derivation is deterministic
-    * given the edges and the entry frame, so the DuckDB oracle replays the
-    * level-1 walk over the exported `edges_l1` verbatim.
+  /** One lock object per store path — [[ensureLevel]]'s check-then-derive
+    * must not race: `recallCurve` runs several beam walks from concurrent
+    * driver Futures, and two threads concurrently `overwrite`-writing the
+    * same `edges_l*` directory can corrupt the store.
     */
-  private[graft] def ensureL1(spark: SparkSession, path: String,
-                              entries: DataFrame): DataFrame = {
-    val buildId = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$path/_build_id")).trim
-    val marker = java.nio.file.Paths.get(s"$path/_l1_from")
-    val current = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker).trim == buildId &&
-      new java.io.File(s"$path/edges_l1").exists()
-    if (!current) {
-      val ids = entries.select(col("vec_id"))
-      val edges = spark.read.parquet(s"$path/edges").select(col("src"), col("dst"))
-      val fromEntry = edges
-        .join(ids.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi")
-      val toEntry = edges
-        .join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
-      val direct = fromEntry
-        .join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-      // 2-hop: entry → any mid → entry; volume N·M²/stride² — sublinear
-      val twoHop = fromEntry.select(col("src"), col("dst").as("mid"))
-        .join(toEntry.select(col("src").as("mid"), col("dst")), "mid")
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"))
-      val scored = topK(
-        scorePairs(direct.unionByName(twoHop).distinct(), entries), M)
-      val payloaded = scored
-        .join(entries.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")), "dst")
-        .select(col("src"), col("dst"), col("sim"), col("dst_emb"))
-        .localCheckpoint()
-      val parts = math.max(1, math.min(
-        spark.sessionState.conf.numShufflePartitions,
-        (payloaded.count() / 230000L).toInt + 1))
-      payloaded
-        .repartitionByRange(parts, col("src"))
-        .sortWithinPartitions(col("src"), col("dst"))
-        .write.mode("overwrite").parquet(s"$path/edges_l1")
-      java.nio.file.Files.writeString(marker, buildId)
+  private val levelLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Cheap deterministic fingerprint of an entry frame: row count + XOR of
+    * per-id hashes. Stamped into each level's `_l{n}_from` marker alongside
+    * the `_build_id`, so a derivation cached for one entry frame is never
+    * served to a caller with a DIFFERENT frame (the absorb walk draws its
+    * entries from the store base; the serve path from the data dir).
+    */
+  private def entryFp(entries: DataFrame): String = {
+    val row = entries.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)).as("x")).collect()(0)
+    s"${row.getLong(0)}_${row.getLong(1)}"
+  }
+
+  /** Derive (once per build + entry frame, `_l{name}_from` marker keyed by
+    * `_build_id` and the entry fingerprint) one LEVEL graph of the
+    * hierarchical entry descent: edges between the level's sample nodes,
+    * proposed from the next-finer level's 1- and 2-hop reachability (a
+    * sample node's nearest sample peers are almost always within two hops
+    * of it in a converged kNN graph — no NN-Descent re-run, just two
+    * equi-joins over that edge list), rescored with the exact dot and
+    * trimmed to top-[[M]] per src. Below [[LevelAllPairsBound]] nodes the
+    * proposals are EXACT all-pairs instead (bounded ≤ 2²⁰ pairs; small
+    * top-of-hierarchy samples are too sparse for reachability to connect).
+    * Persisted sorted by src with dst payloads, exactly like the level-0
+    * layout, so the level hops prune row groups the same way. Cost:
+    * O(sourceEdges) semi-joins once per build — never at query time; the
+    * walk replays over the EXPORTED `edges_{name}` verbatim in the DuckDB
+    * oracle, so the derivation itself never needs a SQL twin.
+    */
+  private[graft] def ensureLevel(spark: SparkSession, path: String, name: String,
+                                 entries: DataFrame,
+                                 sourceEdges: DataFrame): DataFrame = {
+    val lock = levelLocks.computeIfAbsent(s"$path/$name", _ => new Object)
+    lock.synchronized {
+      val buildId = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$path/_build_id")).trim
+      val stamp = s"$buildId ${entryFp(entries)}"
+      val marker = java.nio.file.Paths.get(s"$path/_${name}_from")
+      val current = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker).trim == stamp &&
+        new java.io.File(s"$path/edges_$name").exists()
+      if (!current) {
+        val ids = entries.select(col("vec_id"))
+        val nEntries = ids.count()
+        val proposals =
+          if (nEntries <= LevelAllPairsBound) {
+            ids.withColumnRenamed("vec_id", "src")
+              .crossJoin(ids.withColumnRenamed("vec_id", "dst"))
+              .filter(col("src") =!= col("dst"))
+          } else {
+            val edges = sourceEdges.select(col("src"), col("dst"))
+            val fromEntry = edges
+              .join(ids.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi")
+            val toEntry = edges
+              .join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+            val direct = fromEntry
+              .join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+              .select(col("src"), col("dst"))
+            // 2-hop: entry → any mid → entry; volume N·M²/stride² — sublinear
+            val twoHop = fromEntry.select(col("src"), col("dst").as("mid"))
+              .join(toEntry.select(col("src").as("mid"), col("dst")), "mid")
+              .filter(col("src") =!= col("dst"))
+              .select(col("src"), col("dst"))
+            direct.unionByName(twoHop).distinct()
+          }
+        val scored = topK(scorePairs(proposals, entries), M)
+        val payloaded = scored
+          .join(entries.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")), "dst")
+          .select(col("src"), col("dst"), col("sim"), col("dst_emb"))
+          .localCheckpoint()
+        val parts = math.max(1, math.min(
+          spark.sessionState.conf.numShufflePartitions,
+          (payloaded.count() / 230000L).toInt + 1))
+        payloaded
+          .repartitionByRange(parts, col("src"))
+          .sortWithinPartitions(col("src"), col("dst"))
+          .write.mode("overwrite").parquet(s"$path/edges_$name")
+        java.nio.file.Files.writeString(marker, stamp)
+      }
+      spark.read.parquet(s"$path/edges_$name")
     }
-    spark.read.parquet(s"$path/edges_l1")
   }
 
   /** Day-2 absorb — add a batch of new vectors to an EXISTING persisted
@@ -352,9 +416,16 @@ object GraphIndex {
     // misses (the spec's ≥0.95 edge-recall floor is measured with this
     // depth), while each saved hop saves a frontier job + an edge-scan
     // job + a dedupe job per micro-batch.
+    // Flat-pinned: the insert walk's entry frame is the STORE base (not the
+    // serve path's data-dir sample), so letting it engage the hierarchy
+    // would re-derive the level graphs per micro-batch against a different
+    // fingerprint — per-batch O(edges) work for a walk whose only job is
+    // seeding. Incremental upper-level maintenance is the layered-insert
+    // extension, not a cache side effect.
     val walkF = Future(blocking(t("walk")(searchFrom(spark, path, entries,
       batch.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-      k = M, beam = 32, hops = 2, maxInlineIds = Tables.MaxInlineIds)
+      k = M, beam = 32, hops = 2, maxInlineIds = Tables.MaxInlineIds,
+      maxFlatEntries = FlatPinned)
       .select(col("qid").as("src"), col("vec_id").as("dst")).localCheckpoint())))
     val seeds = Await.result(seedsF, Duration.Inf)
     val walk = Await.result(walkF, Duration.Inf)
@@ -533,10 +604,18 @@ object GraphIndex {
         .localCheckpoint()
 
     // v0: flat below the bound (the cross is exhaustive AND cheaper there);
-    // hierarchical descent past it — cross the l1Factor× smaller coarse
-    // sample, walk the persisted level-1 graph among the stride nodes, and
-    // let the beam best of that seed the level-0 walk (HNSW's upper-layer
-    // descent, `stream1.py:117`'s structure).
+    // hierarchical descent past it — cross a geometrically smaller sample,
+    // walk the persisted level graphs downward, and let the beam best of
+    // each level seed the next (HNSW's upper-layer descent,
+    // `stream1.py:117`'s structure). The stack recurses: level 1 is the
+    // 1/l1Factor sample of the entries with edges derived from the level-0
+    // graph's reachability; level 2 is the 1/l1Factor sample OF THAT with
+    // edges derived from `edges_l1` the same way ([[ensureLevel]]) — so the
+    // entry cross (the one corpus-proportional serve term) shrinks
+    // l1Factor² ≈ 1000× and every remaining term is bounded by
+    // nq·beam·M per hop. Each level engages only past [[maxFlatEntries]]
+    // (the cross is cheaper AND exhaustive below it); `knn_graph_hier`
+    // forces 0, exercising the full three-level descent at every sf.
     val coarse =
       if (eCount > maxFlatEntries)
         eDF.filter(col("vec_id") % (entryStride.toLong * l1Factor) === 0)
@@ -545,8 +624,21 @@ object GraphIndex {
     val coarseCount = if (coarse eq eDF) eCount else coarse.count()
     var visited =
       if (eCount > maxFlatEntries && coarseCount > 0) {
-        val l1 = ensureL1(spark, path, eDF)
-        var v = entryCross(coarse, coarseCount <= maxInlineIds)
+        val l1 = ensureLevel(spark, path, "l1", eDF, edges)
+        val coarse2 =
+          if (coarseCount > maxFlatEntries)
+            coarse.filter(
+              col("vec_id") % (entryStride.toLong * l1Factor * l1Factor) === 0)
+              .localCheckpoint()
+          else coarse
+        val coarse2Count = if (coarse2 eq coarse) coarseCount else coarse2.count()
+        var v =
+          if (coarseCount > maxFlatEntries && coarse2Count > 0) {
+            val l2 = ensureLevel(spark, path, "l2", coarse, l1)
+            var v2 = entryCross(coarse2, coarse2Count <= maxInlineIds)
+            for (_ <- 1 to l1Hops) v2 = hop(l2, v2)
+            v2
+          } else entryCross(coarse, coarseCount <= maxInlineIds)
         for (_ <- 1 to l1Hops) v = hop(l1, v)
         v
       } else entryCross(eDF, eCount <= maxInlineIds)
@@ -584,16 +676,20 @@ object GraphIndex {
   def searchQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = defaultPath(dir)
     ensure(spark, dir, path)
-    search(spark, dir, path, VectorSearch.querySet(spark, dir, 5))
+    // Flat-pinned: this query's oracle replays the flat entry cross, and
+    // lake_sql_graph's row-identity contract shares it (see [[FlatPinned]]).
+    search(spark, dir, path, VectorSearch.querySet(spark, dir, 5),
+      maxFlatEntries = FlatPinned)
   }
 
   /** The named `knn_graph_hier` query: the beam walk with the hierarchical
-    * entry descent FORCED (maxFlatEntries = 0), so the two-level path —
-    * coarse cross → [[l1Hops]] hops over the persisted level-1 graph →
-    * level-0 walk — is exercised and oracle-checked at every sf, not just
-    * past [[HierFlatBound]] where the serve path engages it on its own.
-    * The DuckDB oracle replays the identical unrolled two-level walk over
-    * the exported `edges_l1` + `edges`.
+    * entry descent FORCED (maxFlatEntries = 0), so the three-level path —
+    * top cross → [[l1Hops]] hops over the persisted level-2 graph →
+    * [[l1Hops]] hops over the level-1 graph → level-0 walk — is exercised
+    * and oracle-checked at every sf, not just past [[HierFlatBound]] where
+    * the serve path engages each level on its own. The DuckDB oracle
+    * replays the identical unrolled three-level walk over the exported
+    * `edges_l2` + `edges_l1` + `edges`.
     */
   def searchHierQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = defaultPath(dir)
@@ -619,7 +715,7 @@ object GraphIndex {
     val tombstones = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 17 === 3).select(col("vec_id"))
     search(spark, dir, path, VectorSearch.querySet(spark, dir, 5),
-      tombstones = Some(tombstones))
+      tombstones = Some(tombstones), maxFlatEntries = FlatPinned)
   }
 
   /** Recall-vs-beam curve — the graph index's ef dial measured in-engine,
@@ -650,7 +746,8 @@ object GraphIndex {
     val exactF = Future(blocking(VectorSearch.knnExact(spark, dir, k, 5)
       .select(col("qid"), col("vec_id")).localCheckpoint()))
     val perF = beams.map { b =>
-      Future(blocking(search(spark, dir, path, q, k = k, beam = b)
+      Future(blocking(search(spark, dir, path, q, k = k, beam = b,
+        maxFlatEntries = FlatPinned)
         .select(lit(b.toLong).as("beam"), col("qid"), col("vec_id"))
         .localCheckpoint()))
     }
@@ -705,7 +802,8 @@ object GraphIndex {
       java.nio.file.Files.writeString(marker, s"$srcBuild $chosen")
       chosen
     }
-    search(spark, dir, path, VectorSearch.querySet(spark, dir, 5), k, beam = beam)
+    search(spark, dir, path, VectorSearch.querySet(spark, dir, 5), k, beam = beam,
+      maxFlatEntries = FlatPinned)
       .withColumn("beam", lit(beam.toLong))
   }
 
@@ -799,7 +897,7 @@ object GraphIndex {
     searchFrom(spark, cpt,
       liveVecs.filter(col("vec_id") % entryStride === 0),
       VectorSearch.querySet(spark, dir, 5), k, beam = 32, hops = 4,
-      maxInlineIds = Tables.MaxInlineIds)
+      maxInlineIds = Tables.MaxInlineIds, maxFlatEntries = FlatPinned)
       .withColumn("n_nodes", lit(nNodes))
   }
 

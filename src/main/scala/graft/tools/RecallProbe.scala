@@ -43,6 +43,12 @@ object RecallProbe {
         println(s"RECALL residual $bits-bit $sf = ${recallAt(p)}")
         graft.streaming.StreamOps.rmTree(new java.io.File(p))
       }
+      // no-rotation twin at the canonical 48 bits: isolates the OPQ
+      // rotation's contribution (identity rotation, same coarse, same bits)
+      val norotPath = path + "_norot"
+      PqStore.writeFrom(spark, norotPath, emb, coarse, rotate = false)
+      println(s"RECALL norot    48-bit $sf = ${recallAt(norotPath)}")
+      graft.streaming.StreamOps.rmTree(new java.io.File(norotPath))
       // raw-encoding baseline via a single zero coarse centroid:
       // residual = v − 0 = v, cell term = 0 — exactly the raw scheme
       val rawPath = path + "_rawprobe"

@@ -266,12 +266,61 @@ class GraphIndexSpec extends SparkSpec {
     val coarse = entries.filter($"vec_id" % (stride * GraphIndex.l1Factor) === 0)
     assert(coarse.count() > 0 && coarse.count() < entries.count(),
       "the coarse sample must be a strict, non-empty subset of the entries")
-    // derivation is keyed to the build: a fresh _build_id invalidates _l1_from
+    // third level: edges_l2 lives on the COARSE sample only, same degree bound
+    val l2 = spark.read.parquet(s"$path/edges_l2")
+    val cStride = stride * GraphIndex.l1Factor
+    assert(l2.filter($"src" % cStride =!= 0 || $"dst" % cStride =!= 0).isEmpty,
+      "level-2 edges must connect coarse-sample nodes only")
+    if (l2.count() > 0)
+      assert(l2.groupBy($"src").agg(count(lit(1)).as("d"))
+        .agg(max($"d")).as[Long].head() <= GraphIndex.M.toLong)
+    // derivation is keyed to the build AND the entry frame: the marker
+    // carries "<build_id> <count>_<xor-fingerprint>", so a different
+    // entry frame (e.g. the absorb walk's store-base sample) can never be
+    // served a derivation cached for the serve path's frame
     val marker = java.nio.file.Paths.get(s"$path/_l1_from")
     val before = java.nio.file.Files.readString(marker).trim
-    assert(before == java.nio.file.Files.readString(
+    val parts = before.split(" ")
+    assert(parts(0) == java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$path/_build_id")).trim,
       "_l1_from must record the build it derives from")
+    assert(parts.length == 2 && parts(1).contains("_"),
+      s"_l1_from must carry the entry-frame fingerprint, got '$before'")
+  }
+
+  test("level derivation: concurrent searches share one derivation; a different entry frame re-derives") {
+    import scala.concurrent.{blocking, Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val q = VectorSearch.querySet(spark, sfDir, 5)
+    path // force build
+    // burn any cached derivation so the concurrent searches race the derive
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$path/_l1_from"))
+    val legs = (1 to 4).map { _ =>
+      Future(blocking(GraphIndex.search(spark, sfDir, path, q,
+        maxFlatEntries = 0L).collect().length))
+    }
+    val ns = legs.map(Await.result(_, Duration.Inf))
+    assert(ns.toSet.size == 1 && ns.head > 0,
+      s"concurrent hier searches must agree, got $ns")
+    val stamp1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/_l1_from")).trim
+    // a HALVED entry frame is a different fingerprint: the derivation must
+    // not serve the cached edges_l1, and the marker must change
+    val halfEntries = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" % (GraphIndex.entryStride * 2) === 0)
+      .select($"vec_id", $"embedding")
+    val l1Half = GraphIndex.ensureLevel(spark, path, "l1", halfEntries,
+      spark.read.parquet(s"$path/edges"))
+    val halfStride = GraphIndex.entryStride.toLong * 2
+    assert(l1Half.filter($"src" % halfStride =!= 0).isEmpty,
+      "re-derived level graph must live on the new entry frame")
+    val stamp2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/_l1_from")).trim
+    assert(stamp2 != stamp1, "a different entry frame must re-stamp the marker")
+    // restore the canonical derivation for later tests / the named queries
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$path/_l1_from"))
+    GraphIndex.search(spark, sfDir, path, q, maxFlatEntries = 0L).collect()
   }
 
   test("degree stats query matches a recount of the persisted edges") {

@@ -75,7 +75,8 @@ class PqStoreSpec extends SparkSpec {
       // rebuild-encode for the batch, with the corpus never re-read
       val books = spark.read.parquet(s"$p/codebooks")
       val coarse = spark.read.parquet(s"$p/coarse")
-      val expect = PqStore.encode(emb, books, coarse)
+      val rotation = spark.read.parquet(s"$p/rotation")
+      val expect = PqStore.encode(emb, books, coarse, rotation)
         .select($"vec_id".as[Long], $"sub".as[Int], $"code".as[Int], $"cell_id".as[Int])
         .collect().toSet
       val got = spark.read.parquet(s"$p/codes")
@@ -129,10 +130,22 @@ class PqStoreSpec extends SparkSpec {
     val qs = Tables.embeddings(spark, sfDir).filter($"vec_id" < 3)
       .select($"vec_id", $"embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // the OPQ rotation the residual LUT is computed under: rotated query
+    // element i = float-narrowed dot(q, float-narrowed row i) — the same
+    // arithmetic the engine and the DuckDB oracle share
+    val rot = spark.read.parquet(s"$path/rotation").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    def rotate(q: Array[Float]): Array[Float] = Array.tabulate(q.length) { i =>
+      val row = rot(i)
+      var acc = 0.0; var j = 0
+      while (j < q.length) { acc += q(j).toDouble * row(j).toFloat.toDouble; j += 1 }
+      acc.toFloat
+    }
     val d = 64 / PqStore.M
     hits.foreach { h =>
       val (qid, vid, adc) = (h.getLong(0), h.getLong(1), h.getLong(3))
       val q = qs(qid)
+      val qr = rotate(q)
       val (cell, subCodes) = codes(vid)
       val cellCent = coarse(cell)
       var cacc = 0.0
@@ -140,10 +153,77 @@ class PqStoreSpec extends SparkSpec {
       val expect = math.floor(cacc * 1e6).toLong + (0 until PqStore.M).map { s =>
         val cent = books((s, subCodes(s)))
         var acc = 0.0; var i = 0
-        while (i < d) { acc += q(s * d + i).toDouble * cent(i).toFloat.toDouble; i += 1 }
+        while (i < d) { acc += qr(s * d + i).toDouble * cent(i).toFloat.toDouble; i += 1 }
         math.floor(acc * 1e6).toLong
       }.sum
       assert(adc == expect, s"ADC mismatch for ($qid, $vid)")
+    }
+  }
+
+  test("OPQ rotation: orthogonal, deterministic, and balanced by eigenvalue allocation") {
+    PqStore.ensure(spark, sfDir, path)
+    val r = spark.read.parquet(s"$path/rotation").collect()
+      .map(x => x.getInt(0) -> x.getSeq[Double](1).toArray).toMap
+    val dim = 64
+    assert(r.size == dim && r.values.forall(_.length == dim))
+    // R · Rᵀ = I: the ADC identity dot(q, res) = dot(R·q, R·res) holds only
+    // for an orthogonal R
+    for (i <- 0 until dim; j <- i until dim) {
+      var acc = 0.0
+      var k = 0
+      while (k < dim) { acc += r(i)(k) * r(j)(k); k += 1 }
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(acc - expect) < 1e-9,
+        s"R·Rᵀ[$i][$j] = $acc, expected $expect")
+    }
+    // the measured selection recorded its choice — and on this corpus's
+    // near-independent synthetic coordinates the identity is the HONEST
+    // winner (rotation measured 0.47 vs 0.55 recall@5 at sf0.01); the
+    // correlated-fixture test below proves a real rotation wins when the
+    // data calls for one
+    val kind = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/_rotation_kind")).trim
+    assert(Set("identity", "perm", "pca")(kind), s"unknown rotation kind $kind")
+  }
+
+  test("rotation selection: imbalanced variance picks a non-identity rotation that lowers quantization error") {
+    // 8 loud coordinates that the identity split would dump into ONE
+    // subspace; OPQ's allocation spreads them one per subspace — the
+    // textbook win case, deterministic by seed. End-to-end through
+    // writeFrom so the RECALL-based selection itself is under test.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 400).map { i =>
+      (i.toLong,
+        Array.tabulate(64)(j =>
+          (rnd.nextGaussian() * (if (j < 8) 4.0 else 0.05)).toFloat).toSeq)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>"))
+    val zero = spark.range(1).select(lit(0).cast("int").as("cell_id"),
+      lit((0 until 64).map(_ => 0.0).toArray).as("centroid"))
+    val p = path + "_imb"
+    try {
+      PqStore.writeFrom(spark, p, vecs, zero)
+      val kind = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$p/_rotation_kind")).trim
+      assert(kind != "identity",
+        s"imbalanced dims must select a rotation, got $kind")
+      // and the chosen basis lowers the quantization error too
+      val res = vecs.select($"vec_id", lit(0).as("cell_id"),
+        $"embedding".as("residual"))
+      val cands = PqStore.rotationCandidates(res, 64).toMap
+      val idErr = PqStore.quantError(res, PqStore.trainFrom(res, 64, PqStore.NCodes))
+      val rotRes = PqStore.rotateResiduals(res, cands(kind))
+      val rotErr = PqStore.quantError(rotRes,
+        PqStore.trainFrom(rotRes, 64, PqStore.NCodes))
+      assert(rotErr < idErr,
+        s"selected rotation error $rotErr must beat identity $idErr")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(p))
     }
   }
 
@@ -264,6 +344,89 @@ class PqStoreSpec extends SparkSpec {
       }
       rm(new java.io.File(rawPath))
     }
+  }
+
+  test("maintenance: same-distribution batch absorbs with codebooks bit-identical; forced retrain re-trains and re-encodes") {
+    val out = PqStore.maintainQuery(spark, sfDir).collect()
+    assert(out.length == PqStore.M, "one census row per subspace")
+    // even vs odd halves of the same table: same distribution → absorb
+    assert(out.forall(_.getAs[String]("decision") == "absorb"),
+      s"same-distribution batch must absorb, got ${out.map(_.getAs[String]("decision")).toSet}")
+    assert(out.forall(r => r.getAs[Long]("tv_micro") < r.getAs[Long]("threshold_micro")))
+    val half = PqStore.corpusHalfPath(sfDir)
+    val maint = PqStore.defaultPath(sfDir) + "_maint"
+    val halfBooks = spark.read.parquet(s"$half/codebooks")
+      .orderBy($"sub", $"code").collect().map(_.toString).toSeq
+    val maintBooks = spark.read.parquet(s"$maint/codebooks")
+      .orderBy($"sub", $"code").collect().map(_.toString).toSeq
+    assert(halfBooks == maintBooks,
+      "absorb branch must keep the codebooks bit-identical")
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.head.getAs[Long]("codes_after") == n * PqStore.M,
+      "post-action store serves every vector's codes")
+    // forced retrain: fresh codebooks over the union corpus, all re-encoded
+    val rb = PqStore.maintain(spark, sfDir, "retrain")
+    try {
+      val rbBooks = spark.read.parquet(s"$rb/codebooks")
+        .orderBy($"sub", $"code").collect().map(_.toString).toSeq
+      assert(rbBooks != halfBooks, "retrain must re-train the codebooks")
+      assert(spark.read.parquet(s"$rb/codes").count() == n * PqStore.M,
+        "retrain must re-encode the whole union corpus")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(rb))
+    }
+  }
+
+  test("maintenance: a shifted batch crosses tau and the decision flips to retrain") {
+    // tmp dir: even rows = the real corpus (trains the half store), odd
+    // rows = one repeated point-mass vector — its codes concentrate on a
+    // single (sub, code) per subspace, TV → 1 − p_build ≈ 10⁶, above τ at
+    // any batch size (the cap in τ exists exactly for this)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqdrift").toString
+    try {
+      val e = Tables.embeddings(spark, sfDir)
+      val shifted = e.filter($"vec_id" % 2 === 1)
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(0.125 AS FLOAT))").as("embedding"),
+          $"label")
+      e.filter($"vec_id" % 2 === 0).select($"vec_id", $"embedding", $"label")
+        .unionByName(shifted)
+        .coalesce(1).write.parquet(s"$tmp/embeddings.parquet")
+      val out = PqStore.maintainQuery(spark, tmp).collect()
+      assert(out.forall(_.getAs[String]("decision") == "retrain"),
+        s"point-mass batch must retrain, tv=${out.map(_.getAs[Long]("tv_micro")).toSeq}")
+      assert(out.exists(r => r.getAs[Long]("tv_micro") >= r.getAs[Long]("threshold_micro")))
+    } finally {
+      graft.streaming.StreamOps.rmTree(new java.io.File(tmp))
+      graft.streaming.StreamOps.rmTree(
+        new java.io.File(PqStore.corpusHalfPath(tmp)))
+      graft.streaming.StreamOps.rmTree(
+        new java.io.File(graft.sources.IndexStore.corpusHalfPath(tmp)))
+      graft.streaming.StreamOps.rmTree(
+        new java.io.File(PqStore.defaultPath(tmp) + "_maint"))
+      graft.streaming.StreamOps.rmTree(
+        new java.io.File(PqStore.defaultPath(tmp) + "_maint_rb"))
+    }
+  }
+
+  test("layout compaction: fragmented absorb cells compact to the file target with rows conserved") {
+    val out = PqStore.layoutCompactQuery(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_files") <= 1L),
+      s"every cell must compact to the target, got ${out.map(_.getAs[Long]("n_files")).max}")
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == n * PqStore.M,
+      "compaction must conserve every code row")
+    assert(out.head.getAs[Long]("corpus_codes") == n * PqStore.M)
+    // and the compacted store still serves: ADC search returns full ranks
+    val work = PqStore.defaultPath(sfDir) + "_plc"
+    val hits = PqStore.search(spark, work,
+      graft.operators.VectorSearch.querySet(spark, sfDir, 3), 3)
+    assert(hits.count() == 9)
   }
 
   test("refine: exact re-rank of the PQ shortlist, bit-identical sims, recall >= PQ") {
