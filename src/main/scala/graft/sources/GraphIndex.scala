@@ -336,6 +336,93 @@ object GraphIndex {
     }
   }
 
+  /** Layered INSERT — HNSW's level assignment, batched (the reference's
+    * HNSW inserts each node at a geometrically-sampled level,
+    * `Milvus/stream1.py:117`; here the "coin" is already deterministic:
+    * level-n membership is vec_id % (entryStride·l1Factor^(n−1)) = 0).
+    * [[absorb]] links new nodes into level 0; without this step the
+    * persisted upper-level graphs would stale out under streaming absorb —
+    * qualifying arrivals would route searches but never appear in
+    * `edges_l1`/`edges_l2`, and the next hier serve would pay a full
+    * re-derivation against the changed build id. Instead, for each level
+    * graph that EXISTS (never derived ⇒ nothing to maintain — it stays
+    * lazy), qualifying new nodes link in incrementally: proposals from the
+    * all-pairs cross below [[LevelAllPairsBound]] (bounded ≤ 2²⁰) or the
+    * finer level's reachability restricted to the new nodes past it, then
+    * the same bidirectional [[relink]] top-M re-rank absorb itself uses —
+    * batch-proportional, untouched srcs pass through byte-identical. The
+    * `_l{n}_from` marker is re-stamped with the fresh build id + the UNION
+    * frame's fingerprint, so the next hierarchical serve over this store
+    * hits the cache instead of re-deriving (spec-pinned). Upper levels are
+    * maintained by insertion, not re-derived from the relinked level 0 —
+    * exactly HNSW's contract (upper layers only route; their recall floor
+    * is spec-measured).
+    */
+  private[graft] def maintainLevels(spark: SparkSession, path: String,
+                                    all: DataFrame, newIds: DataFrame): Unit = {
+    val buildId = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/_build_id")).trim
+    val levels = Seq(("l1", entryStride.toLong, s"$path/edges"),
+      ("l2", entryStride.toLong * l1Factor, s"$path/edges_l1"))
+    levels.foreach { case (name, stride, finerPath) =>
+      if (new java.io.File(s"$path/edges_$name").exists()) {
+        val lock = levelLocks.computeIfAbsent(s"$path/$name", _ => new Object)
+        lock.synchronized {
+          val entries = all.filter(col("vec_id") % stride === 0)
+            .select(col("vec_id"), col("embedding")).localCheckpoint()
+          val stamp = s"$buildId ${entryFp(entries)}"
+          val marker = java.nio.file.Paths.get(s"$path/_${name}_from")
+          val newLevel = entries.join(newIds.select(col("vec_id")),
+            Seq("vec_id"), "left_semi").localCheckpoint()
+          if (!newLevel.isEmpty) {
+            val old = spark.read.parquet(s"$path/edges_$name")
+              .select(col("src"), col("dst"), col("sim"))
+            val nEntries = entries.count()
+            val proposals =
+              if (nEntries <= LevelAllPairsBound)
+                newLevel.select(col("vec_id").as("src"))
+                  .crossJoin(entries.select(col("vec_id").as("dst")))
+                  .filter(col("src") =!= col("dst"))
+              else {
+                val fine = spark.read.parquet(finerPath)
+                  .select(col("src"), col("dst"))
+                val ids = entries.select(col("vec_id"))
+                val fromNew = fine.join(
+                  newLevel.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+                val toEntry = fine.join(
+                  ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+                val direct = fromNew
+                  .join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+                  .select(col("src"), col("dst"))
+                val twoHop = fromNew.select(col("src"), col("dst").as("mid"))
+                  .join(toEntry.select(col("src").as("mid"), col("dst")), "mid")
+                  .filter(col("src") =!= col("dst"))
+                  .select(col("src"), col("dst"))
+                direct.unionByName(twoHop).distinct()
+              }
+            val rev = proposals.select(col("dst").as("src"), col("src").as("dst"))
+            val linked = relink(old, proposals.unionByName(rev).distinct(), entries)
+            val payloaded = linked
+              .join(entries.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")), "dst")
+              .select(col("src"), col("dst"), col("sim"), col("dst_emb"))
+              .localCheckpoint()
+            val parts = math.max(1, math.min(
+              spark.sessionState.conf.numShufflePartitions,
+              (payloaded.count() / 230000L).toInt + 1))
+            payloaded
+              .repartitionByRange(parts, col("src"))
+              .sortWithinPartitions(col("src"), col("dst"))
+              .write.mode("overwrite").parquet(s"$path/edges_$name")
+          }
+          // marker carries the fresh build id + union-frame fingerprint
+          // either way: a batch with no qualifying nodes leaves the level
+          // graph bit-identical AND still current for the new build
+          java.nio.file.Files.writeString(marker, stamp)
+        }
+      }
+    }
+  }
+
   /** Day-2 absorb — add a batch of new vectors to an EXISTING persisted
     * graph without a full NN-Descent rebuild, completing the index
     * lifecycle symmetry with [[IndexStore.absorb]] (the vector half) and
@@ -476,6 +563,10 @@ object GraphIndex {
       edges = t("round")(relink(edges, prop, all))
     }
     t("writeEdges")(writeEdges(edges, all, path))
+    // HNSW's layered insert: keep any EXISTING upper-level graphs current
+    // (qualifying new nodes link in; markers re-stamp to the fresh build).
+    // Free when no level graph was ever derived — two existence checks.
+    t("levels")(maintainLevels(spark, path, all, newIds))
   }
 
   /** Fold a proposal set into an edge list: every proposed src re-ranks its

@@ -323,6 +323,54 @@ class GraphIndexSpec extends SparkSpec {
     GraphIndex.search(spark, sfDir, path, q, maxFlatEntries = 0L).collect()
   }
 
+  test("layered insert: absorbed nodes join the upper levels they qualify for, no re-derivation") {
+    val p = GraphIndex.defaultPath(sfDir) + "_lins"
+    try {
+      val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+      val even = emb.filter($"vec_id" % 2 === 0)
+      val odd = emb.filter($"vec_id" % 2 === 1)
+      GraphIndex.writeEdges(GraphIndex.buildFrom(even), even, p)
+      val stride = GraphIndex.entryStride.toLong
+      val q = even.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      // derive the level graphs for the day-1 (even) frame
+      GraphIndex.searchFrom(spark, p,
+        even.filter($"vec_id" % stride === 0), q,
+        k = 3, beam = 16, hops = 2, maxInlineIds = Tables.MaxInlineIds,
+        maxFlatEntries = 0L).collect()
+      assert(new java.io.File(s"$p/edges_l1").exists())
+      GraphIndex.absorb(spark, p, even, odd)
+      // membership invariant: every absorbed node whose id qualifies for
+      // level 1 is now a src in edges_l1, endpoints stay sample-only,
+      // degree stays bounded
+      val qualifying = odd.filter($"vec_id" % stride === 0)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(qualifying.nonEmpty, "fixture must have a qualifying odd node")
+      val l1 = spark.read.parquet(s"$p/edges_l1")
+      val srcs = l1.select($"src").distinct().as[Long].collect().toSet
+      assert(qualifying.subsetOf(srcs),
+        s"qualifying absorbed nodes ${qualifying -- srcs} missing from edges_l1")
+      assert(l1.filter($"src" % stride =!= 0 || $"dst" % stride =!= 0).isEmpty)
+      assert(l1.groupBy($"src").agg(count(lit(1)).as("d"))
+        .agg(max($"d")).as[Long].head() <= GraphIndex.M.toLong)
+      // the maintained marker is CURRENT for the union frame + new build:
+      // a hierarchical serve over the absorbed store must hit the cache,
+      // not re-derive
+      val stampBefore = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$p/_l1_from")).trim
+      assert(stampBefore.startsWith(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$p/_build_id")).trim))
+      GraphIndex.searchFrom(spark, p,
+        emb.filter($"vec_id" % stride === 0), q,
+        k = 3, beam = 16, hops = 2, maxInlineIds = Tables.MaxInlineIds,
+        maxFlatEntries = 0L).collect()
+      val stampAfter = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$p/_l1_from")).trim
+      assert(stampAfter == stampBefore,
+        "post-absorb hier serve must reuse the maintained level graph")
+    } finally graft.streaming.StreamOps.rmTree(new java.io.File(p))
+  }
+
   test("degree stats query matches a recount of the persisted edges") {
     val out = GraphIndex.degreeStats(spark, sfDir)
       .as[(Long, Long)].collect().toMap
