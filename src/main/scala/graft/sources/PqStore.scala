@@ -51,16 +51,21 @@ object PqStore {
   /** Subspace count and codes per subspace. dim 64 → 8 subspaces × 8 dims,
     * 64 codes each ⇒ 48-bit codes: ~42× compression of the 256-byte float32
     * embedding. Recall-vs-bits, measured (`graft.tools.RecallProbe`,
-    * recall@5 over 20 queries; 16/32/48-bit = nCodes 4/16/64):
+    * recall@5 over 20 queries; 16/32/48-bit = nCodes 4/16/64; r16 numbers,
+    * every store built through the measured rotation selection):
     *
-    *   residual: 0.34 / 0.36 / 0.55 at sf0.01 — 0.21 / 0.30 / 0.39 at sf0.1
-    *   raw 48-bit baseline:   0.32 at sf0.01 — 0.26 at sf0.1
+    *   residual: 0.33 / 0.36 / 0.55 at sf0.01 — 0.20 / 0.30 / 0.39 at sf0.1
+    *   raw 48-bit baseline:   0.42 at sf0.01 — 0.26 at sf0.1
     *
     * Synthetic near-uniform embeddings are PQ's hardest case; residual
-    * encoding beats the raw scheme at EVERY bit budget (16-bit residual
-    * already matches 48-bit raw at sf0.01 — the exact coarse term carries
-    * it), and the exact re-rank path ([[searchRefined]]) recovers the rest
-    * where serving needs it.
+    * encoding beats the raw scheme at EVERY bit budget, and the exact
+    * re-rank path ([[searchRefined]]) recovers the rest where serving
+    * needs it. The rotation selection's two measured facts: on the
+    * RESIDUAL store the identity wins (coarse subtraction already
+    * whitened the structure; forcing PCA-permutation read 0.47 < 0.55 at
+    * sf0.01), while on the RAW twin — no coarse quantizer to absorb the
+    * structure — the selected rotation lifts 0.32 → 0.42 at sf0.01,
+    * OPQ's textbook case appearing exactly where theory says it should.
     */
   val M = 8
   val NCodes = 64
@@ -862,8 +867,10 @@ object PqStore {
     val books = spark.read.parquet(s"$half/codebooks")
     val coarse = spark.read.parquet(s"$half/coarse")
     val rotation = spark.read.parquet(s"$half/rotation")
-    // what absorb WOULD store for this batch — m·k-bounded usage per sub
-    val batchCodes = encode(incoming, books, coarse, rotation)
+    // what absorb WOULD store for this batch — m·k-bounded usage per sub;
+    // checkpointed because the absorb branch appends EXACTLY these rows
+    // (one encode pass serves both the census and the action)
+    val batchCodes = encode(incoming, books, coarse, rotation).localCheckpoint()
     val buildCodes = spark.read.parquet(s"$half/codes")
     def usage(codes: DataFrame, name: String): DataFrame = {
       val counts = codes.groupBy(col("sub"), col("code"))
@@ -894,7 +901,28 @@ object PqStore {
       case r => r.getLong(0)
     }
     val decision = if (maxTv >= tau) "retrain" else "absorb"
-    val servingPath = maintain(spark, dir, decision)
+    // The ACTION is a pure function of (half store, source, decision), so
+    // a completed maintenance store is reused across executions (the
+    // stream-absorb `_stream_complete` convention): re-executions pay the
+    // census — the query's actual semantics, measuring drift — plus a
+    // marker check and the audit count, never a re-clone + re-absorb.
+    val maintPath = defaultPath(dir) + "_maint"
+    val gen = graft.streaming.StreamOps.storeGeneration(half) + s" decision=$decision"
+    val marker = java.nio.file.Paths.get(s"$maintPath/_maint_from")
+    val servingPath = if (decision == "absorb") maintPath else maintPath + "_rb"
+    val current = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker).trim == gen &&
+      new java.io.File(s"$servingPath/codes").exists()
+    if (!current) {
+      IndexStore.cloneStore(half, maintPath)
+      batchCodes.write.mode("append").partitionBy("cell_id")
+        .parquet(s"$maintPath/codes")
+      if (decision == "retrain")
+        writeFrom(spark, servingPath,
+          Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+          spark.read.parquet(s"$maintPath/coarse"))
+      java.nio.file.Files.writeString(marker, gen)
+    }
     val codesAfter = spark.read.parquet(s"$servingPath/codes").count()
     tv.select(col("sub").cast("long").as("sub"), col("tv_micro"))
       .withColumn("decision", lit(decision))

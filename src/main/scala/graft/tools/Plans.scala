@@ -22,6 +22,8 @@ object Plans {
 
     val picks = Seq(
       "knn_exact" -> "exact kNN: broadcast query batch, codegen dot, WindowGroupLimit top-k",
+      "pq_maintain" -> "drift-decided PQ maintenance (r16): map-side broadcast-codebook encode of the incoming batch (one pass serves census AND absorb), m·k-bounded usage aggregates, ≤m-row TV report — batch bytes never shuffle; the acted-on store is reused per (half generation, decision)",
+      "pq_layout_compact" -> "small-files hygiene on the absorb append path (r16): files-per-cell audit from parquet filenames, needy cells rewritten via dynamic partition overwrite (untouched cells keep their bytes); timed path is the metadata-scale audit",
       "knn_exact_phys" -> "exact kNN through the custom KnnJoinExec (bounded heaps, winners-only shuffle)",
       "knn_ivf" -> "probed IVF search over the PERSISTED clustered index — static PartitionFilters INSET on cell_id prunes unprobed cells' files",
       "q3_shipping" -> "fact-fact shuffle join + broadcast dim + TakeOrderedAndProject",

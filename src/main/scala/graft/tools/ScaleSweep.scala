@@ -105,7 +105,11 @@ object ScaleSweep {
     // directive 6), the fixed SQL ADC route, and the forced two-level
     // entry walk (its flat twin knn_graph already has a row)
     "graph_compact", "graph_recall_curve", "graph_autotune",
-    "lake_sql_pq", "knn_graph_hier")
+    "lake_sql_pq", "knn_graph_hier",
+    // r16: drift-decided PQ maintenance and the small-files compaction —
+    // both absorb corpus-proportional batches, so the decade slope is the
+    // scale claim; knn_graph_hier re-swept on the three-level walk
+    "pq_maintain", "pq_layout_compact")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
