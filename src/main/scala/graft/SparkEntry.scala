@@ -100,9 +100,10 @@ object SparkEntry {
     // census TV per subspace decides absorb vs retrain; the decision and
     // the acted-on store's conservation census are the result.
     "pq_maintain" -> ((s, d) => graft.sources.PqStore.maintainQuery(s, d)),
-    // Small-files hygiene on the absorb append path: fragment, audit
+    // Small-files hygiene on the absorb append paths: fragment, audit
     // files-per-cell, compact cells above target, return the audit.
     "pq_layout_compact" -> ((s, d) => graft.sources.PqStore.layoutCompactQuery(s, d)),
+    "ivf_layout_compact" -> ((s, d) => graft.sources.IndexStore.layoutCompactQuery(s, d)),
     "knn_doc_join" -> ((s, d) => VectorSearch.knnDocJoin(s, d)),
     "vec_normalize" -> ((s, d) => VectorSearch.normalizeQuery(s, d)),
     "vec_quantize" -> ((s, d) => Quantize.quantizeQuery(s, d)),
@@ -1891,6 +1892,15 @@ object SparkEntry {
          |      FROM c GROUP BY 1)
          |SELECT cell_id, n_files, n_rows, n_rows // n_files AS rows_per_file,
          |       (SELECT CAST(count(*) * 8 AS BIGINT) FROM embeddings) AS corpus_codes
+         |FROM a ORDER BY cell_id""".stripMargin,
+    "ivf_layout_compact" ->
+      s"""WITH c AS (SELECT CAST(cell_id AS BIGINT) AS cell_id, filename
+         |           FROM read_parquet('${ivfStorePath}_plc/rows/*/*.parquet', hive_partitioning=1, filename=1)),
+         |a AS (SELECT cell_id, CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+         |             CAST(count(*) AS BIGINT) AS n_rows
+         |      FROM c GROUP BY 1)
+         |SELECT cell_id, n_files, n_rows, n_rows // n_files AS rows_per_file,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS corpus_rows
          |FROM a ORDER BY cell_id""".stripMargin,
     // Streaming absorb into the PQ store: ADC replay over the EXPORTED
     // post-stream working store (even half ∪ absorbed odd rows), queried

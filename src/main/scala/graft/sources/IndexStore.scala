@@ -65,6 +65,60 @@ object IndexStore {
     stampBuildId(path)
   }
 
+  /** Small-files hygiene for the IVF absorb append path — the exact twin
+    * of `PqStore.layoutCompactQuery` pointed at `rows/cell_id=*` (each
+    * per-batch [[absorb]] appends a file per touched cell; the audit is
+    * the measured decision input the compaction was missing): fragment a
+    * working clone with three deterministic absorb chunks, rewrite every
+    * cell above `targetFiles` via dynamic partition overwrite, and return
+    * the post-compaction files-per-cell audit plus a source-recomputed
+    * conservation column. Build-once per half-store generation;
+    * re-executions pay the audit scan only.
+    */
+  def layoutCompactQuery(spark: SparkSession, dir: String,
+                         targetFiles: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val half = ensureCorpusHalf(spark, dir)
+    val work = defaultPath(dir) + "_plc"
+    val gen = graft.streaming.StreamOps.storeGeneration(half)
+    val marker = java.nio.file.Paths.get(s"$work/_built_from")
+    val current = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker).trim == gen &&
+      new java.io.File(s"$work/rows").exists()
+    if (!current) {
+      cloneStore(half, work)
+      val odd = Tables.embeddings(spark, dir).filter(col("vec_id") % 2 === 1)
+      (0 until 3).foreach { i =>
+        absorb(spark, work, odd.filter((col("vec_id") / 2).cast("long") % 3 === i))
+      }
+      val needy = spark.read.parquet(s"$work/rows")
+        .select(col("cell_id"), input_file_name().as("f"))
+        .groupBy(col("cell_id"))
+        .agg(countDistinct(col("f")).as("n_files"))
+        .filter(col("n_files") > targetFiles)
+        .select(col("cell_id")).collect().map(_.get(0)) // ≤ nlist rows
+      if (needy.nonEmpty) {
+        spark.read.parquet(s"$work/rows")
+          .filter(col("cell_id").isin(needy.toIndexedSeq: _*))
+          .repartition(needy.length, col("cell_id"))
+          .localCheckpoint()
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell_id")
+          .parquet(s"$work/rows")
+      }
+      java.nio.file.Files.writeString(marker, gen)
+    }
+    val corpusRows = Tables.embeddings(spark, dir).count()
+    spark.read.parquet(s"$work/rows")
+      .select(col("cell_id").cast("long").as("cell_id"), input_file_name().as("f"))
+      .groupBy(col("cell_id"))
+      .agg(countDistinct(col("f")).as("n_files"), count(lit(1)).as("n_rows"))
+      .withColumn("rows_per_file", expr("n_rows DIV n_files"))
+      .withColumn("corpus_rows", lit(corpusRows))
+      .orderBy(col("cell_id"))
+  }
+
   /** Drift-DRIVEN day-2 maintenance — the consumer of the
     * [[centroidDrift]] monitor: measure, decide, act. The decision rule a
     * serving cluster runs nightly is `absorb` while the index still

@@ -346,16 +346,18 @@ object PqStore {
   /** Rotate the QUERY side with the exact-replay arithmetic the oracle
     * mirrors: rotated[i] = dot(qvec, float-narrowed R row i) via the same
     * codegen dot kernel DuckDB's `dotCentroidSql` replicates, narrowed to
-    * float — 64 bounded products per query, assembled in i-order. Returns
-    * `(qid, rqvec)`.
+    * float. The rotation is a 64-row CONSTANT (bounded driver metadata,
+    * the codebook-collect contract), so the rotated query is a pure
+    * MAP-SIDE literal projection — 64 inlined dot kernels in one
+    * `array(...)` select, no join, no shuffle, no extra stage on the
+    * serve path. Returns `(qid, rqvec)`.
     */
-  private def rotatedQueries(queries: DataFrame, rot: DataFrame): DataFrame =
-    queries.crossJoin(broadcast(rot))
-      .select(col("qid"), col("i"),
-        dot(col("qvec"), col("row").cast("array<float>")).cast("float").as("x"))
-      .groupBy(col("qid"))
-      .agg(expr("transform(array_sort(collect_list(struct(i, x))), s -> s.x)")
-        .as("rqvec"))
+  private def rotatedQueries(queries: DataFrame, rot: DataFrame): DataFrame = {
+    val rows: Array[Array[Float]] = rot.orderBy(col("i")).collect()
+      .map(_.getSeq[Double](1).map(_.toFloat).toArray)
+    val elems = rows.map(row => dot(col("qvec"), lit(row)).cast("float"))
+    queries.select(col("qid"), array(elems.toIndexedSeq: _*).as("rqvec"))
+  }
 
   /** Residualize a vector frame against coarse centroids, MAP-SIDE ONLY:
     * nearest-cell assignment via the broadcast-argmin UDF (the same rule

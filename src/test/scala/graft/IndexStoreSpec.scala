@@ -328,4 +328,21 @@ class IndexStoreSpec extends SparkSpec {
       assert(a == b && a.nonEmpty, "join strategy must never change the result")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("layout compaction: fragmented absorb cells compact to the file target with rows conserved") {
+    val out = IndexStore.layoutCompactQuery(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_files") <= 1L),
+      s"every cell must compact to the target, got ${out.map(_.getAs[Long]("n_files")).max}")
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == n,
+      "compaction must conserve every row")
+    assert(out.head.getAs[Long]("corpus_rows") == n)
+    // the compacted store still serves: probed search returns full ranks
+    val work = IndexStore.defaultPath(sfDir) + "_plc"
+    val q = Tables.embeddings(spark, sfDir).filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+        org.apache.spark.sql.functions.col("embedding").as("qvec"))
+    assert(IndexStore.searchPruned(spark, work, q, 3, 10).count() == 9)
+  }
 }
