@@ -87,6 +87,20 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     }
+    // GRAFT_PROFILE=1: count Spark jobs per query (fixed scheduling
+    // overhead attribution — every job is ~10-30 ms of driver round-trip
+    // at local[N] regardless of data) alongside graft.Profiling's
+    // driver-side counters; dumped to BENCH_PROFILE.json after the loop.
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong
+    if (graft.Profiling.enabled)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
+    graft.Profiling.reset()
+    val queryJobs = scala.collection.mutable.LinkedHashMap[String, Long]()
     // Sorted order: deterministic run-to-run attribution of JVM warm-up
     // and page-cache effects. Each query runs twice and reports the min —
     // the host shows ±30% noise and min-of-2 damps it for both the anchor
@@ -102,7 +116,13 @@ object Bench {
             Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
           }
         }
-        val r = (once(), once()) match {
+        val r1 = once()
+        val j0 = jobCounter.get()
+        val r2 = once()
+        // jobs of the SECOND (warm) run — steady-state job count, free of
+        // first-touch artifact builds.
+        if (graft.Profiling.enabled) queryJobs(name) = jobCounter.get() - j0
+        val r = (r1, r2) match {
           case (Right(a), Right(b)) => Right(math.min(a, b))
           case (Left(e), _) => Left(e)
           case (_, Left(e)) => Left(e)
@@ -112,6 +132,16 @@ object Bench {
         spark.catalog.clearCache()
         name -> r
       }
+    if (graft.Profiling.enabled) {
+      val perQ = results.collect { case (k, Right(v)) =>
+        s""""$k":{"sec":${f"$v%.3f"},"jobs":${queryJobs.getOrElse(k, -1L)}}"""
+      }.mkString("{", ",", "}")
+      val ctr = graft.Profiling.report().map { case (k, calls, sec) =>
+        s""""$k":{"calls":$calls,"sec":${f"$sec%.3f"}}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_PROFILE.json"),
+        (s"""{"queries":$perQ,"counters":$ctr}""" + "\n").getBytes("UTF-8"))
+    }
     val qs = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) => s"\"" + k + "\":\"" + esc(e) + "\"" }

@@ -60,6 +60,9 @@ object SparkEntry {
     // sf: top cross → level-2 walk over edges_l2 → level-1 walk over
     // edges_l1 → level-0 walk.
     "knn_graph_hier" -> ((s, d) => graft.sources.GraphIndex.searchHierQuery(s, d)),
+    // Reference-batch-scale walk (nq=400): frontier past MaxInlineIds, so
+    // the DISTRIBUTED (non-inline) hop route runs and is oracle-checked.
+    "knn_graph_batch" -> ((s, d) => graft.sources.GraphIndex.searchBatchQuery(s, d)),
     // DELETE on the graph index: walk traverses dead nodes, results
     // exclude them below the rank window (HNSW tombstoning).
     "graph_tombstone" -> ((s, d) => graft.sources.GraphIndex.searchTombstonedQuery(s, d)),
@@ -77,6 +80,9 @@ object SparkEntry {
     // SQL route to graph search: the unrolled beam walk as ONE SQL text
     // over the graph_edges/graph_vectors catalog views.
     "lake_sql_graph" -> ((s, d) => graft.sources.GraphIndex.sqlGraphQuery(s, d)),
+    // SQL route to the THREE-level hierarchical walk, forced at every sf
+    // (sqlGraphQuery's own past-HierFlatBound branch emits this text).
+    "lake_sql_graph_hier" -> ((s, d) => graft.sources.GraphIndex.sqlGraphHierQuery(s, d)),
     // SQL route to compressed ADC search: LUT cross + code join + rank
     // window as ONE SQL text over the pq_codes/pq_codebooks views.
     "lake_sql_pq" -> ((s, d) => graft.sources.PqStore.sqlPqQuery(s, d)),
@@ -1446,9 +1452,15 @@ object SparkEntry {
     // exported edges_l2, level-1 hops over edges_l1, then the level-0
     // walk — one replay, three layers.
     "knn_graph_hier" -> graphHierSearchSql(),
+    // Reference-batch-scale walk: same unrolled replay with the 400-query
+    // CTE — route-independence of the distributed frontier, oracle-pinned.
+    "knn_graph_batch" -> graphBeamSearchSql(qWhere = "vec_id < 400"),
     // The SQL-text route walks the same persisted edges with the same
     // unrolled-hop arithmetic — one oracle serves both surfaces.
     "lake_sql_graph" -> graphBeamSearchSql(),
+    // The forced-hier SQL surface is row-identical to knn_graph_hier's
+    // forced DataFrame descent — the three-level replay serves both.
+    "lake_sql_graph_hier" -> graphHierSearchSql(),
     // Tombstoned graph search: the SAME unrolled walk (dead nodes still
     // traversed), minus the tombstone set below the rank window.
     "graph_tombstone" -> graphBeamSearchSql(finalWhere = " AND vec_id % 17 <> 3"),

@@ -62,7 +62,7 @@ object Tables {
     * an existence-only `ensure` would keep probing an index built from a
     * corpus that no longer exists.
     */
-  private[graft] def dirFingerprint(dir: String): Long = {
+  private[graft] def dirFingerprint(dir: String): Long = Profiling.timed("dirFingerprint") {
     def walk(f: java.io.File): Iterator[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
       else Iterator.single(f)

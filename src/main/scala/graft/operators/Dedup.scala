@@ -496,20 +496,42 @@ object Dedup {
       s"_${numPerms}_$bands"
     if (!spark.catalog.tableExists(table)) {
       // The default in-memory catalog forgets tables across JVMs while the
-      // warehouse DIRECTORY persists, and CTAS refuses a pre-existing
-      // location — drop the stale dir first (a deployment with a real
-      // metastore never hits this: tableExists is durable there).
+      // table DIRECTORY persists — and the banding CTAS is the one non-~0
+      // warm build cost (8-10 s re-paid every fresh JVM before this
+      // branch). So the table is EXTERNAL at an explicit path, stamped
+      // with the standard `_src_fp` source-fingerprint marker, and a new
+      // JVM RE-REGISTERS the catalog entry over the existing bucketed
+      // files (schema from footers, same bucket spec — the co-located-join
+      // property survives, CrudDedupSpec pins it) instead of re-shuffling
+      // the corpus. A stale or unstamped dir (testdata regenerated, or
+      // pre-convention) is dropped and rebuilt. A deployment with a real
+      // metastore never hits any of this: tableExists is durable there.
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val uri = java.net.URI.create(wh.replace(" ", "%20"))
-      if (uri.getScheme == null || uri.getScheme == "file") {
-        val base = if (uri.getScheme == null) new java.io.File(wh)
-        else new java.io.File(uri.getPath)
-        val stale = new java.io.File(base, table.toLowerCase)
-        if (stale.exists()) graft.streaming.StreamOps.rmTree(stale)
+      val base =
+        if (uri.getScheme == null) Some(new java.io.File(wh))
+        else if (uri.getScheme == "file") Some(new java.io.File(uri.getPath))
+        else None
+      val tableDir = base.map(new java.io.File(_, table.toLowerCase))
+      val reusable = tableDir.exists(d => d.exists() &&
+        graft.sources.IndexStore.sourceFpCurrent(d.getPath, dir))
+      if (reusable) {
+        graft.sources.BucketedStore.registerKeys(
+          spark, table, Seq("band", "bk"), tableDir.get.getPath)
+      } else {
+        tableDir.filter(_.exists()).foreach(graft.streaming.StreamOps.rmTree)
+        val corpus = Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 0)
+        tableDir match {
+          case Some(d) =>
+            graft.sources.BucketedStore.writeKeysAt(
+              md5BandFrame(corpus, numPerms, bands), table, Seq("band", "bk"),
+              d.getPath)
+            graft.sources.IndexStore.stampSourceFp(d.getPath, dir)
+          case None => // non-local warehouse: managed CTAS, no reuse marker
+            graft.sources.BucketedStore.writeKeys(
+              md5BandFrame(corpus, numPerms, bands), table, Seq("band", "bk"))
+        }
       }
-      val corpus = Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 0)
-      graft.sources.BucketedStore.writeKeys(
-        md5BandFrame(corpus, numPerms, bands), table, Seq("band", "bk"))
     }
     table
   }

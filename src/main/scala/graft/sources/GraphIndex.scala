@@ -113,7 +113,10 @@ object GraphIndex {
   /** `maxFlatEntries` pin for the NAMED oracle-checked queries whose DuckDB
     * replay is the FLAT entry cross (`knn_graph`, `graph_tombstone`,
     * `graph_recall_curve`, `graph_autotune`, `graph_compact`,
-    * `lake_sql_graph`'s row-identity twin, the streaming absorb walks):
+    * `lake_sql_graph`'s row-identity twin — BELOW [[HierFlatBound]], where
+    * its flat SQL text is emitted; past the bound [[sqlGraphQuery]]
+    * switches to the hier text ([[sqlGraphHierQuery]], its own oracle) —
+    * and the streaming absorb walks):
     * their CONTRACT is the flat walk — the oracle text defines the
     * semantics — so the adaptive hierarchy must never silently switch them
     * past [[HierFlatBound]] (the oracle compare and the
@@ -254,15 +257,20 @@ object GraphIndex {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Cheap deterministic fingerprint of an entry frame: row count + XOR of
-    * per-id hashes. Stamped into each level's `_l{n}_from` marker alongside
-    * the `_build_id`, so a derivation cached for one entry frame is never
-    * served to a caller with a DIFFERENT frame (the absorb walk draws its
-    * entries from the store base; the serve path from the data dir).
+    * per-row hashes over BOTH the id and the embedding payload. Stamped
+    * into each level's `_l{n}_from` marker alongside the `_build_id`, so a
+    * derivation cached for one entry frame is never served to a caller
+    * with a DIFFERENT frame (the absorb walk draws its entries from the
+    * store base; the serve path from the data dir). Hashing the vector
+    * content, not just the id set, means two frames with identical ids but
+    * re-embedded vectors never share a stamp — the fingerprint stands on
+    * its own rather than leaning on every write path re-stamping
+    * `_build_id`.
     */
   private def entryFp(entries: DataFrame): String = {
     val row = entries.agg(
       count(lit(1)).as("n"),
-      coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)).as("x")).collect()(0)
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("x")).collect()(0)
     s"${row.getLong(0)}_${row.getLong(1)}"
   }
 
@@ -591,9 +599,11 @@ object GraphIndex {
     * the persisted graph, not be beam-searched through it).
     */
   def ensure(spark: SparkSession, dir: String, path: String): Unit =
-    if (!new java.io.File(s"$path/edges").exists() ||
-        !IndexStore.sourceFpCurrent(path, dir))
-      write(spark, dir, path)
+    graft.Profiling.timed("GraphIndex.ensure") {
+      if (!new java.io.File(s"$path/edges").exists() ||
+          !IndexStore.sourceFpCurrent(path, dir))
+        write(spark, dir, path)
+    }
 
   /** Fixed-hop beam search over the persisted graph — the deterministic
     * batch unrolling of HNSW's ef-bounded walk (`stream1.py:161-162`,
@@ -787,6 +797,27 @@ object GraphIndex {
     ensure(spark, dir, path)
     search(spark, dir, path, VectorSearch.querySet(spark, dir, 5),
       maxFlatEntries = 0L)
+  }
+
+  /** The named `knn_graph_batch` query — the beam walk at REFERENCE batch
+    * scale (the reference searches batches up to 30 000 queries,
+    * `FAISS/PlainDemo/pipeline.py:338-340`; every other graph serve query
+    * runs nq=5). nq=400 at beam 32 puts the per-hop frontier at
+    * nq·beam = 12 800 > [[Tables.MaxInlineIds]], so this query exercises
+    * the NON-inline route: the frontier stays a distributed frame and each
+    * hop equi-joins the edge table instead of collecting ids into a
+    * literal IN-list — the exact path a 30k-query production batch takes,
+    * now oracle-checked (the DuckDB replay is the same unrolled walk with
+    * the wider query CTE; row-identity is route-independent by
+    * construction, and this query pins that). Flat-pinned like the other
+    * named oracle queries — the batch dial and the hierarchy dial are
+    * orthogonal, each exercised by its own query.
+    */
+  def searchBatchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    search(spark, dir, path, VectorSearch.querySet(spark, dir, 400),
+      maxFlatEntries = FlatPinned)
   }
 
   /** The named `graph_tombstone` query — DELETE on the graph index,
@@ -1041,37 +1072,125 @@ object GraphIndex {
                     k: Int = 5, beam: Int = 32, hops: Int = 4): DataFrame = {
     val path = defaultPath(dir)
     ensure(spark, dir, path)
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_edges " +
-      s"USING parquet OPTIONS (path '$path/edges')")
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_vectors " +
-      s"USING parquet OPTIONS (path '$dir/embeddings.parquet')")
-    val qs = VectorSearch.querySet(spark, dir, 5).orderBy(col("qid")).collect()
-    val qRows = qs.map { r =>
+    // Scale branch, mirroring [[search]]'s maxFlatEntries dial: past
+    // [[HierFlatBound]] entries the SQL surface emits the HIERARCHICAL
+    // walk over the same persisted level graphs the engine default
+    // descends — a SQL user at corpus scale gets the engine's plan (v0
+    // cross nq·N/99328), not a silently corpus-proportional flat cross.
+    // Below the bound the flat text is emitted and stays row-identical to
+    // `knn_graph` (the oracle-shared contract). The count is one
+    // metadata-light job over the entry slice; the sf decade through sf1
+    // stays flat (N/97 ≤ 4096 ⇔ N ≤ ~400k), and `lake_sql_graph_hier`
+    // oracle-checks the hier text at every sf by forcing this branch.
+    val nEntries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % entryStride === 0).count()
+    if (nEntries > HierFlatBound) sqlGraphHierQuery(spark, dir, k, beam, hops)
+    else {
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_edges " +
+        s"USING parquet OPTIONS (path '$path/edges')")
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_vectors " +
+        s"USING parquet OPTIONS (path '$dir/embeddings.parquet')")
+      val hopCtes = (1 to hops).map { h =>
+        s"""f$h AS (SELECT qid, vec_id FROM (
+           |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS fr FROM v${h - 1})
+           |  WHERE fr <= $beam),
+           |n$h AS (SELECT /*+ BROADCAST(f$h) */
+           |        f$h.qid, e.dst AS vec_id, dot(q.qvec, e.dst_emb) AS sim
+           |        FROM f$h JOIN graph_edges e ON e.src = f$h.vec_id
+           |        JOIN q ON q.qid = f$h.qid),
+           |v$h AS (SELECT qid, vec_id, max(sim) AS sim
+           |        FROM (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM n$h) GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      spark.sql(
+        s"""WITH q AS (${sqlQueryRows(spark, dir)}),
+           |ent AS (SELECT vec_id, embedding FROM graph_vectors WHERE vec_id % $entryStride = 0),
+           |v0 AS (SELECT q.qid, ent.vec_id, dot(q.qvec, ent.embedding) AS sim
+           |       FROM q CROSS JOIN ent),
+           |$hopCtes
+           |SELECT qid, vec_id, rank, CAST(FLOOR(sim * 1000000.0D) AS BIGINT) AS sim_micro
+           |FROM (SELECT qid, vec_id, sim,
+           |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+           |      FROM v$hops WHERE vec_id <> qid)
+           |WHERE rank <= $k ORDER BY qid, rank""".stripMargin)
+    }
+  }
+
+  /** The nq=5 reference query batch inlined as SQL literal rows — doubles
+    * narrowed back to float bit-exactly, mirroring `lake_sql_ann`. Shared
+    * by the flat and hierarchical SQL walks.
+    */
+  private def sqlQueryRows(spark: SparkSession, dir: String): String =
+    VectorSearch.querySet(spark, dir, 5).orderBy(col("qid")).collect().map { r =>
       val vec = r.getSeq[Float](1).map(f => s"${f}D").mkString(", ")
       s"SELECT CAST(${r.getLong(0)} AS BIGINT) AS qid, " +
         s"CAST(array($vec) AS ARRAY<FLOAT>) AS qvec"
     }.mkString("\nUNION ALL\n")
-    val hopCtes = (1 to hops).map { h =>
+
+  /** The `lake_sql_graph_hier` named query — and [[sqlGraphQuery]]'s
+    * past-the-bound branch: the full THREE-level hierarchical walk as ONE
+    * SQL text over the persisted level graphs, closing the SQL-surface gap
+    * the r16 flat pinning left (past [[HierFlatBound]] a SQL user
+    * previously got a different plan than the engine default). The level
+    * graphs are [[ensureLevel]]-derived first (cache-shared with
+    * `knn_graph_hier` — same path, same entry frames, same fingerprint
+    * stamps), registered as views, and the descent unrolls as
+    * 2·[[l1Hops]] + hops chained CTEs: v0 crosses the level-2 sample
+    * (every stride·l1Factor²-th vec_id), hops 1..l1Hops expand over
+    * `edges_l2`, the next l1Hops over `edges_l1`, the rest over the
+    * level-0 edges — identical window tie-breaks and max-sim dedupe, so
+    * the result is row-identical to `knn_graph_hier`'s forced DataFrame
+    * descent and the DuckDB oracle replay is SHARED with it verbatim.
+    * Per-hop frontier CTEs carry the BROADCAST hint under the same
+    * bounded-metadata contract as the flat text.
+    */
+  def sqlGraphHierQuery(spark: SparkSession, dir: String,
+                        k: Int = 5, beam: Int = 32, hops: Int = 4): DataFrame = {
+    val path = defaultPath(dir)
+    ensure(spark, dir, path)
+    val edges = spark.read.parquet(s"$path/edges")
+    val eDF = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % entryStride === 0)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val l1 = ensureLevel(spark, path, "l1", eDF, edges)
+    val coarse = eDF
+      .filter(col("vec_id") % (entryStride.toLong * l1Factor) === 0)
+      .localCheckpoint()
+    ensureLevel(spark, path, "l2", coarse, l1)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_edges " +
+      s"USING parquet OPTIONS (path '$path/edges')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_edges_l1 " +
+      s"USING parquet OPTIONS (path '$path/edges_l1')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_edges_l2 " +
+      s"USING parquet OPTIONS (path '$path/edges_l2')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_vectors " +
+      s"USING parquet OPTIONS (path '$dir/embeddings.parquet')")
+    val coarseStride = entryStride.toLong * l1Factor * l1Factor
+    val totalHops = 2 * l1Hops + hops
+    val hopCtes = (1 to totalHops).map { h =>
+      val edgeView =
+        if (h <= l1Hops) "graph_edges_l2"
+        else if (h <= 2 * l1Hops) "graph_edges_l1"
+        else "graph_edges"
       s"""f$h AS (SELECT qid, vec_id FROM (
          |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS fr FROM v${h - 1})
          |  WHERE fr <= $beam),
          |n$h AS (SELECT /*+ BROADCAST(f$h) */
-         |        f$h.qid, e.dst AS vec_id, dot(q.qvec, e.dst_emb) AS sim
-         |        FROM f$h JOIN graph_edges e ON e.src = f$h.vec_id
+         |        f$h.qid, x.dst AS vec_id, dot(q.qvec, x.dst_emb) AS sim
+         |        FROM f$h JOIN $edgeView x ON x.src = f$h.vec_id
          |        JOIN q ON q.qid = f$h.qid),
          |v$h AS (SELECT qid, vec_id, max(sim) AS sim
          |        FROM (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM n$h) GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
     spark.sql(
-      s"""WITH q AS ($qRows),
-         |ent AS (SELECT vec_id, embedding FROM graph_vectors WHERE vec_id % $entryStride = 0),
-         |v0 AS (SELECT q.qid, ent.vec_id, dot(q.qvec, ent.embedding) AS sim
-         |       FROM q CROSS JOIN ent),
+      s"""WITH q AS (${sqlQueryRows(spark, dir)}),
+         |c AS (SELECT vec_id, embedding FROM graph_vectors WHERE vec_id % $coarseStride = 0),
+         |v0 AS (SELECT q.qid, c.vec_id, dot(q.qvec, c.embedding) AS sim
+         |       FROM q CROSS JOIN c),
          |$hopCtes
          |SELECT qid, vec_id, rank, CAST(FLOOR(sim * 1000000.0D) AS BIGINT) AS sim_micro
          |FROM (SELECT qid, vec_id, sim,
          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-         |      FROM v$hops WHERE vec_id <> qid)
+         |      FROM v$totalHops WHERE vec_id <> qid)
          |WHERE rank <= $k ORDER BY qid, rank""".stripMargin)
   }
 

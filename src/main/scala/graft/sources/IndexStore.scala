@@ -304,9 +304,11 @@ object IndexStore {
     * downstream marker comparisons work without a rebuild.
     */
   def ensure(spark: SparkSession, dir: String, path: String): Unit =
-    if (!new java.io.File(s"$path/centroids").exists() || !sourceFpCurrent(path, dir))
-      write(spark, dir, path)
-    else if (buildId(path).isEmpty) stampBuildId(path)
+    graft.Profiling.timed("IndexStore.ensure") {
+      if (!new java.io.File(s"$path/centroids").exists() || !sourceFpCurrent(path, dir))
+        write(spark, dir, path)
+      else if (buildId(path).isEmpty) stampBuildId(path)
+    }
 
   /** Probed search with STATIC partition pruning: the probed cell set is
     * tiny driver-side metadata (≤ nq·nprobe ints — the same coarse-quantizer
@@ -636,8 +638,10 @@ object IndexStore {
   def ensureSqlView(spark: SparkSession, dir: String): String = {
     val path = defaultPath(dir)
     ensure(spark, dir, path)
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_vectors " +
-      s"USING parquet OPTIONS (path '$path/rows')")
+    graft.Profiling.timed("viewDdl") {
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_vectors " +
+        s"USING parquet OPTIONS (path '$path/rows')")
+    }
     path
   }
 

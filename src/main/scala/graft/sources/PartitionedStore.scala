@@ -125,10 +125,12 @@ object PartitionedStore {
     */
   def ensureSqlViews(spark: SparkSession, dir: String): String = {
     val path = ensure(spark, dir)
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_events " +
-      s"USING parquet OPTIONS (path '$path/rows')")
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_calendar " +
-      s"USING parquet OPTIONS (path '$path/calendar')")
+    graft.Profiling.timed("viewDdl") {
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_events " +
+        s"USING parquet OPTIONS (path '$path/rows')")
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_calendar " +
+        s"USING parquet OPTIONS (path '$path/calendar')")
+    }
     path
   }
 

@@ -137,8 +137,20 @@ object PqStore {
       while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
       s
     }
+    // Convergence is RELATIVE to the matrix's Frobenius norm: the input is
+    // an unnormalized second-moment SUM whose entries scale with corpus
+    // size, so an absolute cutoff would never fire on large corpora and
+    // the loop would always run the full sweep cap (and the eigenvalue
+    // log-products would shift with scale). ~1e-14·‖A‖²_F ≈ double-ulp²
+    // slack at d=64.
+    val fro2 = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = 0; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
     var sweep = 0
-    while (sweep < 64 && off() > 1e-18) {
+    while (sweep < 64 && off() > 1e-14 * fro2) {
       var p = 0
       while (p < n) {
         var q = p + 1
@@ -262,10 +274,8 @@ object PqStore {
     Seq("identity" -> identity, "perm" -> perm, "pca" -> pca)
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete()
-  }
+  private def rmTree(f: java.io.File): Unit =
+    graft.streaming.StreamOps.rmTree(f)
 
   /** Choose the rotation by the MEASURED END METRIC, not a proxy: each
     * candidate is trained and encoded end-to-end into a scratch store and
@@ -303,21 +313,25 @@ object PqStore {
     if (nExact == 0) return candidates.head
     val scored = candidates.zipWithIndex.map { case ((kind, r), idx) =>
       val tmp = s"${path}_rotsel_$kind"
-      spark.read.parquet(s"$path/coarse")
-        .write.mode("overwrite").parquet(s"$tmp/coarse")
-      r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
-        .toDF("i", "row").repartition(1)
-        .write.mode("overwrite").parquet(s"$tmp/rotation")
-      val rotRes = rotateResiduals(res, r)
-      val books = trainFrom(rotRes, dim, nCodes).cache()
-      books.write.mode("overwrite").parquet(s"$tmp/codebooks")
-      encodeResiduals(rotRes, books)
-        .write.mode("overwrite").partitionBy("cell_id").parquet(s"$tmp/codes")
-      books.unpersist(blocking = false)
-      val hits = search(spark, tmp, qs, 5, dim).select(col("qid"), col("vec_id"))
-      val rec = hits.join(exact, Seq("qid", "vec_id"), "left_semi").count().toDouble / nExact
-      rmTree(new java.io.File(tmp))
-      (rec, -idx, kind, r)
+      // try/finally: an exception mid-candidate (train/encode/search) must
+      // not leave the `_rotsel_*` scratch store on disk next to the real
+      // store.
+      try {
+        spark.read.parquet(s"$path/coarse")
+          .write.mode("overwrite").parquet(s"$tmp/coarse")
+        r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+          .toDF("i", "row").repartition(1)
+          .write.mode("overwrite").parquet(s"$tmp/rotation")
+        val rotRes = rotateResiduals(res, r)
+        val books = trainFrom(rotRes, dim, nCodes).cache()
+        books.write.mode("overwrite").parquet(s"$tmp/codebooks")
+        encodeResiduals(rotRes, books)
+          .write.mode("overwrite").partitionBy("cell_id").parquet(s"$tmp/codes")
+        books.unpersist(blocking = false)
+        val hits = search(spark, tmp, qs, 5, dim).select(col("qid"), col("vec_id"))
+        val rec = hits.join(exact, Seq("qid", "vec_id"), "left_semi").count().toDouble / nExact
+        (rec, -idx, kind, r)
+      } finally rmTree(new java.io.File(tmp))
     }
     val best = scored.maxBy(s => (s._1, s._2))
     (best._3, best._4)
@@ -578,7 +592,10 @@ object PqStore {
     * ones); a PQ store with no recorded marker (legacy layout) rebuilds
     * once and records it.
     */
-  def ensure(spark: SparkSession, dir: String, path: String): Unit = {
+  def ensure(spark: SparkSession, dir: String, path: String): Unit =
+    graft.Profiling.timed("PqStore.ensure") { ensureImpl(spark, dir, path) }
+
+  private def ensureImpl(spark: SparkSession, dir: String, path: String): Unit = {
     val books = new java.io.File(s"$path/codebooks")
     // a store without persisted coarse centroids predates residual
     // encoding, one without a rotation + kind marker predates the
@@ -791,14 +808,16 @@ object PqStore {
     val path = defaultPath(dir)
     ensure(spark, dir, path)
     val d = dsub(dim)
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_codes " +
-      s"USING parquet OPTIONS (path '$path/codes')")
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_codebooks " +
-      s"USING parquet OPTIONS (path '$path/codebooks')")
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_coarse " +
-      s"USING parquet OPTIONS (path '$path/coarse')")
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_rotation " +
-      s"USING parquet OPTIONS (path '$path/rotation')")
+    graft.Profiling.timed("viewDdl") {
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_codes " +
+        s"USING parquet OPTIONS (path '$path/codes')")
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_codebooks " +
+        s"USING parquet OPTIONS (path '$path/codebooks')")
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_coarse " +
+        s"USING parquet OPTIONS (path '$path/coarse')")
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_rotation " +
+        s"USING parquet OPTIONS (path '$path/rotation')")
+    }
     val qs = VectorSearch.querySet(spark, dir, 5).orderBy(col("qid")).collect()
     val qRows = qs.map { r =>
       val vec = r.getSeq[Float](1).map(f => s"${f}D").mkString(", ")

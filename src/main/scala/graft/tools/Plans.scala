@@ -97,7 +97,9 @@ object Plans {
       "knn_pq_tombstone" -> "PQ-store DELETE (r14): the ADC scan and LUT join are unchanged, the tombstone anti-join sits BELOW the final rank window so k fills from live rows — look for BroadcastHashJoin LeftAnti between the ADC aggregate and the last Window",
       "pq_compact" -> "compacted PQ store (r14): plain ADC scan over the compacted codes — NO tombstone filter anywhere in the plan, the dead code rows are physically gone; codebooks broadcast as the LUT side exactly as knn_pq",
       "lake_sql_pq" -> "SQL route to compressed ADC search (r15 fix): one SQL text over the pq_codes/pq_codebooks/pq_coarse views — the BROADCAST hints now reference the CTEs UNALIASED so they BIND (r14's aliased hint silently inverted to broadcasting the corpus-sized code table); look for BroadcastHashJoin with the LUT/coarse sides under BroadcastExchange and the codes scan streamed",
-      "knn_graph_hier" -> "three-level entry descent (r15/r16): v0 crosses only the 1/(97·32²) top sample, two hops over the persisted edges_l2 coarse-node graph, two over edges_l1, then the level-0 hops — no serve term stays corpus-linear (v0 is N/99328, every hop bounded nq·beam·M); each level engages automatically past HierFlatBound entries, forced on here")
+      "knn_graph_hier" -> "three-level entry descent (r15/r16): v0 crosses only the 1/(97·32²) top sample, two hops over the persisted edges_l2 coarse-node graph, two over edges_l1, then the level-0 hops — no serve term stays corpus-linear (v0 is N/99328, every hop bounded nq·beam·M); each level engages automatically past HierFlatBound entries, forced on here",
+      "knn_graph_batch" -> "reference-batch-scale walk (r17, nq=400): nq·beam = 12 800 exceeds MaxInlineIds, so every hop's frontier stays a DISTRIBUTED frame and equi-joins the sorted edge table (no literal IN-list, no driver collect of the frontier); the returned plan is the final rank window over the eagerly-folded visited set — the hop joins themselves run inside the per-hop checkpoints",
+      "lake_sql_graph_hier" -> "SQL surface of the three-level descent (r17): the 2·l1Hops+hops chained CTEs over graph_edges_l2/graph_edges_l1/graph_edges views in ONE text, v0 crossing only the 1/(97·32²) sample; sqlGraphQuery itself emits this text past HierFlatBound entries, so the SQL route tracks the engine default at corpus scale")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

@@ -61,7 +61,10 @@ object ScaleSweep {
     "embed_maintain",
     // round-12 additions: the unigram-LM EM trainer, the cross-modal
     // composition of the two band joins, the lake changeset merge
-    "text_unigram_lm", "dedup_crossmodal", "partitioned_merge")
+    "text_unigram_lm", "dedup_crossmodal", "partitioned_merge",
+    // round-17 additions: batch-scale distributed-frontier walk and the
+    // forced-hier SQL surface
+    "knn_graph_batch", "lake_sql_graph_hier")
 
   private val SfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
@@ -109,7 +112,13 @@ object ScaleSweep {
     // r16: drift-decided PQ maintenance and the small-files compaction —
     // both absorb corpus-proportional batches, so the decade slope is the
     // scale claim; knn_graph_hier re-swept on the three-level walk
-    "pq_maintain", "pq_layout_compact")
+    "pq_maintain", "pq_layout_compact",
+    // r17: the reference-batch-scale walk (nq=400 ⇒ the DISTRIBUTED
+    // frontier route — the nq·beam term is fixed by the batch, so the
+    // decade slope isolates the route's corpus-proportional terms), and
+    // the SQL hier surface (at sf1 lake_sql_graph itself crosses
+    // HierFlatBound and emits this text — its first measured decade)
+    "knn_graph_batch", "lake_sql_graph_hier")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -152,6 +152,57 @@ class CrudDedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("band index survives a catalog wipe: re-register reuses the bucketed files, no rebuild") {
+    val table = Dedup.ensureBandIndex(spark, sfDir, 12, 4)
+    val rows0 = spark.table(table).count()
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+    val dir = new java.io.File(loc.getPath)
+    assert(dir.exists(), "external band-index dir must exist")
+    assert(dir.listFiles().exists(_.getName.startsWith("_src_fp_")),
+      "band-index dir must carry the source-fingerprint marker")
+    def fileSig() = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    val sig0 = fileSig()
+    assert(sig0.nonEmpty)
+    // Simulate a fresh JVM: the in-memory catalog forgets the entry, the
+    // files persist (the table is EXTERNAL — a bare DROP leaves data).
+    spark.sql(s"DROP TABLE $table")
+    assert(!spark.catalog.tableExists(table))
+    assert(fileSig() == sig0, "bare DROP must leave the external files intact")
+    val again = Dedup.ensureBandIndex(spark, sfDir, 12, 4)
+    assert(again == table && spark.catalog.tableExists(table))
+    assert(fileSig() == sig0,
+      "re-register must reuse the existing bucketed files byte-for-byte, not re-CTAS")
+    assert(spark.table(table).count() == rows0)
+    // The re-attached entry keeps the bucket spec — the co-located-join
+    // property (no corpus-side Exchange) must survive the JVM restart.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probes = Dedup.md5BandFrame(
+        Tables.documents(spark, sfDir).filter($"doc_id" % 10 === 0), 12, 4)
+      val joined = probes.as("q").join(spark.table(table).as("c"),
+        $"q.band" === $"c.band" && $"q.bk" === $"c.bk")
+      joined.count()
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val smj = finalPlan.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, "probe must plan as a sort-merge join\n" + finalPlan)
+      val corpusSide = Seq(smj.get.left, smj.get.right)
+        .find(_.toString.contains("Bucketed: true"))
+      assert(corpusSide.nonEmpty,
+        "re-registered scan must still be bucketed\n" + finalPlan)
+      assert(corpusSide.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "re-registered corpus side must stay Exchange-free\n" + corpusSide.get)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("md5 simhash pairs: hamming bound respected and hamming<=3 pairs are complete") {
     val sigs = Dedup.simhashMd5(Tables.documents(spark, sfDir))
       .as[(Long, Long)].collect()

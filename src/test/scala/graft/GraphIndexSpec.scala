@@ -244,6 +244,31 @@ class GraphIndexSpec extends SparkSpec {
     assert(sql == df, "lake_sql_graph must equal knn_graph row for row")
   }
 
+  test("batch-scale walk (knn_graph_batch): the distributed-frontier route engages and is route-identical") {
+    // nq=400 at beam 32 ⇒ frontier 12 800 > MaxInlineIds — searchBatchQuery
+    // MUST take the non-inline route (the 30k-query production path).
+    assert(400L * 32 > Tables.MaxInlineIds,
+      "fixture must exceed the inline bound or the test proves nothing")
+    val batch = GraphIndex.searchBatchQuery(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(batch.map(_._1).distinct.size == 400, "one result group per query")
+    // Route independence at batch scale: forcing the inline route on the
+    // same 400-query batch must produce byte-identical rows.
+    val inline = GraphIndex.search(spark, sfDir, path,
+        VectorSearch.querySet(spark, sfDir, 400),
+        maxInlineIds = Int.MaxValue, maxFlatEntries = GraphIndex.FlatPinned)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(batch == inline, "distributed and inline frontier routes must agree row for row")
+  }
+
+  test("SQL hier route (lake_sql_graph_hier): one-text three-level walk equals the forced DataFrame descent") {
+    val df = GraphIndex.searchHierQuery(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    val sql = GraphIndex.sqlGraphHierQuery(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(sql == df, "lake_sql_graph_hier must equal knn_graph_hier row for row")
+  }
+
   test("hierarchical entry: l1 edges live on the entry sample, recall holds, derivation is build-keyed") {
     val q = VectorSearch.querySet(spark, sfDir, 5)
     val exact = VectorSearch.knnExact(spark, sfDir, k = 5, nq = 5).collect()
