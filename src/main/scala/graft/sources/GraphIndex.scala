@@ -1086,10 +1086,8 @@ object GraphIndex {
       .filter(col("vec_id") % entryStride === 0).count()
     if (nEntries > HierFlatBound) sqlGraphHierQuery(spark, dir, k, beam, hops)
     else {
-      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_edges " +
-        s"USING parquet OPTIONS (path '$path/edges')")
-      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_vectors " +
-        s"USING parquet OPTIONS (path '$dir/embeddings.parquet')")
+      SqlViews.ensureParquetView(spark, "graph_edges", s"$path/edges")
+      SqlViews.ensureParquetView(spark, "graph_vectors", s"$dir/embeddings.parquet")
       val hopCtes = (1 to hops).map { h =>
         s"""f$h AS (SELECT qid, vec_id FROM (
            |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS fr FROM v${h - 1})
@@ -1127,21 +1125,31 @@ object GraphIndex {
     }.mkString("\nUNION ALL\n")
 
   /** The `lake_sql_graph_hier` named query — and [[sqlGraphQuery]]'s
-    * past-the-bound branch: the full THREE-level hierarchical walk as ONE
-    * SQL text over the persisted level graphs, closing the SQL-surface gap
-    * the r16 flat pinning left (past [[HierFlatBound]] a SQL user
-    * previously got a different plan than the engine default). The level
-    * graphs are [[ensureLevel]]-derived first (cache-shared with
-    * `knn_graph_hier` — same path, same entry frames, same fingerprint
-    * stamps), registered as views, and the descent unrolls as
-    * 2·[[l1Hops]] + hops chained CTEs: v0 crosses the level-2 sample
-    * (every stride·l1Factor²-th vec_id), hops 1..l1Hops expand over
-    * `edges_l2`, the next l1Hops over `edges_l1`, the rest over the
-    * level-0 edges — identical window tie-breaks and max-sim dedupe, so
-    * the result is row-identical to `knn_graph_hier`'s forced DataFrame
-    * descent and the DuckDB oracle replay is SHARED with it verbatim.
-    * Per-hop frontier CTEs carry the BROADCAST hint under the same
-    * bounded-metadata contract as the flat text.
+    * past-the-bound branch: the full THREE-level hierarchical walk
+    * expressed in SQL over the persisted level graphs, closing the
+    * SQL-surface gap the r16 flat pinning left (past [[HierFlatBound]] a
+    * SQL user previously got a different plan than the engine default).
+    * The level graphs are [[ensureLevel]]-derived first (cache-shared
+    * with `knn_graph_hier` — same path, same entry frames, same
+    * fingerprint stamps), registered as views, and the descent runs as a
+    * CHAIN of per-hop SQL statements, each materialized (eager
+    * localCheckpoint) and re-registered as the next hop's input view —
+    * the engine-side analogue of the MATERIALIZED keyword the DuckDB
+    * replay already needs for the same reason. The one-text CTE form is
+    * NOT used here, measured: each `v_h` is referenced twice (the
+    * frontier window and the union fold), Spark does not materialize
+    * CTEs, and at 2·[[l1Hops]] + hops = 8 hops the re-execution fan-out
+    * read 46 s at bench config vs ~3 s materialized (the 4-hop flat text
+    * stays ONE statement — its fan-out is bounded and its one-text
+    * contract is anchored). `CACHE TABLE v_h AS` was the first
+    * materialization attempt and is deliberately NOT used: the final
+    * select's cache lookup silently missed (plan canonicalization) and
+    * re-executed the whole un-materialized chain — a checkpoint-backed
+    * view cannot miss. Hop mechanics are identical to the flat text:
+    * window tie-breaks, max-sim dedupe, BROADCAST-hinted bounded
+    * frontier — so the result is row-identical to `knn_graph_hier`'s
+    * forced DataFrame descent and the DuckDB three-level replay is
+    * SHARED with it verbatim.
     */
   def sqlGraphHierQuery(spark: SparkSession, dir: String,
                         k: Int = 5, beam: Int = 32, hops: Int = 4): DataFrame = {
@@ -1156,41 +1164,54 @@ object GraphIndex {
       .filter(col("vec_id") % (entryStride.toLong * l1Factor) === 0)
       .localCheckpoint()
     ensureLevel(spark, path, "l2", coarse, l1)
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_edges " +
-      s"USING parquet OPTIONS (path '$path/edges')")
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_edges_l1 " +
-      s"USING parquet OPTIONS (path '$path/edges_l1')")
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_edges_l2 " +
-      s"USING parquet OPTIONS (path '$path/edges_l2')")
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graph_vectors " +
-      s"USING parquet OPTIONS (path '$dir/embeddings.parquet')")
+    SqlViews.ensureParquetView(spark, "graph_edges", s"$path/edges")
+    SqlViews.ensureParquetView(spark, "graph_edges_l1", s"$path/edges_l1")
+    SqlViews.ensureParquetView(spark, "graph_edges_l2", s"$path/edges_l2")
+    SqlViews.ensureParquetView(spark, "graph_vectors", s"$dir/embeddings.parquet")
     val coarseStride = entryStride.toLong * l1Factor * l1Factor
     val totalHops = 2 * l1Hops + hops
-    val hopCtes = (1 to totalHops).map { h =>
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_hier_q AS ${sqlQueryRows(spark, dir)}")
+    // Materialization barrier: eager localCheckpoint, then RE-WRAP the
+    // checkpointed RDD as a fresh DataFrame. The re-wrap is load-bearing:
+    // a checkpointed LogicalRDD carries its origin's constraints, and the
+    // next hop references the view TWICE (frontier window + union fold) —
+    // DeduplicateRelations re-ids one reference and the stale constraint
+    // exprIds blow up Union's constraint rewrite (NoSuchElementException
+    // in UnionBase.rewriteConstraints). A from-RDD DataFrame has no
+    // inherited constraints, so the self-union analyzes cleanly.
+    def barrier(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val d = df.localCheckpoint()
+      spark.createDataFrame(d.rdd, d.schema)
+    }
+    var v = barrier(spark.sql(
+      s"""SELECT q.qid, c.vec_id, dot(q.qvec, c.embedding) AS sim
+         |FROM graft_hier_q q CROSS JOIN (
+         |  SELECT vec_id, embedding FROM graph_vectors
+         |  WHERE vec_id % $coarseStride = 0) c""".stripMargin))
+    (1 to totalHops).foreach { h =>
       val edgeView =
         if (h <= l1Hops) "graph_edges_l2"
         else if (h <= 2 * l1Hops) "graph_edges_l1"
         else "graph_edges"
-      s"""f$h AS (SELECT qid, vec_id FROM (
-         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS fr FROM v${h - 1})
-         |  WHERE fr <= $beam),
-         |n$h AS (SELECT /*+ BROADCAST(f$h) */
-         |        f$h.qid, x.dst AS vec_id, dot(q.qvec, x.dst_emb) AS sim
-         |        FROM f$h JOIN $edgeView x ON x.src = f$h.vec_id
-         |        JOIN q ON q.qid = f$h.qid),
-         |v$h AS (SELECT qid, vec_id, max(sim) AS sim
-         |        FROM (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM n$h) GROUP BY 1, 2)""".stripMargin
-    }.mkString(",\n")
+      v.createOrReplaceTempView(s"graft_hier_v${h - 1}")
+      v = barrier(spark.sql(
+        s"""WITH f AS (SELECT qid, vec_id FROM (
+           |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS fr
+           |  FROM graft_hier_v${h - 1}) WHERE fr <= $beam),
+           |n AS (SELECT /*+ BROADCAST(f) */
+           |      f.qid, x.dst AS vec_id, dot(q.qvec, x.dst_emb) AS sim
+           |      FROM f JOIN $edgeView x ON x.src = f.vec_id
+           |      JOIN graft_hier_q q ON q.qid = f.qid)
+           |SELECT qid, vec_id, max(sim) AS sim
+           |FROM (SELECT * FROM graft_hier_v${h - 1} UNION ALL SELECT * FROM n)
+           |GROUP BY 1, 2""".stripMargin))
+    }
+    v.createOrReplaceTempView(s"graft_hier_v$totalHops")
     spark.sql(
-      s"""WITH q AS (${sqlQueryRows(spark, dir)}),
-         |c AS (SELECT vec_id, embedding FROM graph_vectors WHERE vec_id % $coarseStride = 0),
-         |v0 AS (SELECT q.qid, c.vec_id, dot(q.qvec, c.embedding) AS sim
-         |       FROM q CROSS JOIN c),
-         |$hopCtes
-         |SELECT qid, vec_id, rank, CAST(FLOOR(sim * 1000000.0D) AS BIGINT) AS sim_micro
+      s"""SELECT qid, vec_id, rank, CAST(FLOOR(sim * 1000000.0D) AS BIGINT) AS sim_micro
          |FROM (SELECT qid, vec_id, sim,
          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-         |      FROM v$totalHops WHERE vec_id <> qid)
+         |      FROM graft_hier_v$totalHops WHERE vec_id <> qid)
          |WHERE rank <= $k ORDER BY qid, rank""".stripMargin)
   }
 

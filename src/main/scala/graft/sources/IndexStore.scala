@@ -631,17 +631,15 @@ object IndexStore {
     * `lake_vectors` plans through the SAME HadoopFsRelation the DataFrame
     * path reads — including [[graft.plans.AnnProbeRewrite]]'s store
     * detection, which keys on the relation's `rows` root + sibling
-    * markers and is entry-surface-agnostic. Registered per call (view
-    * DDL is catalog-only) so the view always tracks the current store
-    * generation.
+    * markers and is entry-surface-agnostic. Registration is
+    * generation-keyed ([[SqlViews.ensureParquetView]]) so the view
+    * tracks the current store content without re-paying schema
+    * inference on every call.
     */
   def ensureSqlView(spark: SparkSession, dir: String): String = {
     val path = defaultPath(dir)
     ensure(spark, dir, path)
-    graft.Profiling.timed("viewDdl") {
-      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_vectors " +
-        s"USING parquet OPTIONS (path '$path/rows')")
-    }
+    SqlViews.ensureParquetView(spark, "lake_vectors", s"$path/rows")
     path
   }
 

@@ -125,12 +125,8 @@ object PartitionedStore {
     */
   def ensureSqlViews(spark: SparkSession, dir: String): String = {
     val path = ensure(spark, dir)
-    graft.Profiling.timed("viewDdl") {
-      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_events " +
-        s"USING parquet OPTIONS (path '$path/rows')")
-      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_calendar " +
-        s"USING parquet OPTIONS (path '$path/calendar')")
-    }
+    SqlViews.ensureParquetView(spark, "lake_events", s"$path/rows")
+    SqlViews.ensureParquetView(spark, "lake_calendar", s"$path/calendar")
     path
   }
 

@@ -808,16 +808,10 @@ object PqStore {
     val path = defaultPath(dir)
     ensure(spark, dir, path)
     val d = dsub(dim)
-    graft.Profiling.timed("viewDdl") {
-      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_codes " +
-        s"USING parquet OPTIONS (path '$path/codes')")
-      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_codebooks " +
-        s"USING parquet OPTIONS (path '$path/codebooks')")
-      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_coarse " +
-        s"USING parquet OPTIONS (path '$path/coarse')")
-      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pq_rotation " +
-        s"USING parquet OPTIONS (path '$path/rotation')")
-    }
+    SqlViews.ensureParquetView(spark, "pq_codes", s"$path/codes")
+    SqlViews.ensureParquetView(spark, "pq_codebooks", s"$path/codebooks")
+    SqlViews.ensureParquetView(spark, "pq_coarse", s"$path/coarse")
+    SqlViews.ensureParquetView(spark, "pq_rotation", s"$path/rotation")
     val qs = VectorSearch.querySet(spark, dir, 5).orderBy(col("qid")).collect()
     val qRows = qs.map { r =>
       val vec = r.getSeq[Float](1).map(f => s"${f}D").mkString(", ")

@@ -78,13 +78,15 @@ class PlanLintSpec extends SparkSpec {
     "events_wau",                      // ≤|calendar| day list × activity grid range cross
     "text_novelty_decay",              // 1-row broadcast max-id scalar cross
     "orders_pareto",                   // 1-row broadcast bounds/totals scalar crosses
-    "lake_sql_graph",                  // hop-0 entry scoring: 5-row inline query
+    "lake_sql_graph"                   // hop-0 entry scoring: 5-row inline query
                                        // batch × 1/97 entry sample — the same
                                        // bounded cross knn_graph runs, visible
                                        // here because the one-text SQL plan has
                                        // no eager checkpoint barriers
-    "lake_sql_graph_hier"              // same bounded v0 cross, over the even
-                                       // smaller 1/(97·32²) level-2 sample
+                                       // (lake_sql_graph_hier runs the same
+                                       // bounded cross inside its eager CACHE
+                                       // TABLE chain, invisible to this lint —
+                                       // like knn_graph's checkpoints)
   )
 
   test("no registered query plans a CartesianProduct or an un-allowlisted nested-loop join") {
