@@ -10,8 +10,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * column pruning apply to every downstream query.
   */
 object Tables {
+  /** Fingerprint-keyed memo of the base-table DataFrames. `spark.read
+    * .parquet` pays a driver-side file listing plus a footer schema
+    * inference on EVERY call (~5-40 ms each); the bench executes every
+    * query twice and most queries read 1-3 base tables per call, so the
+    * suite pays that fixed cost thousands of times for tables that never
+    * change mid-run. The memo returns the previously analyzed (lazy,
+    * unexecuted) DataFrame while the path's content fingerprint is
+    * unchanged — the exact staleness contract SqlViews.ensureParquetView
+    * established for the SQL-route views (re-list/re-infer IFF the files
+    * changed), so a regenerated testdata dir still invalidates. This is
+    * plan reuse, NOT result caching: no rows are persisted; every action
+    * on the returned frame re-scans the parquet files.
+    */
+  private val tableMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (Long, DataFrame)]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Profiling.timed("tableRead") {
+      val path = s"$dir/$name.parquet"
+      val k = (System.identityHashCode(spark), path)
+      val gen = dirFingerprint(path)
+      tableMemo.get(k) match {
+        case Some((g, df)) if g == gen => df
+        case _ =>
+          val df = spark.read.parquet(path)
+          tableMemo(k) = (gen, df)
+          df
+      }
+    }
+
+  /** [[table]]'s twin for derived-store paths (`data/...` index stores,
+    * partitioned stores, sketch exports): fingerprint-keyed memo of the
+    * lazy DataFrame. Store paths — unlike the read-only testdata — are
+    * REWRITTEN by lifecycle ops (absorb/compact/merge/maintain), which is
+    * why every serve path re-read them per call; the content fingerprint
+    * gives the same per-call staleness guarantee (a rewrite flips file
+    * lengths/mtimes/footers ⇒ new fingerprint ⇒ re-list + re-infer) at
+    * ~0.4 ms instead of a listing + footer schema inference. Plan reuse
+    * only — never result caching.
+    */
+  private[graft] def storeParquet(spark: SparkSession, path: String): DataFrame =
+    Profiling.timed("storeRead") {
+      val k = (System.identityHashCode(spark), path)
+      val gen = dirFingerprint(path)
+      tableMemo.get(k) match {
+        case Some((g, df)) if g == gen => df
+        case _ =>
+          val df = spark.read.parquet(path)
+          tableMemo(k) = (gen, df)
+          df
+      }
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
