@@ -357,20 +357,50 @@ object PqStore {
       rotUdf(col("residual")).as("residual"))
   }
 
+  /** Fingerprint-keyed memo of a store's collected rotation matrix. The
+    * rotation is 64 rows of bounded driver metadata (the codebook-collect
+    * contract), but re-reading it per serve call cost a file listing +
+    * footer inference + an orderBy job + a collect job (~0.2 s measured at
+    * r17, every PQ query, every run). The memo re-collects IFF the
+    * `rotation/` dir's content fingerprint changed — the staleness
+    * contract of [[Tables.storeParquet]], so absorb/compact/maintain
+    * rewrites still invalidate.
+    */
+  private val rotationMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Array[Array[Float]])]
+
+  private[graft] def rotationMatrix(spark: SparkSession, path: String): Array[Array[Float]] = {
+    val rotPath = s"$path/rotation"
+    val gen = Tables.dirFingerprint(rotPath)
+    rotationMemo.get(rotPath) match {
+      case Some((g, m)) if g == gen => m
+      case _ =>
+        val m = spark.read.parquet(rotPath).orderBy(col("i")).collect()
+          .map(_.getSeq[Double](1).map(_.toFloat).toArray)
+        rotationMemo(rotPath) = (gen, m)
+        m
+    }
+  }
+
   /** Rotate the QUERY side with the exact-replay arithmetic the oracle
     * mirrors: rotated[i] = dot(qvec, float-narrowed R row i) via the same
     * codegen dot kernel DuckDB's `dotCentroidSql` replicates, narrowed to
     * float. The rotation is a 64-row CONSTANT (bounded driver metadata,
     * the codebook-collect contract), so the rotated query is a pure
     * MAP-SIDE literal projection — 64 inlined dot kernels in one
-    * `array(...)` select, no join, no shuffle, no extra stage on the
-    * serve path. Returns `(qid, rqvec)`.
+    * `array(...)` select, no join, no shuffle. The projection is
+    * MATERIALIZED before it is returned (localCheckpoint — nq rows of 64
+    * floats, bounded at any serve batch size): left lazy, the optimizer
+    * collapses it into the downstream LUT crossJoin and re-derives the
+    * whole 64×64-literal array per LUT row — a single-task 1.0 s stage
+    * inside every PQ serve call at r17 bench config; materialized, the
+    * same kernel computes each rqvec exactly once and the LUT slices a
+    * plain column (stage drops to ~30 ms). Returns `(qid, rqvec)`.
     */
-  private def rotatedQueries(queries: DataFrame, rot: DataFrame): DataFrame = {
-    val rows: Array[Array[Float]] = rot.orderBy(col("i")).collect()
-      .map(_.getSeq[Double](1).map(_.toFloat).toArray)
+  private def rotatedQueries(queries: DataFrame, rows: Array[Array[Float]]): DataFrame = {
     val elems = rows.map(row => dot(col("qvec"), lit(row)).cast("float"))
     queries.select(col("qid"), array(elems.toIndexedSeq: _*).as("rqvec"))
+      .localCheckpoint()
   }
 
   /** Residualize a vector frame against coarse centroids, MAP-SIDE ONLY:
@@ -566,9 +596,9 @@ object PqStore {
     */
   def absorb(spark: SparkSession, path: String,
              batch: DataFrame, dim: Int = 64): Unit = {
-    val books = spark.read.parquet(s"$path/codebooks")
-    val coarse = spark.read.parquet(s"$path/coarse")
-    val rotation = spark.read.parquet(s"$path/rotation")
+    val books = Tables.storeParquet(spark, s"$path/codebooks")
+    val coarse = Tables.storeParquet(spark, s"$path/coarse")
+    val rotation = Tables.storeParquet(spark, s"$path/rotation")
     encode(batch.select(col("vec_id"), col("embedding")), books, coarse,
       rotation, dim)
       .write.mode("append").partitionBy("cell_id").parquet(s"$path/codes")
@@ -634,9 +664,9 @@ object PqStore {
   private def adcScores(spark: SparkSession, path: String,
                         queries: DataFrame, dim: Int): DataFrame = {
     val d = dsub(dim)
-    val books = spark.read.parquet(s"$path/codebooks")
-    val coarse = spark.read.parquet(s"$path/coarse")
-    val codes = spark.read.parquet(s"$path/codes")
+    val books = Tables.storeParquet(spark, s"$path/codebooks")
+    val coarse = Tables.storeParquet(spark, s"$path/coarse")
+    val codes = Tables.storeParquet(spark, s"$path/codes")
     // m·k-entry residual LUT per query: partial similarity of the ROTATED
     // query's s-th slice against residual codebook centroid (sub, code) —
     // dot(q, r) = dot(R·q, R·r) exactly, R orthogonal — plus an
@@ -645,7 +675,7 @@ object PqStore {
     // double→float round-trip on the stored centroids mirrors what the
     // oracle can express exactly; both terms micro BEFORE the sum so the
     // score stays fold-order-free BIGINT.
-    val rq = rotatedQueries(queries, spark.read.parquet(s"$path/rotation"))
+    val rq = rotatedQueries(queries, rotationMatrix(spark, path))
     val lut = rq.crossJoin(broadcast(books))
       .select(col("qid"), col("sub"), col("code"),
         micro(dot(slice(col("rqvec"), col("sub") * d + 1, lit(d)),
@@ -1097,11 +1127,11 @@ object PqStore {
     // one scan that reads nprobe/nlist of the code files — the float rows
     // table is never touched.
     val cells = probed.select(col("cell_id")).distinct().collect().map(_.get(0))
-    val books = spark.read.parquet(s"$pqPath/codebooks")
-    val coarse = spark.read.parquet(s"$pqPath/coarse")
-    val codes = spark.read.parquet(s"$pqPath/codes")
+    val books = Tables.storeParquet(spark, s"$pqPath/codebooks")
+    val coarse = Tables.storeParquet(spark, s"$pqPath/coarse")
+    val codes = Tables.storeParquet(spark, s"$pqPath/codes")
     // residual LUT over the ROTATED query (the adcScores convention)
-    val rq = rotatedQueries(queries, spark.read.parquet(s"$pqPath/rotation"))
+    val rq = rotatedQueries(queries, rotationMatrix(spark, pqPath))
     val lut = rq.crossJoin(broadcast(books))
       .select(col("qid"), col("sub"), col("code"),
         micro(dot(slice(col("rqvec"), col("sub") * d + 1, lit(d)),
