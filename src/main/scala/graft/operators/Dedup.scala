@@ -301,7 +301,7 @@ object Dedup {
       sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     }
-    val exploded = spark.read.parquet(path)
+    val exploded = graft.Tables.storeParquet(spark, path)
     exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -333,7 +333,7 @@ object Dedup {
     // bit_count(xor) Hamming verify over the same files.
     val path = s"${sketchStorePath(dir)}/simhash_sigs"
     ensureExport(path, dirFingerprint(dir))(simhash(Tables.documents(spark, dir)))
-    simhashBlockJoin(spark.read.parquet(path), maxHamming)
+    simhashBlockJoin(graft.Tables.storeParquet(spark, path), maxHamming)
   }
 
   // -------------------------------------------- Oracle-exact (md5) sketches --

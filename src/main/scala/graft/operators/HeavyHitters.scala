@@ -103,7 +103,7 @@ object HeavyHitters {
     graft.operators.Dedup.ensureExport(path, Tables.dirFingerprint(dir)) {
       topTokens(spark, dir, capacity)
     }
-    val exported = spark.read.parquet(path)
+    val exported = graft.Tables.storeParquet(spark, path)
     val words = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
     val total = words.agg(count(lit(1)).as("n"))
@@ -165,7 +165,7 @@ object HeavyHitters {
         .groupBy(col("user_id"))
         .agg(min(col("cnt")).as("est_cnt"))
     }
-    val est = spark.read.parquet(estPath)
+    val est = graft.Tables.storeParquet(spark, estPath)
     val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
     val total = ev.agg(count(lit(1)).as("n_total"))
     est.join(exact, "user_id")
@@ -249,7 +249,7 @@ object HeavyHitters {
             .otherwise(floor(col("est_union_d") * col("n_shared") / k).cast("long"))
             .cast("long").as("est_inter"))
     }
-    val est = spark.read.parquet(path)
+    val est = graft.Tables.storeParquet(spark, path)
     val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id")).distinct()
     val ea = ev.select(col("event_type").as("type_a"), col("user_id"))
     val eb = ev.select(col("event_type").as("type_b"), col("user_id"))

@@ -559,7 +559,7 @@ object Multimodal {
       case Some(found) => found
       case None =>
         val graysPath = ensureGrays(spark, dir)
-        val h = prepareHashFrame(spark.read.parquet(s"$graysPath/grays")
+        val h = prepareHashFrame(graft.Tables.storeParquet(spark, s"$graysPath/grays")
           .select(col("doc_id"),
             expr(dhashSql("grays", 0, base = 0)).as("phash_lo"),
             expr(dhashSql("grays", 1, base = 0)).as("phash_hi")))
@@ -750,7 +750,7 @@ object Multimodal {
     */
   def phashQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = ensureGrays(spark, dir)
-    spark.read.parquet(s"$path/grays")
+    graft.Tables.storeParquet(spark, s"$path/grays")
       .select(col("doc_id"),
         expr(dhashSql("grays", 0, base = 0)).as("phash_lo"),
         expr(dhashSql("grays", 1, base = 0)).as("phash_hi"))

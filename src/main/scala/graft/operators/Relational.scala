@@ -714,7 +714,7 @@ object Relational {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     }
-    val approx = spark.read.parquet(path)
+    val approx = graft.Tables.storeParquet(spark, path)
     val exact = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
@@ -854,7 +854,7 @@ object Relational {
         .agg(expr("approx_percentile(p, 0.5, 1000)").as("p50"),
           expr("approx_percentile(p, 0.95, 1000)").as("p95"))
     }
-    val approx = spark.read.parquet(path)
+    val approx = graft.Tables.storeParquet(spark, path)
     val ranks = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
       .join(broadcast(approx), "l_returnflag")

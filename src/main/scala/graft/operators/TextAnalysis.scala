@@ -762,31 +762,125 @@ object TextAnalysis {
     */
   def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 4,
                 topWords: Int = 300): DataFrame = {
-    // The train table is bounded (topWords types) at ANY corpus scale, so
-    // a few fixed partitions — not the session's shuffle width — is the
-    // right layout: the per-round windows re-use the (word) partitioning
-    // and every round is a handful of tasks instead of 32 near-empty ones.
-    var seg = bpeSegment(bpeTrainTypes(spark, dir, topWords))
-      .repartition(4, col("word")).localCheckpoint(false)
-    val summaries = (1 to rounds).map { r =>
-      val best = bpeBestPair(seg)
-      val sel = bpeSelect(seg, best)
-      val next = bpeReSegment(sel).repartition(4, col("word")).localCheckpoint(false)
-      val mergeStats = sel.where(col("selected"))
-        .agg(count(lit(1)).as("merge_sites"),
-          coalesce(sum(col("n")), lit(0L)).as("merged_mass"))
-      val census = next.agg(
-        countDistinct(col("sym")).as("vocab_size"),
-        count(lit(1)).as("n_positions"),
-        sum(col("n") * length(col("sym")).cast("long")).as("char_mass"))
-      seg = next
-      best.crossJoin(mergeStats).crossJoin(census)
-        .select(lit(r.toLong).as("merge_round"), col("left_sym"),
-          col("right_sym"), col("pair_count"), col("merge_sites"),
-          col("merged_mass"), col("vocab_size"), col("n_positions"),
-          col("char_mass"))
+    import spark.implicits._
+    // BOUNDED collect (≤ topWords rows by construction — the train table
+    // is the classic types × counts trick, never the corpus): the train
+    // loop over it is pure bounded driver metadata work, the same contract
+    // as unigramLmFit's broadcast-inventory EM loop. The previous
+    // relational train (two windows + a 1-row argmax + a checkpoint per
+    // round over a ~2000-row table) paid ~48 tiny Spark jobs ≈ 3 s of pure
+    // scheduling per call at bench config; the corpus-sized work — the ONE
+    // map-combined word census inside bpeTrainTypes — is unchanged and
+    // stays distributed.
+    val types = bpeTrainTypes(spark, dir, topWords).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    bpeTrainDriver(types, rounds)
+      .toDF("merge_round", "left_sym", "right_sym", "pair_count",
+        "merge_sites", "merged_mass", "vocab_size", "n_positions",
+        "char_mass")
+      .orderBy(col("merge_round"))
+  }
+
+  /** Code-point comparison — Spark and DuckDB order strings by UTF-8
+    * binary bytes, which is code-POINT order; Java's `compareTo` is
+    * UTF-16 code-UNIT order and diverges for supplementary characters
+    * (a char ≥ U+10000 must sort ABOVE U+E000..U+FFFF).
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
     }
-    summaries.reduce(_.unionByName(_)).orderBy(col("merge_round"))
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Code-point segmentation — `substring` is code-point based in both
+    * engines, so the driver twin must split surrogate pairs as ONE symbol.
+    */
+  private def cpChars(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n); i += n
+    }
+    out.toArray
+  }
+
+  /** One greedy left-to-right non-overlapping merge pass — the scan form
+    * of the relational gaps-and-islands parity rule (within a run of
+    * consecutive candidate sites exactly the 1st, 3rd, … merge, which is
+    * precisely what a left-to-right scan that consumes both symbols does).
+    */
+  private def bpeApplyRound(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Driver-side BPE train over the bounded type table: per round, the
+    * frequency-weighted pair argmax (count desc, then lexicographic by
+    * code point — the engines' UTF-8 binary collation), the greedy
+    * non-overlap merge, and the audit row [[bpeMerges]] reports. If a
+    * round has no adjacent pair left, that round and every later one
+    * contribute no row AND the segmentation empties — replaying the
+    * relational form, where the empty 1-row argmax cross-joined the
+    * segmentation away.
+    */
+  private[graft] def bpeTrainDriver(types: Array[(String, Long)], rounds: Int)
+      : Seq[(Long, String, String, Long, Long, Long, Long, Long, Long)] = {
+    var seg: Array[(Array[String], Long)] =
+      types.map { case (w, n) => (cpChars(w), n) }
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long, Long, Long, Long, Long)]
+    var r = 1
+    while (r <= rounds) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, n) <- seg) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + n
+          i += 1
+        }
+      }
+      if (pc.isEmpty) { seg = Array.empty; r = rounds + 1 }
+      else {
+        val ((l, rt), cnt) = pc.reduce { (a, b) =>
+          val cmp =
+            if (a._2 != b._2) java.lang.Long.compare(b._2, a._2)
+            else {
+              val c1 = cpCompare(a._1._1, b._1._1)
+              if (c1 != 0) c1 else cpCompare(a._1._2, b._1._2)
+            }
+          if (cmp <= 0) a else b
+        }
+        var mergeSites = 0L; var mergedMass = 0L
+        seg = seg.map { case (syms, n) =>
+          val out = bpeApplyRound(syms, l, rt)
+          val sites = syms.length - out.length
+          mergeSites += sites; mergedMass += sites * n
+          (out, n)
+        }
+        val vocab = scala.collection.mutable.HashSet.empty[String]
+        var nPositions = 0L; var charMass = 0L
+        for ((syms, n) <- seg; s <- syms) {
+          vocab += s; nPositions += 1
+          charMass += n * s.codePointCount(0, s.length)
+        }
+        rows += ((r.toLong, l, rt, cnt, mergeSites, mergedMass,
+          vocab.size.toLong, nPositions, charMass))
+        r += 1
+      }
+    }
+    rows.toSeq
   }
 
   /** Tokenize the corpus with the merges [[bpeMerges]] learns — the apply
@@ -804,23 +898,35 @@ object TextAnalysis {
     */
   def bpeEncode(spark: SparkSession, dir: String, rounds: Int = 4,
                 topWords: Int = 300): DataFrame = {
-    var train = bpeSegment(bpeTrainTypes(spark, dir, topWords))
-      .repartition(4, col("word")).localCheckpoint(false)
+    // Merges re-derived from the bounded train table driver-side (see
+    // bpeMerges — same bounded-collect contract, same audit trail), then
+    // applied to the FULL word-type table as ONE map-side pass: the
+    // learned pairs are a ≤rounds-entry broadcast constant and greedy
+    // non-overlap merging is a per-word scan, so the previous per-round
+    // window + crossJoin + checkpoint chain over the corpus-wide type
+    // table (4 extra distributed rounds ≈ 1.5 s of job scheduling per
+    // call) collapses into the tokenize projection. Shuffles: the type
+    // census and the per-doc aggregate — both vocabulary-sized, exactly
+    // as before.
+    val types = bpeTrainTypes(spark, dir, topWords).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val trainRows = bpeTrainDriver(types, rounds)
+    val merges: Seq[(String, String)] = trainRows.map(t => (t._2, t._3))
+    val bc = spark.sparkContext.broadcast(merges)
+    val nTokensUdf = udf((w: String) => {
+      var syms = cpChars(w)
+      bc.value.foreach { case (l, r) => syms = bpeApplyRound(syms, l, r) }
+      syms.length.toLong
+    })
     val allTypes = Tables.documents(spark, dir)
       .select(explode(words(col("text"))).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    var enc = bpeSegment(allTypes).localCheckpoint(false)
-    (1 to rounds).foreach { _ =>
-      // One checkpointed argmax row per round: `best` is referenced by
-      // both apply branches AND would otherwise chain each round's plan
-      // into the next (same 2^N lineage blowup as the train loop).
-      val best = bpeBestPair(train).localCheckpoint(false)
-      train = bpeReSegment(bpeSelect(train, best))
-        .repartition(4, col("word")).localCheckpoint(false)
-      enc = bpeReSegment(bpeSelect(enc, best)).localCheckpoint(false)
-    }
-    val tok = enc.groupBy(col("word")).agg(count(lit(1)).as("n_tokens"))
+    // Relational replay of the degenerate corpus: a round with no pair
+    // left cross-joined the old encode segmentation empty, emptying the
+    // output — keep that contract when the train truncated early.
+    val tok0 = allTypes.select(col("word"), nTokensUdf(col("word")).as("n_tokens"))
+    val tok = if (trainRows.size < rounds) tok0.where(lit(false)) else tok0
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .join(tok, "word")
@@ -976,62 +1082,6 @@ object TextAnalysis {
       .where(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word")).limit(topWords)
-
-  /** Character segmentation of a (word, n) type table → (word, n, pos,
-    * sym). substring is code-point based in both Spark and DuckDB.
-    */
-  private def bpeSegment(types: DataFrame): DataFrame =
-    types
-      .select(col("word"), col("n"),
-        explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
-      .select(col("word"), col("n"), col("pos").cast("long").as("pos"),
-        expr("substring(word, pos + 1, 1)").as("sym"))
-
-  /** Most frequent adjacent pair, weighted by type frequency; 1 row,
-    * lexicographic tie-break.
-    */
-  private def bpeBestPair(seg: DataFrame): DataFrame = {
-    val wOrd = Window.partitionBy("word").orderBy("pos")
-    seg.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-      .where(col("nxt").isNotNull)
-      .groupBy(col("sym").as("left_sym"), col("nxt").as("right_sym"))
-      .agg(sum(col("n")).as("pair_count"))
-      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
-      .limit(1)
-  }
-
-  /** Mark which candidate sites merge this round. Runs of consecutive
-    * candidate sites are possible only when left=right; grp is constant
-    * per run and the even offsets merge — the gaps-and-islands parity
-    * encoding of greedy left-to-right non-overlap.
-    */
-  private def bpeSelect(seg: DataFrame, best: DataFrame): DataFrame = {
-    val wOrd = Window.partitionBy("word").orderBy("pos")
-    seg.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-      .crossJoin(broadcast(best))
-      .withColumn("is_cand", col("nxt").isNotNull &&
-        col("sym") === col("left_sym") && col("nxt") === col("right_sym"))
-      .withColumn("grp", col("pos") - row_number().over(
-        Window.partitionBy(col("word"), col("is_cand")).orderBy(col("pos"))))
-      .withColumn("selected", col("is_cand") &&
-        (row_number().over(Window.partitionBy(col("word"), col("is_cand"),
-          col("grp")).orderBy(col("pos"))) - 1) % 2 === 0)
-  }
-
-  /** Apply the selected merges: drop consumed positions, concatenate the
-    * pair at selected sites, renumber.
-    */
-  private def bpeReSegment(sel: DataFrame): DataFrame = {
-    val wOrd = Window.partitionBy("word").orderBy("pos")
-    sel
-      .withColumn("consumed",
-        coalesce(lag(col("selected"), 1).over(wOrd), lit(false)))
-      .where(!col("consumed"))
-      .select(col("word"), col("n"),
-        (row_number().over(wOrd) - 1).cast("long").as("pos"),
-        when(col("selected"), concat(col("left_sym"), col("right_sym")))
-          .otherwise(col("sym")).as("sym"))
-  }
 
   /** Per-doc quality stats + score (doc_id, nw, nd, mf, score) — the shared
     * front half of [[qualityGate]] and Sampling.qualityTierSample.

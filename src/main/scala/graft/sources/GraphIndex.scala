@@ -340,7 +340,7 @@ object GraphIndex {
           .write.mode("overwrite").parquet(s"$path/edges_$name")
         java.nio.file.Files.writeString(marker, stamp)
       }
-      spark.read.parquet(s"$path/edges_$name")
+      graft.Tables.storeParquet(spark, s"$path/edges_$name")
     }
   }
 
@@ -383,7 +383,7 @@ object GraphIndex {
           val newLevel = entries.join(newIds.select(col("vec_id")),
             Seq("vec_id"), "left_semi").localCheckpoint()
           if (!newLevel.isEmpty) {
-            val old = spark.read.parquet(s"$path/edges_$name")
+            val old = graft.Tables.storeParquet(spark, s"$path/edges_$name")
               .select(col("src"), col("dst"), col("sim"))
             val nEntries = entries.count()
             val proposals =
@@ -392,7 +392,7 @@ object GraphIndex {
                   .crossJoin(entries.select(col("vec_id").as("dst")))
                   .filter(col("src") =!= col("dst"))
               else {
-                val fine = spark.read.parquet(finerPath)
+                val fine = graft.Tables.storeParquet(spark, finerPath)
                   .select(col("src"), col("dst"))
                 val ids = entries.select(col("vec_id"))
                 val fromNew = fine.join(
@@ -531,7 +531,7 @@ object GraphIndex {
     //    an unmaterialized walk would execute twice.
     val forward = seeds.unionByName(walk).distinct()
     val reverse = forward.select(col("dst").as("src"), col("src").as("dst"))
-    val oldEdges = spark.read.parquet(s"$path/edges")
+    val oldEdges = graft.Tables.storeParquet(spark, s"$path/edges")
       .select(col("src"), col("dst"), col("sim"))
     var edges = t("relink0")(relink(oldEdges, forward.unionByName(reverse).distinct(), all))
     // 4. NN-Descent refinement rounds RESTRICTED to batch-touching pairs —
@@ -644,7 +644,7 @@ object GraphIndex {
                                 tombstones: Option[DataFrame] = None,
                                 maxFlatEntries: Long = HierFlatBound): DataFrame = {
     import spark.implicits._
-    val edges = spark.read.parquet(s"$path/edges")
+    val edges = graft.Tables.storeParquet(spark, s"$path/edges")
     // The query side is materialized ONCE (eager localCheckpoint) and
     // stays DISTRIBUTED: it is reused by every hop, but never collected —
     // the search batch is bounded in the serve path, while [[absorb]]
@@ -959,7 +959,7 @@ object GraphIndex {
     // every leg to a shuffled join instead of forcing a driver-side
     // multi-GB hash relation.
     val dead = graft.Tables.boundedBroadcast(tombstones.select(col("vec_id")))
-    val edges = spark.read.parquet(s"$path/edges")
+    val edges = graft.Tables.storeParquet(spark, s"$path/edges")
       .select(col("src"), col("dst"), col("sim"))
     val live = edges
       .join(dead.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
@@ -1015,7 +1015,7 @@ object GraphIndex {
       java.nio.file.Files.writeString(marker, srcBuild)
     }
     val liveVecs = emb.filter(col("vec_id") % 17 =!= 3)
-    val nNodes = spark.read.parquet(s"$cpt/edges").select(col("src")).distinct().count()
+    val nNodes = graft.Tables.storeParquet(spark, s"$cpt/edges").select(col("src")).distinct().count()
     searchFrom(spark, cpt,
       liveVecs.filter(col("vec_id") % entryStride === 0),
       VectorSearch.querySet(spark, dir, 5), k, beam = 32, hops = 4,
@@ -1155,7 +1155,7 @@ object GraphIndex {
                         k: Int = 5, beam: Int = 32, hops: Int = 4): DataFrame = {
     val path = defaultPath(dir)
     ensure(spark, dir, path)
-    val edges = spark.read.parquet(s"$path/edges")
+    val edges = graft.Tables.storeParquet(spark, s"$path/edges")
     val eDF = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % entryStride === 0)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
@@ -1222,7 +1222,7 @@ object GraphIndex {
   def degreeStats(spark: SparkSession, dir: String): DataFrame = {
     val path = defaultPath(dir)
     ensure(spark, dir, path)
-    spark.read.parquet(s"$path/edges")
+    graft.Tables.storeParquet(spark, s"$path/edges")
       .groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))

@@ -59,7 +59,7 @@ object IndexStore {
     * re-derive instead of serving a row set they never encoded.
     */
   def absorb(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = graft.Tables.storeParquet(spark, s"$path/centroids")
     VectorSearch.assignCells(vectors, centroids)
       .write.mode("append").partitionBy("cell_id").parquet(s"$path/rows")
     stampBuildId(path)
@@ -91,14 +91,14 @@ object IndexStore {
       (0 until 3).foreach { i =>
         absorb(spark, work, odd.filter((col("vec_id") / 2).cast("long") % 3 === i))
       }
-      val needy = spark.read.parquet(s"$work/rows")
+      val needy = graft.Tables.storeParquet(spark, s"$work/rows")
         .select(col("cell_id"), input_file_name().as("f"))
         .groupBy(col("cell_id"))
         .agg(countDistinct(col("f")).as("n_files"))
         .filter(col("n_files") > targetFiles)
         .select(col("cell_id")).collect().map(_.get(0)) // ≤ nlist rows
       if (needy.nonEmpty) {
-        spark.read.parquet(s"$work/rows")
+        graft.Tables.storeParquet(spark, s"$work/rows")
           .filter(col("cell_id").isin(needy.toIndexedSeq: _*))
           .repartition(needy.length, col("cell_id"))
           .localCheckpoint()
@@ -110,7 +110,7 @@ object IndexStore {
       java.nio.file.Files.writeString(marker, gen)
     }
     val corpusRows = Tables.embeddings(spark, dir).count()
-    spark.read.parquet(s"$work/rows")
+    graft.Tables.storeParquet(spark, s"$work/rows")
       .select(col("cell_id").cast("long").as("cell_id"), input_file_name().as("f"))
       .groupBy(col("cell_id"))
       .agg(countDistinct(col("f")).as("n_files"), count(lit(1)).as("n_rows"))
@@ -214,7 +214,7 @@ object IndexStore {
     }
     val decision = if (maxDrift >= tauMicroSq) "rebuild" else "absorb"
     val servingPath = maintain(spark, dir, decision)
-    val rowsAfter = spark.read.parquet(s"$servingPath/rows").count()
+    val rowsAfter = graft.Tables.storeParquet(spark, s"$servingPath/rows").count()
     drift
       .withColumn("decision", lit(decision))
       .withColumn("threshold", lit(tauMicroSq))
@@ -273,8 +273,8 @@ object IndexStore {
 
   /** Open the clustered index. */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/rows"),
-      spark.read.parquet(s"$path/centroids"))
+    (graft.Tables.storeParquet(spark, s"$path/rows"),
+      graft.Tables.storeParquet(spark, s"$path/centroids"))
 
   /** Probed search against the PERSISTED index: identical query shape to
     * VectorSearch.ivfSearch, but the equi-join key is now also the storage

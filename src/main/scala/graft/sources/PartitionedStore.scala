@@ -74,8 +74,8 @@ object PartitionedStore {
     */
   def pruneQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = ensure(spark, dir)
-    val rows = spark.read.parquet(s"$path/rows")
-    val lo = spark.read.parquet(s"$path/calendar")
+    val rows = graft.Tables.storeParquet(spark, s"$path/rows")
+    val lo = graft.Tables.storeParquet(spark, s"$path/calendar")
       .agg(min(col("event_date"))).head().getDate(0)
     val filtered =
       if (lo == null) rows.filter(lit(false)) // empty store: no partitions to prune
@@ -99,8 +99,8 @@ object PartitionedStore {
     */
   def hiddenRouteQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = ensure(spark, dir)
-    val rows = spark.read.parquet(s"$path/rows")
-    val lo = spark.read.parquet(s"$path/calendar")
+    val rows = graft.Tables.storeParquet(spark, s"$path/rows")
+    val lo = graft.Tables.storeParquet(spark, s"$path/calendar")
       .agg(min(col("event_date"))).head().getDate(0)
     val filtered =
       if (lo == null) rows.filter(lit(false))
@@ -142,7 +142,7 @@ object PartitionedStore {
     */
   def sqlPruneQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = ensureSqlViews(spark, dir)
-    val lo = spark.read.parquet(s"$path/calendar")
+    val lo = graft.Tables.storeParquet(spark, s"$path/calendar")
       .agg(min(col("event_date"))).head().getDate(0)
     if (lo == null) return emptyReport(spark) // empty store: no partition dirs
     spark.sql(
@@ -164,7 +164,7 @@ object PartitionedStore {
     */
   def sqlHiddenQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = ensureSqlViews(spark, dir)
-    val lo = spark.read.parquet(s"$path/calendar")
+    val lo = graft.Tables.storeParquet(spark, s"$path/calendar")
       .agg(min(col("event_date"))).head().getDate(0)
     if (lo == null) return emptyReport(spark)
     val (a, b) = (lo.toLocalDate.plusDays(3), lo.toLocalDate.plusDays(6))
@@ -211,7 +211,7 @@ object PartitionedStore {
     if (!new java.io.File(s"$path/calendar").exists() ||
         !IndexStore.sourceFpCurrent(path, dir))
       write(spark, dir, path)
-    val cal = spark.read.parquet(s"$path/calendar")
+    val cal = graft.Tables.storeParquet(spark, s"$path/calendar")
     val lo = cal.agg(min(col("event_date"))).head().getDate(0)
     if (lo != null) {
       val day2 = java.sql.Date.valueOf(lo.toLocalDate.plusDays(1))
@@ -224,7 +224,7 @@ object PartitionedStore {
         .partitionBy("event_date")
         .parquet(s"$path/rows")
     }
-    spark.read.parquet(s"$path/rows")
+    graft.Tables.storeParquet(spark, s"$path/rows")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
@@ -265,7 +265,7 @@ object PartitionedStore {
     if (!new java.io.File(s"$path/calendar").exists() ||
         !IndexStore.sourceFpCurrent(path, dir))
       write(spark, dir, path)
-    val lo = spark.read.parquet(s"$path/calendar")
+    val lo = graft.Tables.storeParquet(spark, s"$path/calendar")
       .agg(min(col("event_date"))).head().getDate(0)
     if (lo != null) {
       val day1 = java.sql.Date.valueOf(lo.toLocalDate)
@@ -292,7 +292,7 @@ object PartitionedStore {
       val affected = deletes.select(col("event_date"))
         .unionByName(upserts.select(col("event_date")))
         .distinct().collect().map(_.getDate(0)) // ≤ |dates| rows
-      val current = spark.read.parquet(s"$path/rows")
+      val current = graft.Tables.storeParquet(spark, s"$path/rows")
         .filter(col("event_date").isin(affected.toIndexedSeq: _*))
       // No broadcast hint on the anti-join: the changeset is data-sized
       // (three days' worth of keys grows with the lake), so forcing a
@@ -312,7 +312,7 @@ object PartitionedStore {
         .collect().map(_.getDate(0).toString).toSet
       dropEmptiedPartitions(s"$path/rows", affected.iterator.map(_.toString).toSeq, outDates)
     }
-    spark.read.parquet(s"$path/rows")
+    graft.Tables.storeParquet(spark, s"$path/rows")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
@@ -371,7 +371,7 @@ object PartitionedStore {
     if (!new java.io.File(s"$path/calendar").exists() ||
         !IndexStore.sourceFpCurrent(path, dir))
       write(spark, dir, path)
-    val lo = spark.read.parquet(s"$path/calendar")
+    val lo = graft.Tables.storeParquet(spark, s"$path/calendar")
       .agg(min(col("event_date"))).head().getDate(0)
     if (lo == null) return emptyReport(spark)
     val day1 = lo.toLocalDate
@@ -380,7 +380,7 @@ object PartitionedStore {
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_merge_rows " +
       s"USING parquet OPTIONS (path '$path/rows')")
     // seed the stage with the rows schema so its view resolves on run 1
-    spark.read.parquet(s"$path/rows").limit(0)
+    graft.Tables.storeParquet(spark, s"$path/rows").limit(0)
       .write.mode("overwrite").parquet(s"$path/stage")
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_merge_stage " +
       s"USING parquet OPTIONS (path '$path/stage')")
@@ -441,7 +441,7 @@ object PartitionedStore {
     */
   def layoutStats(spark: SparkSession, dir: String): DataFrame = {
     val path = ensure(spark, dir)
-    spark.read.parquet(s"$path/rows")
+    graft.Tables.storeParquet(spark, s"$path/rows")
       .select(col("event_date"), input_file_name().as("f")) // project first:
       // non-deterministic expressions may not appear inside an aggregate
       .groupBy(col("event_date"))
@@ -466,14 +466,14 @@ object PartitionedStore {
     if (!new java.io.File(s"$path/calendar").exists() ||
         !IndexStore.sourceFpCurrent(path, dir))
       write(spark, dir, path)
-    def audit() = spark.read.parquet(s"$path/rows")
+    def audit() = graft.Tables.storeParquet(spark, s"$path/rows")
       .select(col("event_date"), input_file_name().as("f"))
       .groupBy(col("event_date"))
       .agg(countDistinct(col("f")).as("n_files"), count(lit(1)).as("n_rows"))
     val needy = audit().filter(col("n_files") > targetFiles)
       .select(col("event_date")).collect().map(_.getDate(0)) // ≤ |dates| rows
     if (needy.nonEmpty) {
-      spark.read.parquet(s"$path/rows")
+      graft.Tables.storeParquet(spark, s"$path/rows")
         .filter(col("event_date").isin(needy.toIndexedSeq: _*))
         .repartition(needy.length, col("event_date"))
         .localCheckpoint()
@@ -528,7 +528,7 @@ object PartitionedStore {
       graft.streaming.StreamOps.rmTree(vdir)
       write(spark, dir, path)
       val v1 = listParquet(path)
-      val lo = spark.read.parquet(s"$path/calendar")
+      val lo = graft.Tables.storeParquet(spark, s"$path/calendar")
         .agg(min(col("event_date"))).head().getDate(0)
       val v2 =
         if (lo == null) v1
@@ -725,7 +725,7 @@ object PartitionedStore {
     if (!new java.io.File(s"$path/calendar").exists() ||
         !IndexStore.sourceFpCurrent(path, dir))
       write(spark, dir, path)
-    val hi = spark.read.parquet(s"$path/calendar")
+    val hi = graft.Tables.storeParquet(spark, s"$path/calendar")
       .agg(max(col("event_date"))).head().getDate(0)
     if (hi != null) {
       val cutoff = hi.toLocalDate.minusDays(keepDays.toLong - 1)
@@ -738,7 +738,7 @@ object PartitionedStore {
         }
         .foreach(graft.streaming.StreamOps.rmTree)
     }
-    spark.read.parquet(s"$path/rows")
+    graft.Tables.storeParquet(spark, s"$path/rows")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
@@ -755,8 +755,8 @@ object PartitionedStore {
     */
   def dppQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = ensure(spark, dir)
-    val rows = spark.read.parquet(s"$path/rows")
-    val dim = spark.read.parquet(s"$path/calendar")
+    val rows = graft.Tables.storeParquet(spark, s"$path/rows")
+    val dim = graft.Tables.storeParquet(spark, s"$path/calendar")
       .filter(col("dom") % 2 === 0)
       .select(col("event_date"))
     rows.join(broadcast(dim), Seq("event_date"))

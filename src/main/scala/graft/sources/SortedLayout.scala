@@ -36,7 +36,7 @@ object SortedLayout {
       .parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.Tables.storeParquet(spark, path)
 
   /** Per-file (min, max, rows) of `key` — the clustering audit: a sorted
     * layout has pairwise-disjoint file ranges, which is exactly the
@@ -44,7 +44,7 @@ object SortedLayout {
     * scan, grouped by `input_file_name`); used by the spec.
     */
   def fileRanges(spark: SparkSession, path: String, key: String): DataFrame =
-    spark.read.parquet(path)
+    graft.Tables.storeParquet(spark, path)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(key)).as("lo"), max(col(key)).as("hi"),
         count(lit(1)).as("rows"))
@@ -86,7 +86,7 @@ object SortedLayout {
     */
   private[graft] def overlappingFiles(spark: SparkSession, path: String,
                                       lo: Long, hi: Long): (Seq[String], Int) = {
-    val zm = spark.read.parquet(s"$path/zonemap")
+    val zm = graft.Tables.storeParquet(spark, s"$path/zonemap")
       .select(col("file"), col("lo"), col("hi")).collect()
     val keep = zm.filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
       .map(_.getString(0)).toSeq
@@ -107,7 +107,7 @@ object SortedLayout {
   private def rangeAgg(spark: SparkSession, path: String, lo: Long, hi: Long): DataFrame = {
     val (files, _) = overlappingFiles(spark, path, lo, hi)
     val scan =
-      if (files.isEmpty) spark.read.parquet(s"$path/data").limit(0)
+      if (files.isEmpty) graft.Tables.storeParquet(spark, s"$path/data").limit(0)
       else spark.read.parquet(files: _*)
     scan.filter(col("doc_id") >= lo && col("doc_id") <= hi)
       .groupBy(col("lang"))
@@ -145,7 +145,7 @@ object SortedLayout {
     }
     // manifest commit: old rows (collected — the manifest is ≤ files rows
     // by contract) + the delta's rows, rewritten as one tiny parquet
-    val old = spark.read.parquet(s"$path/zonemap")
+    val old = graft.Tables.storeParquet(spark, s"$path/zonemap")
       .select(col("file"), col("lo"), col("hi"), col("rows")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     import spark.implicits._

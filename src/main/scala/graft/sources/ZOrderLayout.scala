@@ -83,7 +83,7 @@ object ZOrderLayout {
       write(e, s"$out/events_z",
         coord16(col("user_id"), uLo, uHi),
         coord16(col("value"), vLo, vHi))
-      spark.read.parquet(s"$out/events_z")
+      graft.Tables.storeParquet(spark, s"$out/events_z")
         .filter(col("user_id").between(4, 6) && col("value").between(10.0, 30.0))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -98,7 +98,7 @@ object ZOrderLayout {
     * box intersects it are read. Distributed, one agg over the scan.
     */
   def fileBoxes(spark: SparkSession, path: String, a: String, b: String): DataFrame =
-    spark.read.parquet(path)
+    graft.Tables.storeParquet(spark, path)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(a)).as("a_lo"), max(col(a)).as("a_hi"),
         min(col(b)).as("b_lo"), max(col(b)).as("b_hi"),

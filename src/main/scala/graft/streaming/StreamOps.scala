@@ -284,7 +284,7 @@ object StreamOps {
     val incoming = batch.withColumn("v", lit(version))
     val merged =
       if (fs.exists(live)) {
-        val old = spark.read.parquet(storePath)
+        val old = graft.Tables.storeParquet(spark, storePath)
         val w = Window.partitionBy(col("event_id")).orderBy(col("v").desc)
         old.unionByName(incoming)
           .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
@@ -669,7 +669,7 @@ object StreamOps {
     // The stream schema tracks the batch reader instead of a hand-copied
     // StructType: a generator-side type change surfaces as a loud analysis
     // error here rather than silent nulls diverging stream_knn from knn_ivf.
-    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val schema = graft.Tables.embeddings(spark, dir).schema
     // Pinned partitions here even though the query is stateless: each
     // micro-batch's work (a pruned search over nq=5 queries) is tiny, so
     // fewer shuffle partitions means fewer near-empty tasks per batch —
@@ -734,7 +734,7 @@ object StreamOps {
     val half = graft.sources.IndexStore.ensureCorpusHalf(spark, dir)
     val out = java.nio.file.Files.createTempDirectory("graft-dedupingest").toString
     val keptDir = s"$out/kept"
-    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val schema = graft.Tables.embeddings(spark, dir).schema
     val result =
       try withStreamPartitions(spark) { s =>
         val src = s.readStream.schema(schema)
@@ -827,7 +827,7 @@ object StreamOps {
     if (!reuseCompleted(work, half, options)) {
     IndexStore.cloneStore(half, work)
     val out = java.nio.file.Files.createTempDirectory("graft-storeabsorb").toString
-    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val schema = graft.Tables.embeddings(spark, dir).schema
       try withStreamPartitions(spark) { s =>
         val src = s.readStream.schema(schema).options(options)
           .option("basePath", dir)
@@ -871,7 +871,7 @@ object StreamOps {
     val queries = graft.Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 2 === 1 && col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val rowsAfter = spark.read.parquet(s"$work/rows").count()
+    val rowsAfter = graft.Tables.storeParquet(spark, s"$work/rows").count()
     // eager checkpoint: the returned frame must stay valid after a LATER
     // invocation re-clones the working store out from under its files
     IndexStore.searchPruned(spark, work, queries, k, nprobe)
@@ -936,7 +936,7 @@ object StreamOps {
     if (!reuseCompleted(work, half, options)) {
     IndexStore.cloneStore(half, work)
     val out = java.nio.file.Files.createTempDirectory("graft-graphabsorb").toString
-    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val schema = graft.Tables.embeddings(spark, dir).schema
     // Stateless foreachBatch sink → keep the CALLER's parallelism (the
     // withStreamPartitions docstring's own rule): the real work here is
     // the absorb's NN-Descent joins and the beam walks, and the 3-wide
@@ -1012,7 +1012,7 @@ object StreamOps {
     // blocking{}: the count blocks on a Spark job from the shared
     // CPU-sized global pool (see GraphIndex.absorb's starvation note)
     val nodesAfterF = scala.concurrent.Future(scala.concurrent.blocking(
-      spark.read.parquet(s"$work/edges").select(col("src")).distinct().count()))(
+      graft.Tables.storeParquet(spark, s"$work/edges").select(col("src")).distinct().count()))(
       scala.concurrent.ExecutionContext.global)
     // entries from the STORE corpus (even ∪ crawl): a full-corpus
     // entry sample would put never-inserted nodes into the visited
@@ -1073,7 +1073,7 @@ object StreamOps {
     if (!reuseCompleted(work, half, options)) {
     IndexStore.cloneStore(half, work)
     val out = java.nio.file.Files.createTempDirectory("graft-pqabsorb").toString
-    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val schema = graft.Tables.embeddings(spark, dir).schema
       try withStreamPartitions(spark) { s =>
         val src = s.readStream.schema(schema).options(options)
           .option("basePath", dir)
@@ -1122,7 +1122,7 @@ object StreamOps {
     val queries = graft.Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 2 === 1 && col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val codesAfter = spark.read.parquet(s"$work/codes").count()
+    val codesAfter = graft.Tables.storeParquet(spark, s"$work/codes").count()
     // eager checkpoint: survive a later invocation's re-clone (see
     // streamStoreAbsorb)
     PqStore.search(spark, work, queries, k)
@@ -1146,7 +1146,7 @@ object StreamOps {
                               options: Map[String, String] = Map.empty): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft-partingest").toString
     val rowsDir = s"$out/rows"
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = graft.Tables.table(spark, dir, "events").schema
     val result =
       try withStreamPartitions(spark) { s =>
         val src = graft.Tables.normalizeTs(
@@ -1201,7 +1201,7 @@ object StreamOps {
     val bits = graft.operators.Dedup.ensureContentBloom(spark, dir, numBits)
     val out = java.nio.file.Files.createTempDirectory("graft-bloomingest").toString
     val keptDir = s"$out/kept"
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val schema = graft.Tables.documents(spark, dir).schema
     val result =
       try withStreamPartitions(spark) { s =>
         val corpusKeys = graft.Tables.documents(s, dir)
